@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator parity queries (SURVEY.md §2 A–H) over the driver
+  * testdata tables. Every query is deterministic (fully tie-broken sorts,
+  * exact decimal accumulation for monetary sums) so its parquet output
+  * hash-matches the DuckDB oracle in `SparkEntry.oracleSql`.
+  *
+  * Reference semantics being re-expressed are cited per function as
+  * `file:line` relative to /root/reference/.
+  */
+object CoreOps {
+
+  /** Monetary values in testdata have 2 decimal digits; accumulating them as
+    * DECIMAL(12,2) makes sums exact and order-independent (double-summation
+    * order differs between Spark partitions and DuckDB), then the final cast
+    * to double is deterministic. Mirrors SURVEY.md §5 determinism notes.
+    */
+  private val Dec = DecimalType(12, 2)
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** revenue = sum(price * (1 - discount)) with exact decimal arithmetic. */
+  def drevenue(price: Column, disc: Column): Column =
+    sum(price.cast(Dec) * (lit(1).cast(Dec) - disc.cast(Dec))).cast("double")
+
+  // ---------------------------------------------------------------- D1/D2/F2
+  /** Pricing-summary aggregation (reference D1/D2 GROUP BY + COUNT/SUM shape,
+    * e.g. 08_ETL2_part2.sql:25-35): per (returnflag, linestatus) totals.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // -------------------------------------------------------------------- F1
+  /** Top-k by aggregate (olap_queries.sql:15-16 ORDER BY … DESC LIMIT n),
+    * 3-way FK join (C1). Fully tie-broken by c_custkey for determinism.
+    */
+  def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // -------------------------------------------------------------------- C1
+  /** Multi-way inner equi-join resolving FK chains to small dims
+    * (02_ETL1_part1.sql:49-62 staging-name→id resolution shape). Dims are
+    * broadcast — at 100 TB the fact side never shuffles for these joins.
+    */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  // -------------------------------------------------------------------- C2
+  /** Left outer join keeping unmatched rows (02_ETL1_part1.sql:70-74 optional
+    * city dim). count(col) null-skips exactly like SQL COUNT(col).
+    */
+  def leftJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- B6/B7/A9
+  /** Anti join = NOT EXISTS / NOT IN with non-null keys
+    * (02_ETL1_part1.sql:42-44, 03_ETL1_part2.sql:152-157): customers having
+    * no large order.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // -------------------------------------------------------------------- C10
+  /** Semi join = EXISTS: customers with at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------- A4/B2-B5 (split)
+  /** Validation rule list for events — first failing rule wins, mirroring the
+    * sequential quarantine inserts of 04_ETL1_part3.sql:158-229 (each DELETEs
+    * matched rows before the next rule runs).
+    */
+  private def eventError: Column =
+    when(col("value").isNull || col("value") < 0, "value out of range")
+      .when(!upper(col("event_type")).isin("CLICK", "VIEW", "PURCHASE", "SIGNUP"),
+        "unknown event_type")
+      .when(col("value") > 400, "value above limit")
+      .when(!col("props").rlike("^\\{\"k\": [0-9]+\\}$"), "malformed props")
+      .otherwise(null)
+
+  /** Quarantine sink (A4): invalid rows + error reason, like
+    * invalid_stg_insect_observations (04_ETL1_part3.sql:71-75,158-229).
+    */
+  def quarantineInvalid(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("error_message", eventError)
+      .filter(col("error_message").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"), col("error_message"))
+      .orderBy(col("event_id"))
+
+  /** Staging after quarantine delete (A9, 04_ETL1_part3.sql:168-172,232-235):
+    * the valid remainder.
+    */
+  def quarantineValid(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(eventError.isNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  // ---------------------------------------------------------------- A8/B8/B10
+  /** Scrub pass: NULLIF/TRIM/COALESCE/CASE (04_ETL1_part3.sql:117-154 NA→NULL
+    * + trim-empty scrub; 03_ETL1_part2.sql:112-121 CASE branching).
+    */
+  def scrubCase(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        coalesce(when(trim(col("p_name")) === "", null)
+          .otherwise(trim(col("p_name"))), lit("unknown")).as("name_clean"),
+        when(col("p_size").between(1, 25), "small")
+          .when(col("p_size").between(26, 40), "medium")
+          .otherwise("large").as("size_class"))
+      .orderBy(col("p_partkey"))
+
+  // ---------------------------------------------------------------- D7/F3
+  /** DISTINCT ON (k) ... ORDER BY k, tiebreak (03_ETL1_part2.sql:108-133
+    * earliest-join_date user dedup): earliest order per customer.
+    */
+  def distinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("first_order_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // -------------------------------------------------------------------- E1
+  /** SCD2 end-dating via window (03_ETL1_part2.sql:159-188): each order opens
+    * a "version" closed by the next one minus one day; last version open-ended.
+    */
+  def scd2Lag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_start", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("start_date"),
+        date_sub(col("next_start").cast(DateType), 1).as("end_date"))
+      .orderBy(col("o_custkey"), col("start_date"), col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------ C5/C6
+  /** Temporal as-of join with earliest-record fallback
+    * (08_ETL2_part2.sql:98-104): for each event, the latest order of that
+    * user at-or-before the event time, else the user's earliest order.
+    * Equi key (user) + range condition → shuffled join, scales at 100 TB;
+    * the per-event argmax is a window, not a driver loop.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val wAsof = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val asof = ev
+      .join(ord, ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"), "left")
+      .withColumn("rn", row_number().over(wAsof))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+    val wFirst = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val earliest = ord
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("earliest_orderkey"))
+    asof.join(broadcast(earliest), asof("user_id") === earliest("o_custkey"), "left")
+      .select(
+        col("event_id"),
+        coalesce(col("asof_orderkey"), col("earliest_orderkey")).as("resolved_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  // -------------------------------------------------------------------- C7
+  /** Prioritized best-match resolution (04_ETL1_part3.sql:396-416): join all
+    * candidate "versions" (SCD intervals derived from orders), class-rank
+    * them, keep the best per event.
+    */
+  def priorityBestmatch(spark: SparkSession, dir: String): DataFrame = {
+    val wLead = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val intervals = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("start_date", col("o_orderdate").cast(DateType))
+      .withColumn("end_date",
+        date_sub(lead(col("o_orderdate"), 1).over(wLead).cast(DateType), 1))
+      .select(col("o_custkey"), col("o_orderkey"), col("start_date"), col("end_date"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast(DateType).as("event_date"))
+    val cand = ev.join(intervals, ev("user_id") === intervals("o_custkey"), "inner")
+      .withColumn("prio",
+        when(col("start_date") <= col("event_date") &&
+          (col("end_date").isNull || col("end_date") >= col("event_date")), 1)
+          .when(col("start_date").isNull, 2)
+          .when(col("event_date") < col("start_date"), 3)
+          .otherwise(4))
+    val wBest = Window.partitionBy(col("event_id"))
+      .orderBy(col("prio"), col("start_date"), col("o_orderkey"))
+    cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("matched_orderkey"), col("prio"))
+      .orderBy(col("event_id"))
+  }
+
+  // -------------------------------------------------------------------- C4
+  /** Theta join on substring containment (04_ETL1_part3.sql:395 authors ILIKE
+    * '%'||last_name||'%'): events whose props contain a customer key's
+    * digits; fan-out aggregated per event. Build side is filtered tiny and
+    * broadcast → BroadcastNestedLoopJoin, the same shape that keeps this
+    * viable when the probe side is 100 TB.
+    */
+  def thetaContains(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey"))
+    ev.join(broadcast(cust), col("props").contains(col("c_custkey").cast(StringType)))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_matched"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- C8 + D8
+  /** dim_date build (07_ETL2_part1.sql:53-64) + join on computed key
+    * (08_ETL2_part2.sql:50-52): distinct (year, month) with month_name /
+    * month_year and a row_number surrogate key (SURVEY.md §1: deterministic
+    * SERIAL replacement), then lineitem joined on extracted year/month.
+    */
+  def dimDateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dimDate = Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"))
+      .distinct()
+      .withColumn("date_sk",
+        row_number().over(Window.orderBy(col("year"), col("month"))))
+      .withColumn("month_name",
+        date_format(make_date(col("year"), col("month"), lit(1)), "MMMM"))
+      .withColumn("month_year",
+        date_format(make_date(col("year"), col("month"), lit(1)), "yyyy-MM"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(dimDate),
+        year(li("l_shipdate")) === dimDate("year") &&
+          month(li("l_shipdate")) === dimDate("month"), "inner")
+      .groupBy(col("date_sk"), col("year"), col("month"), col("month_name"), col("month_year"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("year"), col("month"))
+  }
+
+  // -------------------------------------------------------------------- C11
+  /** Case-insensitive equi-join (04_ETL1_part3.sql:332-333 LOWER(a)=LOWER(b))
+    * against a row_number-keyed dim derived from distinct values.
+    */
+  def ciJoin(spark: SparkSession, dir: String): DataFrame = {
+    val segDim = Tables.customer(spark, dir)
+      .select(upper(col("c_mktsegment")).as("seg_name"))
+      .distinct()
+      .withColumn("seg_sk", row_number().over(Window.orderBy(col("seg_name"))))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(segDim), lower(c("c_mktsegment")) === lower(segDim("seg_name")))
+      .groupBy(col("seg_sk"), col("seg_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("seg_sk"))
+  }
+
+  // -------------------------------------------------------------------- A6
+  /** Idempotent dim insert (07_ETL2_part1.sql:5-50 ON CONFLICT DO NOTHING →
+    * anti-join): (segment, nation) pairs seen among later customers that are
+    * absent from the "already loaded" earlier half.
+    */
+  def dimUpsertNew(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val existing = c.filter(col("c_custkey") < 750)
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    val incoming = c.filter(col("c_custkey") >= 750)
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    incoming.join(existing, Seq("c_mktsegment", "c_nationkey"), "left_anti")
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
+  // ------------------------------------------------------------------ D3/D4
+  /** Conditional aggregates (08_ETL2_part2.sql:27-35 SUM(CASE WHEN…);
+    * oltp_queries.sql:30-31 COUNT(*) FILTER).
+    */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_highdisc"),
+        count(when(col("l_tax") > 0.04, 1)).as("n_hightax"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // -------------------------------------------------------------------- D5
+  /** Multiple exact COUNT(DISTINCT) in one aggregation
+    * (08_ETL2_part2.sql:146-149: 4 at once).
+    */
+  def multiCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(date_format(col("o_orderdate"), "yyyy-MM")).as("n_months"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // -------------------------------------------------------------------- D6
+  /** Group key = expression (08_ETL2_part2.sql:113-118 GROUP BY COALESCE):
+    * bucket customers by coalesced nullable-ish key.
+    */
+  def groupbyExpr(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("status_bucket",
+        coalesce(when(col("o_orderstatus") === "P", null)
+          .otherwise(col("o_orderstatus")), lit("PENDING")))
+      .groupBy(col("status_bucket"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("status_bucket"), col("order_year"))
+
+  // --------------------------------------------------------------------- G
+  /** Set operations (SURVEY.md §2.G — absent in reference, covered for
+    * completeness): INTERSECT / EXCEPT / UNION ALL over order-status key sets.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+    val both  = f.intersect(p).select(lit("both").as("tag"), col("o_custkey"))
+    val fOnly = f.except(p).select(lit("f_only").as("tag"), col("o_custkey"))
+    both.unionAll(fOnly).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  // --------------------------------------------------------------------- B3
+  /** Regex validation + extraction (04_ETL1_part3.sql:183-221 `~` patterns).
+    */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast(IntegerType).as("k_val"),
+        when(col("props").rlike("^\\{\"k\": [0-9]+\\}$"), 1).otherwise(0).as("valid_props"),
+        when(upper(col("event_type")).isin("CLICK", "VIEW"), 1).otherwise(0).as("is_passive"))
+      .orderBy(col("event_id"))
+
+  // --------------------------------------------------------------------- H
+  /** String scalar battery (SURVEY.md §2.H): TRIM/UPPER/LOWER/INITCAP/
+    * SPLIT_PART/REVERSE/POSITION/SUBSTRING/LPAD/||/LIKE/LENGTH over part.
+    */
+  def scalarStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        trim(col("p_name")).as("name_trim"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        initcap(col("p_name")).as("name_initcap"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "widget").as("widget_pos"),
+        expr("substring(p_name, 3)").as("name_from3"),
+        lpad(col("p_size").cast(StringType), 3, "0").as("size_pad"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        when(col("p_name").like("%bolt%"), 1).otherwise(0).as("is_bolt"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** Date scalar battery (§2.H): EXTRACT/TO_CHAR/TO_DATE/interval arithmetic
+    * (07_ETL2_part1.sql:55-58; 03_ETL1_part2.sql:183).
+    */
+  def scalarDates(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month_year"),
+        date_sub(col("o_orderdate").cast(DateType), 1).as("prev_day"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus_30"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("roundtrip_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** Cast battery (§2.H): ::INT, ::BOOLEAN from Y/N, DECIMAL(9,6)
+    * (04_ETL1_part3.sql:439-452).
+    */
+  def scalarCasts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty_int"),
+        when(col("l_returnflag") === "R", "Y").otherwise("N")
+          .cast(BooleanType).as("returned_bool"),
+        col("l_discount").cast(DecimalType(9, 6)).as("disc_dec"),
+        col("l_linenumber").cast(StringType).as("line_str"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+}
