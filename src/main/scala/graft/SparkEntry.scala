@@ -193,7 +193,7 @@ object SparkEntry {
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q_dim_date_join" ->
       """WITH dim_date AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY year, month) AS INT) AS date_sk,
+        |  SELECT CAST(year * 100 + month AS INT) AS date_sk,
         |    year, month,
         |    strftime(make_date(year, month, 1), '%B') AS month_name,
         |    strftime(make_date(year, month, 1), '%Y-%m') AS month_year
@@ -209,12 +209,12 @@ object SparkEntry {
         |ORDER BY d.year, d.month""".stripMargin,
     "q_ci_join" ->
       """WITH seg_dim AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY seg_name) AS INT) AS seg_sk, seg_name
+        |  SELECT CAST(concat('0x', substr(md5(seg_name), 1, 8)) AS BIGINT) AS seg_sk, seg_name
         |  FROM (SELECT DISTINCT UPPER(c_mktsegment) AS seg_name FROM customer))
         |SELECT s.seg_sk, s.seg_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer c JOIN seg_dim s ON LOWER(c.c_mktsegment) = LOWER(s.seg_name)
-        |GROUP BY s.seg_sk, s.seg_name ORDER BY s.seg_sk""".stripMargin,
+        |GROUP BY s.seg_sk, s.seg_name ORDER BY s.seg_name""".stripMargin,
     "q_dim_upsert_new" ->
       """SELECT c_mktsegment, c_nationkey
         |FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_custkey >= 750) i
@@ -286,7 +286,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_quantity AS INT) AS qty_int,
         | CASE WHEN l_returnflag = 'R' THEN TRUE ELSE FALSE END AS returned_bool,
-        | CAST(l_discount AS DECIMAL(9,6)) AS disc_dec,
+        | CAST(CAST(l_discount AS DECIMAL(9,6)) AS DOUBLE) AS disc_dec,
         | CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -25,15 +25,15 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read it as raw long nanos (legacy conf) and truncate to
-    * a microsecond timestamp — exactly what DuckDB does when it scans the
+    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * at session-build time by Verify/Bench/tests — a loader must never
+    * mutate session conf) it reads as raw long nanos, truncated here to a
+    * microsecond timestamp — exactly what DuckDB does when it scans the
     * same file, so oracle comparisons line up.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -212,20 +212,36 @@ object CoreOps {
     val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    val wAsof = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val asof = ev
-      .join(ord, ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"), "left")
-      .withColumn("rn", row_number().over(wAsof))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
-    val wFirst = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val earliest = ord
-      .withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey").as("earliest_orderkey"))
-    asof.join(broadcast(earliest), asof("user_id") === earliest("o_custkey"), "left")
+    // Union-tag sort-merge as-of: tag both inputs, shuffle ONCE on the user
+    // key, sort by time within each user, and resolve with two window
+    // functions in a single pass. No events×orders candidate fanout (the
+    // old plan materialized Σ(events_u · orders_u) rows before pruning) and
+    // no broadcast of a per-user table (OOM at 100 TB). This is the classic
+    // distributed as-of-join shape: cost is one shuffle + one sort.
+    val tagged = ord.select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").cast(TimestampType).as("ts"),
+        lit(0).as("is_event"),
+        col("o_orderkey").as("orderkey"),
+        lit(null).cast(LongType).as("event_id"))
+      .unionAll(ev.select(
+        col("user_id"),
+        col("ts"),
+        lit(1).as("is_event"),
+        lit(null).cast(LongType).as("orderkey"),
+        col("event_id")))
+    // Orders sort before events at equal ts (is_event 0 < 1) so an order ON
+    // the event time is visible — matches the original o_orderdate <= ts.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event"), col("orderkey"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged
+      // latest order at-or-before this row = last non-null orderkey so far
+      .withColumn("asof_orderkey", last(col("orderkey"), ignoreNulls = true).over(wCum))
+      // earliest-order fallback folded into the same window pass
+      .withColumn("earliest_orderkey", first(col("orderkey"), ignoreNulls = true).over(wAll))
+      .filter(col("is_event") === 1)
       .select(
         col("event_id"),
         coalesce(col("asof_orderkey"), col("earliest_orderkey")).as("resolved_orderkey"))
@@ -293,8 +309,11 @@ object CoreOps {
         year(col("o_orderdate")).as("year"),
         month(col("o_orderdate")).as("month"))
       .distinct()
-      .withColumn("date_sk",
-        row_number().over(Window.orderBy(col("year"), col("month"))))
+      // Arithmetic surrogate key (year*100+month), not a global-window
+      // row_number: deterministic, collision-free, and needs no
+      // single-partition sort — the standard SERIAL replacement for keys
+      // derivable from the business key itself (SURVEY.md §1).
+      .withColumn("date_sk", (col("year") * 100 + col("month")).cast(IntegerType))
       .withColumn("month_name",
         date_format(make_date(col("year"), col("month"), lit(1)), "MMMM"))
       .withColumn("month_year",
@@ -316,12 +335,17 @@ object CoreOps {
     val segDim = Tables.customer(spark, dir)
       .select(upper(col("c_mktsegment")).as("seg_name"))
       .distinct()
-      .withColumn("seg_sk", row_number().over(Window.orderBy(col("seg_name"))))
+      // Hash surrogate key (first 8 hex digits of md5): deterministic and
+      // fully distributed — no global-window sort. Hash keys are the
+      // at-scale replacement for SERIAL when the domain isn't enumerable
+      // arithmetically (SURVEY.md §1).
+      .withColumn("seg_sk",
+        conv(substring(md5(col("seg_name")), 1, 8), 16, 10).cast(LongType))
     val c = Tables.customer(spark, dir)
     c.join(broadcast(segDim), lower(c("c_mktsegment")) === lower(segDim("seg_name")))
       .groupBy(col("seg_sk"), col("seg_name"))
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
-      .orderBy(col("seg_sk"))
+      .orderBy(col("seg_name"))
   }
 
   // -------------------------------------------------------------------- A6
@@ -461,7 +485,10 @@ object CoreOps {
         col("l_quantity").cast(IntegerType).as("qty_int"),
         when(col("l_returnflag") === "R", "Y").otherwise("N")
           .cast(BooleanType).as("returned_bool"),
-        col("l_discount").cast(DecimalType(9, 6)).as("disc_dec"),
+        // DECIMAL(9,6) cast exercised, then surfaced as DOUBLE: DuckDB
+        // renders the same decimal as float64 in its result set, so the
+        // final physical type must agree for the driver's hash compare.
+        col("l_discount").cast(DecimalType(9, 6)).cast("double").as("disc_dec"),
         col("l_linenumber").cast(StringType).as("line_str"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 }
