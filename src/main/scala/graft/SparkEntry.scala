@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CoreOps}
+import graft.queries.{Analytics, CoreOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,10 +77,47 @@ object SparkEntry {
     "q_quality_summary" -> (Analytics.qualitySummary _),
     "q_top_users" -> (Analytics.topUsers _),
     "q_top_monthly_unique" -> (Analytics.topMonthlyUniqueLocations _),
+    // LLM-data-pipeline tier (SURVEY.md §7 tier 4) — dedup
+    "q_dedup_exact" -> (TextOps.dedupExact _),
+    "q_dedup_minhash" -> (TextOps.dedupMinhash _),
+    "q_dedup_simhash" -> (TextOps.dedupSimhash _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
+    // text analysis
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_lang_id" -> (TextOps.langId _),
+    // multimodal metadata plumbing (SQL-expressible deterministic stub)
+    "q_multimodal_meta" -> (TextOps.multimodalMeta _),
+    // similarity search
+    "q_sim_topk" -> (VectorOps.simTopk _),
+    "q_sim_lsh" -> (VectorOps.simLsh _),
+    "q_embed_dedup" -> (VectorOps.embedDedup _),
   )
 
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)"
+
+  /** DuckDB spelling of TextOps.h32: first 8 hex digits of md5 as BIGINT. */
+  private def h32Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** DuckDB 12-signature MinHash battery over a BIGINT list column `th`,
+    * generated from the same (a, b, P) constants as the Spark side. */
+  private val minhashSigSql: String =
+    (0 until 12).map { i =>
+      s"list_min(list_transform(th, x -> (x*${TextOps.MinhashA(i)}+${TextOps.MinhashB(i)}) % ${TextOps.MinhashP})) AS sig$i"
+    }.mkString(",\n    ")
+
+  /** DuckDB left-fold double dot product over two list columns — mirrors the
+    * Spark aggregate(zip_with(...)) accumulation order bitwise. */
+  private def dotSql(a: String, b: String, n: String): String =
+    s"list_reduce(list_transform(range(1, $n + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String, n: String): String =
+    s"(${dotSql(a, b, n)} / (sqrt(${dotSql(a, a, n)}) * sqrt(${dotSql(b, b, n)})))"
+
+  /** DuckDB ±1 hyperplane projection (plane j) matching VectorOps.planeDot. */
+  private def planeDotSql(j: Int): String =
+    s"list_reduce(list_transform(range(0, n), i -> CAST(embedding[i+1] AS DOUBLE) * (CASE WHEN substr(md5(concat('${j}_', i)), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
 
   private val eventErrSql =
     """CASE WHEN value IS NULL OR value < 0 THEN 'value out of range'
@@ -336,5 +373,151 @@ object SparkEntry {
         |  FROM user_monthly)
         |SELECT o_custkey, order_month, n_distinct_suppliers FROM ranked WHERE rn = 1
         |ORDER BY n_distinct_suppliers DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, content_hash, keep_doc_id, n_copies,
+        | CAST(doc_id <> keep_doc_id AS INT) AS is_dup
+        |FROM (SELECT doc_id, sha256(lower(trim(text))) AS content_hash,
+        |  MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS keep_doc_id,
+        |  COUNT(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, tk -> ${h32Sql("tk")}) AS th FROM t),
+        |sig AS (SELECT doc_id,
+        |    $minhashSigSql
+        |  FROM h),
+        |banded AS (
+        |  SELECT doc_id, band_id,
+        |    CASE band_id
+        |      WHEN 0 THEN concat(sig0, '_', sig1, '_', sig2)
+        |      WHEN 1 THEN concat(sig3, '_', sig4, '_', sig5)
+        |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
+        |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) AS jaccard
+        |  FROM cand c JOIN t ta ON ta.doc_id = c.doc_id_a JOIN t tb ON tb.doc_id = c.doc_id_b)
+        |SELECT doc_id_a, doc_id_b, jaccard FROM v WHERE jaccard >= 0.95
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id, ${h32Sql("tk")} AS h FROM t),
+        |bits AS (SELECT doc_id, h, unnest(range(32)) AS b FROM h),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote_sum
+        |  FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")}))) AS h
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id, CAST(r AS INT) AS rank, h[r] AS shingle_hash
+        |FROM s CROSS JOIN (SELECT unnest(range(1, 6)) AS r)
+        |WHERE r <= len(h)
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """WITH d AS (
+        |  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |    CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        |    CAST(len(list_filter(toks, tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+        |  FROM d)
+        |SELECT doc_id, lang, n_chars, n_chars_actual, n_tokens, n_distinct_tokens,
+        |  n_bpe_tokens, avg_token_len, stopword_ratio,
+        |  CASE WHEN n_tokens BETWEEN 5 AND 1000 AND stopword_ratio < 0.5
+        |       THEN 1.0 - stopword_ratio ELSE 0.0 END AS quality_score
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, s_en, s_es, s_de, s_fr,
+        |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred_lang,
+        |    lang
+        |  FROM s)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr, pred_lang, lang,
+        |  CAST(pred_lang = lang AS INT) AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 193 AS INT) AS width,
+        |  CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 129 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN e c ON c.vec_id <> pr.probe_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_sim_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, embedding, n,
+        |    CAST((CASE WHEN ${planeDotSql(0)} > 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(1)} > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(2)} > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(3)} > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  FROM e),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n, bucket FROM b WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT pr.probe_id, pr.bucket, c.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN b c ON c.bucket = pr.bucket AND c.vec_id <> pr.probe_id)
+        |SELECT probe_id, bucket, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_embed_dedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n FROM embeddings)
+        |SELECT label, vec_id_a, vec_id_b, cos_sim FROM (
+        |  SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |    ${cosSql("a.embedding", "b.embedding", "a.n")} AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.3
+        |ORDER BY label, vec_id_a, vec_id_b""".stripMargin,
   )
 }

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact + MinHash-LSH + SimHash deduplication, document fingerprinting,
+  * text-quality statistics, language-ID heuristics, and multimodal metadata
+  * plumbing. These extend the reference's ETL surface (SURVEY.md §7 tier 4)
+  * with the operations a 100 TB training-data pipeline needs.
+  *
+  * Scale design notes (the whole point of this tier):
+  *  - dedup never does an all-pairs cross join: exact dedup is a hash
+  *    groupBy; near-dup candidates come from LSH band buckets only.
+  *  - every hash is deterministic arithmetic over md5 (identical in the
+  *    DuckDB oracle), never a JVM-private hash.
+  *  - everything is whole-stage-codegen-able built-ins: no UDFs.
+  */
+object TextOps {
+
+  /** Lower-cased whitespace tokenization — the shared normal form. */
+  private def toksAll: Column = split(lower(trim(col("text"))), "\\s+")
+  private def toksSet: Column = array_distinct(toksAll)
+
+  /** Deterministic 32-bit token hash: first 8 hex digits of md5 as a long.
+    * Reproducible in any engine with md5 — the cross-engine contract the
+    * DuckDB oracle relies on.
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // ------------------------------------------------------------ dedup: exact
+  /** Exact deduplication: sha256 of normalized (lower+trim) text, keep the
+    * minimum doc_id per content group. One hash-shuffle groupBy — the
+    * canonical first dedup pass at any scale.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("content_hash"))
+      .withColumn("keep_doc_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_doc_id")).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- dedup: MinHash-LSH
+  /** 12 universal-hash parameter pairs for MinHash; P is a prime > 2^32 so
+    * (a*h + b) % P never collides by truncation. a*h stays well inside a
+    * signed 64-bit long (a < 2^11, h < 2^32).
+    */
+  private[graft] val MinhashA = Seq(131L, 269L, 401L, 547L, 673L, 821L, 953L, 1097L, 1231L, 1381L, 1523L, 1669L)
+  private[graft] val MinhashB = Seq(17L, 89L, 151L, 223L, 293L, 367L, 433L, 509L, 587L, 653L, 727L, 797L)
+  private[graft] val MinhashP = 4294967311L
+  private val NumBands = 4 // 4 bands x 3 rows of the 12-sig signature
+
+  /** Near-duplicate detection via MinHash + LSH banding:
+    * token-set → 12 minhash signatures → 4 bands of 3 → band-bucket
+    * self-join for candidates → exact Jaccard verification (>= 0.95).
+    *
+    * Never all-pairs: candidate generation is an equi-join on
+    * (band_id, band_key), so cost is Σ bucket² over genuinely-colliding
+    * buckets — the standard 100 TB dedup shape (e.g. the C4/RefinedWeb
+    * pipelines). With 3-row bands, P(collision) at j=0.95 is 1-(1-0.857)⁴
+    * ≈ 0.9996, while unrelated pairs almost never collide.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksSet.as("toks"))
+    val hashed = docs.withColumn("th", transform(col("toks"), t => h32(t)))
+    val sigCols = (0 until 12).map { i =>
+      array_min(transform(col("th"),
+        h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))).as(s"sig$i")
+    }
+    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(
+        lit(j).as("band_id"),
+        concat_ws("_", col(s"sig${3 * j}"), col(s"sig${3 * j + 1}"), col(s"sig${3 * j + 2}")).as("band_key"))
+    }
+    val banded = sigs
+      .withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val lhs = banded.select(col("doc_id").as("doc_id_a"), col("band_id"), col("band_key"))
+    val rhs = banded.select(col("doc_id").as("doc_id_b"), col("band_id"), col("band_key"))
+    val cand = lhs.join(rhs, Seq("band_id", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    // verification joins the (slim) token sets back in — candidates only,
+    // so the wide arrays never ride through the banding shuffle
+    val ta = docs.select(col("doc_id").as("doc_id_a"), col("toks").as("toks_a"))
+    val tb = docs.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"))
+    cand.join(ta, Seq("doc_id_a")).join(tb, Seq("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
+          size(array_union(col("toks_a"), col("toks_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= 0.95)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  // ---------------------------------------------------------- dedup: SimHash
+  /** 32-bit SimHash signature per document: each token votes ±1 on every
+    * bit of its 32-bit hash; signature bit b is 1 iff the vote sum is
+    * positive. Pure explode+groupBy aggregation — linear in corpus size,
+    * shuffle-partitioned on doc_id. (Near-dup = small Hamming distance;
+    * signature banding then mirrors the MinHash-LSH join above.)
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksSet).as("tk"))
+      .withColumn("h", h32(col("tk")))
+    val bits = tok.select(col("doc_id"), col("h"),
+      explode(array((0 until 32).map(lit): _*)).as("b"))
+    bits
+      .withColumn("vote",
+        when(expr("(h div CAST(power(2, b) AS BIGINT)) % 2") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("vote_sum"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote_sum") > 0,
+        expr("CAST(power(2, b) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------- fingerprinting
+  /** Document fingerprint: word 3-gram shingles, 32-bit shingle hashes,
+    * keep the 5 smallest distinct hashes (min-k sketch — the winnowing
+    * family, 04_ETL1-style deterministic normalization applied first).
+    * Long-form output (doc_id, rank, shingle_hash) so the sketch is
+    * oracle-comparable without array-formatting pitfalls.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+      .withColumn("hashes",
+        array_sort(array_distinct(transform(col("shingles"), s => h32(s)))))
+      .select(col("doc_id"), posexplode(slice(col("hashes"), 1, 5)))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col").as("shingle_hash"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  // ------------------------------------------------------------- text stats
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality statistics: char/token/distinct-token counts, a
+    * BPE-ish regex token count, average token length, stopword ratio, and
+    * a derived quality score. All built-ins, fully codegen'd — this is a
+    * single map-side pass at any scale.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", toksAll)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt",
+        size(filter(col("toks"), t => t.isin(Stopwords: _*))))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        length(col("text")).cast(LongType).as("n_chars_actual"),
+        col("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, v) => a + v)
+          .cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("avg_token_len"),
+        (col("stop_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("stopword_ratio"))
+      .withColumn("quality_score",
+        when(col("n_tokens").between(5, 1000) && col("stopword_ratio") < 0.5,
+          lit(1.0) - col("stopword_ratio")).otherwise(0.0))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------------- language ID
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "los", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  /** N-gram-heuristic language ID: count stopword hits per language over the
+    * token stream, predict the best-scoring language with a fixed precedence
+    * (en > es > de > fr), 'und' when no list hits. Compared against the
+    * labeled `lang` column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", toksAll)
+    val withScores = LangStops.foldLeft(scored) { case (df, (code, stops)) =>
+      df.withColumn(s"s_$code", size(filter(col("toks"), t => t.isin(stops: _*))))
+    }
+    withScores
+      .withColumn("pred_lang",
+        when(col("s_en") > 0 && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") > 0 && col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") > 0 && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+      .select(
+        col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        col("pred_lang"), col("lang"),
+        (col("pred_lang") === col("lang")).cast(IntegerType).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- multimodal columns
+  /** Multimodal-column plumbing: treat content as an opaque binary column
+    * with typed, deterministic metadata extraction. The text is encoded to
+    * bytes to stand in for an image/audio payload; the "decode" step (width/
+    * height/frame count) is a clearly-marked DETERMINISTIC STUB derived from
+    * the content hash — real decoders (JPEG/PNG/audio libs are not in this
+    * container) would replace exactly the three fake columns, with the
+    * schema, hashing, and batch shape unchanged. See
+    * [[graft.multimodal.MultimodalStub]] for the mapPartitions batch-decode
+    * variant with the same contract.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .select(
+        col("doc_id"),
+        length(col("bin")).cast(LongType).as("n_bytes"),
+        sha2(col("bin"), 256).as("content_sha"))
+      .withColumn("width",
+        (lit(64) + conv(substring(col("content_sha"), 1, 8), 16, 10).cast(LongType) % 193)
+          .cast(IntegerType))
+      .withColumn("height",
+        (lit(64) + conv(substring(col("content_sha"), 9, 8), 16, 10).cast(LongType) % 129)
+          .cast(IntegerType))
+      .withColumn("n_frames", (lit(1) + col("n_bytes") % 7).cast(IntegerType))
+      .orderBy(col("doc_id"))
+}
