@@ -1,0 +1,230 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EP1 orchestration (SURVEY.md §3): CSV → staging → validate/quarantine →
+  * normalized OLTP, re-enacting 02_ETL1_part1.sql → 04_ETL1_part3.sql over
+  * the real mock CSVs (+ a DOPI-shaped CSV). Pure DataFrame transformations;
+  * materialization points are the returned frames (cached where reused,
+  * A3/A10).
+  *
+  * Preserved load-bearing semantics: duplicate-tolerant observation loads
+  * (README.md:19 — no dedup on staging rows), manual corrections, SCD2
+  * subs/affils, placeholder-January dates, priority affiliation resolution.
+  */
+object Pipeline {
+
+  /** D8 static seeds (01_create_oltp.sql:130-150). */
+  def subscriptionTypes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "Free"), (2L, "Pro"), (3L, "HiveMind"), (4L, "FieldScout"), (5L, "BeeWatch+"))
+      .toDF("subscription_type_id", "type_name")
+  }
+
+  def pollinationQualities(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1, "pollination confirmed"),
+      (2L, 2, "pollination inferred"),
+      (3L, 3, "pollination inferred from circumstantial evidence"),
+      (4L, 4, "no pollination, the visitor is not a pollinator"))
+      .toDF("pollination_quality_id", "quality_code", "description")
+  }
+
+  def seedInstitutions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "Unaffiliated", Option.empty[Long]))
+      .toDF("institution_id", "institution_name", "city_id")
+  }
+
+  /** A10: drop all pinned staging frames (02_ETL1_part1.sql:81,
+    * 04_ETL1_part3.sql:457-458) — call after materializing the outputs. */
+  def cleanup(spark: SparkSession): Unit = spark.catalog.clearCache()
+
+  /** Run ETL1 end-to-end. Returns every OLTP table plus the quarantine
+    * tables, keyed by reference table name.
+    */
+  def runEtl1(spark: SparkSession, institutionsCsv: String, usersCsv: String,
+              observationsCsv: String): Map[String, DataFrame] = {
+
+    // ---- part 1: institutions (02_ETL1_part1.sql) -------------------------
+    val stgInst = Ingest.stageInstitutions(spark, institutionsCsv)
+    val (instValid0, invalidInstitutions) =
+      Validate.splitFirstMatch(stgInst, Validate.institutionRules)
+    val instValid = instValid0.cache() // A3 staging materialization
+
+    val countries = Normalize.buildDim(
+      instValid.filter(col("country").isNotNull)
+        .select(col("country").as("country_name")),
+      "country_id", Seq("country_name"))
+
+    def countiesFrom(stg: DataFrame, existing: DataFrame): DataFrame =
+      Normalize.upsertDim(existing,
+        stg.join(countries, stg("country") === countries("country_name"))
+          .filter(col("county").isNotNull)
+          .select(col("county").as("county_name"), col("country_id")),
+        "county_id", Seq("county_name", "country_id"))
+
+    def citiesFrom(stg: DataFrame, counties: DataFrame, existing: DataFrame): DataFrame =
+      Normalize.upsertDim(existing,
+        stg.join(counties, stg("county") === counties("county_name"))
+          .filter(col("city").isNotNull)
+          .select(col("city").as("city_name"), col("county_id")),
+        "city_id", Seq("city_name", "county_id"))
+
+    val emptyCounties = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.allString(Seq("county_name")).add("country_id", "long").add("county_id", "long"))
+      .select(col("county_id"), col("county_name"), col("country_id"))
+    val counties1 = countiesFrom(instValid, emptyCounties)
+    val emptyCities = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.allString(Seq("city_name")).add("county_id", "long").add("city_id", "long"))
+      .select(col("city_id"), col("city_name"), col("county_id"))
+    val cities1 = citiesFrom(instValid, counties1, emptyCities)
+
+    val institutions = Normalize.upsertDim(
+      seedInstitutions(spark),
+      instValid.join(cities1, instValid("city") === cities1("city_name"), "left")
+        .filter(col("institution").isNotNull)
+        .select(col("institution").as("institution_name"), col("city_id")),
+      "institution_id", Seq("institution_name", "city_id"))
+      // upsertDim keys on (name, city); the reference keys on name alone
+      .dropDuplicates("institution_name")
+
+    // ---- part 2: users + SCD2 (03_ETL1_part2.sql) -------------------------
+    val stgUsers = Ingest.stageUsers(spark, usersCsv)
+    val (usersValid0, invalidUsers) = Validate.splitFirstMatch(stgUsers, Validate.userRules)
+    val usersValid = usersValid0.cache()
+
+    val counties = countiesFrom(usersValid, counties1)
+    val cities = citiesFrom(usersValid, counties, cities1)
+
+    // DISTINCT ON (username) ORDER BY username, join_date → earliest row wins
+    val userW = Window.partitionBy(col("username"))
+      .orderBy(col("join_date"), col("full_name"))
+    val users = Normalize.nameSplit(
+      usersValid.withColumn("rn", row_number().over(userW)).filter(col("rn") === 1))
+      .join(cities, usersValid("city") === cities("city_name"), "left")
+      .select(col("username"), col("email"), col("first_name_or_initials"),
+        col("last_name"), col("city_id"),
+        to_date(col("join_date"), "yyyy-MM-dd").as("join_date"))
+      .withColumn("user_id",
+        row_number().over(Window.orderBy(col("username"))).cast("long"))
+
+    val subTypes = subscriptionTypes(spark)
+
+    // SCD2 user_subscription (03_ETL1_part2.sql:136-188)
+    val subVersions = Scd2.dedupVersions(
+      usersValid
+        .join(users.select(col("user_id"), col("username")), Seq("username"))
+        .join(broadcast(subTypes), usersValid("subscription_type") === subTypes("type_name"))
+        .select(col("user_id"), col("subscription_type_id"),
+          to_date(col("subscription_start"), "yyyy-MM-dd").as("start_date")),
+      Seq("user_id", "subscription_type_id", "start_date"))
+    val userSubscription = Scd2.endDate(
+      subVersions, "user_id", "start_date", Seq("subscription_type_id"))
+      .withColumn("user_subscription_id",
+        row_number().over(Window.orderBy(col("user_id"), col("start_date"),
+          col("subscription_type_id"))).cast("long"))
+
+    // SCD2 user_institution (03_ETL1_part2.sql:190-246)
+    val affilVersions = Scd2.dedupVersions(
+      usersValid
+        .join(users.select(col("user_id"), col("username")), Seq("username"))
+        .join(broadcast(institutions.select(col("institution_id"), col("institution_name"))),
+          usersValid("institution") === col("institution_name"))
+        .select(col("user_id"), col("institution_id"),
+          to_date(col("affiliation_start"), "yyyy-MM-dd").as("start_date")),
+      Seq("user_id", "institution_id", "start_date"))
+    val userInstitution = Scd2.endDate(
+      affilVersions, "user_id", "start_date", Seq("institution_id"))
+      .withColumn("user_institution_id",
+        row_number().over(Window.orderBy(col("user_id"), col("start_date"),
+          col("institution_id"))).cast("long"))
+
+    // ---- part 3: observations (04_ETL1_part3.sql) -------------------------
+    // A3: staging MATERIALIZATION, not just lineage — the quarantine split
+    // fans the staging frame into one branch per rule, and every branch must
+    // see the identical surrogate raw_data_id assignment (a recomputed
+    // global window may tie-break differently per evaluation).
+    val stgObs = Ingest.stageObservations(spark, observationsCsv).cache()
+    val (obsValid0, invalidObservations) = Validate.validateObservations(stgObs)
+    val obsValid = Observations.manualCodeFixes(obsValid0).cache()
+
+    val plantSpecies = Normalize.buildDim(
+      obsValid.filter(col("plant_species").isNotNull)
+        .select(upper(col("nbn_plant_code")).as("nbn_code"),
+          Normalize.normalizedSpecies("plant_species").as("species_name"))
+        .dropDuplicates("species_name"),
+      "plant_id", Seq("species_name", "nbn_code"))
+      .select(col("plant_id"), col("nbn_code"), col("species_name"))
+
+    val pollinatorSpecies = Normalize.buildDim(
+      obsValid.filter(col("pollinator_species").isNotNull)
+        .select(upper(col("nbn_pollinator_code")).as("nbn_code"),
+          Normalize.normalizedSpecies("pollinator_species").as("species_name"))
+        .dropDuplicates("species_name"),
+      "pollinator_id", Seq("species_name", "nbn_code"))
+      .select(col("pollinator_id"), col("nbn_code"), col("species_name"))
+
+    val castes = Normalize.buildDim(
+      obsValid.filter(col("caste").isNotNull)
+        .select(trim(col("caste")).as("caste_name")),
+      "caste_id", Seq("caste_name"))
+
+    val pollinatorCaste = obsValid
+      .filter(col("pollinator_species").isNotNull && col("caste").isNotNull)
+      .join(pollinatorSpecies,
+        lower(pollinatorSpecies("species_name")) === lower(col("pollinator_species")))
+      .join(broadcast(castes), castes("caste_name") === trim(col("caste")))
+      .select(col("pollinator_id"), col("caste_id")).distinct()
+      .withColumn("pollinator_caste_id",
+        row_number().over(Window.orderBy(col("pollinator_id"), col("caste_id"))).cast("long"))
+
+    val locations = Normalize.buildDim(
+      obsValid.filter(col("latitude").isNotNull && col("longitude").isNotNull)
+        .select(col("latitude").cast("decimal(9,6)").as("latitude"),
+          col("longitude").cast("decimal(9,6)").as("longitude")),
+      "location_id", Seq("latitude", "longitude"))
+
+    val habitats = Normalize.buildDim(
+      obsValid.filter(col("habitat").isNotNull)
+        .select(initcap(trim(col("habitat"))).as("habitat_name")),
+      "habitat_id", Seq("habitat_name"))
+
+    val dated = Observations.assembleDate(Observations.dayClampFixes(obsValid))
+    val withUsers = Observations.matchAuthors(dated, users)
+    val resolved = Observations.resolveAffiliation(withUsers, userInstitution)
+    val observations = Observations.resolveForeignKeys(
+      resolved, plantSpecies, pollinatorSpecies, castes, locations, habitats)
+      .withColumn("observation_id", col("raw_data_id"))
+
+    // A10 cleanup (DELETE FROM stg / DROP TABLE) is the CALLER's move once
+    // the returned frames are materialized — unpersisting here would drop
+    // the caches before the lazy results evaluate. See Pipeline.cleanup.
+
+    Map(
+      "countries" -> countries,
+      "counties" -> counties,
+      "cities" -> cities,
+      "institutions" -> institutions,
+      "users" -> users,
+      "subscription_types" -> subTypes,
+      "user_subscription" -> userSubscription,
+      "user_institution" -> userInstitution,
+      "plant_species" -> plantSpecies,
+      "pollinator_species" -> pollinatorSpecies,
+      "castes" -> castes,
+      "pollinator_caste" -> pollinatorCaste,
+      "locations" -> locations,
+      "habitats" -> habitats,
+      "pollination_qualities" -> pollinationQualities(spark),
+      "observations" -> observations,
+      "invalid_stg_institutions" -> invalidInstitutions,
+      "invalid_stg_users" -> invalidUsers,
+      "invalid_stg_insect_observations" -> invalidObservations)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.TextOps
+
+/** The mapPartitions batch-decode stub must agree byte-for-byte with the
+  * SQL-expressible fake in TextOps.multimodalMeta — same schema, same
+  * metadata — proving the plumbing (binary column, batch iteration, encoder)
+  * carries the identical contract a real decoder would slot into.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mapPartitions decode matches the SQL metadata extraction exactly") {
+    val input = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+    val viaMapPartitions = MultimodalStub.decodeBatch(input)
+    val viaSql = TextOps.multimodalMeta(spark, sf)
+    assert(viaMapPartitions.schema.map(f => (f.name, f.dataType)) ===
+      viaSql.schema.map(f => (f.name, f.dataType)))
+    assert(viaMapPartitions.exceptAll(viaSql).count() === 0)
+    assert(viaSql.exceptAll(viaMapPartitions).count() === 0)
+  }
+
+  test("decode output ranges: width/height/frames inside the stub's domains") {
+    val out = MultimodalStub.decodeBatch(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin")))
+    assert(out.filter(!col("width").between(64, 256)).count() === 0)
+    assert(out.filter(!col("height").between(64, 192)).count() === 0)
+    assert(out.filter(!col("n_frames").between(1, 7)).count() === 0)
+  }
+}
