@@ -55,6 +55,12 @@ object SparkEntry {
     "q_ci_join" -> (CoreOps.ciJoin _),
     // A6 idempotent anti-join insert
     "q_dim_upsert_new" -> (CoreOps.dimUpsertNew _),
+    // A7 keyed upsert (ON CONFLICT DO UPDATE → full-outer merge)
+    "q_fact_upsert" -> (CoreOps.factUpsert _),
+    // A8 join-update (UPDATE … FROM → left join + coalesce)
+    "q_join_update" -> (CoreOps.joinUpdate _),
+    // D8 static seed dim (INSERT … VALUES → createDataFrame + broadcast)
+    "q_seed_dims" -> (CoreOps.seedDims _),
     // D3/D4 conditional aggregates
     "q_cond_agg" -> (CoreOps.condAgg _),
     // D5 multiple exact COUNT(DISTINCT)
@@ -259,6 +265,44 @@ object SparkEntry {
         |  WHERE e.c_custkey < 750 AND e.c_mktsegment = i.c_mktsegment
         |    AND e.c_nationkey = i.c_nationkey)
         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_fact_upsert" ->
+      """WITH f AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |  FROM orders WHERE year(o_orderdate) < 1999 GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |  FROM orders WHERE year(o_orderdate) >= 1999 GROUP BY o_custkey)
+        |SELECT COALESCE(f.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(f.n_orders, 0) + COALESCE(b.n_orders, 0) AS n_orders,
+        |  COALESCE(f.total_spend, 0) + COALESCE(b.total_spend, 0) AS total_spend,
+        |  CASE WHEN f.n_orders IS NOT NULL AND b.n_orders IS NOT NULL THEN 'updated'
+        |       WHEN b.n_orders IS NOT NULL THEN 'inserted'
+        |       ELSE 'kept' END AS merge_action
+        |FROM f FULL OUTER JOIN b ON f.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q_join_update" ->
+      """WITH upd AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS settled_spend
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  CAST(c_acctbal AS DOUBLE) AS old_bal,
+        |  COALESCE(settled_spend, CAST(c_acctbal AS DOUBLE)) AS new_bal,
+        |  CASE WHEN settled_spend IS NOT NULL THEN 1 ELSE 0 END AS was_updated
+        |FROM customer LEFT JOIN upd ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_seed_dims" ->
+      """SELECT prio_rank, prio_name, is_fast, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES (1, '1-URGENT', true), (2, '2-HIGH', true), (3, '3-MEDIUM', false),
+        |             (4, '4-NOT SPECIFIED', false), (5, '5-LOW', false))
+        |  AS prio(prio_rank, prio_name, is_fast)
+        |  ON o_orderpriority = prio_name
+        |GROUP BY prio_rank, prio_name, is_fast
+        |ORDER BY prio_rank""".stripMargin,
     "q_cond_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc,

@@ -473,6 +473,77 @@ object CoreOps {
           .as("roundtrip_date"))
       .orderBy(col("o_orderkey"))
 
+  // -------------------------------------------------------------------- A7
+  /** Keyed upsert, ON CONFLICT DO UPDATE (08_ETL2_part2.sql:60-66,119-122,
+    * 178-185): the reference's fact loads recompute a keyed aggregate from
+    * new staging rows and merge it into the existing fact — matched keys are
+    * updated (counts accumulated), unmatched existing keys keep their row,
+    * brand-new keys insert. In Spark the immutable equivalent is a full
+    * outer join of old fact vs new batch on the arbiter key + coalesced
+    * recompute, then overwrite — no row-level mutation, one shuffle on the
+    * key, scale-safe at any fact size.
+    */
+  def factUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def slab(p: Column) = o.filter(p)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+    val existing = slab(year(col("o_orderdate")) < 1999)   // the loaded fact
+    val batch    = slab(year(col("o_orderdate")) >= 1999)  // the new delta
+    existing.alias("f").join(batch.alias("b"), Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        (coalesce(col("f.n_orders"), lit(0L)) + coalesce(col("b.n_orders"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("f.total_spend"), lit(0.0)) + coalesce(col("b.total_spend"), lit(0.0)))
+          .as("total_spend"),
+        when(col("f.n_orders").isNotNull && col("b.n_orders").isNotNull, "updated")
+          .when(col("b.n_orders").isNotNull, "inserted")
+          .otherwise("kept").as("merge_action"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ------------------------------------------------------------- A8 (join)
+  /** Join-update, UPDATE … FROM (07_ETL2_part1.sql:92-99,123-130): the SCD2
+    * end-date catch-up sets a column from a joined source, keeping the old
+    * value where no source row matches. Spark equivalent: left join +
+    * COALESCE(new, old) + overwrite of the target — the whole UPDATE is one
+    * broadcast-or-shuffle join, never a per-row mutation loop.
+    */
+  def joinUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val upd = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("settled_spend"))
+    c.join(upd, c("c_custkey") === upd("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_acctbal").cast("double").as("old_bal"),
+        coalesce(col("settled_spend"), col("c_acctbal").cast("double")).as("new_bal"),
+        when(col("settled_spend").isNotNull, 1).otherwise(0).as("was_updated"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // -------------------------------------------------------------------- D8
+  /** Static seed dimension (01_create_oltp.sql:130-150 INSERT … VALUES):
+    * an in-code `createDataFrame(Seq(…))` dim, broadcast-joined to a fact.
+    * Seeds are driver-local literals — they never touch the cluster until
+    * the broadcast, exactly how a VALUES dim should behave at scale.
+    */
+  def seedDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prio = Seq(
+      (1, "1-URGENT", true), (2, "2-HIGH", true), (3, "3-MEDIUM", false),
+      (4, "4-NOT SPECIFIED", false), (5, "5-LOW", false))
+      .toDF("prio_rank", "prio_name", "is_fast")
+    Tables.orders(spark, dir)
+      .join(broadcast(prio), col("o_orderpriority") === col("prio_name"))
+      .groupBy(col("prio_rank"), col("prio_name"), col("is_fast"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("prio_rank"))
+  }
+
   /** Cast battery (§2.H): ::INT, ::BOOLEAN from Y/N, DECIMAL(9,6)
     * (04_ETL1_part3.sql:439-452).
     */
