@@ -61,6 +61,8 @@ object SparkEntry {
     "q_join_update" -> (CoreOps.joinUpdate _),
     // D8 static seed dim (INSERT … VALUES → createDataFrame + broadcast)
     "q_seed_dims" -> (CoreOps.seedDims _),
+    // C9 null-guarded join condition ≡ plain equi-join
+    "q_null_guard_join" -> (CoreOps.nullGuardJoin _),
     // D3/D4 conditional aggregates
     "q_cond_agg" -> (CoreOps.condAgg _),
     // D5 multiple exact COUNT(DISTINCT)
@@ -303,6 +305,19 @@ object SparkEntry {
         |  ON o_orderpriority = prio_name
         |GROUP BY prio_rank, prio_name, is_fast
         |ORDER BY prio_rank""".stripMargin,
+    "q_null_guard_join" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust_key_n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(c_custkey) AS n_matched,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM o LEFT JOIN customer
+        |  ON o.cust_key_n IS NOT NULL AND c_custkey = o.cust_key_n
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_cond_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_highdisc,

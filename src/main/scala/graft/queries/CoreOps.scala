@@ -544,6 +544,31 @@ object CoreOps {
       .orderBy(col("prio_rank"))
   }
 
+  // -------------------------------------------------------------------- C9
+  /** Null-guarded join condition (08_ETL2_part2.sql:39-41,44-46,47-49): the
+    * reference's fact loads write `ob.caste_id IS NOT NULL AND
+    * c.caste_id_bk = ob.caste_id` in their left-join ON clauses. A null key
+    * never satisfies the equality anyway, so in Spark the plain equi-join is
+    * semantically identical — and stays a hash/broadcast-able equi-join
+    * instead of degrading on the extra predicate. The nullable key is
+    * produced the way the reference produces them: a scrub that NULLs a
+    * sentinel class of values (04_ETL1_part3.sql:117-134). The oracle spells
+    * the guard explicitly; the hash match proves the equivalence.
+    */
+  def nullGuardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("cust_key_n",
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")))
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("cust_key_n") === c("c_custkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("c_custkey")).as("n_matched"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Cast battery (§2.H): ::INT, ::BOOLEAN from Y/N, DECIMAL(9,6)
     * (04_ETL1_part3.sql:439-452).
     */

@@ -129,6 +129,19 @@ class EtlPipelineSpec extends SparkSpec {
       .filter(col("species_name") === "Apis mellifera").count() === 1)
   }
 
+  test("A5 append sink: re-running the observation load doubles the table (README.md:19)") {
+    // ETL1's observation load is INSERT INTO … SELECT with no key guard —
+    // re-running it doubles the table by design. The Spark sink analog is
+    // write.mode("append") on the table directory.
+    val out = Files.createTempDirectory("graft-append").resolve("observations").toString
+    val obs = oltp("observations")
+    obs.write.mode("append").parquet(out)
+    obs.write.mode("append").parquet(out)
+    val reread = spark.read.parquet(out)
+    assert(reread.count() === 2 * obs.count())
+    assert(reread.select("observation_id").distinct().count() === obs.count())
+  }
+
   test("OLAP dims: dim_user covers users; dim_date has one row per observed month") {
     assert(dims("dim_user").count() === 31)
     val months = dims("dim_date").select("year", "month")
