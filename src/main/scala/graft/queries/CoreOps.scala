@@ -124,7 +124,7 @@ object CoreOps {
     * sequential quarantine inserts of 04_ETL1_part3.sql:158-229 (each DELETEs
     * matched rows before the next rule runs).
     */
-  private def eventError: Column =
+  private[graft] def eventError: Column =
     when(col("value").isNull || col("value") < 0, "value out of range")
       .when(!upper(col("event_type")).isin("CLICK", "VIEW", "PURCHASE", "SIGNUP"),
         "unknown event_type")

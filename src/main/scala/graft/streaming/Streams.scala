@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.queries.CoreOps
+
+/** Structured Streaming tier (SURVEY.md §2.I stretch): the reference is
+  * strictly batch, but its validate→quarantine→normalize stages are exactly
+  * the shape a streaming ingest needs, so this module re-expresses them as
+  * `readStream` → transforms → `writeStream` with the SAME batch functions
+  * (the foreachBatch pattern) plus the streaming-only operators Spark adds:
+  * event-time watermarks, tumbling-window aggregation, and stateful
+  * sessionization ([[Sessionize]]).
+  *
+  * Scale notes: streaming state (window aggs, sessions) is partitioned by
+  * grouping key across executors exactly like a batch shuffle; the watermark
+  * bounds state size — without it, window state grows forever at 100 TB/day.
+  */
+object Streams {
+
+  /** Streaming-readable schema of the driver's events parquet. `ts` is
+    * TIMESTAMP(NANOS) in the file; with `spark.sql.legacy.parquet.nanosAsLong`
+    * (set at session build) it surfaces as long nanos, truncated to
+    * microseconds here exactly like the batch loader (Tables.events).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** `readStream` over an events parquet directory. `maxFilesPerTrigger=1`
+    * makes each file one micro-batch — the local stand-in for a file-drop
+    * ingest directory.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Event-time tumbling-window aggregation with a watermark: counts and
+    * value totals per (hour, event_type). Works identically on a batch frame
+    * (the watermark is a no-op there), which is how the spec cross-checks
+    * streaming output against the batch answer.
+    *
+    * The 2-hour watermark bounds state: a window closes (and, in append
+    * mode, emits) once event time passes window_end + 2h, after which its
+    * state is dropped — the property that keeps this runnable forever.
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** The batch validation split (A4/A9, CoreOps.eventError) applied to one
+    * frame: (valid remainder, quarantine rows + reason).
+    */
+  def validateBatch(batch: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = batch.withColumn("error_message", CoreOps.eventError)
+    (tagged.filter(col("error_message").isNull).drop("error_message"),
+      tagged.filter(col("error_message").isNotNull)
+        .withColumn("row_data", to_json(struct(batch.columns.map(col): _*))))
+  }
+
+  /** Streaming validate→quarantine: every micro-batch runs the SAME split
+    * the batch ETL runs and appends each half to its parquet sink — the
+    * incremental re-enactment of ETL1's quarantine stage. `foreachBatch`
+    * because one stream feeds two sinks; checkpointing makes it
+    * exactly-once per micro-batch.
+    */
+  def quarantineSink(events: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, invalid) = validateBatch(batch)
+        valid.write.mode("append").parquet(s"$outDir/valid")
+        invalid.write.mode("append").parquet(s"$outDir/quarantine")
+      }
+      .start()
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structured Streaming tier: watermarked window aggregation, foreachBatch
+  * quarantine reuse, and stateful sessionization, each cross-checked against
+  * the batch answer on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourly window agg: streaming append output matches the batch answer for closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyTypeCounts(events)
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+
+    try {
+      // hour 10: two clicks, one view
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 10.0),
+        (ts("2024-01-01 10:40:00"), "click", 5.0),
+        (ts("2024-01-01 10:59:00"), "view", 2.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (max ts - 2h) hasn't passed hour 10's end
+      assert(spark.table("hourly").count() === 0)
+
+      // a 14:30 event pushes the watermark to 12:30 > 11:00 → hour 10 closes
+      mem.addData((ts("2024-01-01 14:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 18:00:00"), "view", 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("hourly")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 15.0)))
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "view", 1L, 2.0)))
+      // the still-open 18:00 window must NOT have emitted
+      assert(!rows.exists(_._1 == ts("2024-01-01 18:00:00")))
+    } finally q.stop()
+  }
+
+  test("streaming quarantine foreachBatch: sink counts equal the batch validation split") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    // the streaming file source watches a directory (the ingest-drop model)
+    val ingest = Files.createDirectories(java.nio.file.Paths.get(s"$out/ingest"))
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.01/events.parquet"),
+      ingest.resolve("events.parquet"))
+    val events = Streams.readEvents(spark, ingest.toString)
+    val q = Streams.quarantineSink(events, out, s"$out/chk")
+    q.awaitTermination()
+
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val (validB, invalidB) = Streams.validateBatch(batch)
+    val valid = spark.read.parquet(s"$out/valid")
+    val invalid = spark.read.parquet(s"$out/quarantine")
+    assert(valid.count() === validB.count())
+    assert(invalid.count() === invalidB.count())
+    // quarantine rows carry reason + full row_data snapshot (A4 semantics)
+    assert(invalid.filter(col("error_message").isNull).count() === 0)
+    assert(invalid.filter(col("row_data").contains("\"event_id\"")).count() === invalid.count())
+  }
+
+  test("sessionization: gaps split sessions; event-time timeout flushes the final one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessions(
+      mem.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Ev])
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+
+    try {
+      // user 1: three events 10 min apart (one session), then a 2 h gap
+      mem.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 09:00:00"), "click"),
+        Sessionize.Ev(1L, ts("2024-01-01 09:10:00"), "view"),
+        Sessionize.Ev(1L, ts("2024-01-01 09:20:00"), "click"))
+      q.processAllAvailable()
+      // same batch-key fold: a later event past the gap closes session 1 inline
+      mem.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 11:20:00"), "click"),
+        Sessionize.Ev(2L, ts("2024-01-01 11:25:00"), "view"))
+      q.processAllAvailable()
+      // advance the watermark far past 11:20+gap so the timeout fires for both users
+      mem.addData(Sessionize.Ev(3L, ts("2024-01-01 15:00:00"), "click"))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Ev(3L, ts("2024-01-01 15:01:00"), "click"))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+        .toSet
+      assert(got.contains((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:20:00"), 3)))
+      assert(got.contains((1L, ts("2024-01-01 11:20:00"), ts("2024-01-01 11:20:00"), 1)))
+      assert(got.contains((2L, ts("2024-01-01 11:25:00"), ts("2024-01-01 11:25:00"), 1)))
+    } finally q.stop()
+  }
+}
