@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
+    "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
@@ -480,6 +481,28 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")}))) AS h
+        |  FROM t WHERE len(tk) >= 3),
+        |k AS (SELECT doc_id, unnest(h[1:5]) AS bucket FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_id_a, doc_id_b,
+        |    CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(sa.h, sb.h))) AS jaccard
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = doc_id_a
+        |  JOIN s sb ON sb.doc_id = doc_id_b)
+        |SELECT doc_id_a, doc_id_b, jaccard FROM j
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_fingerprint" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),

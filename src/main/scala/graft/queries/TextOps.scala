@@ -104,6 +104,40 @@ object TextOps {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  // ---------------------------------------------------- dedup: n-gram Jaccard
+  /** Near-duplicate detection via word-3-gram Jaccard with min-k candidate
+    * pruning: each document's 5 smallest distinct shingle hashes (its
+    * [[fingerprint]] sketch) index it into hash buckets; only documents
+    * sharing a sketch hash meet as a candidate pair, then exact Jaccard over
+    * the full distinct-shingle sets verifies. Same scale shape as the
+    * MinHash path — candidate cost is Σ bucket², never all-pairs — but the
+    * sketch doubles as the winnowing fingerprint, so one pass serves both.
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("shingles"), s => h32(s)))).as("h"))
+    val sketch = sh.select(col("doc_id"), explode(slice(col("h"), 1, 5)).as("bucket"))
+    val cand = sketch.select(col("doc_id").as("doc_id_a"), col("bucket"))
+      .join(sketch.select(col("doc_id").as("doc_id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val ha = sh.select(col("doc_id").as("doc_id_a"), col("h").as("h_a"))
+    val hb = sh.select(col("doc_id").as("doc_id_b"), col("h").as("h_b"))
+    cand.join(ha, Seq("doc_id_a")).join(hb, Seq("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+          size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   // ---------------------------------------------------------- dedup: SimHash
   /** 32-bit SimHash signature per document: each token votes ±1 on every
     * bit of its 32-bit hash; signature bit b is 1 iff the vote sum is
