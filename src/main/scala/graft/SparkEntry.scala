@@ -457,17 +457,15 @@ object SparkEntry {
         |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
         |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |v AS (
-        |  SELECT c.doc_id_a, c.doc_id_b,
-        |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-        |      / CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) AS jaccard
-        |  FROM cand c JOIN t ta ON ta.doc_id = c.doc_id_a JOIN t tb ON tb.doc_id = c.doc_id_b)
-        |SELECT doc_id_a, doc_id_b, jaccard FROM v WHERE jaccard >= 0.95
-        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+        |rep AS (
+        |  SELECT band_id, band_key, min(doc_id) AS bucket_rep
+        |  FROM banded GROUP BY band_id, band_key)
+        |SELECT b.doc_id,
+        |  min(r.bucket_rep) AS cluster_id,
+        |  CAST(b.doc_id <> min(r.bucket_rep) AS INT) AS is_dup
+        |FROM banded b JOIN rep r USING (band_id, band_key)
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tk

@@ -58,25 +58,39 @@ object TextOps {
   private[graft] val MinhashP = 4294967311L
   private val NumBands = 4 // 4 bands x 3 rows of the 12-sig signature
 
-  /** Near-duplicate detection via MinHash + LSH banding:
-    * token-set → 12 minhash signatures → 4 bands of 3 → band-bucket
-    * self-join for candidates → exact Jaccard verification (>= 0.95).
+  /** Near-duplicate CLUSTERING via MinHash + LSH banding: token-set →
+    * 12 minhash signatures → 4 bands of 3 → each (band, key) bucket elects
+    * its minimum doc_id as representative → every doc's cluster_id is the
+    * min representative over its 4 buckets; keep cluster_id, drop the rest.
     *
-    * Never all-pairs: candidate generation is an equi-join on
-    * (band_id, band_key), so cost is Σ bucket² over genuinely-colliding
-    * buckets — the standard 100 TB dedup shape (e.g. the C4/RefinedWeb
-    * pipelines). With 3-row bands, P(collision) at j=0.95 is 1-(1-0.857)⁴
-    * ≈ 0.9996, while unrelated pairs almost never collide.
+    * The output is a per-doc cluster ASSIGNMENT, not near-dup pairs — the
+    * distinction that makes this linear. Enumerating pairs is Σ bucket²:
+    * on this corpus (thousands of mutually-similar docs; a single band
+    * bucket holds >3000 of 5000 docs at sf0.1) that is 16 M pairs, and at
+    * 100 TB it is quadratic death. Bucket-min propagation is one groupBy +
+    * one join + one groupBy — O(N) shuffles of a few longs per doc, the
+    * keep-one-per-cluster shape the big web-dedup pipelines use. (A skewed
+    * bucket joins against its ONE rep row, so bucket skew never explodes
+    * the join.) Band collisions can over-merge distinct docs — the accepted
+    * recall-oriented trade; pairwise Jaccard verification is demonstrated
+    * on the candidate path in [[dedupNgram]]. With 3-row bands,
+    * P(bucket collision) at j=0.95 is 1-(1-0.857)⁴ ≈ 0.9996.
+    *
+    * Signatures via explode + 12 min-aggregates, NOT 12 array_min(transform)
+    * projections: projection collapse would inline (and so recompute) the
+    * per-token md5 array into every signature expression — 12x the digest
+    * work. Exploding hashes each token exactly once, and the partial
+    * aggregation combines map-side, so the shuffle carries 12 longs per doc.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toksSet.as("toks"))
-    val hashed = docs.withColumn("th", transform(col("toks"), t => h32(t)))
-    val sigCols = (0 until 12).map { i =>
-      array_min(transform(col("th"),
-        h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))).as(s"sig$i")
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tk"))
+      .withColumn("h", h32(col("tk")))
+    val sigAggs = (0 until 12).map { i =>
+      min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP)).as(s"sig$i")
     }
-    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    val sigs = tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandStructs = (0 until NumBands).map { j =>
       struct(
         lit(j).as("band_id"),
@@ -85,23 +99,13 @@ object TextOps {
     val banded = sigs
       .withColumn("band", explode(array(bandStructs: _*)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-    val lhs = banded.select(col("doc_id").as("doc_id_a"), col("band_id"), col("band_key"))
-    val rhs = banded.select(col("doc_id").as("doc_id_b"), col("band_id"), col("band_key"))
-    val cand = lhs.join(rhs, Seq("band_id", "band_key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"))
-      .distinct()
-    // verification joins the (slim) token sets back in — candidates only,
-    // so the wide arrays never ride through the banding shuffle
-    val ta = docs.select(col("doc_id").as("doc_id_a"), col("toks").as("toks_a"))
-    val tb = docs.select(col("doc_id").as("doc_id_b"), col("toks").as("toks_b"))
-    cand.join(ta, Seq("doc_id_a")).join(tb, Seq("doc_id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
-          size(array_union(col("toks_a"), col("toks_b"))).cast(DoubleType))
-      .filter(col("jaccard") >= 0.95)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
-      .orderBy(col("doc_id_a"), col("doc_id_b"))
+    val bucketRep = banded.groupBy(col("band_id"), col("band_key"))
+      .agg(min(col("doc_id")).as("bucket_rep"))
+    banded.join(bucketRep, Seq("band_id", "band_key"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bucket_rep")).as("cluster_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("cluster_id")).cast(IntegerType))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------- dedup: n-gram Jaccard

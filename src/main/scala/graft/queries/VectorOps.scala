@@ -21,8 +21,14 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
-    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+  /** Euclidean norm, computed ONCE per vector before any pair join. The
+    * higher-order array expressions are interpreted (not codegen'd), so
+    * recomputing dot(a,a) per candidate pair triples the dominant cost;
+    * hoisting it to the vector side is the difference between O(pairs) and
+    * O(3*pairs) array folds. The value is bitwise-identical to the inline
+    * form, so oracle hashes are unaffected.
+    */
+  private def normd(a: Column): Column = sqrt(dotd(a, a))
 
   // ---------------------------------------------------- brute-force top-k
   /** Cosine top-k per probe, brute force: the probe set (tiny) is broadcast
@@ -31,14 +37,18 @@ object VectorOps {
     * stays partitioned; only probes move.
     */
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
@@ -73,16 +83,19 @@ object VectorOps {
     */
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        normd(col("embedding")).as("norm"), lshBucket(col("embedding")).as("bucket"))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"), col("bucket"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cos_sim"))
@@ -97,12 +110,17 @@ object VectorOps {
     * the cell id and each cell fits an executor.
     */
   def embedDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("label"), col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normd(col("embedding")).as("norm"))
+    val a = e.select(col("label"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos_sim",
+        dotd(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos_sim") >= 0.3)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
       .orderBy(col("label"), col("vec_id_a"), col("vec_id_b"))
