@@ -17,17 +17,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("is_dup") === 1 && col("doc_id") === col("keep_doc_id")).count() === 0)
   }
 
-  test("minhash: verified pairs are symmetric-free (a<b) and meet the threshold") {
+  test("minhash clustering: every doc assigned once, to a representative <= itself") {
     val out = TextOps.dedupMinhash(spark, sf).cache()
-    assert(out.filter(col("doc_id_a") >= col("doc_id_b")).count() === 0)
-    assert(out.filter(col("jaccard") < 0.95).count() === 0)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.count() === total)
+    assert(out.select("doc_id").distinct().count() === total)
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    assert(out.filter(col("is_dup") === 1 && col("doc_id") === col("cluster_id")).count() === 0)
+    assert(out.filter(col("is_dup") === 0 && col("doc_id") =!= col("cluster_id")).count() === 0)
     out.unpersist()
   }
 
-  test("minhash finds identical-token-set pairs (jaccard = 1.0)") {
-    // identical sets MUST share every band → always candidates → verified 1.0
-    val ones = TextOps.dedupMinhash(spark, sf).filter(col("jaccard") === 1.0)
-    assert(ones.count() > 0)
+  test("minhash clustering: identical-token-set docs share a cluster") {
+    // identical sets share every band → identical buckets → same cluster_id
+    val sets = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", array_sort(array_distinct(
+          split(lower(trim(col("text"))), "\\s+")))), 256).as("set_key"))
+    val clustersPerSet = TextOps.dedupMinhash(spark, sf)
+      .join(sets, Seq("doc_id"))
+      .groupBy("set_key")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    assert(clustersPerSet.filter(col("n_clusters") > 1).count() === 0)
+    // the testdata does contain identical-set groups, so the test has teeth
+    assert(clustersPerSet.filter(col("n_docs") > 1).count() > 0)
   }
 
   test("simhash: deterministic across runs and bounded to 32 bits") {
