@@ -32,7 +32,7 @@ object Normalize {
       .withColumn("rn", row_number().over(w).cast("long"))
       .crossJoin(broadcast(base))
       .withColumn(idCol, col("max_id") + col("rn"))
-      .select(existing.columns.map(col): _*)
+      .select(existing.columns.toIndexedSeq.map(col): _*)
     existing.unionAll(appended)
   }
 

@@ -24,7 +24,7 @@ object Validate {
     * full staging row, attached to every quarantined record. jsonb keeps
     * null fields; Spark's to_json drops them unless told otherwise. */
   def rowSnapshot(df: DataFrame): Column =
-    to_json(struct(df.columns.map(col): _*), Map("ignoreNullFields" -> "false"))
+    to_json(struct(df.columns.toIndexedSeq.map(col): _*), Map("ignoreNullFields" -> "false"))
 
   /** Split staging into (valid, quarantined) with first-failing-rule-wins
     * semantics. Quarantine rows carry error_message + row_data snapshot. */

@@ -67,14 +67,16 @@ object TextOps {
     * distinction that makes this linear. Enumerating pairs is Σ bucket²:
     * on this corpus (thousands of mutually-similar docs; a single band
     * bucket holds >3000 of 5000 docs at sf0.1) that is 16 M pairs, and at
-    * 100 TB it is quadratic death. Bucket-min propagation is one groupBy +
-    * one join + one groupBy — O(N) shuffles of a few longs per doc, the
-    * keep-one-per-cluster shape the big web-dedup pipelines use. (A skewed
-    * bucket joins against its ONE rep row, so bucket skew never explodes
-    * the join.) Band collisions can over-merge distinct docs — the accepted
-    * recall-oriented trade; pairwise Jaccard verification is demonstrated
-    * on the candidate path in [[dedupNgram]]. With 3-row bands,
-    * P(bucket collision) at j=0.95 is 1-(1-0.857)⁴ ≈ 0.9996.
+    * 100 TB it is quadratic death. Bucket-min propagation is one
+    * bucket-partitioned window min + one groupBy — O(N) shuffles of a few
+    * longs per doc, the keep-one-per-cluster shape the big web-dedup
+    * pipelines use. The window form (vs. a groupBy + join back) evaluates
+    * the signature subtree once and never materializes an O(corpus)
+    * bucket-rep table on a broadcast side. Band collisions can over-merge
+    * distinct docs — the accepted recall-oriented trade; pairwise Jaccard
+    * verification is demonstrated on the candidate path in [[dedupNgram]].
+    * With 3-row bands, P(bucket collision) at j=0.95 is 1-(1-0.857)⁴
+    * ≈ 0.9996.
     *
     * Signatures via explode + 12 min-aggregates, NOT 12 array_min(transform)
     * projections: projection collapse would inline (and so recompute) the
@@ -99,9 +101,9 @@ object TextOps {
     val banded = sigs
       .withColumn("band", explode(array(bandStructs: _*)))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-    val bucketRep = banded.groupBy(col("band_id"), col("band_key"))
-      .agg(min(col("doc_id")).as("bucket_rep"))
-    banded.join(bucketRep, Seq("band_id", "band_key"))
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    banded
+      .withColumn("bucket_rep", min(col("doc_id")).over(bucketW))
       .groupBy(col("doc_id"))
       .agg(min(col("bucket_rep")).as("cluster_id"))
       .withColumn("is_dup", (col("doc_id") =!= col("cluster_id")).cast(IntegerType))

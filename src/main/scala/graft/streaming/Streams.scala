@@ -70,7 +70,7 @@ object Streams {
     val tagged = batch.withColumn("error_message", CoreOps.eventError)
     (tagged.filter(col("error_message").isNull).drop("error_message"),
       tagged.filter(col("error_message").isNotNull)
-        .withColumn("row_data", to_json(struct(batch.columns.map(col): _*))))
+        .withColumn("row_data", to_json(struct(batch.columns.toIndexedSeq.map(col): _*))))
   }
 
   /** Streaming validate→quarantine: every micro-batch runs the SAME split
