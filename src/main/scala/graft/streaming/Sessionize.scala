@@ -27,8 +27,32 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Int)
 
-  /** Per-user state transition for one micro-batch: fold the (sorted) new
-    * events into the open session, emitting every session a gap closes; on
+  /** Pure per-user fold of time-SORTED event millis into the open session:
+    * returns the sessions closed by observed gaps (in time order) and the
+    * still-open tail session. Extracted from the state transition so session
+    * semantics are property-testable without streaming machinery — the key
+    * invariant being that threading the fold across arbitrary micro-batch
+    * splits equals folding all events at once.
+    */
+  def fold(open0: Option[Open], sortedMs: Seq[Long]): (List[Open], Option[Open]) = {
+    var closed = List.empty[Open]
+    var open = open0
+    for (t <- sortedMs) {
+      open = open match {
+        case Some(s) if t - s.lastMs <= GapMs =>
+          Some(Open(s.startMs, math.max(s.lastMs, t), s.n + 1))
+        case Some(s) =>
+          closed ::= s
+          Some(Open(t, t, 1))
+        case None =>
+          Some(Open(t, t, 1))
+      }
+    }
+    (closed.reverse, open)
+  }
+
+  /** Per-user state transition for one micro-batch: fold the new events
+    * into the open session, emitting every session a gap closes; on
     * event-time timeout (watermark passed last_event + gap) emit the final
     * open session and clear state.
     */
@@ -42,27 +66,15 @@ object Sessionize {
       state.remove()
       out
     } else {
-      var closed = List.empty[Session]
-      var open = state.getOption
-      for (e <- events.toSeq.sortBy(_.ts.getTime)) {
-        val t = e.ts.getTime
-        open = open match {
-          case Some(s) if t - s.lastMs <= GapMs =>
-            Some(Open(s.startMs, math.max(s.lastMs, t), s.n + 1))
-          case Some(s) =>
-            closed ::= close(s)
-            Some(Open(t, t, 1))
-          case None =>
-            Some(Open(t, t, 1))
-        }
-      }
+      val (closed, open) =
+        fold(state.getOption, events.toSeq.map(_.ts.getTime).sorted)
       open.foreach { s =>
         state.update(s)
         // fires once the watermark passes the point where no on-time event
         // can extend this session any more
         state.setTimeoutTimestamp(s.lastMs + GapMs)
       }
-      closed.reverseIterator
+      closed.iterator.map(close)
     }
   }
 
