@@ -136,9 +136,12 @@ object TextOps {
     val ha = sh.select(col("doc_id").as("doc_id_a"), col("h").as("h_a"))
     val hb = sh.select(col("doc_id").as("doc_id_b"), col("h").as("h_b"))
     cand.join(ha, Seq("doc_id_a")).join(hb, Seq("doc_id_b"))
+      // |A∪B| = |A|+|B|-|A∩B| exactly (these are sets), saving the
+      // second per-pair array materialization
+      .withColumn("n_inter", size(array_intersect(col("h_a"), col("h_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
-          size(array_union(col("h_a"), col("h_b"))).cast(DoubleType))
+        col("n_inter").cast(DoubleType) /
+          (size(col("h_a")) + size(col("h_b")) - col("n_inter")).cast(DoubleType))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
