@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions.col
 
 import graft.queries.{Analytics, CoreOps, TextOps, VectorOps}
 
@@ -96,6 +97,11 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
+    // §2.I: the streaming window aggregation run in batch mode (the
+    // transform is mode-agnostic; the watermark is a no-op on batch)
+    "q_hourly_counts" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.Streams.hourlyTypeCounts(Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
@@ -562,6 +568,13 @@ object SparkEntry {
         |  CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 129 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
         |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
