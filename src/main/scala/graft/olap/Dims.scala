@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Dims {
 
+  /** Deterministic surrogate key over the business-key order. CONTRACT: the
+    * input is a deduplicated DIMENSION (species, castes, users, locations —
+    * small by data-model construction), where a single-partition window sort
+    * is the right price for run-to-run determinism. For a high-cardinality
+    * table this pattern is wrong — use per-partition offsets
+    * (zipWithIndex-style) or carry the business key instead (SCALE.md,
+    * Windows).
+    */
   private def sk(name: String, orderCols: Seq[String])(df: DataFrame): DataFrame =
     df.withColumn(name,
       row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))

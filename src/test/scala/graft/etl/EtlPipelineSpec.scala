@@ -78,7 +78,6 @@ class EtlPipelineSpec extends SparkSpec {
     val q = oltp("invalid_stg_insect_observations")
     val entries = q.select("raw_data_id", "error_message").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
-    entries.foreach(e => println(s"QUARANTINE-ENTRY $e"))
     assert(entries.length === DopiFixture.expectedQuarantineEntries)
     // the lat+interactions row is quarantined once per failing rule
     assert(q.groupBy("raw_data_id").count().filter(col("count") === 2).count() === 1)
