@@ -63,6 +63,19 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming ingest dedup: drops re-deliveries of an event_id seen within
+    * the watermark horizon — the streaming complement of the batch dedup
+    * passes (at-least-once transport → exactly-once per key downstream).
+    * `dropDuplicatesWithinWatermark` keys the state on event_id and EVICTS
+    * entries once the watermark passes their event time, so state is
+    * O(events per watermark window), never O(history) — the property a
+    * plain streaming dropDuplicates lacks.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The batch validation split (A4/A9, CoreOps.eventError) applied to one
     * frame: (valid remainder, quarantine rows + reason).
     */

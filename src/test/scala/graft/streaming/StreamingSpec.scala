@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpec {
     assert(invalid.filter(col("row_data").contains("\"event_id\"")).count() === invalid.count())
   }
 
+  test("streaming ingest dedup: re-delivered event ids are dropped within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.dedupedEvents(mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 5.0),
+        (1L, ts("2024-01-01 10:00:00"), 5.0), // same-batch redelivery
+        (2L, ts("2024-01-01 10:05:00"), 7.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:30:00"), 5.0)) // cross-batch redelivery
+      q.processAllAvailable()
+
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toList
+      assert(ids.sorted === List(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionization: gaps split sessions; event-time timeout flushes the final one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
