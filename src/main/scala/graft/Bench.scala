@@ -21,22 +21,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def materialize(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+    // returns false on failure so a broken query surfaces as -1 in the
+    // metric JSON, not as a suspiciously fast "success"
+    def materialize(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
       }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize) // warmup, untimed
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      materialize(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = materialize(name)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

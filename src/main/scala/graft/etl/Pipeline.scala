@@ -91,8 +91,12 @@ object Pipeline {
         .filter(col("institution").isNotNull)
         .select(col("institution").as("institution_name"), col("city_id")),
       "institution_id", Seq("institution_name", "city_id"))
-      // upsertDim keys on (name, city); the reference keys on name alone
-      .dropDuplicates("institution_name")
+      // upsertDim keys on (name, city); the reference keys on name alone.
+      // Deterministic keep (lowest id) — dropDuplicates picks an arbitrary
+      // row, which would make surrogate↔city assignment vary run to run.
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("institution_name")).orderBy(col("institution_id"))))
+      .filter(col("rn") === 1).drop("rn")
 
     // ---- part 2: users + SCD2 (03_ETL1_part2.sql) -------------------------
     val stgUsers = Ingest.stageUsers(spark, usersCsv)

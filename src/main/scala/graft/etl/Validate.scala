@@ -64,8 +64,11 @@ object Validate {
     val required = Seq("full_name", "username", "email", "institution",
       "subscription_type", "join_date", "subscription_start", "affiliation_start")
     val missing = required.map(c => col(c).isNull || col(c) === "").reduce(_ || _)
+    // try_to_date, not to_date: under ANSI (the Spark 4 default) to_date
+    // THROWS on a malformed value — crashing on exactly the rows this rule
+    // exists to quarantine. try_to_date returns null instead.
     val badDate = Seq("join_date", "subscription_start", "affiliation_start")
-      .map(c => to_date(col(c), "yyyy-MM-dd").isNull).reduce(_ || _)
+      .map(c => expr(s"try_to_date($c, 'yyyy-MM-dd')").isNull).reduce(_ || _)
     Seq(Rule("missing required field or invalid date format", missing || badDate))
   }
 
@@ -79,11 +82,14 @@ object Validate {
   // try_cast, not cast: under ANSI mode a malformed value inside a
   // short-circuited OR can still throw via common-subexpression
   // elimination; the reference's regex pre-guard makes null-on-failure the
-  // correct semantic anyway.
+  // correct semantic anyway. DOUBLE, not a fixed-width DECIMAL: a
+  // regex-valid value with 7+ integer digits overflows DECIMAL(12,6) and
+  // try_cast's null would let it BYPASS the range check as "valid", only to
+  // blow up in the downstream decimal(9,6) casts.
   private def badNum(c: String, lo: Double, hi: Double): Column =
     col(c).isNotNull && (!col(c).rlike("^-?\\d+(\\.\\d+)?$") ||
-      expr(s"try_cast($c AS DECIMAL(12,6))") < lo ||
-      expr(s"try_cast($c AS DECIMAL(12,6))") > hi)
+      expr(s"try_cast($c AS DOUBLE)") < lo ||
+      expr(s"try_cast($c AS DOUBLE)") > hi)
 
   private def badIntRange(c: String, lo: Int, hi: Int): Column =
     col(c).isNotNull && (!col(c).rlike("^\\d{1,2}$") ||
@@ -102,11 +108,14 @@ object Validate {
     Rule("Invalid latitude or longitude",
       badNum("latitude", -90, 90) || badNum("longitude", -180, 180)),
     Rule("Invalid interaction count",
-      col("interactions").isNotNull && !col("interactions").rlike("^\\d+$")),
+      col("interactions").isNotNull && (!col("interactions").rlike("^\\d+$") ||
+        // digit strings beyond Int.MaxValue pass the regex but would
+        // overflow the downstream int cast — quarantine them here
+        expr("try_cast(interactions AS INT)").isNull)),
     Rule("Invalid date component (day, month, or year)",
       badIntRange("obs_date", 1, 31) || badIntRange("obs_month", 1, 12) ||
         (col("obs_year").isNotNull && (!col("obs_year").rlike("^\\d{4}$") ||
-          !col("obs_year").cast("int").between(1800, 2100)))),
+          !expr("try_cast(obs_year AS INT)").between(1800, 2100)))),
     Rule("Invalid pollination value",
       col("pollination").isNotNull && !col("pollination").rlike("^[1-4]$")),
     Rule("Invalid pollen or nectar value",

@@ -60,12 +60,18 @@ object Facts {
       col("subscription_type_sk").as("se_sk"))
     ob
       .join(oltp("user_institution").select(col("user_institution_id"),
-        col("user_id"), col("institution_id")), Seq("user_institution_id"))
+        col("user_id"), col("institution_id"), col("start_date").as("ui_start")),
+        Seq("user_institution_id"))
       .join(oltp("users").select(col("user_id"), col("join_date")), Seq("user_id"))
       .join(dims("dim_user"), col("user_id_bk") === col("user_id"))
+      // match the exact SCD2 VERSION (start_date included): a user with two
+      // stints at the same institution has two dim rows on (user,
+      // institution) alone, and the version-less join would fan out and
+      // double-count every downstream measure
       .join(dims("dim_institution"),
         dims("dim_institution")("user_id_bk") === col("user_id") &&
-          col("institution_id_bk") === col("institution_id"))
+          col("institution_id_bk") === col("institution_id") &&
+          dims("dim_institution")("start_date") === col("ui_start"))
       .join(subActive,
         col("sa_user") === col("user_id") &&
           col("sa_start") <= col("observation_date") &&

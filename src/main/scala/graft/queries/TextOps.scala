@@ -119,14 +119,21 @@ object TextOps {
     * MinHash path — candidate cost is Σ bucket², never all-pairs — but the
     * sketch doubles as the winnowing fingerprint, so one pass serves both.
     */
-  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  /** (doc_id, h): sorted distinct 32-bit hashes of the word-3-gram shingles
+    * — shared by [[fingerprint]] (its min-5 prefix IS the fingerprint) and
+    * [[dedupNgram]] (sketch buckets + exact Jaccard).
+    */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), toksAll.as("t"))
       .filter(size(col("t")) >= 3)
       .withColumn("shingles",
         expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
       .select(col("doc_id"),
         array_sort(array_distinct(transform(col("shingles"), s => h32(s)))).as("h"))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
     val sketch = sh.select(col("doc_id"), explode(slice(col("h"), 1, 5)).as("bucket"))
     val cand = sketch.select(col("doc_id").as("doc_id_a"), col("bucket"))
       .join(sketch.select(col("doc_id").as("doc_id_b"), col("bucket")), Seq("bucket"))
@@ -179,14 +186,8 @@ object TextOps {
     * oracle-comparable without array-formatting pitfalls.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toksAll.as("t"))
-      .filter(size(col("t")) >= 3)
-      .withColumn("shingles",
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-      .withColumn("hashes",
-        array_sort(array_distinct(transform(col("shingles"), s => h32(s)))))
-      .select(col("doc_id"), posexplode(slice(col("hashes"), 1, 5)))
+    shingleHashes(spark, dir)
+      .select(col("doc_id"), posexplode(slice(col("h"), 1, 5)))
       .select(
         col("doc_id"),
         (col("pos") + 1).cast(IntegerType).as("rank"),

@@ -71,8 +71,12 @@ object Sessionize {
       open.foreach { s =>
         state.update(s)
         // fires once the watermark passes the point where no on-time event
-        // can extend this session any more
-        state.setTimeoutTimestamp(s.lastMs + GapMs)
+        // can extend this session any more. Clamped above the current
+        // watermark: flatMapGroupsWithState does NOT drop late rows, and a
+        // timeout at-or-below the watermark is rejected by GroupState,
+        // which would kill the query on a sufficiently late event.
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + GapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator.map(close)
     }

@@ -87,19 +87,21 @@ object Streams {
   }
 
   /** Streaming validate→quarantine: every micro-batch runs the SAME split
-    * the batch ETL runs and appends each half to its parquet sink — the
+    * the batch ETL runs and writes each half to its parquet sink — the
     * incremental re-enactment of ETL1's quarantine stage. `foreachBatch`
-    * because one stream feeds two sinks; checkpointing makes it
-    * exactly-once per micro-batch.
+    * because one stream feeds two sinks. foreachBatch alone is only
+    * at-least-once (a crash between the write and the offset commit replays
+    * the batch), so each batch OVERWRITES its own `batch_id=` partition —
+    * replays land on the same path and the sink is idempotent.
     */
   def quarantineSink(events: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (valid, invalid) = validateBatch(batch)
-        valid.write.mode("append").parquet(s"$outDir/valid")
-        invalid.write.mode("append").parquet(s"$outDir/quarantine")
+        valid.write.mode("overwrite").parquet(s"$outDir/valid/batch_id=$batchId")
+        invalid.write.mode("overwrite").parquet(s"$outDir/quarantine/batch_id=$batchId")
       }
       .start()
 }
