@@ -62,6 +62,37 @@ class ValidateSpec extends SparkSpec {
       Set("Invalid pollen or nectar value"))
   }
 
+  test("ANSI hazards quarantine instead of crashing: overflow lat, huge interactions, junk year") {
+    // each value passes (or nearly passes) the regex pre-guard but would
+    // throw or corrupt under a plain ANSI cast — all must land in
+    // quarantine, and the pipeline must not raise
+    val df = stg(Seq(("a", "p", "pl", "1000000"))) // overflows DECIMAL(12,6)
+      .withColumn("interactions", lit("99999999999")) // > Int.MaxValue
+      .withColumn("obs_year", lit("18x5")) // 4 chars, non-numeric
+    val (valid, q) = Validate.validateObservations(df)
+    assert(valid.count() === 0)
+    val msgs = q.select("error_message").collect().map(_.getString(0)).toSet
+    assert(msgs === Set(
+      "Invalid latitude or longitude",
+      "Invalid interaction count",
+      "Invalid date component (day, month, or year)"))
+  }
+
+  test("user rule: malformed date strings quarantine instead of crashing") {
+    import spark.implicits._
+    val base = Seq(
+      ("Ann A.", "ann", "a@x.org", "Inst", "Free", "not-a-date", "2020-01-01", "2020-01-01"),
+      ("Bob B.", "bob", "b@x.org", "Inst", "Free", "2020-01-01", "2020-01-01", "2020-01-01"))
+      .toDF("full_name", "username", "email", "institution",
+        "subscription_type", "join_date", "subscription_start", "affiliation_start")
+    val df = Schemas.usersCsv.filterNot(base.columns.contains)
+      .foldLeft(base)((d, c) => d.withColumn(c, lit(null).cast("string")))
+    val (valid, q) = Validate.splitFirstMatch(df, Validate.userRules)
+    assert(valid.select("username").collect().map(_.getString(0)).toSet === Set("bob"))
+    assert(q.select("error_message").head().getString(0) ===
+      "missing required field or invalid date format")
+  }
+
   test("quarantine row_data is a JSON snapshot of the scrubbed staging row") {
     val (_, q) = Validate.validateObservations(stg(Seq(("a", "p", "NA", "1.0"))))
     val snapshot = q.select("row_data").head().getString(0)
