@@ -74,6 +74,17 @@ object Pipeline {
           .select(col("city").as("city_name"), col("county_id")),
         "city_id", Seq("city_name", "county_id"))
 
+    // Cities are keyed (city_name, county_id) but staging rows carry only a
+    // name; a name existing under two counties would fan out the join and
+    // duplicate the already-deduped users/institutions. The reference's
+    // DISTINCT ON collapses that fanout keeping an arbitrary city; we keep
+    // the lowest city_id — same outcome whenever names are unique,
+    // deterministic when they are not.
+    def cityByName(cities: DataFrame): DataFrame =
+      cities.withColumn("rn", row_number().over(
+        Window.partitionBy(col("city_name")).orderBy(col("city_id"))))
+        .filter(col("rn") === 1).drop("rn")
+
     val emptyCounties = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Schemas.allString(Seq("county_name")).add("country_id", "long").add("county_id", "long"))
@@ -87,7 +98,7 @@ object Pipeline {
 
     val institutions = Normalize.upsertDim(
       seedInstitutions(spark),
-      instValid.join(cities1, instValid("city") === cities1("city_name"), "left")
+      instValid.join(cityByName(cities1), instValid("city") === col("city_name"), "left")
         .filter(col("institution").isNotNull)
         .select(col("institution").as("institution_name"), col("city_id")),
       "institution_id", Seq("institution_name", "city_id"))
@@ -111,7 +122,7 @@ object Pipeline {
       .orderBy(col("join_date"), col("full_name"))
     val users = Normalize.nameSplit(
       usersValid.withColumn("rn", row_number().over(userW)).filter(col("rn") === 1))
-      .join(cities, usersValid("city") === cities("city_name"), "left")
+      .join(cityByName(cities), usersValid("city") === col("city_name"), "left")
       .select(col("username"), col("email"), col("first_name_or_initials"),
         col("last_name"), col("city_id"),
         to_date(col("join_date"), "yyyy-MM-dd").as("join_date"))
