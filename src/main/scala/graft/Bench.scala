@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Methodology (VERDICT r2 "What's wrong" #5): one untimed warmup pass over
-  * all queries first (JVM/JIT/codegen + page cache), then each query timed
-  * with a FULL materialization via the noop sink — every row and column is
-  * produced, unlike `.count()` which lets Catalyst prune the work the
+  * Methodology (VERDICT r2 "What's wrong" #5, r3 #4): one untimed warmup
+  * pass over all queries first (JVM/JIT/codegen + page cache), then each
+  * query timed THREE times and reported as the median — single-shot timings
+  * on this box swing ±50% on unchanged plans, swamping real deltas. Each
+  * run is a FULL materialization via the noop sink — every row and column
+  * is produced, unlike `.count()` which lets Catalyst prune the work the
   * verify path actually pays for.
   */
 object Bench {
@@ -35,9 +37,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize) // warmup, untimed
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = materialize(name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        if (materialize(name)) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // median of 3; any failed run surfaces as the -1 sentinel
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
