@@ -169,19 +169,26 @@ object Pipeline {
     val (obsValid0, invalidObservations) = Validate.validateObservations(stgObs)
     val obsValid = Observations.manualCodeFixes(obsValid0).cache()
 
+    // One row per species_name, keeping the LOWEST nbn_code (nulls last):
+    // dropDuplicates keeps an arbitrary row, so a species with conflicting
+    // codes could surface a different nbn_code run to run — same
+    // deterministic-keep policy as institutions/cities above.
+    def speciesDedup(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("species_name")).orderBy(col("nbn_code").asc_nulls_last)))
+        .filter(col("rn") === 1).drop("rn")
+
     val plantSpecies = Normalize.buildDim(
-      obsValid.filter(col("plant_species").isNotNull)
+      speciesDedup(obsValid.filter(col("plant_species").isNotNull)
         .select(upper(col("nbn_plant_code")).as("nbn_code"),
-          Normalize.normalizedSpecies("plant_species").as("species_name"))
-        .dropDuplicates("species_name"),
+          Normalize.normalizedSpecies("plant_species").as("species_name"))),
       "plant_id", Seq("species_name", "nbn_code"))
       .select(col("plant_id"), col("nbn_code"), col("species_name"))
 
     val pollinatorSpecies = Normalize.buildDim(
-      obsValid.filter(col("pollinator_species").isNotNull)
+      speciesDedup(obsValid.filter(col("pollinator_species").isNotNull)
         .select(upper(col("nbn_pollinator_code")).as("nbn_code"),
-          Normalize.normalizedSpecies("pollinator_species").as("species_name"))
-        .dropDuplicates("species_name"),
+          Normalize.normalizedSpecies("pollinator_species").as("species_name"))),
       "pollinator_id", Seq("species_name", "nbn_code"))
       .select(col("pollinator_id"), col("nbn_code"), col("species_name"))
 

@@ -40,7 +40,10 @@ object Sessionize {
     for (t <- sortedMs) {
       open = open match {
         case Some(s) if t - s.lastMs <= GapMs =>
-          Some(Open(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          // min-clamp the start: a cross-batch LATE event (t < lastMs, so
+          // the gap test trivially holds) must extend the session backwards,
+          // not be counted under a session_start later than the event
+          Some(Open(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
         case Some(s) =>
           closed ::= s
           Some(Open(t, t, 1))

@@ -37,6 +37,18 @@ object SessionizeProps extends Properties("Sessionize") {
       shapes && gaps
     }
 
+  property("cross-batch late event extends the open session backwards") =
+    Prop.forAll(Gen.choose(1L, GapMs), Gen.choose(0L, GapMs), Gen.choose(1, 5)) {
+      (lateBy, span, n) =>
+        // an open session [t0, t0+span] receives an event older than t0:
+        // the gap test (t - lastMs <= gap) holds trivially for t < lastMs,
+        // and the merge must LOWER session_start to the late event
+        val t0 = 10L * GapMs
+        val open0 = Open(t0, t0 + span, n)
+        val (closed, open) = fold(Some(open0), Seq(t0 - lateBy))
+        closed.isEmpty && open.contains(Open(t0 - lateBy, t0 + span, n + 1))
+    }
+
   property("fold is invariant to micro-batch splits") =
     Prop.forAll(genTimes, Gen.choose(0, 5)) { (ts, nSplits) =>
       val splitAt = (1 to nSplits).map(i => ts.size * i / (nSplits + 1))
