@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A1/A2/A3: CSV ingestion into all-TEXT staging frames.
@@ -36,10 +35,26 @@ object Ingest {
 
   /** DOPI staging: Latin-1 30-column load (04_ETL1_part3.sql:43-46), 30→16
     * projection+rename (:79-114), and a deterministic raw_data_id surrogate
-    * (SERIAL replacement, SURVEY.md §1) ordered by the full row content.
-    * NOTE (README.md:19): full-duplicate rows are LEGAL and must all survive
-    * — the id is a row_number over content ordering, so duplicates get
-    * distinct consecutive ids, never collapsed.
+    * (SERIAL replacement, SURVEY.md §1) derived from FILE+OFFSET — ids are
+    * assigned in load order exactly like `COPY` feeding a SERIAL column,
+    * with NO global sort (the former full-data single-partition window was
+    * the one scale-killer on EP1's 100 TB front door).
+    *
+    * Mechanics: `_metadata` pins each row to its (file, byte-range split);
+    * `monotonically_increasing_id` preserves read order within a split
+    * (splits are contiguous file ranges read sequentially). A tiny map-side
+    * aggregate collects per-split (first_mid, row_count) — O(#splits) DRIVER
+    * METADATA, same order as the file listing itself, never row data — from
+    * which per-split base offsets in (file, offset) order are computed and
+    * broadcast back. raw_data_id = rows-before-this-split + ordinal-in-split
+    * + 1: deterministic for a given input (and invariant to the split
+    * layout, since "rows before row r in file order" does not depend on
+    * where split boundaries fall).
+    *
+    * NOTE (README.md:19): full-duplicate rows are LEGAL and must all
+    * survive — position-derived ids give duplicates distinct ids, never
+    * collapsed. Callers cache the staged frame (Pipeline.scala) so every
+    * downstream branch sees one id assignment.
     */
   def stageObservations(spark: SparkSession, path: String): DataFrame = {
     val raw = readCsv(spark, path, Schemas.dopiCsv, encoding = "ISO-8859-1")
@@ -50,11 +65,21 @@ object Ingest {
       col("date").as("obs_date"), col("month").as("obs_month"),
       col("year").as("obs_year"),
       col("latitude"), col("longitude"), col("habitat"),
-      col("pollination"), col("pollen"), col("nectar"))
-    // Bounded-file contract: a single CSV load is one batch; the global
-    // row_number here stands in for SERIAL assignment order. For a
-    // multi-terabyte load this would become file+offset derived ids.
-    val w = Window.orderBy(Schemas.obsStaging.map(col): _*)
-    projected.withColumn("raw_data_id", row_number().over(w).cast("long"))
+      col("pollination"), col("pollen"), col("nectar"),
+      col("_metadata.file_path").as("_file"),
+      col("_metadata.file_block_start").as("_bstart"))
+      .withColumn("_mid", monotonically_increasing_id())
+    val splits = projected.groupBy(col("_file"), col("_bstart"))
+      .agg(min(col("_mid")).as("_mid0"), count(lit(1)).as("_n"))
+      .collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+    val bases = splits.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("_n")).init
+    import spark.implicits._
+    val offsets = splits.zip(bases).toSeq.map { case (r, base) =>
+      (r.getString(0), r.getLong(1), r.getAs[Long]("_mid0"), base)
+    }.toDF("_file", "_bstart", "_mid0", "_base")
+    projected.join(broadcast(offsets), Seq("_file", "_bstart"))
+      .withColumn("raw_data_id", col("_base") + (col("_mid") - col("_mid0")) + 1)
+      .select(Schemas.obsStaging.map(col) :+ col("raw_data_id"): _*)
   }
 }

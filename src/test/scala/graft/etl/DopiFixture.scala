@@ -64,4 +64,19 @@ object DopiFixture {
     Files.write(f, content.getBytes(Charset.forName("ISO-8859-1")))
     f.toString
   }
+
+  /** Write the same rows split across `nFiles` headered CSVs in `dir`
+    * (zero-padded names, so lexicographic file order == row order); returns
+    * the directory path — exercises multi-file file+offset id assignment.
+    */
+  def writeSplit(dir: Path, nFiles: Int): String = {
+    val header = Schemas.dopiCsv.mkString(",")
+    val per = math.ceil(rows.size.toDouble / nFiles).toInt
+    rows.grouped(per).zipWithIndex.foreach { case (g, i) =>
+      val f = dir.resolve(f"obs_part$i%02d.csv")
+      Files.write(f,
+        (header +: g.map(csvLine)).mkString("\n").getBytes(Charset.forName("ISO-8859-1")))
+    }
+    dir.toString
+  }
 }
