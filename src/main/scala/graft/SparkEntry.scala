@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, FactOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,8 @@ object SparkEntry {
     "q_priority_bestmatch" -> (CoreOps.priorityBestmatch _),
     // C4 theta substring-containment join
     "q_theta_contains" -> (CoreOps.thetaContains _),
+    // C4 at-scale rewrite: candidate-substring equi-join, same oracle
+    "q_theta_prefilter" -> (CoreOps.thetaPrefilter _),
     // C8 join on computed key + D8/dim_date build + §1 surrogate keys
     "q_dim_date_join" -> (CoreOps.dimDateJoin _),
     // C11 case-insensitive equi-join
@@ -90,6 +92,7 @@ object SparkEntry {
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
+    "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     // text analysis
@@ -102,6 +105,12 @@ object SparkEntry {
     "q_hourly_counts" -> ((s: SparkSession, dir: String) =>
       graft.streaming.Streams.hourlyTypeCounts(Tables.events(s, dir))
         .orderBy(col("window_start"), col("event_type"))),
+    // §2.I: first-delivery-wins ingest dedup, batch analog of
+    // dropDuplicatesWithinWatermark with in-query modeled re-delivery
+    "q_stream_dedup" -> (graft.streaming.Streams.streamDedupBatch _),
+    // EP2 fact-build shapes over testdata (08_ETL2_part2.sql)
+    "q_fact_activity" -> (FactOps.factActivity _),
+    "q_fact_monthly_summary" -> (FactOps.factMonthlySummary _),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
@@ -133,6 +142,29 @@ object SparkEntry {
   /** DuckDB ±1 hyperplane projection (plane j) matching VectorOps.planeDot. */
   private def planeDotSql(j: Int): String =
     s"list_reduce(list_transform(range(0, n), i -> CAST(embedding[i+1] AS DOUBLE) * (CASE WHEN substr(md5(concat('${j}_', i)), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+
+  private val thetaSql =
+    """SELECT e.event_id, COUNT(*) AS n_matched, MIN(c.c_custkey) AS min_custkey
+      |FROM events e JOIN customer c
+      |  ON c.c_custkey < 100 AND e.props LIKE '%' || CAST(c.c_custkey AS VARCHAR) || '%'
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
+    * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
+  private def simhashSqlCtes: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tk
+      |  FROM documents),
+      |h AS (SELECT doc_id, ${h32Sql("tk")} AS h FROM t),
+      |bits AS (SELECT doc_id, h, unnest(range(32)) AS b FROM h),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote_sum
+      |  FROM bits GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
 
   private val eventErrSql =
     """CASE WHEN value IS NULL OR value < 0 THEN 'value out of range'
@@ -238,11 +270,10 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
         |    ORDER BY prio, start_date, o_orderkey) AS rn FROM cand)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "q_theta_contains" ->
-      """SELECT e.event_id, COUNT(*) AS n_matched, MIN(c.c_custkey) AS min_custkey
-        |FROM events e JOIN customer c
-        |  ON c.c_custkey < 100 AND e.props LIKE '%' || CAST(c.c_custkey AS VARCHAR) || '%'
-        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "q_theta_contains" -> thetaSql,
+    // the candidate-substring equi-join rewrite must produce the IDENTICAL
+    // result — one oracle, two plans
+    "q_theta_prefilter" -> thetaSql,
     "q_dim_date_join" ->
       """WITH dim_date AS (
         |  SELECT CAST(year * 100 + month AS INT) AS date_sk,
@@ -473,18 +504,22 @@ object SparkEntry {
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tk
-        |  FROM documents),
-        |h AS (SELECT doc_id, ${h32Sql("tk")} AS h FROM t),
-        |bits AS (SELECT doc_id, h, unnest(range(32)) AS b FROM h),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |    SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote_sum
-        |  FROM bits GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$simhashSqlCtes
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash_cluster" ->
+      s"""$simhashSqlCtes,
+        |banded AS (
+        |  SELECT doc_id, simhash, band_id,
+        |    (simhash // CAST(power(256, band_id) AS BIGINT)) % 256 AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
+        |rep AS (
+        |  SELECT band_id, band_key, min(doc_id) AS bucket_rep
+        |  FROM banded GROUP BY band_id, band_key)
+        |SELECT b.doc_id, min(b.simhash) AS simhash, min(r.bucket_rep) AS cluster_id,
+        |  CAST(b.doc_id <> min(r.bucket_rep) AS INT) AS is_dup
+        |FROM banded b JOIN rep r USING (band_id, band_key)
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
@@ -575,6 +610,59 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_stream_dedup" ->
+      """WITH deliveries AS (
+        |  SELECT event_id, ts, user_id, event_type, value, 1 AS delivery FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 20 = 0 THEN ts - INTERVAL 30 MINUTE
+        |         ELSE ts + INTERVAL 1 HOUR END AS ts,
+        |    user_id, event_type, value, 2 AS delivery
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT event_id, user_id, event_type, value, delivery FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, delivery) AS rn
+        |  FROM deliveries)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_fact_activity" ->
+      """SELECT p_brand, n_name AS supp_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS date_sk,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY p_brand, supp_nation, date_sk""".stripMargin,
+    "q_fact_monthly_summary" ->
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, e.props, o.o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+        |earliest AS (
+        |  SELECT o_custkey, o_orderkey AS earliest_orderkey FROM (
+        |    SELECT o_custkey, o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |resolved AS (
+        |  SELECT c.user_id, c.ts, c.event_type, c.value, c.props,
+        |    COALESCE(c.o_orderkey, e2.earliest_orderkey) AS sub_sk
+        |  FROM cand c LEFT JOIN earliest e2 ON c.user_id = e2.o_custkey
+        |  WHERE c.rn = 1)
+        |SELECT user_id, strftime(ts, '%Y-%m') AS month_year, sub_sk,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT event_type) AS n_event_types,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+        |  COUNT(DISTINCT value) AS n_distinct_values,
+        |  COUNT(DISTINCT props) AS n_distinct_props
+        |FROM resolved
+        |GROUP BY 1, 2, 3
+        |ORDER BY user_id, month_year, sub_sk NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
         |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
@@ -605,11 +693,19 @@ object SparkEntry {
         |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q_embed_dedup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n FROM embeddings)
-        |SELECT label, vec_id_a, vec_id_b, cos_sim FROM (
-        |  SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, label, embedding, n,
+        |    CAST((CASE WHEN ${planeDotSql(0)} > 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(1)} > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(2)} > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(3)} > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  FROM e)
+        |SELECT label, bucket, vec_id_a, vec_id_b, cos_sim FROM (
+        |  SELECT a.label, a.bucket, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |    ${cosSql("a.embedding", "b.embedding", "a.n")} AS cos_sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM bk a JOIN bk b
+        |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.3
         |ORDER BY label, vec_id_a, vec_id_b""".stripMargin,
   )

@@ -297,6 +297,38 @@ object CoreOps {
       .orderBy(col("event_id"))
   }
 
+  /** The at-scale rewrite of [[thetaContains]] (SCALE.md, Joins): substring
+    * containment of an all-digit key re-expressed as an EQUI-join on
+    * enumerated candidate substrings. A digit-only pattern occurs in `props`
+    * iff it is a substring of one of its maximal digit runs, so exploding
+    * every 1–2 char substring of every digit run (key domain is < 100 ⇒ ≤ 2
+    * chars; widen the `maxW` bound with the key domain) yields a complete,
+    * duplicate-free candidate set after DISTINCT — and each matching
+    * customer then contributes exactly one row per event, exactly like the
+    * NLJ. Explode factor is O(len·maxW) per run; the join is hash, not
+    * nested-loop — the shape that survives a build side too big to
+    * broadcast. Hash-matches the [[thetaContains]] oracle, proving the
+    * escape hatch exact.
+    */
+  def thetaPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val maxW = 2
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val cands = ev
+      .withColumn("run", explode(expr("regexp_extract_all(props, '[0-9]+', 0)")))
+      .withColumn("sub", explode(expr(
+        s"flatten(transform(sequence(1, length(run)), i -> transform(sequence(1, $maxW), w -> substring(run, i, w))))")))
+      .filter(length(col("sub")) >= 1) // trailing windows emit short repeats; DISTINCT collapses them
+      .select(col("event_id"), col("sub"))
+      .distinct()
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_custkey").cast(StringType).as("ck"))
+    cands.join(cust, col("sub") === col("ck"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_matched"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- C8 + D8
   /** dim_date build (07_ETL2_part1.sql:53-64) + join on computed key
     * (08_ETL2_part2.sql:50-52): distinct (year, month) with month_name /

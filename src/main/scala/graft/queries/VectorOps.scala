@@ -103,26 +103,30 @@ object VectorOps {
   }
 
   // ------------------------------------------------- bucketed cosine near-dup
-  /** Embedding-cosine near-duplicate pairs, bucket-pruned: pairs are only
-    * formed WITHIN a coarse partition (the `label` column — an IVF cell
-    * assignment), never across the whole corpus. Σ bucket² work instead of
-    * n², the IVF recipe: at 100 TB the per-cell pair join is a shuffle on
-    * the cell id and each cell fits an executor.
+  /** Embedding-cosine near-duplicate pairs, doubly bucket-pruned: candidate
+    * pairs are only formed within (`label`, LSH bucket) — the coarse IVF
+    * cell (`label`) composed with the 4-bit random-hyperplane signature.
+    * A cell alone is not enough: within-cell all-pairs is Σ cell², quadratic
+    * death when a cell holds 1M vectors at 100 TB (it was also this bench's
+    * slowest query). The LSH sub-bucket cuts each cell's pair count ~16×
+    * more (tighter with more planes) while keeping high-cosine pairs — the
+    * same signature, same trade as [[simLsh]]. The pair join shuffles on the
+    * compound (cell, bucket) key; each sub-bucket fits an executor.
     */
   def embedDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        normd(col("embedding")).as("norm"))
-    val a = e.select(col("label"), col("vec_id").as("vec_id_a"),
+        normd(col("embedding")).as("norm"), lshBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_id_a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_id_b"),
+    val b = e.select(col("label"), col("bucket"), col("vec_id").as("vec_id_b"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "bucket"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .withColumn("cos_sim",
         dotd(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos_sim") >= 0.3)
-      .select(col("label"), col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+      .select(col("label"), col("bucket"), col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
       .orderBy(col("label"), col("vec_id_a"), col("vec_id_b"))
   }
 }

@@ -1,10 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.Tables
 import graft.queries.CoreOps
 
 /** Structured Streaming tier (SURVEY.md §2.I stretch): the reference is
@@ -75,6 +77,33 @@ object Streams {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch-mode analog of [[dedupedEvents]], oracle-checkable: the testdata
+    * transport layer has no duplicates, so at-least-once delivery is modeled
+    * IN-QUERY — every 10th event is re-delivered, half an hour EARLY for
+    * event_id % 20 == 0 (the re-delivery wins) and an hour late otherwise
+    * (the original wins) — and first-delivery-wins keeps row 1 per event_id
+    * ordered by (ts, delivery). The surviving `delivery` tag varies per row,
+    * so the oracle hash actually proves the ordering logic, not just the
+    * row count. One window shuffle on the dedup key — the batch complement
+    * of the watermark-keyed streaming state.
+    */
+  def streamDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val first = ev.withColumn("delivery", lit(1))
+    val redelivered = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("ts",
+        when(col("event_id") % 20 === 0, col("ts") - expr("INTERVAL 30 MINUTES"))
+          .otherwise(col("ts") + expr("INTERVAL 1 HOUR")))
+      .withColumn("delivery", lit(2))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ts"), col("delivery"))
+    first.unionAll(redelivered)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("delivery"))
+      .orderBy(col("event_id"))
+  }
 
   /** The batch validation split (A4/A9, CoreOps.eventError) applied to one
     * frame: (valid remainder, quarantine rows + reason).

@@ -51,6 +51,27 @@ class TextOpsSpec extends SparkSpec {
     assert(a.filter(col("simhash") < 0 || col("simhash") >= (1L << 32)).count() === 0)
   }
 
+  test("simhash clustering: every doc assigned once, to a representative <= itself") {
+    val out = TextOps.dedupSimhashCluster(spark, sf).cache()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.count() === total)
+    assert(out.select("doc_id").distinct().count() === total)
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    assert(out.filter(col("is_dup") === 1 && col("doc_id") === col("cluster_id")).count() === 0)
+    assert(out.filter(col("is_dup") === 0 && col("doc_id") =!= col("cluster_id")).count() === 0)
+    out.unpersist()
+  }
+
+  test("simhash clustering: identical signatures share a cluster; corpus has real dups") {
+    val out = TextOps.dedupSimhashCluster(spark, sf).cache()
+    // same signature ⇒ same 4 band buckets ⇒ same cluster
+    val clustersPerSig = out.groupBy("simhash")
+      .agg(countDistinct("cluster_id").as("n_clusters"), count(lit(1)).as("n_docs"))
+    assert(clustersPerSig.filter(col("n_clusters") > 1).count() === 0)
+    assert(clustersPerSig.filter(col("n_docs") > 1).count() > 0)
+    out.unpersist()
+  }
+
   test("fingerprint: at most 5 ranked ascending hashes per doc") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     assert(fp.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)

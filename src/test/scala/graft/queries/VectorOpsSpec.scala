@@ -32,9 +32,29 @@ class VectorOpsSpec extends SparkSpec {
     lsh.unpersist()
   }
 
-  test("embed dedup: pairs stay within a label bucket and meet the threshold") {
-    val out = VectorOps.embedDedup(spark, sf)
+  test("embed dedup: pairs stay within (label, bucket) and meet the threshold") {
+    val out = VectorOps.embedDedup(spark, sf).cache()
     assert(out.filter(col("cos_sim") < 0.3).count() === 0)
     assert(out.filter(col("vec_id_a") >= col("vec_id_b")).count() === 0)
+    // the LSH sub-bucket only PRUNES: every emitted pair must also be a
+    // within-label cosine>=0.3 pair (recomputed here the exhaustive way)
+    val e = graft.Tables.embeddings(spark, sf).select(
+      col("label"), col("vec_id"), col("embedding"),
+      sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)).as("nrm"))
+    val full = e.select(col("label"), col("vec_id").as("vec_id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(e.select(col("label"), col("vec_id").as("vec_id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("label"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cs", aggregate(zip_with(col("ea"), col("eb"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)
+        / (col("na") * col("nb")))
+      .filter(col("cs") >= 0.3)
+      .select(col("label"), col("vec_id_a"), col("vec_id_b"))
+    assert(out.select("label", "vec_id_a", "vec_id_b")
+      .exceptAll(full).count() === 0)
+    assert(out.count() > 0)
+    out.unpersist()
   }
 }
