@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** The SCALE.md plan audit as a regression test: every `SparkEntry.queries`
+  * plan is inspected (pre-AQE physical plan — planning only, nothing runs)
+  * and the 100 TB invariants asserted, so a future edit that silently
+  * degrades a plan fails the suite instead of the next bench round.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, SparkPlan] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan
+    }
+
+  /** Tables that scale with the data — a raw (unreduced) broadcast of any
+    * of these is an OOM at 100 TB. */
+  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** The two sanctioned nested-loop joins, both with a provably tiny
+    * broadcast side while the fact side streams: the theta-contains join
+    * (bounded dim, reference data model) and the brute-force cosine top-k
+    * baseline (filtered probe set, non-equi != condition). Everything else
+    * must stay equi/hash. */
+  private val sanctionedBnlj = Set("q_theta_contains", "q_sim_topk")
+
+  test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
+    for ((name, plan) <- plans if !sanctionedBnlj(name)) {
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.isEmpty, s"$name plans a BroadcastNestedLoopJoin")
+    }
+    assert(plans("q_theta_contains")
+      .collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
+  test("no CartesianProduct in any query plan") {
+    for ((name, plan) <- plans) {
+      val cart = plan.collect { case j: CartesianProductExec => j }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("no unpartitioned window in any query plan") {
+    for ((name, plan) <- plans) {
+      val global = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty, s"$name plans a single-partition (global) window sort")
+    }
+  }
+
+  test("fact-scale tables are never broadcast without a reducing step") {
+    for ((name, plan) <- plans) {
+      val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      for (b <- broadcasts) {
+        val scansFact = b.collect { case s: FileSourceScanExec => s }.exists(s =>
+          factTables.exists(t =>
+            s.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))))
+        val reduced = b.collect {
+          case a: BaseAggregateExec => a: SparkPlan
+          case f: FilterExec => f: SparkPlan
+        }.nonEmpty
+        assert(!scansFact || reduced,
+          s"$name broadcasts a fact-scale table with no filter/aggregate below the exchange")
+      }
+    }
+  }
+
+  test("EP1 staging (the 100 TB front door) plans no window at all") {
+    val dir = Files.createTempDirectory("graft-planguard")
+    val stg = graft.etl.Ingest.stageObservations(spark, graft.etl.DopiFixture.write(dir))
+    assert(stg.queryExecution.sparkPlan.collect { case w: WindowExec => w }.isEmpty)
+  }
+}
