@@ -44,9 +44,43 @@ object Bench {
       // median of 3; any failed run surfaces as the -1 sentinel
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // EP1+EP2 end-to-end (VERDICT r3 next-round #1): CSV ingest → validate/
+    // quarantine → OLTP → star dims → 3 fact builds over a generated
+    // DOPI-shaped fixture. Row count is FIXED (not sf-scaled) so the number
+    // is comparable round over round; override with SPARK_GRAFT_ETL_ROWS.
+    val etlRows = sys.env.getOrElse("SPARK_GRAFT_ETL_ROWS", "20000").toInt
+    val etlPaths = graft.etl.EtlFixture.write(
+      java.nio.file.Files.createTempDirectory("graft-bench-etl"), etlRows)
+    def runEtl(): Boolean =
+      try {
+        val oltp = graft.etl.Pipeline.runEtl1(spark,
+          etlPaths.institutions, etlPaths.users, etlPaths.observationsDir)
+        // A3/A12 materialization boundary: the reference lands OLTP as real
+        // tables before EP2 reads them; without it every fact build would
+        // re-run the whole EP1 chain (3 facts × the author NLJ + priority
+        // resolution). cache() is the in-session stand-in for that handoff.
+        val hot = Seq("observations", "users", "user_institution",
+          "user_subscription", "institutions").map(oltp)
+        hot.foreach(_.cache())
+        val dims = graft.olap.Dims.build(oltp)
+        val facts = graft.olap.Facts.build(oltp, dims)
+        (facts.values.toSeq :+ oltp("observations") :+ oltp("invalid_stg_insect_observations"))
+          .foreach(_.write.format("noop").mode("overwrite").save())
+        graft.etl.Pipeline.cleanup(spark) // A10: drop staging + OLTP caches between runs
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")
+        false
+      }
+    val etlTimes = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      if (runEtl()) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val allResults = results :+
+      ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
+    val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = allResults.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
