@@ -69,6 +69,10 @@ object Sessionize {
       state.remove()
       out
     } else {
+      // buffers ONE user's events from ONE micro-batch (not history): bounded
+      // by per-user per-trigger arrival rate. A user hot enough to blow this
+      // buffer needs key salting upstream (SCALE.md, Streaming) — state
+      // itself stays one Open record regardless.
       val (closed, open) =
         fold(state.getOption, events.toSeq.map(_.ts.getTime).sorted)
       open.foreach { s =>
