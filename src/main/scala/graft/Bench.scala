@@ -34,7 +34,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
+    // those queries (and skips the ETL leg unless it names etl_pipeline).
+    // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
     names.foreach(materialize) // warmup, untimed
     val results = names.map { name =>
       val times = (1 to 3).map { _ =>
@@ -48,8 +52,9 @@ object Bench {
     // quarantine → OLTP → star dims → 3 fact builds over a generated
     // DOPI-shaped fixture. Row count is FIXED (not sf-scaled) so the number
     // is comparable round over round; override with SPARK_GRAFT_ETL_ROWS.
+    val runEtlLeg = only.forall(_("etl_pipeline"))
     val etlRows = sys.env.getOrElse("SPARK_GRAFT_ETL_ROWS", "20000").toInt
-    val etlPaths = graft.etl.EtlFixture.write(
+    lazy val etlPaths = graft.etl.EtlFixture.write(
       java.nio.file.Files.createTempDirectory("graft-bench-etl"), etlRows)
     def runEtl(): Boolean =
       try {
@@ -72,12 +77,14 @@ object Bench {
         System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")
         false
       }
-    val etlTimes = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      if (runEtl()) (System.nanoTime() - t0) / 1e9 else -1.0
+    val allResults = if (!runEtlLeg) results else {
+      val etlTimes = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        if (runEtl()) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      results :+
+        ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
     }
-    val allResults = results :+
-      ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
     val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allResults.map(_._2).filter(_ >= 0).sum

@@ -1,0 +1,191 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector tier.
+  *
+  * The DataFrame higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * are interpreted — each call allocates a lambda frame per element and never
+  * enters whole-stage codegen. These expressions compute the identical values
+  * (left-to-right double accumulation, so DuckDB `list_reduce` oracles still
+  * hash-match bitwise) as a tight compiled loop with `doGenCode`, keeping the
+  * pair joins of the similarity/dedup operators inside WholeStageCodegen.
+  */
+object VectorFunctions {
+
+  /** Left-to-right double dot product of two float arrays; codegen'd.
+    * Bitwise-equal to
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(Double) * y.cast(Double)), 0.0, _ + _)`.
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnShim.column(
+      FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Signed projection of a float array onto pseudo-random hyperplane
+    * `planeId` (±1 components derived from md5, see [[SignedProjection]]);
+    * codegen'd. Bitwise-equal to the interpreted
+    * `aggregate(transform(emb, (x, i) => x.cast(Double) * rsign(planeId, i)), 0.0, _ + _)`.
+    */
+  def signed_proj(emb: Column, planeId: Int): Column =
+    ColumnShim.column(SignedProjection(ColumnShim.expression(emb), planeId))
+}
+
+/** Dot product of two `array<float>` columns, accumulated left-to-right in
+  * double precision. Null semantics mirror the `zip_with`+`aggregate` HOF
+  * form it replaces: a null element poisons the sum (null + x = null), and
+  * length-mismatched arrays yield null (zip_with pads with nulls). Empty
+  * arrays yield 0.0 (the fold seed).
+  */
+case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      null
+    } else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Signed projection of an `array<float>` onto deterministic pseudo-random
+  * hyperplane `planeId`: sum over i of elem(i) * sign(planeId, i), where
+  * sign is +1 when the first hex digit of md5("planeId_i") is <= '7'
+  * (equivalently the top bit of the digest's first byte is clear) and -1
+  * otherwise — the engine-portable convention the LSH oracles use. The sign
+  * row is precomputed once per plane on the driver and shipped as a codegen
+  * reference object; the per-row work is a compiled multiply-add loop. A null
+  * element poisons the sum, mirroring the `transform`+`aggregate` form.
+  */
+case class SignedProjection(child: Expression, planeId: Int) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val signs: Array[Double] =
+    SignedProjection.signRow(planeId, SignedProjection.MaxDims)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"signed_proj requires array<float>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n <= signs.length, s"signed_proj supports up to ${signs.length} dims, got $n")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * signs(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n > $signsRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "signed_proj supports up to " + $signsRef.length + " dims, got " + $n);
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ((double) $x.getFloat($i)) * $signsRef[$i];
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "signed_proj"
+
+  override protected def withNewChildInternal(newChild: Expression): SignedProjection =
+    copy(child = newChild)
+}
+
+object SignedProjection {
+  /** Hard cap on supported embedding width; the testdata is 64-dim, so 4096
+    * leaves ample headroom at 32 KiB per plane of driver memory.
+    */
+  val MaxDims = 4096
+
+  /** ±1 sign row for plane `planeId`: sign(i) = +1 iff the top bit of the
+    * first md5("planeId_i") byte is clear (first hex digit <= '7').
+    */
+  def signRow(planeId: Int, n: Int): Array[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(n) { i =>
+      md.reset()
+      val d = md.digest(s"${planeId}_$i".getBytes(StandardCharsets.UTF_8))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+}

@@ -6,26 +6,30 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.VectorFunctions.{signed_proj, vec_dot}
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
   * 64-dim): brute-force cosine top-k as the correctness baseline, a
   * random-hyperplane LSH-bucketed variant as the scale path, and a
   * bucket-pruned cosine near-dup pass. All arithmetic is double-accumulated
   * left-to-right so the DuckDB oracle (list_reduce) matches bitwise.
+  *
+  * The dot products run through graft's native codegen'd Catalyst
+  * expressions ([[graft.functions.FloatVecDot]]/[[graft.functions.SignedProjection]])
+  * rather than `aggregate`/`zip_with`/`transform`: the higher-order functions
+  * are interpreted and were the dominant cost of every query here; the native
+  * forms compute bitwise-identical values inside WholeStageCodegen
+  * (equivalence property-tested in VectorExprSpec).
   */
 object VectorOps {
 
-  /** Left-to-right double dot product of two float arrays. */
-  private def dotd(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product of two float arrays (codegen'd). */
+  private def dotd(a: Column, b: Column): Column = vec_dot(a, b)
 
-  /** Euclidean norm, computed ONCE per vector before any pair join. The
-    * higher-order array expressions are interpreted (not codegen'd), so
+  /** Euclidean norm, computed ONCE per vector before any pair join —
     * recomputing dot(a,a) per candidate pair triples the dominant cost;
     * hoisting it to the vector side is the difference between O(pairs) and
-    * O(3*pairs) array folds. The value is bitwise-identical to the inline
+    * O(3*pairs) array passes. The value is bitwise-identical to the inline
     * form, so oracle hashes are unaffected.
     */
   private def normd(a: Column): Column = sqrt(dotd(a, a))
@@ -56,18 +60,12 @@ object VectorOps {
   }
 
   // ------------------------------------------------------- LSH-bucketed top-k
-  /** Deterministic ±1 pseudo-random hyperplane component: sign of plane j at
-    * dimension i, derived from md5(j_i) — reproducible in any engine.
+  /** Signed projection of an embedding onto deterministic pseudo-random
+    * hyperplane j (±1 components from md5(j_i), reproducible in any engine —
+    * the DuckDB oracle recomputes the same signs in SQL). Codegen'd; the sign
+    * row is precomputed driver-side instead of md5-hashed per row per element.
     */
-  private def rsign(j: Int, i: Column): Column =
-    when(substring(md5(concat(lit(s"${j}_"), i.cast(StringType))), 1, 1) <= "7",
-      lit(1.0)).otherwise(lit(-1.0))
-
-  /** Signed projection of an embedding onto pseudo-random hyperplane j. */
-  private def planeDot(j: Int, emb: Column): Column =
-    aggregate(
-      transform(emb, (x, i) => x.cast(DoubleType) * rsign(j, i)),
-      lit(0.0), (acc, v) => acc + v)
+  private def planeDot(j: Int, emb: Column): Column = signed_proj(emb, j)
 
   /** 4-bit random-hyperplane LSH bucket (16 buckets). */
   private def lshBucket(emb: Column): Column =
