@@ -114,6 +114,7 @@ object SparkEntry {
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
+    "q_sim_ivf" -> (VectorOps.simIvf _),
     "q_embed_dedup" -> (VectorOps.embedDedup _),
   )
 
@@ -708,5 +709,26 @@ object SparkEntry {
         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.3
         |ORDER BY label, vec_id_a, vec_id_b""".stripMargin,
+    "q_sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, e.n, c.cid,
+        |    ${cosSql("e.embedding", "c.c_emb", "e.n")} AS sim
+        |  FROM e JOIN c ON TRUE),
+        |asg AS (
+        |  SELECT vec_id, embedding, n, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |    FROM sims)
+        |  WHERE r = 1),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n, cell FROM asg WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT pr.probe_id, pr.cell, a.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "a.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.probe_id)
+        |SELECT probe_id, cell, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
   )
 }

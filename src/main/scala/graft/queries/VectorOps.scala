@@ -100,6 +100,54 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // --------------------------------------------------------- IVF top-k search
+  /** Cosine top-k per probe via IVF (inverted-file) cell pruning — the
+    * classic ANN alternative to [[simLsh]]'s hashing: every vector is
+    * assigned to its nearest of K coarse centroids (here the K=8 vectors
+    * with `vec_id < 8`, a deterministic stand-in for k-means so the DuckDB
+    * oracle can reproduce the assignment; a trained quantizer would slot in
+    * unchanged), and each probe searches ONLY its own cell (nprobe=1).
+    *
+    * The scale shape is the point: the centroid set is a bounded model
+    * artifact — K vectors regardless of corpus size — so the driver-side
+    * collect is O(K) and cell assignment is a MAP-ONLY projection (greatest
+    * over K codegen'd dot products against literal centroid arrays, no
+    * shuffle, no join). The only shuffle-bearing step is the probe-cell
+    * equi-join, expected 1/K of the corpus per probe.
+    */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // per-centroid cosine, paired with -cid so greatest() breaks similarity
+    // ties toward the LOWEST centroid id (matching the oracle's ORDER BY
+    // sim DESC, cid ASC)
+    val simCols = centroids.map { case (cid, emb, cn) =>
+      struct(
+        (dotd(col("embedding"), typedLit(emb)) / (col("norm") * lit(cn))).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    val assigned = e.withColumn("cell", -greatest(simCols: _*).getField("negcid"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"), col("cell"))
+    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   // ------------------------------------------------- bucketed cosine near-dup
   /** Embedding-cosine near-duplicate pairs, doubly bucket-pruned: candidate
     * pairs are only formed within (`label`, LSH bucket) — the coarse IVF
