@@ -70,6 +70,8 @@ object SparkEntry {
     "q_cond_agg" -> (CoreOps.condAgg _),
     // D5 multiple exact COUNT(DISTINCT)
     "q_multi_count_distinct" -> (CoreOps.multiCountDistinct _),
+    // D5 at-scale rewrite: Expand-free two-phase form, same oracle
+    "q_multi_count_distinct_twophase" -> (CoreOps.multiCountDistinctTwophase _),
     // D6 group key = expression
     "q_groupby_expr" -> (CoreOps.groupbyExpr _),
     // G set operations
@@ -91,6 +93,8 @@ object SparkEntry {
     // LLM-data-pipeline tier (SURVEY.md §7 tier 4) — dedup
     "q_dedup_exact" -> (TextOps.dedupExact _),
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
+    // incremental probe of a persisted MinHash bucket table (multi-batch)
+    "q_dedup_incremental" -> (TextOps.dedupIncremental _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
@@ -108,6 +112,9 @@ object SparkEntry {
     // §2.I: first-delivery-wins ingest dedup, batch analog of
     // dropDuplicatesWithinWatermark with in-query modeled re-delivery
     "q_stream_dedup" -> (graft.streaming.Streams.streamDedupBatch _),
+    // §2.I: gap sessionization, batch analog of Sessionize (same boundaries;
+    // property-tied to Sessionize.fold in SessionizeProps)
+    "q_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
     // EP2 fact-build shapes over testdata (08_ETL2_part2.sql)
     "q_fact_activity" -> (FactOps.factActivity _),
     "q_fact_monthly_summary" -> (FactOps.factMonthlySummary _),
@@ -137,18 +144,50 @@ object SparkEntry {
   private def dotSql(a: String, b: String, n: String): String =
     s"list_reduce(list_transform(range(1, $n + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Zero-norm vectors null out via nullif, mirroring VectorOps.normd — so a
+    * degenerate row is NULL (and filtered/ordered identically) in BOTH
+    * engines instead of Spark-NaN vs DuckDB-inf diverging. */
   private def cosSql(a: String, b: String, n: String): String =
-    s"(${dotSql(a, b, n)} / (sqrt(${dotSql(a, a, n)}) * sqrt(${dotSql(b, b, n)})))"
+    s"(${dotSql(a, b, n)} / nullif(sqrt(${dotSql(a, a, n)}) * sqrt(${dotSql(b, b, n)}), 0))"
 
   /** DuckDB ±1 hyperplane projection (plane j) matching VectorOps.planeDot. */
   private def planeDotSql(j: Int): String =
     s"list_reduce(list_transform(range(0, n), i -> CAST(embedding[i+1] AS DOUBLE) * (CASE WHEN substr(md5(concat('${j}_', i)), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+
+  private val multiDistinctSql =
+    """SELECT o_custkey,
+      | COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT o_orderkey) AS n_orders,
+      | COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   private val thetaSql =
     """SELECT e.event_id, COUNT(*) AS n_matched, MIN(c.c_custkey) AS min_custkey
       |FROM events e JOIN customer c
       |  ON c.c_custkey < 100 AND e.props LIKE '%' || CAST(c.c_custkey AS VARCHAR) || '%'
       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Shared CTE chain computing the per-doc MinHash-LSH (band_id, band_key)
+    * rows — prefix of q_dedup_minhash and q_dedup_incremental, the DuckDB
+    * twin of TextOps.minhashBands. */
+  private def minhashBandedCtes: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_transform(toks, tk -> ${h32Sql("tk")}) AS th FROM t),
+      |sig AS (SELECT doc_id,
+      |    $minhashSigSql
+      |  FROM h),
+      |banded AS (
+      |  SELECT doc_id, band_id,
+      |    CASE band_id
+      |      WHEN 0 THEN concat(sig0, '_', sig1, '_', sig2)
+      |      WHEN 1 THEN concat(sig3, '_', sig4, '_', sig5)
+      |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
+      |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id))""".stripMargin
 
   /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
     * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
@@ -363,14 +402,10 @@ object SparkEntry {
         | COUNT(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_hightax,
         | COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q_multi_count_distinct" ->
-      """SELECT o_custkey,
-        | COUNT(DISTINCT l_suppkey) AS n_suppliers,
-        | COUNT(DISTINCT l_partkey) AS n_parts,
-        | COUNT(DISTINCT o_orderkey) AS n_orders,
-        | COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_multi_count_distinct" -> multiDistinctSql,
+    // the Expand-free two-phase rewrite must produce the IDENTICAL result —
+    // one oracle, two plans (the q_theta_prefilter pattern)
+    "q_multi_count_distinct_twophase" -> multiDistinctSql,
     "q_groupby_expr" ->
       """SELECT COALESCE(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END,
         |         'PENDING') AS status_bucket,
@@ -480,21 +515,7 @@ object SparkEntry {
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
-        |  FROM documents),
-        |h AS (SELECT doc_id, list_transform(toks, tk -> ${h32Sql("tk")}) AS th FROM t),
-        |sig AS (SELECT doc_id,
-        |    $minhashSigSql
-        |  FROM h),
-        |banded AS (
-        |  SELECT doc_id, band_id,
-        |    CASE band_id
-        |      WHEN 0 THEN concat(sig0, '_', sig1, '_', sig2)
-        |      WHEN 1 THEN concat(sig3, '_', sig4, '_', sig5)
-        |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
-        |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
-        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
+      s"""$minhashBandedCtes,
         |rep AS (
         |  SELECT band_id, band_key, min(doc_id) AS bucket_rep
         |  FROM banded GROUP BY band_id, band_key)
@@ -504,6 +525,18 @@ object SparkEntry {
         |FROM banded b JOIN rep r USING (band_id, band_key)
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""$minhashBandedCtes,
+        |exist AS (
+        |  SELECT band_id, band_key, min(doc_id) AS bucket_rep
+        |  FROM banded WHERE doc_id % 10 <> 0 GROUP BY band_id, band_key),
+        |nb AS (SELECT doc_id, band_id, band_key FROM banded WHERE doc_id % 10 = 0)
+        |SELECT nb.doc_id,
+        |  COALESCE(min(e.bucket_rep), nb.doc_id) AS cluster_id,
+        |  CAST(min(e.bucket_rep) IS NOT NULL AS INT) AS is_known_dup
+        |FROM nb LEFT JOIN exist e USING (band_id, band_key)
+        |GROUP BY nb.doc_id
+        |ORDER BY nb.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
@@ -624,6 +657,23 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, delivery) AS rn
         |  FROM deliveries)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q_fact_activity" ->
       """SELECT p_brand, n_name AS supp_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS date_sk,

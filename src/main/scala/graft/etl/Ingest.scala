@@ -69,6 +69,13 @@ object Ingest {
       col("_metadata.file_path").as("_file"),
       col("_metadata.file_block_start").as("_bstart"))
       .withColumn("_mid", monotonically_increasing_id())
+      // persisted BEFORE the offset collect: both consumers (the per-split
+      // metadata aggregate below and the final id join) must see ONE _mid
+      // assignment structurally — re-deriving it in two jobs would bet
+      // correctness on both planning identical splits and read order
+      // (ADVICE r4). The collect() populates the cache; the join reuses it.
+      // Pipeline.cleanup (A10) drops it with the other staging caches.
+      .persist()
     val splits = projected.groupBy(col("_file"), col("_bstart"))
       .agg(min(col("_mid")).as("_mid0"), count(lit(1)).as("_n"))
       .collect()

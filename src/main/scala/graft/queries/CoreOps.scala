@@ -311,7 +311,11 @@ object CoreOps {
     * escape hatch exact.
     */
   def thetaPrefilter(spark: SparkSession, dir: String): DataFrame = {
-    val maxW = 2
+    // single source of truth: the candidate-substring width is DERIVED from
+    // the key-domain bound used in the filter below, so widening the bound
+    // can never silently under-enumerate candidates (ADVICE r4)
+    val keyBound = 100L
+    val maxW = (keyBound - 1).toString.length
     val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
     val cands = ev
       .withColumn("run", explode(expr("regexp_extract_all(props, '[0-9]+', 0)")))
@@ -321,7 +325,7 @@ object CoreOps {
       .select(col("event_id"), col("sub"))
       .distinct()
     val cust = Tables.customer(spark, dir)
-      .filter(col("c_custkey") < 100)
+      .filter(col("c_custkey") < keyBound)
       .select(col("c_custkey"), col("c_custkey").cast(StringType).as("ck"))
     cands.join(cust, col("sub") === col("ck"))
       .groupBy(col("event_id"))
@@ -422,6 +426,39 @@ object CoreOps {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("o_orderkey")).as("n_orders"),
         countDistinct(date_format(col("o_orderdate"), "yyyy-MM")).as("n_months"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Expand-free alternate of [[multiCountDistinct]], hash-matching the SAME
+    * oracle — proving the documented escape hatch exact the way
+    * [[thetaPrefilter]] proved C4's. Spark plans N exact COUNT(DISTINCT)s
+    * with an Expand that replicates every pre-shuffle row N× (4× here); when
+    * the fact side is 100 TB that multiplier IS the shuffle. The two-phase
+    * form runs each distinct count as its own (key, value) distinct-groupBy
+    * → count, then equi-joins the four grain-keyed results: no row
+    * replication, 4 independent subtree scans instead — the right trade
+    * when the distinct columns are wide/heavy or N is large, the wrong one
+    * when a single scan is the dominant cost. Every key appears in all four
+    * legs (the distinct columns are non-null here), so the inner joins are
+    * lossless; nulls are filtered to match COUNT(DISTINCT) semantics
+    * exactly.
+    */
+  def multiCountDistinctTwophase(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val base = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("l_partkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+    def phase(c: String, alias: String): DataFrame =
+      base.select(col("o_custkey"), col(c))
+        .filter(col(c).isNotNull)
+        .distinct()
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(alias))
+    phase("l_suppkey", "n_suppliers")
+      .join(phase("l_partkey", "n_parts"), Seq("o_custkey"))
+      .join(phase("o_orderkey", "n_orders"), Seq("o_custkey"))
+      .join(phase("order_month", "n_months"), Seq("o_custkey"))
       .orderBy(col("o_custkey"))
   }
 

@@ -31,8 +31,17 @@ object VectorOps {
     * hoisting it to the vector side is the difference between O(pairs) and
     * O(3*pairs) array passes. The value is bitwise-identical to the inline
     * form, so oracle hashes are unaffected.
+    *
+    * Zero-norm guard (ADVICE r4): a zero vector's cosine is undefined; left
+    * unguarded it yields NaN, and Spark's NaN ordering (sorts greatest)
+    * diverges from DuckDB's — a silent oracle mismatch waiting for a
+    * degenerate row. nullif nulls the norm instead, so every cosine against
+    * a zero vector is NULL in BOTH engines: dropped by threshold filters,
+    * ordered identically by rank windows. (The IVF centroid collect reads
+    * the norm as a non-null Double and fails LOUDLY on a zero-norm centroid
+    * — a model-artifact contract, not a data one.)
     */
-  private def normd(a: Column): Column = sqrt(dotd(a, a))
+  private def normd(a: Column): Column = nullif(sqrt(dotd(a, a)), lit(0.0))
 
   // ---------------------------------------------------- brute-force top-k
   /** Cosine top-k per probe, brute force: the probe set (tiny) is broadcast

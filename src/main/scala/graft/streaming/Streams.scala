@@ -105,6 +105,37 @@ object Streams {
       .orderBy(col("event_id"))
   }
 
+  /** Batch-mode analog of [[Sessionize]], oracle-checkable: gap
+    * sessionization is SQL-expressible over a bounded frame as the classic
+    * cumulative gap-count — per-user lag(ts) → gap>30min flag →
+    * running-sum session ordinal → groupBy session. Semantics are the SAME
+    * session boundaries [[Sessionize.fold]] produces on the per-user
+    * time-sorted stream (property-tied in SessionizeProps); the streaming
+    * form exists because at unbounded input the window's full-history sort
+    * is impossible — state must be one open session per ACTIVE user, which
+    * is what `flatMapGroupsWithState` gives. Here the shuffle is one
+    * user_id-partitioned window + a groupBy on (user, session_seq) that
+    * reuses the window's partitioning — two narrow passes, no global sort.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > Sessionize.GapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** The batch validation split (A4/A9, CoreOps.eventError) applied to one
     * frame: (valid remainder, quarantine rows + reason).
     */

@@ -2,7 +2,8 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -56,6 +57,16 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** A predicate counts as SELECTIVE only if some conjunct is more than an
+    * IsNotNull: planner-inserted null guards on join keys filter almost
+    * nothing, so a raw fact broadcast behind one must still fail the
+    * invariant (ADVICE r4). */
+  private def isSelective(e: Expression): Boolean = e match {
+    case And(l, r)    => isSelective(l) || isSelective(r)
+    case _: IsNotNull => false
+    case _            => true
+  }
+
   test("fact-scale tables are never broadcast without a reducing step") {
     for ((name, plan) <- plans) {
       val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
@@ -65,12 +76,23 @@ class PlanGuardSpec extends SparkSpec {
             s.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))))
         val reduced = b.collect {
           case a: BaseAggregateExec => a: SparkPlan
-          case f: FilterExec => f: SparkPlan
+          case f: FilterExec if isSelective(f.condition) => f: SparkPlan
         }.nonEmpty
         assert(!scansFact || reduced,
           s"$name broadcasts a fact-scale table with no filter/aggregate below the exchange")
       }
     }
+  }
+
+  test("the two-phase multi-distinct rewrite plans no Expand") {
+    // the point of the escape hatch: 4 exact COUNT(DISTINCT)s without the
+    // 4x pre-shuffle row replication (VERDICT r4 next-round #6)
+    assert(plans("q_multi_count_distinct")
+      .collect { case e: ExpandExec => e }.nonEmpty,
+      "baseline q_multi_count_distinct should show the Expand being escaped")
+    assert(plans("q_multi_count_distinct_twophase")
+      .collect { case e: ExpandExec => e }.isEmpty,
+      "q_multi_count_distinct_twophase plans an Expand — the rewrite regressed")
   }
 
   test("EP1 staging (the 100 TB front door) plans no window at all") {
