@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,6 +80,8 @@ object Bench {
         false
       }
     val allResults = if (!runEtlLeg) results else {
+      runEtl() // warmup, untimed — mirrors the query warmup pass (ADVICE r4):
+               // the first run pays JIT/codegen + fixture page-cache costs
       val etlTimes = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         if (runEtl()) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -85,9 +89,41 @@ object Bench {
       results :+
         ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
     }
-    val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
+    // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
+    // join over plain parquet vs bucketBy'd tables — the bucketed number is
+    // what every repeated ETL2-style join costs once the one-time bucketed
+    // write is paid. Broadcast is disabled for both legs to model the
+    // 100 TB case (neither side fits an executor) — locally Catalyst would
+    // broadcast sf0.1 orders and both legs would measure the same plan.
+    val runLayoutLeg = only.forall(_.exists(_.startsWith("layout_")))
+    val layoutResults = if (!runLayoutLeg) Seq.empty[(String, Double)] else {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        graft.olap.Layout.writeBucketedPair(spark, sfDir, numBuckets = cpus.toInt)
+        def median3(mk: () => org.apache.spark.sql.DataFrame): Double = {
+          def run(): Boolean =
+            try { mk().write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false }
+          run() // warmup, untimed
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
+          }
+          if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
+        }
+        Seq(
+          "layout_join_plain" -> median3(() => graft.olap.Layout.orderRevenue(
+            Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))),
+          "layout_join_bucketed" -> median3(() => graft.olap.Layout.orderRevenue(
+            spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    val finalResults = allResults ++ layoutResults
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = allResults.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, FactOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, FactOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,6 +102,7 @@ object SparkEntry {
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
+    "q_tfidf" -> (TextOps.tfidf _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
     // §2.I: the streaming window aggregation run in batch mode (the
@@ -118,6 +119,11 @@ object SparkEntry {
     // EP2 fact-build shapes over testdata (08_ETL2_part2.sql)
     "q_fact_activity" -> (FactOps.factActivity _),
     "q_fact_monthly_summary" -> (FactOps.factMonthlySummary _),
+    // pure range (point-in-interval) join, bucketized equi-join rewrite —
+    // the oracle states the naive BETWEEN join; the plan is hash, not NLJ
+    "q_range_join" -> (ScaleOps.rangeJoin _),
+    // deterministic hash-keyed stratified sampling (map-only, reproducible)
+    "q_stratified_sample" -> (ScaleOps.stratifiedSample _),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
@@ -629,6 +635,44 @@ object SparkEntry {
         |SELECT doc_id, s_en, s_es, s_de, s_fr, pred_lang, lang,
         |  CAST(pred_lang = lang AS INT) AS is_match
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df, score FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) / df.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term))
+        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // the ORACLE is the naive nested-loop BETWEEN join (DuckDB's IEJoin
+    // executes it); the Spark side must hash-match it from the bucketized
+    // equi-join rewrite — one oracle, the scale-safe plan
+    "q_range_join" ->
+      """WITH i AS (
+        |  SELECT o_custkey AS i_custkey, MIN(CAST(o_orderdate AS DATE)) AS lo
+        |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey),
+        |i2 AS (SELECT i_custkey, lo, CAST(lo + INTERVAL 30 DAY AS DATE) AS hi FROM i)
+        |SELECT i_custkey, lo, hi, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM i2 JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN lo AND hi
+        |GROUP BY i_custkey, lo, hi
+        |ORDER BY i_custkey""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN lower(event_type) = 'purchase' THEN 100
+        |         WHEN lower(event_type) = 'signup' THEN 50
+        |         WHEN lower(event_type) = 'click' THEN 20
+        |         ELSE 5 END AS strat_rate,
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h_bucket
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(strat_rate AS INT) AS strat_rate, CAST(h_bucket AS INT) AS h_bucket
+        |FROM s WHERE h_bucket < strat_rate ORDER BY event_id""".stripMargin,
     "q_multimodal_meta" ->
       s"""SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,68 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Physical-layout demonstrations (SCALE.md "What changes on a real
+  * 1000-executor cluster" #1): the two write-side decisions that delete
+  * whole shuffle/scan stages at 100 TB, turned from prose into plans.
+  *
+  *  - `bucketBy` on the FK join key: both sides of a repeated fact⋈fact
+  *    join land pre-hashed into the same bucket count, so every later join
+  *    on that key plans NO Exchange on either input (LayoutSpec asserts it;
+  *    the bench's `layout_join_*` legs time it).
+  *  - `partitionBy` on the query-time filter column: a month-filtered scan
+  *    prunes to its partition directories at PLANNING time
+  *    (PartitionFilters in the scan node), never touching the other
+  *    months' files.
+  */
+object Layout {
+
+  /** Write `df` as a managed bucketed+sorted parquet table. The repartition
+    * uses the SAME hash Spark's bucketing applies, so each task holds
+    * exactly one bucket and writes exactly one file — the single-file-per-
+    * bucket layout that lets a sorted-bucket scan also satisfy the join's
+    * sort requirement without a per-partition sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.repartition(numBuckets, col(key))
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Stage the ETL2-shaped join pair — orders and lineitem bucketed on the
+    * shared order key — as `orders_bkt` / `lineitem_bkt`.
+    */
+  def writeBucketedPair(spark: SparkSession, dir: String, numBuckets: Int): Unit = {
+    writeBucketed(Tables.orders(spark, dir), "orders_bkt", "o_orderkey", numBuckets)
+    writeBucketed(Tables.lineitem(spark, dir), "lineitem_bkt", "l_orderkey", numBuckets)
+  }
+
+  /** The repeated fact⋈fact FK join + aggregate both layouts are measured
+    * on: revenue per customer over orders⋈lineitem. Input-agnostic so the
+    * plain-parquet and bucketed-table plans are byte-for-byte the same
+    * query, differing only in layout.
+    */
+  def orderRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(12, 2))))).cast(DoubleType)
+          .as("revenue"))
+
+  /** Write an events-derived fact partitioned by event date (the testdata
+    * events all land in one month, so DAY is the demonstrable EP3-style
+    * filter grain here — at 100 TB the same write uses whatever grain the
+    * dominant filter hits): every `event_date = X` query prunes to one
+    * directory at planning time.
+    */
+  def writePartitionedEvents(spark: SparkSession, dir: String, outPath: String): Unit =
+    Tables.events(spark, dir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outPath)
+}

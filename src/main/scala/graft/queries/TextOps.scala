@@ -299,6 +299,37 @@ object TextOps {
           lit(1.0) - col("stopword_ratio")).otherwise(0.0))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------------ TF-IDF
+  /** Top-3 characteristic terms per document by TF-IDF. The idf factor is
+    * LINEAR (1/df) rather than log(N/df): for a fixed document the two
+    * produce the same top-k only when tf ties break the same way, so the
+    * linear form is this operator's DEFINITION, chosen because tf/df is a
+    * single correctly-rounded double division — bitwise identical in any
+    * IEEE engine — while log() is libm-implementation-defined and would
+    * make a cross-engine hash oracle flaky. (The constant N factor of
+    * classic idf is rank-neutral and omitted.)
+    *
+    * Scale shape: tokens explode once; tf is a (doc, term) hash groupBy with
+    * map-side combine; df aggregates the ALREADY-distinct (doc, term) pairs
+    * — never a COUNT(DISTINCT) over raw tokens; the tf⋈df equi-join
+    * shuffles on the term key (a broadcast would ship the full vocabulary,
+    * which at 100 TB is itself fact-scale); top-k is a doc-partitioned
+    * window over ≤ vocab-per-doc rows.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // -------------------------------------------------------------- language ID
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in"),

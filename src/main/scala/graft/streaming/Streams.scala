@@ -159,9 +159,21 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (valid, invalid) = validateBatch(batch)
-        valid.write.mode("overwrite").parquet(s"$outDir/valid/batch_id=$batchId")
-        invalid.write.mode("overwrite").parquet(s"$outDir/quarantine/batch_id=$batchId")
+        writeQuarantineBatch(batch, outDir, batchId)
       }
       .start()
+
+  /** The per-micro-batch sink body, exposed so the at-least-once replay
+    * property is directly testable (StreamingSpec): because each batch
+    * overwrites ITS OWN `batch_id=` partition, applying the same batch
+    * twice — exactly what a crash between the sink write and the offset
+    * commit produces on restart — leaves the sink byte-identical to one
+    * application. Idempotence lives here, not in foreachBatch (which is
+    * only at-least-once).
+    */
+  def writeQuarantineBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val (valid, invalid) = validateBatch(batch)
+    valid.write.mode("overwrite").parquet(s"$outDir/valid/batch_id=$batchId")
+    invalid.write.mode("overwrite").parquet(s"$outDir/quarantine/batch_id=$batchId")
+  }
 }

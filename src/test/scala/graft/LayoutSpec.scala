@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions.col
+
+import graft.olap.Layout
+
+/** SCALE.md "real cluster" #1 as plans, not prose: bucketed tables delete
+  * the join shuffles; partitioned writes prune month-filtered scans at
+  * planning time.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exchanges in the PREPARED plan: `sparkPlan` predates
+    * EnsureRequirements (no exchanges exist there yet), and with AQE the
+    * executed plan hides them inside AdaptiveSparkPlanExec — so the test
+    * runs with AQE off and reads `executedPlan`, where every Exchange the
+    * query will pay is a visible node.
+    */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+
+  test("bucketBy on the FK key deletes both join-side shuffles") {
+    // broadcast off: models the 100 TB case where NEITHER side fits an
+    // executor — the case bucketing exists for. (At sf0.001 Catalyst would
+    // otherwise broadcast orders and trivially show zero join shuffles.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Layout.writeBucketedPair(spark, sf, numBuckets = 8)
+      val plain = Layout.orderRevenue(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      val bucketed = Layout.orderRevenue(
+        spark.table("orders_bkt"), spark.table("lineitem_bkt"))
+
+      // same query, same join strategy — only the layout differs
+      assert(plain.queryExecution.sparkPlan
+        .collect { case j: SortMergeJoinExec => j }.nonEmpty)
+      assert(bucketed.queryExecution.sparkPlan
+        .collect { case j: SortMergeJoinExec => j }.nonEmpty)
+      // plain: 2 exchanges feeding the join + 1 for the groupBy
+      assert(shuffles(plain) === 3)
+      // bucketed: the join reads both sides pre-hashed — ONLY the groupBy
+      // shuffle remains
+      assert(shuffles(bucketed) === 1,
+        "bucketed join still plans an Exchange on a bucketed side")
+      // layout must never change the answer
+      val p = plain.orderBy(col("o_custkey")).collect().toSeq
+      val b = bucketed.orderBy(col("o_custkey")).collect().toSeq
+      assert(b === p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("partitionBy prunes a date-filtered scan to its partition") {
+    val out = Files.createTempDirectory("graft-layout").toString
+    Layout.writePartitionedEvents(spark, sf, out)
+    val all = spark.read.parquet(out)
+    // partition discovery infers the dir values back as DATE
+    val dates = all.select("event_date").distinct()
+      .collect().map(_.get(0).toString).sorted
+    assert(dates.length > 1, "fixture must span several dates to prove pruning")
+
+    val one = all.filter(col("event_date") === dates.head)
+    val scan = one.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "date filter did not reach the scan as a partition filter")
+    // planning-time pruning: the selected partition directories shrink to
+    // exactly the one date, before anything runs
+    assert(scan.selectedPartitions.partitionCount === 1)
+    val full = all.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(full.selectedPartitions.partitionCount === dates.length)
+
+    // and the pruned scan still returns exactly that date's rows
+    val expected = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.date_format(col("ts"), "yyyy-MM-dd") === dates.head)
+      .count()
+    assert(one.count() === expected)
+  }
+}

@@ -73,6 +73,32 @@ class StreamingSpec extends SparkSpec {
     assert(invalid.filter(col("row_data").contains("\"event_id\"")).count() === invalid.count())
   }
 
+  test("quarantine sink is idempotent under at-least-once batch replay") {
+    // foreachBatch is only at-least-once: a crash between the sink write
+    // and the offset commit re-delivers the SAME (batch, batchId) on
+    // restart. The sink's contract — each batch overwrites its own
+    // batch_id= partition — must make that replay a no-op (VERDICT r4 #8).
+    val out = Files.createTempDirectory("graft-replay").toString
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val (validB, invalidB) = Streams.validateBatch(batch)
+
+    Streams.writeQuarantineBatch(batch, out, batchId = 0)
+    val validOnce = spark.read.parquet(s"$out/valid").count()
+    val invalidOnce = spark.read.parquet(s"$out/quarantine").count()
+    assert(validOnce === validB.count())
+    assert(invalidOnce === invalidB.count())
+
+    // the replay: same batch, same id — counts and content must not change
+    Streams.writeQuarantineBatch(batch, out, batchId = 0)
+    assert(spark.read.parquet(s"$out/valid").count() === validOnce)
+    assert(spark.read.parquet(s"$out/quarantine").count() === invalidOnce)
+
+    // a genuinely NEW batch id appends — replay-safety is per batch, not a
+    // global overwrite
+    Streams.writeQuarantineBatch(batch, out, batchId = 1)
+    assert(spark.read.parquet(s"$out/valid").count() === 2 * validOnce)
+  }
+
   test("streaming ingest dedup: re-delivered event ids are dropped within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
