@@ -103,6 +103,7 @@ object SparkEntry {
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
     "q_tfidf" -> (TextOps.tfidf _),
+    "q_top_ngrams" -> (TextOps.topNgrams _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
     // §2.I: the streaming window aggregation run in batch mode (the
@@ -116,6 +117,10 @@ object SparkEntry {
     // §2.I: gap sessionization, batch analog of Sessionize (same boundaries;
     // property-tied to Sessionize.fold in SessionizeProps)
     "q_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
+    // §2.I: hopping (sliding) windows — each event in exactly two windows
+    "q_hopping_counts" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.Streams.hoppingTypeCounts(Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
     // EP2 fact-build shapes over testdata (08_ETL2_part2.sql)
     "q_fact_activity" -> (FactOps.factActivity _),
     "q_fact_monthly_summary" -> (FactOps.factMonthlySummary _),
@@ -124,6 +129,10 @@ object SparkEntry {
     "q_range_join" -> (ScaleOps.rangeJoin _),
     // deterministic hash-keyed stratified sampling (map-only, reproducible)
     "q_stratified_sample" -> (ScaleOps.stratifiedSample _),
+    // skew-salted two-phase aggregation, hash-matching the plain oracle
+    "q_salted_agg" -> (ScaleOps.saltedAgg _),
+    // exact grouped quantiles (approx_percentile is the documented 100 TB path)
+    "q_quantiles" -> (ScaleOps.quantiles _),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
@@ -648,6 +657,36 @@ object SparkEntry {
         |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
         |  FROM tf JOIN df USING (term))
         |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bigram
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // the plain-GROUP-BY oracle; the Spark side computes it via the
+    // (key, salt) two-phase shape — one oracle, the skew-safe plan
+    "q_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_hopping_counts" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(2)) AS k))
+        |SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM h GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     // the ORACLE is the naive nested-loop BETWEEN join (DuckDB's IEJoin
     // executes it); the Spark side must hash-match it from the bucketized
     // equi-join rewrite — one oracle, the scale-safe plan

@@ -52,6 +52,54 @@ object ScaleOps {
       .orderBy(col("i_custkey"))
   }
 
+  /** Skew-salted two-phase aggregation (SCALE.md "real cluster" #3 made
+    * concrete): `l_returnflag` has THREE values, so a direct groupBy lands
+    * the whole fact table on three reducers no matter how many executors
+    * exist — the canonical skew stall. The salted form shuffles on
+    * (key, salt) first — 32× more, uniformly loaded, partitions — computes
+    * partial aggregates there, then re-aggregates the ≤ |keys|×32 partial
+    * rows on the key alone. Exact for any decomposable aggregate
+    * (count/sum/min/max), which is why it can hash-match the plain GROUP BY
+    * oracle. The salt is derived (l_orderkey mod 32) rather than rand() so
+    * the plan stays deterministic, but ANY salt gives the same answer —
+    * the final re-agg collapses it.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val SaltBuckets = 32
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(SaltBuckets)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).as("pq"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("pp"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pn")).as("n_rows"),
+        sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pp")).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact grouped quantiles (p25/p50/p75 of order totals per priority).
+    * Both engines define the continuous quantile identically — sort, index
+    * p·(n−1), linear interpolation a + (b−a)·frac in doubles — so the
+    * values hash-match exactly. Exact percentile is a full per-group sort;
+    * the documented 100 TB escape hatch is `approx_percentile` (t-digest,
+    * mergeable, one pass), the same trade as exact-vs-HLL countDistinct
+    * (SCALE.md, Aggregation).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("price", col("o_totalprice").cast(DoubleType))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile(col("price"), lit(0.25)).as("p25"),
+        percentile(col("price"), lit(0.5)).as("p50"),
+        percentile(col("price"), lit(0.75)).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
   /** Deterministic stratified sampling — the training-data downsampling
     * primitive. Each stratum (event_type) gets its own keep-rate; membership
     * is decided by a content hash of the row key (first 8 md5 hex digits mod

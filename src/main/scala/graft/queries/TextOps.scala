@@ -330,6 +330,25 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------- corpus n-grams
+  /** Corpus-wide top-20 word bigrams — the vocabulary/collocation statistic
+    * every corpus audit starts with. One explode (bigrams stream out of the
+    * token array without materializing per-doc lists), one hash groupBy
+    * with map-side combine, and a global top-k that moves only 20 rows per
+    * partition to the driver side of the sort — the TakeOrdered shape, not
+    * a full sort of the n-gram space.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(toksAll.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
   // -------------------------------------------------------------- language ID
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in"),

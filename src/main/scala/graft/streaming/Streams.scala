@@ -65,6 +65,21 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes,
+    * so each event lands in exactly two overlapping windows. Mode-agnostic
+    * like [[hourlyTypeCounts]] — the watermark only matters on a stream,
+    * where it bounds the two-windows-per-event state the same way it bounds
+    * tumbling state. The batch run is what the DuckDB oracle checks
+    * (`q_hopping_counts`): Spark's epoch-aligned window starts line up with
+    * time_bucket's, so the hash must match.
+    */
+  def hoppingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
   /** Streaming ingest dedup: drops re-deliveries of an event_id seen within
     * the watermark horizon — the streaming complement of the batch dedup
     * passes (at-least-once transport → exactly-once per key downstream).
