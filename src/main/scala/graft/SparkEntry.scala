@@ -117,6 +117,9 @@ object SparkEntry {
     // §2.I: gap sessionization, batch analog of Sessionize (same boundaries;
     // property-tied to Sessionize.fold in SessionizeProps)
     "q_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
+    // §2.I: the same sessions via the built-in session_window — hash-matches
+    // the q_sessionize oracle (one oracle, two plans: built-in vs custom)
+    "q_session_window" -> (graft.streaming.Streams.sessionWindowBatch _),
     // §2.I: hopping (sliding) windows — each event in exactly two windows
     "q_hopping_counts" -> ((s: SparkSession, dir: String) =>
       graft.streaming.Streams.hoppingTypeCounts(Tables.events(s, dir))
@@ -220,6 +223,27 @@ object SparkEntry {
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** Gap sessionization as the classic cumulative gap-count — shared by
+    * q_sessionize (window-sum form) and q_session_window (built-in
+    * session_window form): both must hash-match these exact sessions. */
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
 
   private val eventErrSql =
     """CASE WHEN value IS NULL OR value < 0 THEN 'value out of range'
@@ -740,23 +764,9 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, delivery) AS rn
         |  FROM deliveries)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "q_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM g)
-        |SELECT user_id, session_seq,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+    // the built-in session_window form must produce the IDENTICAL sessions
+    "q_session_window" -> sessionizeSql,
     "q_fact_activity" ->
       """SELECT p_brand, n_name AS supp_nation,
         |  CAST(EXTRACT(YEAR FROM l_shipdate) * 100 + EXTRACT(MONTH FROM l_shipdate) AS INT) AS date_sk,

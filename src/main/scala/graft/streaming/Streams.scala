@@ -151,6 +151,31 @@ object Streams {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** The SAME gap sessions via Spark's built-in `session_window` — the
+    * "compose existing ops if semantics allow" rung above the typed
+    * `flatMapGroupsWithState` fold ([[Sessionize]]): one groupBy whose
+    * window key MERGES as rows arrive, in batch or streaming alike.
+    * session_window's own end is last_event + gap, so the fold's
+    * session_end = max(ts) is re-derived in the aggregate, and the fold's
+    * per-user session ordinal is a number over the merged rows (tiny:
+    * sessions per user, not events). Hash-matches the `q_sessionize`
+    * oracle — one oracle, two plans, built-in vs custom state proven
+    * equivalent.
+    */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    val merged = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${Sessionize.GapMs / 1000} seconds").as("w"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    merged
+      .withColumn("session_seq", row_number().over(seq).cast(LongType))
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** The batch validation split (A4/A9, CoreOps.eventError) applied to one
     * frame: (valid remainder, quarantine rows + reason).
     */

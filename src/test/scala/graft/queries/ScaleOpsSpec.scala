@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The scale rewrites checked against their naive forms IN-ENGINE (the
+  * DuckDB oracle checks them cross-engine at sf0.01; this pins the
+  * equivalences at a different SF and keeps them local to `sbt test`).
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketized range join == naive BETWEEN join") {
+    val rewritten = ScaleOps.rangeJoin(spark, sf).collect().toSeq
+    // the naive form the oracle states: every (interval, order) pair
+    // filtered on containment — fine at sf0.001, a non-starter at scale
+    val orders = Tables.orders(spark, sf)
+    val intervals = orders.filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey").as("i_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("lo"))
+      .withColumn("hi", date_add(col("lo"), 30))
+    val naive = intervals.crossJoin(
+        orders.select(to_date(col("o_orderdate")).as("od"), col("o_totalprice")))
+      .filter(col("od") >= col("lo") && col("od") <= col("hi"))
+      .groupBy(col("i_custkey"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+      .orderBy(col("i_custkey"))
+      .collect().toSeq
+    assert(rewritten === naive)
+    assert(rewritten.nonEmpty)
+  }
+
+  test("salted two-phase aggregate == direct groupBy, for any salt") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+      .collect().toSeq
+    assert(ScaleOps.saltedAgg(spark, sf).collect().toSeq === direct)
+  }
+
+  test("built-in session_window == the custom gap fold's batch analog") {
+    val builtin = graft.streaming.Streams.sessionWindowBatch(spark, sf).collect().toSeq
+    val fold = graft.streaming.Streams.sessionizeBatch(spark, sf).collect().toSeq
+    assert(builtin === fold)
+    assert(builtin.nonEmpty)
+  }
+
+  test("stratified sample: membership is the hash rule, rates land near target") {
+    val s = ScaleOps.stratifiedSample(spark, sf)
+    assert(s.filter(col("h_bucket") >= col("strat_rate")).count() === 0)
+    val total = Tables.events(spark, sf).count().toDouble
+    // purchase keeps 100% — exact; hash strata are binomial around p
+    val byType = s.groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val purchases = Tables.events(spark, sf)
+      .filter(lower(col("event_type")) === "purchase").count()
+    assert(byType.getOrElse("purchase", 0L) === purchases)
+    val clickRate = byType.getOrElse("click", 0L) /
+      Tables.events(spark, sf).filter(lower(col("event_type")) === "click").count().toDouble
+    assert(clickRate > 0.1 && clickRate < 0.3, s"click keep-rate $clickRate far from 0.20")
+    assert(total > 0)
+  }
+}
