@@ -117,6 +117,8 @@ object SparkEntry {
     // §2.I: gap sessionization, batch analog of Sessionize (same boundaries;
     // property-tied to Sessionize.fold in SessionizeProps)
     "q_sessionize" -> (graft.streaming.Streams.sessionizeBatch _),
+    // §2.I: stream-stream join (watermark-bounded attribution), batch analog
+    "q_stream_join" -> (graft.streaming.Streams.attributionJoinBatch _),
     // §2.I: the same sessions via the built-in session_window — hash-matches
     // the q_sessionize oracle (one oracle, two plans: built-in vs custom)
     "q_session_window" -> (graft.streaming.Streams.sessionWindowBatch _),
@@ -697,6 +699,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE lower(event_type) = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+        |  FROM events WHERE lower(event_type) = 'purchase'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts, p.value,
+        |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.click_ts <= p.purchase_ts
+        |    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, value
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "q_quantiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,

@@ -151,6 +151,49 @@ object Streams {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Stream-stream attribution join — the last Structured Streaming join
+    * family: purchases matched to the clicks that preceded them by at most
+    * one hour, per user. Mode-agnostic: on streams the two watermarks plus
+    * the time-range conjunct are what BOUND the join state (each side
+    * buffers only rows younger than watermark + range — without the range
+    * condition a stream-stream join would buffer forever); on a batch
+    * frame the same plan is a plain equi-join with a range filter. Emits
+    * every qualifying (purchase, click) pair — the streaming-legal shape
+    * (append mode cannot retract a per-purchase argmax); pick-latest is a
+    * batch decoration in [[attributionJoinBatch]].
+    */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "2 hours")
+    val p = purchases.withWatermark("purchase_ts", "2 hours")
+    p.join(c,
+      col("c_user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Batch analog + attribution decoration, oracle-checkable
+    * (`q_stream_join`): each purchase attributed to its LATEST qualifying
+    * click (ties to the highest click_id). One user-keyed hash join + one
+    * purchase-partitioned window — never a time-only cross join.
+    */
+  def attributionJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(lower(col("event_type")) === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(lower(col("event_type")) === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("click_ts").desc, col("click_id").desc)
+    attributionPairs(clicks, purchases)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** The SAME gap sessions via Spark's built-in `session_window` — the
     * "compose existing ops if semantics allow" rung above the typed
     * `flatMapGroupsWithState` fold ([[Sessionize]]): one groupBy whose

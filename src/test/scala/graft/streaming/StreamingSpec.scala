@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/valid").count() === 2 * validOnce)
   }
 
+  test("stream-stream join: purchases pair with clicks inside the hour window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val memC = MemoryStream[(Long, Long, Timestamp)]
+    val memP = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = Streams.attributionPairs(
+      memC.toDF().toDF("c_user_id", "click_id", "click_ts"),
+      memP.toDF().toDF("p_user_id", "purchase_id", "purchase_ts", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+
+    try {
+      memC.addData(
+        (1L, 101L, ts("2024-01-01 10:00:00")),
+        (1L, 102L, ts("2024-01-01 10:30:00")),
+        (2L, 103L, ts("2024-01-01 10:00:00")))
+      memP.addData(
+        (1L, 201L, ts("2024-01-01 10:45:00"), 9.0), // both user-1 clicks qualify
+        (1L, 202L, ts("2024-01-01 11:35:00"), 7.0), // 10:30 click is 65 min old — none
+        (2L, 203L, ts("2024-01-01 10:10:00"), 5.0)) // user-2 click qualifies
+      q.processAllAvailable()
+
+      val pairs = spark.table("attrib")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((201L, 101L), (201L, 102L), (203L, 103L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest dedup: re-delivered event ids are dropped within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
