@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, FactOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, FactOps, OlapOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,6 +82,11 @@ object SparkEntry {
     "q_scalar_strings" -> (CoreOps.scalarStrings _),
     "q_scalar_dates" -> (CoreOps.scalarDates _),
     "q_scalar_casts" -> (CoreOps.scalarCasts _),
+    // OLAP reshaping: pivot/unpivot, rollup subtotals, ranking windows
+    "q_pivot" -> (OlapOps.pivotEvents _),
+    "q_unpivot" -> (OlapOps.unpivotParts _),
+    "q_rollup" -> (OlapOps.rollupOrders _),
+    "q_window_battery" -> (OlapOps.windowBattery _),
     // EP3: the reference's 7 analytical queries
     "q_top_months_excl_jan" -> (Analytics.topMonthsExclJan _),
     "q_top_location_months" -> (Analytics.topLocationMonths _),
@@ -501,6 +506,42 @@ object SparkEntry {
         | CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN lower(event_type) = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN lower(event_type) = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN lower(event_type) = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN lower(event_type) = 'signup' THEN 1 END) AS n_signup
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q_rollup" ->
+      """SELECT order_year, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(order_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM (SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year FROM orders)
+        |GROUP BY ROLLUP(order_year, o_orderpriority)
+        |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER w AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  CUME_DIST() OVER w AS cdist,
+        |  LAG(o_orderkey) OVER w AS prev_orderkey,
+        |  LEAD(o_orderkey) OVER w AS next_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_top_months_excl_jan" ->
       """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
         | CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,

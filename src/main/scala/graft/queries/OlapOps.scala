@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Classic OLAP reshaping operators beyond the reference surface: pivot /
+  * unpivot, rollup subtotals with grouping flags, and the full ranking
+  * window-function battery. The reference never reshapes (its §2.E window
+  * use stops at row_number/LAG), but any warehouse user expects these, and
+  * each has a clean scale story noted at its site.
+  */
+object OlapOps {
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup")
+
+  /** Long→wide: per-user event counts, one column per event type. The value
+    * list is EXPLICIT — `pivot(col)` without it runs a whole extra
+    * distinct-collect job over the fact table to discover columns, and the
+    * output schema becomes data-dependent (a silent schema drift at 100 TB
+    * when a new type appears; here a new type lands in no column and the
+    * pipeline fails loudly at review, not at runtime). Cells with no rows
+    * surface as NULL from pivot's internal first-agg, so counts are
+    * coalesced back to 0 — the contract a count column implies.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot(lower(col("event_type")), EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+
+  /** Wide→long: every part's numeric attributes melted to (metric, value)
+    * rows — the normalization step feeding generic per-metric aggregation.
+    * Map-only (a Generate over the row, no shuffle), the exact inverse
+    * shape of [[pivotEvents]].
+    */
+  def unpivotParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast(DoubleType).as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** ROLLUP subtotals: (year, priority) → per-pair, per-year, grand total in
+    * ONE pass. Spark plans rollup as a single Expand (3 grouping sets ⇒ 3×
+    * pre-shuffle rows) + one hash aggregate — cheaper than 3 separate
+    * aggregations at every scale, and the same Expand trade documented for
+    * multi-distinct (SCALE.md, Aggregation). `grouping()` flags distinguish
+    * a subtotal NULL from a NULL in the data — the only correct way to
+    * consume rollup output.
+    */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast(IntegerType))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"),
+        grouping(col("order_year")).cast(IntegerType).as("g_year"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** The ranking window battery over one per-customer pass: rank /
+    * dense_rank / percent_rank / ntile(4) / cume_dist / lag / lead and a
+    * running sum share a SINGLE window definition, so Catalyst evaluates
+    * all eight in one WindowExec over one (custkey) shuffle+sort — the
+    * whole battery costs what one function costs. percent_rank and
+    * cume_dist are exact integer ratios evaluated in doubles (one division
+    * — cross-engine deterministic, same argument as q_tfidf's score).
+    */
+  def windowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 10 === 0) // a probe slice keeps output honest but small
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cdist"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(cum)
+          .cast(DoubleType).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+}
