@@ -148,6 +148,8 @@ object SparkEntry {
     "q_sim_lsh" -> (VectorOps.simLsh _),
     "q_sim_ivf" -> (VectorOps.simIvf _),
     "q_embed_dedup" -> (VectorOps.embedDedup _),
+    // per-vector int8 scalar quantization + reconstruction-error audit
+    "q_vec_quant" -> (VectorOps.vecQuantize _),
   )
 
   private val revenueSql =
@@ -911,6 +913,24 @@ object SparkEntry {
         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.3
         |ORDER BY label, vec_id_a, vec_id_b""".stripMargin,
+    "q_vec_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |s AS (SELECT *, nullif(mx - mn, 0.0) / 255 AS scale FROM e),
+        |c AS (
+        |  SELECT vec_id, mn, mx, scale, embedding,
+        |    list_transform(embedding,
+        |      x -> coalesce(CAST(floor((CAST(x AS DOUBLE) - mn) / scale) AS INT), 0)) AS codes
+        |  FROM s)
+        |SELECT vec_id, mn, mx,
+        |  codes[1] AS code0, codes[2] AS code1, codes[len(codes)] AS code_last,
+        |  list_reduce(list_transform(range(1, len(embedding) + 1),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - (mn + codes[i] * coalesce(scale, 0.0)))),
+        |    (x, y) -> x + y) / len(embedding) AS mean_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),

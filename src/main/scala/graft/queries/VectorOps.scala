@@ -184,4 +184,36 @@ object VectorOps {
       .select(col("label"), col("bucket"), col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
       .orderBy(col("label"), col("vec_id_a"), col("vec_id_b"))
   }
+
+  // ------------------------------------------------- scalar int8 quantization
+  /** Per-vector scalar int8 quantization with reconstruction-error audit —
+    * the embedding-compression op that turns a 100 TB float32 corpus into
+    * 25 TB of codes. Each vector is quantized against its OWN [min, max]
+    * range (256 levels), then dequantized and the mean absolute error
+    * reported, all in one map-only projection — no shuffle, no state; only
+    * the final audit sort moves data. `floor` (not `round`) maps value →
+    * code: floor is exact on IEEE doubles in every engine, whereas round's
+    * tie behavior is engine-defined — the same determinism argument as
+    * q_tfidf's linear idf. A constant vector (max = min) has one level;
+    * nullif keeps its scale NULL and its codes 0 via coalesce in both
+    * engines.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast(DoubleType).as("mn"),
+        array_max(col("embedding")).cast(DoubleType).as("mx"))
+      .withColumn("scale", nullif(col("mx") - col("mn"), lit(0.0)) / 255)
+      .withColumn("codes", expr(
+        "transform(embedding, x -> coalesce(CAST(floor((CAST(x AS DOUBLE) - mn) / scale) AS INT), 0))"))
+      .withColumn("mean_abs_err", expr(
+        """aggregate(zip_with(embedding, codes,
+          |  (x, c) -> abs(CAST(x AS DOUBLE) - (mn + c * coalesce(scale, CAST(0.0 AS DOUBLE))))),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) / size(col("embedding")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        col("codes").getItem(0).as("code0"),
+        col("codes").getItem(1).as("code1"),
+        element_at(col("codes"), -1).as("code_last"),
+        col("mean_abs_err"))
+      .orderBy(col("vec_id"))
 }
