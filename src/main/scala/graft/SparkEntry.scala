@@ -82,6 +82,8 @@ object SparkEntry {
     "q_scalar_strings" -> (CoreOps.scalarStrings _),
     "q_scalar_dates" -> (CoreOps.scalarDates _),
     "q_scalar_casts" -> (CoreOps.scalarCasts _),
+    // JSON read battery (typed from_json + path get_json_object)
+    "q_json_extract" -> (CoreOps.jsonExtract _),
     // OLAP reshaping: pivot/unpivot, rollup subtotals, ranking windows
     "q_pivot" -> (OlapOps.pivotEvents _),
     "q_unpivot" -> (OlapOps.unpivotParts _),
@@ -508,6 +510,12 @@ object SparkEntry {
         | CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_json,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |  CAST(json_extract(props, '$.k') IS NOT NULL AS INT) AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN lower(event_type) = 'click' THEN 1 END) AS n_click,

@@ -656,4 +656,21 @@ object CoreOps {
         col("l_discount").cast(DecimalType(9, 6)).cast("double").as("disc_dec"),
         col("l_linenumber").cast(StringType).as("line_str"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** JSON read battery — beyond-reference (§2.H notes the reference has no
+    * JSON read functions; a warehouse user expects them): the TYPED path
+    * (`from_json` against a declared schema — codegen'd Jackson parse once
+    * per row, the right call when the shape is known) and the PATH
+    * expression (`get_json_object`, the ad-hoc probe). Both are map-only
+    * scalar work; at 100 TB the typed form additionally lets Catalyst
+    * prune unparsed fields.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("from_json(props, 'k INT').k").as("k_json"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+        get_json_object(col("props"), "$.k").isNotNull.cast(IntegerType).as("has_k"))
+      .orderBy(col("event_id"))
 }

@@ -51,6 +51,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(builtin.nonEmpty)
   }
 
+  test("int8 quantization: reconstruction error is bounded by one level width") {
+    // |x − dequant(x)| < scale by construction (floor drops < 1 level), so
+    // the MEAN abs error must also be < scale = (max−min)/255 per vector
+    val q = VectorOps.vecQuantize(spark, sf)
+      .withColumn("scale", (col("mx") - col("mn")) / 255)
+    assert(q.filter(col("scale") > 0 && col("mean_abs_err") >= col("scale")).count() === 0)
+    assert(q.filter(col("mean_abs_err") < 0).count() === 0)
+    assert(q.count() > 0)
+  }
+
   test("stratified sample: membership is the hash rule, rates land near target") {
     val s = ScaleOps.stratifiedSample(spark, sf)
     assert(s.filter(col("h_bucket") >= col("strat_rate")).count() === 0)
