@@ -99,6 +99,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/valid").count() === 2 * validOnce)
   }
 
+  test("hopping windows: each event lands in exactly its two overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.hoppingTypeCounts(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("hopping").start()
+
+    try {
+      // 10:40 belongs to [10:00, 11:00) and [10:30, 11:30); 10:10 to
+      // [09:30,10:30) and [10:00,11:00)
+      mem.addData(
+        (ts("2024-01-01 10:40:00"), "click", 1.0),
+        (ts("2024-01-01 10:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough (2h + window) to close them all
+      mem.addData((ts("2024-01-01 18:00:00"), "view", 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("hopping")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (ts("2024-01-01 09:30:00"), "click", 1L),
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 10:30:00"), "click", 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases pair with clicks inside the hour window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
