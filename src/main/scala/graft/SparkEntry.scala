@@ -88,6 +88,7 @@ object SparkEntry {
     "q_pivot" -> (OlapOps.pivotEvents _),
     "q_unpivot" -> (OlapOps.unpivotParts _),
     "q_rollup" -> (OlapOps.rollupOrders _),
+    "q_cube" -> (OlapOps.cubeOrders _),
     "q_window_battery" -> (OlapOps.windowBattery _),
     // EP3: the reference's 7 analytical queries
     "q_top_months_excl_jan" -> (Analytics.topMonthsExclJan _),
@@ -111,6 +112,8 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_tfidf" -> (TextOps.tfidf _),
     "q_top_ngrams" -> (TextOps.topNgrams _),
+    // context-window chunking (50-token windows, stride 40, map-only)
+    "q_doc_chunks" -> (TextOps.docChunks _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
     // §2.I: the streaming window aggregation run in batch mode (the
@@ -537,6 +540,26 @@ object SparkEntry {
         |FROM (SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year FROM orders)
         |GROUP BY ROLLUP(order_year, o_orderpriority)
         |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT order_year, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(order_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM (SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year FROM orders)
+        |GROUP BY CUBE(order_year, o_orderpriority)
+        |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST, g_year, g_prio""".stripMargin,
+    "q_doc_chunks" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, CAST(floor((len(tk) - 1) / 40) AS INT) + 1)) AS chunk_idx
+        |  FROM t),
+        |s AS (SELECT doc_id, chunk_idx, tk[chunk_idx * 40 + 1 : chunk_idx * 40 + 50] AS chunk FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  ${h32Sql("list_aggregate(chunk, 'string_agg', ' ')")} AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(RANK() OVER w AS INT) AS rnk,

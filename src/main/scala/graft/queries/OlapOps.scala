@@ -67,6 +67,23 @@ object OlapOps {
         grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
       .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE: all four grouping sets of (year, priority) — per-pair, per-year,
+    * per-priority, grand total — in the same single Expand + aggregate pass
+    * as [[rollupOrders]] (4 sets ⇒ 4× pre-shuffle rows). Rollup answers the
+    * hierarchy drill; cube answers every marginal at once.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast(IntegerType))
+      .cube(col("order_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"),
+        grouping(col("order_year")).cast(IntegerType).as("g_year"),
+        grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
+        col("g_year"), col("g_prio"))
+
   /** The ranking window battery over one per-customer pass: rank /
     * dense_rank / percent_rank / ntile(4) / cume_dist / lag / lead and a
     * running sum share a SINGLE window definition, so Catalyst evaluates

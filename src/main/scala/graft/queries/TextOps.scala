@@ -349,6 +349,33 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  // ---------------------------------------------------------- doc chunking
+  private val ChunkSize = 50
+  private val ChunkStride = 40 // 10-token overlap between adjacent chunks
+
+  /** Context-window chunking — the step that turns documents into
+    * training-window rows: fixed 50-token chunks every 40 tokens (10-token
+    * overlap so no span straddles a boundary unseen). Chunk starts are pure
+    * arithmetic over the token count (floor((n−1)/stride)+1 chunks), so the
+    * whole op is one Generate + scalar projections — map-only, no shuffle,
+    * no per-chunk re-tokenization (the token array is computed once and
+    * sliced). Each chunk carries its token count and content hash — the
+    * join keys downstream dedup/packing stages need.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, CAST(floor((n_tokens - 1) / $ChunkStride) AS INT))")))
+      .withColumn("chunk", expr(s"slice(tk, chunk_idx * $ChunkStride + 1, $ChunkSize)"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        h32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // -------------------------------------------------------------- language ID
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in"),
