@@ -90,6 +90,10 @@ object SparkEntry {
     "q_rollup" -> (OlapOps.rollupOrders _),
     "q_cube" -> (OlapOps.cubeOrders _),
     "q_window_battery" -> (OlapOps.windowBattery _),
+    // correlated scalar subquery via the spark.sql entry point (decorrelated)
+    "q_scalar_subquery" -> (OlapOps.scalarSubquery _),
+    // RANGE (value-distance) window frame: trailing 3-day features
+    "q_range_frame" -> (OlapOps.rangeFrame _),
     // EP3: the reference's 7 analytical queries
     "q_top_months_excl_jan" -> (Analytics.topMonthsExclJan _),
     "q_top_location_months" -> (Analytics.topLocationMonths _),
@@ -575,6 +579,22 @@ object SparkEntry {
         |FROM orders WHERE o_custkey % 10 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_finished
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_num,
+        |  COUNT(*) OVER w AS n_orders_3d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS spend_3d
+        |FROM (SELECT *, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_num, o_orderkey""".stripMargin,
     "q_top_months_excl_jan" ->
       """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
         | CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,

@@ -84,6 +84,46 @@ object OlapOps {
       .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
         col("g_year"), col("g_prio"))
 
+  /** Correlated scalar subquery, served through the SQL ENTRY POINT — the
+    * one surface the other entries don't exercise: `spark.sql` over temp
+    * views. Catalyst DECORRELATES the per-row subquery into one aggregate +
+    * one left outer join (visible in the plan — no per-row re-execution,
+    * the thing that makes correlated subqueries survive a fact-scale outer
+    * side), so SQL users get the same plan the DataFrame API would build.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(12,2))) FROM sq_orders
+        |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order,
+        |  (SELECT COUNT(*) FROM sq_orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_finished
+        |FROM sq_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** RANGE window frame — peers by VALUE distance, not row position: each
+    * order's trailing 3-day (value-range) order count and spend per
+    * customer. Unlike the ROWS frames in [[windowBattery]], RANGE includes
+    * every peer inside the value interval regardless of tie count, which is
+    * the correct semantics for time-decayed features. The frame key is
+    * days-since-epoch (a long), so the window stays one shuffle+sort with a
+    * numeric range probe.
+    */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day_num", datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast(LongType))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("day_num"),
+        count(lit(1)).over(w).as("n_orders_3d"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w)
+          .cast(DoubleType).as("spend_3d"))
+      .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+  }
+
   /** The ranking window battery over one per-customer pass: rank /
     * dense_rank / percent_rank / ntile(4) / cume_dist / lag / lead and a
     * running sum share a SINGLE window definition, so Catalyst evaluates
