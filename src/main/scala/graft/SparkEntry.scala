@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, FactOps, OlapOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, OlapOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,10 +107,16 @@ object SparkEntry {
     "q_dedup_minhash" -> (TextOps.dedupMinhash _),
     // incremental probe of a persisted MinHash bucket table (multi-batch)
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
+    // transitive closure of the band graph: connected-component clusters
+    "q_dedup_cc" -> (TextOps.dedupCC _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_fingerprint" -> (TextOps.fingerprint _),
+    // corpus curation: per-source quota, mixture sampling, repetition gates
+    "q_source_quota" -> (CurationOps.sourceQuota _),
+    "q_mixture_sample" -> (CurationOps.mixtureSample _),
+    "q_repetition" -> (CurationOps.repetitionStats _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -672,6 +678,24 @@ object SparkEntry {
         |FROM nb LEFT JOIN exist e USING (band_id, band_key)
         |GROUP BY nb.doc_id
         |ORDER BY nb.doc_id""".stripMargin,
+    "q_dedup_cc" ->
+      s"""$minhashBandedCtes,
+        |rep AS (
+        |  SELECT band_id, band_key, min(doc_id) AS rep
+        |  FROM banded GROUP BY band_id, band_key),
+        |star AS (
+        |  SELECT DISTINCT r.rep AS src, b.doc_id AS dst
+        |  FROM banded b JOIN rep r USING (band_id, band_key) WHERE r.rep <> b.doc_id),
+        |edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
+        |walk AS (
+        |  WITH RECURSIVE wr(doc_id, reach) AS (
+        |    SELECT DISTINCT doc_id, doc_id FROM banded
+        |    UNION
+        |    SELECT w.doc_id, e.dst FROM wr w JOIN edges e ON e.src = w.reach)
+        |  SELECT * FROM wr)
+        |SELECT doc_id, min(reach) AS component_id,
+        |  CAST(doc_id <> min(reach) AS INT) AS is_dup
+        |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
@@ -723,6 +747,47 @@ object SparkEntry {
         |FROM s CROSS JOIN (SELECT unnest(range(1, 6)) AS r)
         |WHERE r <= len(h)
         |ORDER BY doc_id, rank""".stripMargin,
+    "q_source_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank
+        |FROM r WHERE rn <= 10 ORDER BY source, quota_rank""".stripMargin,
+    "q_mixture_sample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    ${h32Sql("concat('mix_', CAST(doc_id AS VARCHAR))")} % 10000 AS u,
+        |    CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 10000
+        |         WHEN source IN ('src4','src5','src6','src7') THEN 5000
+        |         ELSE 2000 END AS BIGINT) AS keep_rate
+        |  FROM documents)
+        |SELECT doc_id, source, u, keep_rate FROM d
+        |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tk, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) GROUP BY doc_id, tk),
+        |tt AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(max(n) AS BIGINT) AS top_token_count
+        |  FROM tc GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct(list_transform(range(0, len(toks) - 1),
+        |      i -> concat(toks[i+1], ' ', toks[i+2])))) AS BIGINT) AS n_distinct_bigrams
+        |  FROM d)
+        |SELECT t.doc_id, t.n_tokens, t.top_token_count,
+        |  CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
+        |  b.n_bigrams, b.n_distinct_bigrams,
+        |  1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac,
+        |  CAST(CAST(t.top_token_count AS DOUBLE) / t.n_tokens <= 0.3
+        |    AND 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams <= 0.5
+        |    AS INT) AS passes_repetition
+        |FROM tt t JOIN bi b USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

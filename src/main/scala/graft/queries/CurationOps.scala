@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Corpus-curation operators — the selection/sampling layer a training-data
+  * pipeline runs AFTER dedup and quality scoring: per-source quotas,
+  * deterministic mixture sampling, and repetition-based quality gates
+  * (the "Gopher rules" family). All are single-pass, shuffle-minimal, and
+  * hash-deterministic so the DuckDB oracle reproduces them exactly.
+  */
+object CurationOps {
+
+  private def toksAll: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Deterministic 32-bit hash (same md5-prefix contract as TextOps.h32). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // ------------------------------------------------------- per-source quota
+  /** Cap each source at K documents, keeping the longest first (ties broken
+    * by doc_id) — the per-domain quota every web-scale corpus applies so a
+    * single crawler-friendly domain cannot dominate the mixture.
+    *
+    * One window rank partitioned by source: the shuffle key is `source`, so
+    * a skewed mega-source concentrates on one partition — at 100 TB the
+    * standard fix is a two-phase rank (per-partition top-K, then top-K of
+    * the K·P survivors), exactly the shape [[CoreOps]] uses for top-k; a
+    * quota of K only ever needs K rows per source in memory.
+    */
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= k)
+      .orderBy(col("source"), col("quota_rank"))
+  }
+
+  // ------------------------------------------------- deterministic mixture
+  /** Weighted data-mixture sampling: each source tier gets a target keep
+    * rate, and a document survives iff its hash-uniform u = h32("mix_"+id)
+    * mod 10k falls under the rate. Deterministic (re-runs pick identical
+    * rows — no RNG, no seed drift across executors or retries) and map-only:
+    * the filter pushes to the scan, no shuffle at all. This is how
+    * production mixtures reweight crawl vs curated vs code sources without
+    * a sort or a sample() whose composition shifts per partitioning.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3"), lit(10000L))
+      .when(col("source").isin("src4", "src5", "src6", "src7"), lit(5000L))
+      .otherwise(lit(2000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (h32(concat(lit("mix_"), col("doc_id"))) % 10000L).as("u"))
+      .withColumn("keep_rate", rate)
+      .filter(col("u") < col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------- repetition quality gates
+  /** Gopher-style repetition statistics per document: the fraction of
+    * tokens that are the single most frequent token, and the fraction of
+    * duplicated word-bigrams. Documents dominated by one token or by
+    * repeated bigrams are boilerplate/spam; the `passes_repetition` gate
+    * applies the published-style thresholds (top token ≤ 30% of the doc,
+    * ≤ 50% duplicate bigrams).
+    *
+    * Shape: the top-token count needs a per-(doc, token) count — explode +
+    * two map-side-combining groupBys, shuffling (doc, token) longs, never
+    * an O(tokens²) per-doc HOF. Bigram duplication is computed WITHOUT
+    * leaving the row (transform over the token array + array_distinct):
+    * map-only, no second shuffle.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("toks"))
+    val topTok = docs
+      .select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_count"))
+    // guard: Spark's sequence(a, b) DESCENDS when b < a, so a 1-token doc
+    // must short-circuit to an empty bigram list (DuckDB range() is empty)
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val biStats = docs.select(
+      col("doc_id"),
+      (size(col("toks")) - 1).cast(LongType).as("n_bigrams"),
+      size(array_distinct(bigrams)).cast(LongType).as("n_distinct_bigrams"))
+    topTok.join(biStats, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("top_token_count"),
+        (col("top_token_count").cast(DoubleType) / col("n_tokens")).as("top_token_frac"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        (lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+      .withColumn("passes_repetition",
+        (col("top_token_frac") <= 0.3 && col("dup_bigram_frac") <= 0.5)
+          .cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -156,6 +156,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------- dedup: connected-component clusters
+  /** TRANSITIVE near-dup clustering: connected components over the LSH
+    * band-bucket graph. [[dedupMinhash]]'s bucket-min assignment is one
+    * propagation step — if A~B share bucket 1 and B~C share bucket 2, A and
+    * C can land in different clusters even though near-dup similarity is
+    * being treated as transitive. Production web-dedup closes that chain
+    * (a cluster is a connected component of the candidate graph, then one
+    * representative per component survives). This computes exactly that.
+    *
+    * Graph construction stays linear: per (band_id, band_key) bucket the
+    * edges are the STAR (bucket-min → member), not the clique — same
+    * components, O(bucket) edges instead of O(bucket²). Components are
+    * found by iterative min-label propagation: each round every node takes
+    * the min label over itself and its neighbors (one hash join + one
+    * map-side-combining groupBy per round), converging in O(graph diameter)
+    * rounds — the hash-to-min family of MapReduce CC algorithms. The
+    * driver-side loop is bounded control flow (diameter of a near-dup
+    * chain, handfuls), not data flow: each round's `count` moves one long
+    * to the driver. `localCheckpoint` truncates lineage so the plan does
+    * not deepen with iteration count — the standard Spark iterative-algo
+    * hygiene (same reason GraphX/ALS checkpoint).
+    *
+    * At 100 TB: rounds are each one shuffle of (node, label) pairs; the
+    * edge table is bucket-star-bounded (≤ corpus × bands rows). Diameter of
+    * near-dup chains in web corpora is small; a hard cap (32) guards
+    * pathological chains, and convergence is verified (changed == 0), never
+    * assumed.
+    */
+  def dedupCC(spark: SparkSession, dir: String): DataFrame = {
+    val banded = minhashBands(spark, dir)
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    val star = banded
+      .withColumn("rep", min(col("doc_id")).over(bucketW))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    // symmetric closure: min labels must flow both up and down the star
+    val edges = star
+      .union(star.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = banded.select(col("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"dedupCC: label propagation not converged after $rounds rounds")
+    labels
+      .withColumn("is_dup", (col("doc_id") =!= col("comp")).cast(IntegerType))
+      .select(col("doc_id"), col("comp").as("component_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- dedup: n-gram Jaccard
   /** Near-duplicate detection via word-3-gram Jaccard with min-k candidate
     * pruning: each document's 5 smallest distinct shingle hashes (its

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Properties of the corpus-curation operators (quota, mixture, repetition)
+  * and the connected-component dedup clustering, over driver testdata.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("source quota: at most K docs per source, ranked by length then id") {
+    val out = CurationOps.sourceQuota(spark, sf).cache()
+    val perSource = out.groupBy("source").agg(count(lit(1)).as("n"),
+      max("quota_rank").as("max_rank"))
+    assert(perSource.filter(col("n") > 10).count() === 0)
+    assert(perSource.filter(col("max_rank") =!= col("n")).count() === 0)
+    // kept docs dominate dropped docs of the same source by (n_chars, -id)
+    val dropped = Tables.documents(spark, sf)
+      .join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max("n_chars").as("max_dropped_chars"))
+    val kept = out.groupBy("source").agg(min("n_chars").as("min_kept_chars"))
+    assert(kept.join(dropped, Seq("source"))
+      .filter(col("max_dropped_chars") > col("min_kept_chars")).count() === 0)
+    out.unpersist()
+  }
+
+  test("mixture sample: deterministic, rate-bounded, and re-run-stable") {
+    val a = CurationOps.mixtureSample(spark, sf).collect().toSeq
+    val b = CurationOps.mixtureSample(spark, sf).collect().toSeq
+    assert(a === b) // no RNG: identical composition across runs
+    assert(a.forall(r => r.getAs[Long]("u") < r.getAs[Long]("keep_rate")))
+  }
+
+  test("repetition stats: fractions bounded, gate consistent with thresholds") {
+    val out = CurationOps.repetitionStats(spark, sf).cache()
+    assert(out.filter(col("top_token_frac") <= 0 || col("top_token_frac") > 1).count() === 0)
+    assert(out.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() === 0)
+    assert(out.filter(
+      (col("passes_repetition") === 1) =!=
+        (col("top_token_frac") <= 0.3 && col("dup_bigram_frac") <= 0.5)).count() === 0)
+    // a doc's token count matches its array length (join vs raw table)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("len"))
+    assert(out.join(lens, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("len")).count() === 0)
+    out.unpersist()
+  }
+
+  test("connected components: fixpoint on the band graph, min-labeled") {
+    val comp = TextOps.dedupCC(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(comp.count() === n)
+    // component_id is a member of the component and is its minimum
+    val minPerComp = comp.groupBy("component_id").agg(min("doc_id").as("min_doc"))
+    assert(minPerComp.filter(col("component_id") =!= col("min_doc")).count() === 0)
+    // fixpoint: any two docs sharing a (band_id, band_key) bucket share a component
+    val banded = TextOps.minhashBands(spark, sf)
+    val pairs = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("b")),
+        Seq("band_id", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val viol = pairs
+      .join(comp.select(col("doc_id").as("a"), col("component_id").as("ca")), Seq("a"))
+      .join(comp.select(col("doc_id").as("b"), col("component_id").as("cb")), Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(viol.count() === 0)
+    // CC coarsens bucket-min: every bucket-min cluster maps into ONE component
+    val bucketMin = TextOps.dedupMinhash(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val split = bucketMin.join(comp, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(countDistinct("component_id").as("n_comps"))
+      .filter(col("n_comps") > 1)
+    assert(split.count() === 0)
+    comp.unpersist()
+  }
+}
