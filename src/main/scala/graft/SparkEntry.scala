@@ -117,6 +117,8 @@ object SparkEntry {
     "q_source_quota" -> (CurationOps.sourceQuota _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_repetition" -> (CurationOps.repetitionStats _),
+    // the composed flow: dedup -> quality gate -> quota -> mixture
+    "q_curation_pipeline" -> (CurationOps.curationPipeline _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -152,6 +154,8 @@ object SparkEntry {
     // pure range (point-in-interval) join, bucketized equi-join rewrite —
     // the oracle states the naive BETWEEN join; the plan is hash, not NLJ
     "q_range_join" -> (ScaleOps.rangeJoin _),
+    // Morton key arithmetic for z-order clustering (write side in LayoutSpec)
+    "q_zorder_key" -> (ScaleOps.zorderKeys _),
     // deterministic hash-keyed stratified sampling (map-only, reproducible)
     "q_stratified_sample" -> (ScaleOps.stratifiedSample _),
     // skew-salted two-phase aggregation, hash-matching the plain oracle
@@ -230,6 +234,36 @@ object SparkEntry {
       |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
       |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id))""".stripMargin
+
+  /** Shared CTE chain ending in `rep`: per-doc Gopher-style repetition
+    * stats — prefix of q_repetition and the composed q_curation_pipeline,
+    * the DuckDB twin of CurationOps.repetitionStats.
+    */
+  private def repetitionCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |tc AS (
+      |  SELECT doc_id, tk, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) GROUP BY doc_id, tk),
+      |tt AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    CAST(max(n) AS BIGINT) AS top_token_count
+      |  FROM tc GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+      |    CAST(len(list_distinct(list_transform(range(0, len(toks) - 1),
+      |      i -> concat(toks[i+1], ' ', toks[i+2])))) AS BIGINT) AS n_distinct_bigrams
+      |  FROM d),
+      |rep AS (
+      |  SELECT t.doc_id, t.n_tokens, t.top_token_count,
+      |    CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
+      |    b.n_bigrams, b.n_distinct_bigrams,
+      |    1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac,
+      |    CAST(CAST(t.top_token_count AS DOUBLE) / t.n_tokens <= 0.3
+      |      AND 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams <= 0.5
+      |      AS INT) AS passes_repetition
+      |  FROM tt t JOIN bi b USING (doc_id))""".stripMargin
 
   /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
     * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
@@ -765,29 +799,32 @@ object SparkEntry {
         |SELECT doc_id, source, u, keep_rate FROM d
         |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |tc AS (
-        |  SELECT doc_id, tk, count(*) AS n
-        |  FROM (SELECT doc_id, unnest(toks) AS tk FROM d) GROUP BY doc_id, tk),
-        |tt AS (
-        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |    CAST(max(n) AS BIGINT) AS top_token_count
-        |  FROM tc GROUP BY doc_id),
-        |bi AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
-        |    CAST(len(list_distinct(list_transform(range(0, len(toks) - 1),
-        |      i -> concat(toks[i+1], ' ', toks[i+2])))) AS BIGINT) AS n_distinct_bigrams
-        |  FROM d)
-        |SELECT t.doc_id, t.n_tokens, t.top_token_count,
-        |  CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
-        |  b.n_bigrams, b.n_distinct_bigrams,
-        |  1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac,
-        |  CAST(CAST(t.top_token_count AS DOUBLE) / t.n_tokens <= 0.3
-        |    AND 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams <= 0.5
-        |    AS INT) AS passes_repetition
-        |FROM tt t JOIN bi b USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""$repetitionCtes
+        |SELECT doc_id, n_tokens, top_token_count, top_token_frac,
+        |  n_bigrams, n_distinct_bigrams, dup_bigram_frac, passes_repetition
+        |FROM rep ORDER BY doc_id""".stripMargin,
+    "q_curation_pipeline" ->
+      s"""$repetitionCtes,
+        |k AS (
+        |  SELECT doc_id, source, n_chars
+        |  FROM (SELECT doc_id, source, n_chars,
+        |          min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS keep_id
+        |        FROM documents)
+        |  WHERE doc_id = keep_id),
+        |g AS (
+        |  SELECT k.* FROM k JOIN rep USING (doc_id) WHERE rep.passes_repetition = 1),
+        |q AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank,
+        |    ${h32Sql("concat('mix_', CAST(doc_id AS VARCHAR))")} % 10000 AS u,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 10000
+        |         WHEN source IN ('src4','src5','src6','src7') THEN 5000
+        |         ELSE 2000 END AS rate
+        |  FROM q WHERE rn <= 10)
+        |SELECT doc_id, source, n_chars, quota_rank, u
+        |FROM s WHERE u < rate ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT *, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
@@ -901,6 +938,25 @@ object SparkEntry {
         |FROM i2 JOIN orders ON CAST(o_orderdate AS DATE) BETWEEN lo AND hi
         |GROUP BY i_custkey, lo, hi
         |ORDER BY i_custkey""".stripMargin,
+    // Morton spread via chained CTEs (each step referenced twice — a CTE
+    // chain avoids the 2^4 textual blowup of inlining the magic-number
+    // steps); bit-identical to Layout.zOrderKey's shift/and/or ladder
+    "q_zorder_key" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dkey
+        |  FROM orders),
+        |m0 AS (SELECT *, o_custkey & 65535 AS a0, dkey & 65535 AS b0 FROM o),
+        |m1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
+        |               (b0 | (b0 << 8)) & 16711935 AS b1 FROM m0),
+        |m2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM m1),
+        |m3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |               (b2 | (b2 << 2)) & 858993459 AS b3 FROM m2),
+        |m4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM m3)
+        |SELECT o_orderkey, o_custkey, dkey, a4 | (b4 << 1) AS zkey
+        |FROM m4 ORDER BY o_orderkey""".stripMargin,
     "q_stratified_sample" ->
       """WITH s AS (
         |  SELECT event_id, user_id, event_type,

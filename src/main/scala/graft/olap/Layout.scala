@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +54,40 @@ object Layout {
         sum((col("l_extendedprice").cast(DecimalType(12, 2)) *
           (lit(1) - col("l_discount").cast(DecimalType(12, 2))))).cast(DoubleType)
           .as("revenue"))
+
+  /** Morton (z-order) key: interleave the low 16 bits of two non-negative
+    * dimension keys, a-bits in even positions, b-bits in odd. Sorting by
+    * this key clusters rows so EVERY file's min/max stats are tight on
+    * BOTH dimensions — a single-column sort gives perfect pruning on one
+    * filter column and none on the other; z-order trades a little of the
+    * first for most of the second, which is what lets a 100 TB table serve
+    * selective scans on two independent predicates from row-group stats
+    * alone. Pure bit arithmetic (shift/and/or magic-number spread), so it
+    * is codegen'd, map-only, and bit-identical in the DuckDB oracle.
+    */
+  def zOrderKey(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      val m1 = x.bitwiseAND(lit(0xFFFFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val m4 = m3.bitwiseOR(shiftleft(m3, 2)).bitwiseAND(lit(0x33333333L))
+      m4.bitwiseOR(shiftleft(m4, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a.cast(LongType)).bitwiseOR(shiftleft(spread(b.cast(LongType)), 1))
+  }
+
+  /** Write `df` z-order-clustered on (a, b): range-partition by the Morton
+    * key (so files tile the z-curve contiguously), sort within partitions,
+    * drop the key. One exchange at write time buys stat-pruned scans on
+    * both dimensions forever after.
+    */
+  def writeZOrdered(df: DataFrame, a: String, b: String, outPath: String,
+      numFiles: Int): Unit =
+    df.withColumn("_zkey", zOrderKey(col(a), col(b)))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(outPath)
 
   /** Write an events-derived fact partitioned by event date (the testdata
     * events all land in one month, so DAY is the demonstrable EP3-style

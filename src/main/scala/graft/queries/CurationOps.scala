@@ -52,15 +52,53 @@ object CurationOps {
     * production mixtures reweight crawl vs curated vs code sources without
     * a sort or a sample() whose composition shifts per partitioning.
     */
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val rate = when(col("source").isin("src0", "src1", "src2", "src3"), lit(10000L))
+  private def mixtureRate: Column =
+    when(col("source").isin("src0", "src1", "src2", "src3"), lit(10000L))
       .when(col("source").isin("src4", "src5", "src6", "src7"), lit(5000L))
       .otherwise(lit(2000L))
+
+  private def mixtureU: Column =
+    h32(concat(lit("mix_"), col("doc_id"))) % 10000L
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (h32(concat(lit("mix_"), col("doc_id"))) % 10000L).as("u"))
-      .withColumn("keep_rate", rate)
+      .select(col("doc_id"), col("source"), mixtureU.as("u"))
+      .withColumn("keep_rate", mixtureRate)
       .filter(col("u") < col("keep_rate"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------- composed curation pipeline
+  /** The full curation flow a training-data pipeline runs, composed from
+    * the operators above as ONE declarative plan: exact dedup (keep the
+    * min-id copy) → repetition quality gate → per-source quota → mixture
+    * sampling. The point of the entry is compositionality — each stage is
+    * the already-oracle-checked operator, and Catalyst fuses the whole
+    * chain into one job (the dedup window, the gate join, the quota window
+    * and the map-only mixture filter pipeline without materialization
+    * barriers between them).
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("content_hash"))
+    val keepers = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(lower(trim(col("text"))), 256).as("content_hash"))
+      .withColumn("keep_id", min(col("doc_id")).over(dedupW))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("content_hash", "keep_id")
+    val gated = keepers.join(
+      repetitionStats(spark, dir)
+        .filter(col("passes_repetition") === 1)
+        .select(col("doc_id")),
+      Seq("doc_id"))
+    val quotaW = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    gated
+      .withColumn("quota_rank", row_number().over(quotaW))
+      .filter(col("quota_rank") <= 10)
+      .withColumn("u", mixtureU)
+      .filter(col("u") < mixtureRate)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("quota_rank"), col("u"))
       .orderBy(col("doc_id"))
   }
 

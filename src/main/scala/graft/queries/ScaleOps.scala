@@ -100,6 +100,22 @@ object ScaleOps {
         percentile(col("price"), lit(0.75)).as("p75"))
       .orderBy(col("o_orderpriority"))
 
+  /** Morton (z-order) clustering keys over orders: customer key × days
+    * since epoch start, bit-interleaved ([[graft.olap.Layout.zOrderKey]]).
+    * The WRITE-side use (range-partition + sort by this key → files with
+    * tight min/max on BOTH dims) is demonstrated with measured file stats
+    * in LayoutSpec; this entry oracle-pins the key arithmetic itself, since
+    * a z-value computed differently by two engines would cluster
+    * differently and silently break stat-pruning expectations.
+    */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast(LongType).as("dkey"))
+      .withColumn("zkey", graft.olap.Layout.zOrderKey(col("o_custkey"), col("dkey")))
+      .orderBy(col("o_orderkey"))
+
   /** Deterministic stratified sampling — the training-data downsampling
     * primitive. Each stratum (event_type) gets its own keep-rate; membership
     * is decided by a content hash of the row key (first 8 md5 hex digits mod

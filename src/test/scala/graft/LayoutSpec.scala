@@ -62,6 +62,60 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering tightens per-file stats on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val n = 8 // files per layout
+    // orders with both clustering dims quantized to a common 8-bit scale —
+    // interleaving is only balanced when the dims contribute equal bits
+    // (raw custkey is 8-bit, raw daykey 12-bit: the top z-bits would all
+    // come from the wider dim and the demo would degrade to a 1-D sort)
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("dkey"))
+    val Array(maxC, maxD) = base.agg(max("o_custkey"), max("dkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val q = base
+      .withColumn("aq", (col("o_custkey") * 255L / maxC).cast("long"))
+      .withColumn("bq", (col("dkey") * 255L / maxD).cast("long"))
+
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val linDir = Files.createTempDirectory("graft-linear").toString
+    Layout.writeZOrdered(q, "aq", "bq", zDir, n)
+    // the single-dim alternative: range-sorted by dkey only
+    q.repartitionByRange(n, col("bq")).sortWithinPartitions(col("bq"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file normalized coverage of each dim, from actual file contents
+    // (what parquet row-group min/max stats will contain)
+    def coverage(dir: String): Seq[(Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("aq").as("a0"), max("aq").as("a1"),
+          min("bq").as("b0"), max("bq").as("b1"))
+        .collect().toSeq.map { r =>
+          ((r.getAs[Long]("a1") - r.getAs[Long]("a0")).toDouble / 255.0,
+           (r.getAs[Long]("b1") - r.getAs[Long]("b0")).toDouble / 255.0)
+        }
+    val zCov = coverage(zDir)
+    val linCov = coverage(linDir)
+    assert(zCov.size === n && linCov.size === n)
+    def avg(xs: Seq[Double]): Double = xs.sum / xs.size
+    // the linear layout is perfect on its sort dim and useless on the
+    // other: every file spans (nearly) the whole custkey domain
+    assert(avg(linCov.map(_._1)) > 0.8, s"linear custkey coverage: $linCov")
+    // z-order bounds the WORST dimension per file — a filter on EITHER dim
+    // can skip most files from stats alone
+    val zWorst = avg(zCov.map(c => math.max(c._1, c._2)))
+    val linWorst = avg(linCov.map(c => math.max(c._1, c._2)))
+    assert(zWorst < 0.7, s"z-order worst-dim coverage too wide: $zCov")
+    assert(zWorst < linWorst * 0.8,
+      s"z-order ($zWorst) should beat single-dim sort ($linWorst) on worst-dim stats")
+    // clustering must not change the data
+    assert(spark.read.parquet(zDir).count() === base.count())
+    val keySum = base.agg(sum("o_orderkey")).collect().head.getLong(0)
+    assert(spark.read.parquet(zDir).agg(sum("o_orderkey")).collect().head.getLong(0) === keySum)
+  }
+
   test("partitionBy prunes a date-filtered scan to its partition") {
     val out = Files.createTempDirectory("graft-layout").toString
     Layout.writePartitionedEvents(spark, sf, out)

@@ -49,6 +49,24 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curation pipeline: every survivor passes each stage's own gate") {
+    val out = CurationOps.curationPipeline(spark, sf).cache()
+    assert(out.count() > 0, "pipeline must keep something at this SF")
+    // stage 1: survivors are exact-dedup representatives
+    val keepers = TextOps.dedupExact(spark, sf)
+      .filter(col("doc_id") === col("keep_doc_id")).select("doc_id")
+    assert(out.join(keepers, Seq("doc_id"), "left_anti").count() === 0)
+    // stage 2: survivors pass the repetition gate
+    val passing = CurationOps.repetitionStats(spark, sf)
+      .filter(col("passes_repetition") === 1).select("doc_id")
+    assert(out.join(passing, Seq("doc_id"), "left_anti").count() === 0)
+    // stage 3+4: quota bound holds and the mixture hash admitted the doc
+    assert(out.filter(col("quota_rank") > 10).count() === 0)
+    val mix = CurationOps.mixtureSample(spark, sf).select("doc_id")
+    assert(out.join(mix, Seq("doc_id"), "left_anti").count() === 0)
+    out.unpersist()
+  }
+
   test("connected components: fixpoint on the band graph, min-labeled") {
     val comp = TextOps.dedupCC(spark, sf).cache()
     val n = Tables.documents(spark, sf).count()
