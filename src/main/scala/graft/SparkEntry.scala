@@ -115,6 +115,8 @@ object SparkEntry {
     "q_fingerprint" -> (TextOps.fingerprint _),
     // corpus curation: per-source quota, mixture sampling, repetition gates
     "q_source_quota" -> (CurationOps.sourceQuota _),
+    // salted two-phase rank, hash-matching the same oracle (skew escape)
+    "q_quota_twophase" -> (CurationOps.sourceQuotaTwoPhase _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_repetition" -> (CurationOps.repetitionStats _),
     // the composed flow: dedup -> quality gate -> quota -> mixture
@@ -156,6 +158,8 @@ object SparkEntry {
     "q_range_join" -> (ScaleOps.rangeJoin _),
     // Morton key arithmetic for z-order clustering (write side in LayoutSpec)
     "q_zorder_key" -> (ScaleOps.zorderKeys _),
+    // skew-salted join, hash-matching the plain join oracle
+    "q_salted_join" -> (ScaleOps.saltedJoin _),
     // deterministic hash-keyed stratified sampling (map-only, reproducible)
     "q_stratified_sample" -> (ScaleOps.stratifiedSample _),
     // skew-salted two-phase aggregation, hash-matching the plain oracle
@@ -781,6 +785,20 @@ object SparkEntry {
         |FROM s CROSS JOIN (SELECT unnest(range(1, 6)) AS r)
         |WHERE r <= len(h)
         |ORDER BY doc_id, rank""".stripMargin,
+    // the two-phase salted rank must land on the SAME rows and ranks as the
+    // single-window form — one oracle, both plans
+    "q_quota_twophase" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank
+        |FROM r WHERE rn <= 10 ORDER BY source, quota_rank""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_source_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

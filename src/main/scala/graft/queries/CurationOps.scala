@@ -43,6 +43,34 @@ object CurationOps {
       .orderBy(col("source"), col("quota_rank"))
   }
 
+  /** The at-scale form of [[sourceQuota]], DEMONSTRATED exact: a mega-source
+    * would land entirely on one reducer under a plain
+    * `Window.partitionBy(source)`. Phase 1 ranks within (source, salt) —
+    * 16× more, uniformly loaded, partitions — and keeps each group's local
+    * top-K, a guaranteed superset of the global top-K (any global top-K row
+    * is top-K within its salt too). Phase 2 ranks the ≤ K×16 survivors per
+    * source. The second window sees K×salts rows per source, never the
+    * source's full row count. Hash-matches the SAME oracle as
+    * [[sourceQuota]] — the rewrite is proven exact the way
+    * q_theta_prefilter proves the theta escape hatch.
+    */
+  def sourceQuotaTwoPhase(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val salts = 16
+    val order = Seq(col("n_chars").desc, col("doc_id"))
+    val local = Window.partitionBy(col("source"), col("salt")).orderBy(order: _*)
+    val global = Window.partitionBy(col("source")).orderBy(order: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("salt", pmod(col("doc_id"), lit(salts)))
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("quota_rank", row_number().over(global))
+      .filter(col("quota_rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("quota_rank"))
+      .orderBy(col("source"), col("quota_rank"))
+  }
+
   // ------------------------------------------------- deterministic mixture
   /** Weighted data-mixture sampling: each source tier gets a target keep
     * rate, and a document survives iff its hash-uniform u = h32("mix_"+id)

@@ -81,6 +81,34 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Skew-salted JOIN (the join-side counterpart of [[saltedAgg]]): when
+    * one join key's rows exceed an executor's partition budget, salt the
+    * FACT side with a value derived from NON-key columns (so rows of the
+    * same key spread over `SaltBuckets` partitions) and replicate the
+    * other side once per salt (explode × SaltBuckets — bounded, it is the
+    * smaller side). The join becomes an equi-join on (key, salt): same
+    * matches, uniformly loaded partitions. Exact — hash-matches the plain
+    * join oracle — so applying it to a hot key is a plan change, not a
+    * semantics change. (AQE skew splitting does this automatically for
+    * sort-merge joins; the manual form also covers the cases AQE can't
+    * see, e.g. skew appearing after a filter AQE has no stats for.)
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val SaltBuckets = 8
+    val fact = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_partkey") + col("l_suppkey"), lit(SaltBuckets)))
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+    fact.join(dim,
+        col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of order totals per priority).
     * Both engines define the continuous quantile identically — sort, index
     * p·(n−1), linear interpolation a + (b−a)·frac in doubles — so the

@@ -49,6 +49,12 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("two-phase salted quota == single-window quota, rows and ranks") {
+    val single = CurationOps.sourceQuota(spark, sf).collect().toSeq
+    val two = CurationOps.sourceQuotaTwoPhase(spark, sf).collect().toSeq
+    assert(two === single)
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")

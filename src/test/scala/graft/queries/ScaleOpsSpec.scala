@@ -44,6 +44,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.saltedAgg(spark, sf).collect().toSeq === direct)
   }
 
+  test("salted join == plain join, matches and aggregates identical") {
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq
+    assert(ScaleOps.saltedJoin(spark, sf).collect().toSeq === direct)
+  }
+
   test("built-in session_window == the custom gap fold's batch analog") {
     val builtin = graft.streaming.Streams.sessionWindowBatch(spark, sf).collect().toSeq
     val fold = graft.streaming.Streams.sessionizeBatch(spark, sf).collect().toSeq
