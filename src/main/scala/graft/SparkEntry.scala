@@ -87,6 +87,8 @@ object SparkEntry {
     // OLAP reshaping: pivot/unpivot, rollup subtotals, ranking windows
     "q_pivot" -> (OlapOps.pivotEvents _),
     "q_unpivot" -> (OlapOps.unpivotParts _),
+    // dense hourly grid, zero-filled gaps (resample for trend/window stats)
+    "q_gapfill" -> (OlapOps.gapFill _),
     "q_rollup" -> (OlapOps.rollupOrders _),
     "q_cube" -> (OlapOps.cubeOrders _),
     "q_window_battery" -> (OlapOps.windowBattery _),
@@ -574,6 +576,19 @@ object SparkEntry {
         |  COUNT(CASE WHEN lower(event_type) = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(CASE WHEN lower(event_type) = 'signup' THEN 1 END) AS n_signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH e AS (
+        |  SELECT lower(event_type) AS event_type, date_trunc('hour', ts) AS hour_start
+        |  FROM events),
+        |h AS (SELECT event_type, hour_start, count(*) AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT min(hour_start) AS h0, max(hour_start) AS h1 FROM e),
+        |g AS (
+        |  SELECT t.event_type,
+        |    unnest(range(s.h0, s.h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN s)
+        |SELECT g.event_type, g.hour_start, COALESCE(h.n, 0) AS n_events
+        |FROM g LEFT JOIN h USING (event_type, hour_start)
+        |ORDER BY event_type, hour_start""".stripMargin,
     "q_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part

@@ -138,11 +138,17 @@ object CurationOps {
     * applies the published-style thresholds (top token ≤ 30% of the doc,
     * ≤ 50% duplicate bigrams).
     *
-    * Shape: the top-token count needs a per-(doc, token) count — explode +
-    * two map-side-combining groupBys, shuffling (doc, token) longs, never
-    * an O(tokens²) per-doc HOF. Bigram duplication is computed WITHOUT
-    * leaving the row (transform over the token array + array_distinct):
-    * map-only, no second shuffle.
+    * Shape: BOTH stats are explode + two map-side-combining groupBys,
+    * shuffling (doc, gram) longs. The bigram side deliberately does NOT
+    * compute `array_distinct(transform(...))` in a row-level projection:
+    * a downstream filter on the resulting fraction gets SUBSTITUTED into
+    * that projection by predicate pushdown (PushDownPredicates has no
+    * expression-duplication guard, unlike CollapseProject), inlining the
+    * tokenizing `split` into the lambda — re-splitting the whole document
+    * once PER BIGRAM, O(tokens²) per doc (measured 0.9 s → 6.6 s at sf0.1
+    * the moment q_curation_pipeline filtered on the gate). An aggregate is
+    * a pushdown barrier, so the explode form is immune by construction —
+    * the same projection-collapse trap TextOps.minhashBands documents.
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -153,16 +159,20 @@ object CurationOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_count"))
     // guard: Spark's sequence(a, b) DESCENDS when b < a, so a 1-token doc
-    // must short-circuit to an empty bigram list (DuckDB range() is empty)
+    // must short-circuit to an empty bigram list (DuckDB range() is empty;
+    // such a doc then has no bigram rows and drops out of the join — the
+    // stats are defined over docs with >= 2 tokens, which the corpus
+    // guarantees with a 10-token floor)
     val bigrams = when(size(col("toks")) >= 2,
       transform(
         sequence(lit(0), size(col("toks")) - 2),
         i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
-    val biStats = docs.select(
-      col("doc_id"),
-      (size(col("toks")) - 1).cast(LongType).as("n_bigrams"),
-      size(array_distinct(bigrams)).cast(LongType).as("n_distinct_bigrams"))
+    val biStats = docs
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
     topTok.join(biStats, Seq("doc_id"))
       .select(
         col("doc_id"), col("n_tokens"), col("top_token_count"),

@@ -35,6 +35,35 @@ object OlapOps {
         EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
       .orderBy(col("user_id"))
 
+  /** Time-series gap filling: hourly per-type event counts over a DENSE
+    * hour grid, missing hours zero-filled — the resample step every
+    * monitoring/trend query needs (a LAG over sparse hours silently skips
+    * gaps; charts and window stats require the dense axis).
+    *
+    * The grid is built WITHOUT a driver collect: the 1-row global
+    * (min, max) aggregate cross-joins (broadcast, 1×N — not a cartesian
+    * hazard) the distinct event types, and `sequence()` explodes the hour
+    * axis. Grid size is |types| × |hours| — dimension-scale regardless of
+    * fact row count, so the left join stays a broadcast probe of the
+    * sparse aggregate at any SF.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(lower(col("event_type")).as("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+    val hourly = events.groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val span = events.agg(min(col("hour_start")).as("h0"), max(col("hour_start")).as("h1"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))
+    grid.join(hourly, Seq("event_type", "hour_start"), "left")
+      .select(col("event_type"), col("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   /** Wide→long: every part's numeric attributes melted to (metric, value)
     * rows — the normalization step feeding generic per-metric aggregation.
     * Map-only (a Generate over the row, no shuffle), the exact inverse

@@ -10,7 +10,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** The SCALE.md plan audit as a regression test: every `SparkEntry.queries`
-  * plan is inspected (pre-AQE physical plan — planning only, nothing runs)
+  * plan is inspected (pre-AQE physical plan — planning only, nothing runs,
+  * except q_dedup_cc whose construction executes its bounded label-
+  * propagation rounds eagerly; its guarded plan is the checkpointed result)
   * and the 100 TB invariants asserted, so a future edit that silently
   * degrades a plan fails the suite instead of the next bench round.
   */
