@@ -89,6 +89,12 @@ object SparkEntry {
     "q_unpivot" -> (OlapOps.unpivotParts _),
     // dense hourly grid, zero-filled gaps (resample for trend/window stats)
     "q_gapfill" -> (OlapOps.gapFill _),
+    // LATERAL per-row top-N via the SQL entry point (decorrelated plan)
+    "q_lateral" -> (OlapOps.lateralTopOrders _),
+    // deterministic array aggregation (sorted collect_set profile)
+    "q_collect_types" -> (OlapOps.collectTypes _),
+    // fixed-bucket equi-width histogram
+    "q_histogram" -> (OlapOps.histogram _),
     "q_rollup" -> (OlapOps.rollupOrders _),
     "q_cube" -> (OlapOps.cubeOrders _),
     "q_window_battery" -> (OlapOps.windowBattery _),
@@ -576,6 +582,28 @@ object SparkEntry {
         |  COUNT(CASE WHEN lower(event_type) = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(CASE WHEN lower(event_type) = 'signup' THEN 1 END) AS n_signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_collect_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT lower(event_type))), ' ') AS event_types,
+        |  min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_histogram" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |b AS (SELECT v,
+        |  CAST(least(greatest(floor((v - 0.0) / 50000.0), 0.0), 11.0) AS INT) AS bucket FROM v)
+        |SELECT bucket, bucket * 50000.0 + 0.0 AS bucket_lo,
+        |  (bucket + 1) * 50000.0 + 0.0 AS bucket_hi,
+        |  COUNT(*) AS n_orders, min(v) AS min_v, max(v) AS max_v
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey, totalprice DESC, o_orderkey""".stripMargin,
     "q_gapfill" ->
       """WITH e AS (
         |  SELECT lower(event_type) AS event_type, date_trunc('hour', ts) AS hour_start

@@ -132,6 +132,75 @@ object OlapOps {
         |FROM sq_customer ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Array aggregation: per-user event-type profile as a SORTED distinct
+    * array plus first/last activity. `collect_set` alone is
+    * order-NONDETERMINISTIC (partition arrival order) — `array_sort` on
+    * top is what makes an array-valued column reproducible across runs,
+    * partitionings, and engines; without it an oracle hash (or a
+    * downstream exact-dedup of the profile column!) flaps randomly.
+    */
+  def collectTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        // serialized for the cross-engine hash; the sort is the point
+        array_join(array_sort(collect_set(lower(col("event_type")))), " ")
+          .as("event_types"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Equi-width histogram of order totals — fixed [lo, hi) buckets with
+    * arithmetic bucket assignment (one map-side-combining groupBy on the
+    * bucket id; |buckets| output rows regardless of fact size). Bounds are
+    * FIXED constants, not a data-dependent min/max pre-pass — the
+    * production shape when the domain is known; a data-driven span costs
+    * one extra 1-row aggregate (the [[gapFill]] pattern).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val lo = 0.0
+    val hi = 600000.0
+    val nb = 12
+    val w = (hi - lo) / nb
+    Tables.orders(spark, dir)
+      .select(col("o_totalprice").cast(DoubleType).as("v"))
+      .withColumn("bucket",
+        least(greatest(floor((col("v") - lo) / w), lit(0.0)), lit(nb - 1.0))
+          .cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .withColumn("bucket_lo", col("bucket") * w + lo)
+      .withColumn("bucket_hi", (col("bucket") + 1) * w + lo)
+      .select(col("bucket"), col("bucket_lo"), col("bucket_hi"),
+        col("n_orders"), col("min_v"), col("max_v"))
+      .orderBy(col("bucket"))
+  }
+
+  /** LATERAL correlated table subquery — the per-row top-N idiom SQL users
+    * write (`... , LATERAL (SELECT ... WHERE fk = pk ORDER BY x LIMIT 2)`).
+    * Catalyst plans the DecorrelateInnerQuery rewrite: the lateral becomes
+    * a partitioned rank over the inner table + one equi-join — the SAME
+    * plan the DataFrame window form builds, never a per-outer-row
+    * re-execution (which at fact scale would be O(outer) separate scans).
+    * Demonstrated over the SQL entry point like [[scalarSubquery]].
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lt_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lt_orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM lt_customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lt_orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey, totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** RANGE window frame — peers by VALUE distance, not row position: each
     * order's trailing 3-day (value-range) order count and spend per
     * customer. Unlike the ROWS frames in [[windowBattery]], RANGE includes

@@ -29,12 +29,14 @@ class PlanGuardSpec extends SparkSpec {
     * of these is an OOM at 100 TB. */
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
 
-  /** The two sanctioned nested-loop joins, both with a provably tiny
-    * broadcast side while the fact side streams: the theta-contains join
-    * (bounded dim, reference data model) and the brute-force cosine top-k
-    * baseline (filtered probe set, non-equi != condition). Everything else
-    * must stay equi/hash. */
-  private val sanctionedBnlj = Set("q_theta_contains", "q_sim_topk")
+  /** The sanctioned nested-loop joins, each with a provably tiny broadcast
+    * side while the other side streams: the theta-contains join (bounded
+    * dim, reference data model), the brute-force cosine top-k baseline
+    * (filtered probe set, non-equi != condition), and gap-fill's grid
+    * constructor (a 1-ROW global min/max span aggregate crossed with the
+    * distinct event types — both sides dimension-scale by construction).
+    * Everything else must stay equi/hash. */
+  private val sanctionedBnlj = Set("q_theta_contains", "q_sim_topk", "q_gapfill")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {
