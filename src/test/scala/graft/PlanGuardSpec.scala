@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull, LambdaFunction}
 import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
@@ -85,6 +85,24 @@ class PlanGuardSpec extends SparkSpec {
         assert(!scansFact || reduced,
           s"$name broadcasts a fact-scale table with no filter/aggregate below the exchange")
       }
+    }
+  }
+
+  test("no higher-order lambda inside any Filter condition") {
+    // Predicate pushdown substitutes projected expressions into filters
+    // with NO duplication guard (unlike CollapseProject): a lambda that
+    // references a projected array re-derives that array PER ELEMENT once
+    // inlined — the O(tokens²) blowup q_curation_pipeline hit (6.6 s vs
+    // 0.9 s at sf0.1) when its gate filter swallowed the bigram transform.
+    // Expensive array work must sit behind an aggregate/generate barrier;
+    // this pins that no future entry reintroduces the shape.
+    for ((name, plan) <- plans) {
+      val offenders = plan.collect {
+        case f: FilterExec
+            if f.condition.collectFirst { case l: LambdaFunction => l }.nonEmpty => f
+      }
+      assert(offenders.isEmpty,
+        s"$name evaluates a higher-order lambda inside a Filter: ${offenders.headOption}")
     }
   }
 
