@@ -97,6 +97,8 @@ object SparkEntry {
     "q_histogram" -> (OlapOps.histogram _),
     "q_rollup" -> (OlapOps.rollupOrders _),
     "q_cube" -> (OlapOps.cubeOrders _),
+    // explicit GROUPING SETS: only the asked-for marginals
+    "q_grouping_sets" -> (OlapOps.groupingSets _),
     "q_window_battery" -> (OlapOps.windowBattery _),
     // correlated scalar subquery via the spark.sql entry point (decorrelated)
     "q_scalar_subquery" -> (OlapOps.scalarSubquery _),
@@ -639,6 +641,14 @@ object SparkEntry {
         |FROM (SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year FROM orders)
         |GROUP BY CUBE(order_year, o_orderpriority)
         |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST, g_year, g_prio""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT order_year, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(order_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM (SELECT *, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year FROM orders)
+        |GROUP BY GROUPING SETS ((order_year), (o_orderpriority))
+        |ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),

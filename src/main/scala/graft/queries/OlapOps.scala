@@ -113,6 +113,27 @@ object OlapOps {
       .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first,
         col("g_year"), col("g_prio"))
 
+  /** Explicit GROUPING SETS — the general form [[rollupOrders]]/[[cubeOrders]]
+    * are sugar for: exactly the (year), (priority) marginals with NO
+    * (year, priority) pair rows and no grand total, which neither rollup
+    * nor cube can express. Same single Expand + one aggregate pass (2 sets
+    * ⇒ 2× pre-shuffle rows — you pay only for the sets you ask for).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast(IntegerType))
+      .createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT order_year, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(order_year) AS INT) AS g_year,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((order_year), (o_orderpriority))
+        |ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Correlated scalar subquery, served through the SQL ENTRY POINT — the
     * one surface the other entries don't exercise: `spark.sql` over temp
     * views. Catalyst DECORRELATES the per-row subquery into one aggregate +
