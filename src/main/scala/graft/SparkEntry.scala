@@ -249,6 +249,26 @@ object SparkEntry {
       |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id))""".stripMargin
 
+  /** One oracle for BOTH quota plans (single-window q_source_quota and the
+    * salted two-phase q_quota_twophase) — shared so the "same oracle, both
+    * plans" claim cannot drift. */
+  private val sourceQuotaSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank
+      |FROM r WHERE rn <= 10 ORDER BY source, quota_rank""".stripMargin
+
+  /** DuckDB spelling of CurationOps' mixture hash-uniform and tier rates —
+    * shared by q_mixture_sample and q_curation_pipeline. */
+  private def mixtureUSql: String =
+    s"${h32Sql("concat('mix_', CAST(doc_id AS VARCHAR))")} % 10000"
+  private val mixtureRateSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3') THEN 10000
+      |         WHEN source IN ('src4','src5','src6','src7') THEN 5000
+      |         ELSE 2000 END""".stripMargin
+
   /** Shared CTE chain ending in `rep`: per-doc Gopher-style repetition
     * stats — prefix of q_repetition and the composed q_curation_pipeline,
     * the DuckDB twin of CurationOps.repetitionStats.
@@ -840,32 +860,18 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
     // the two-phase salted rank must land on the SAME rows and ranks as the
     // single-window form — one oracle, both plans
-    "q_quota_twophase" ->
-      """WITH r AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank
-        |FROM r WHERE rn <= 10 ORDER BY source, quota_rank""".stripMargin,
+    "q_quota_twophase" -> sourceQuotaSql,
     "q_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q_source_quota" ->
-      """WITH r AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank
-        |FROM r WHERE rn <= 10 ORDER BY source, quota_rank""".stripMargin,
+    "q_source_quota" -> sourceQuotaSql,
     "q_mixture_sample" ->
       s"""WITH d AS (
         |  SELECT doc_id, source,
-        |    ${h32Sql("concat('mix_', CAST(doc_id AS VARCHAR))")} % 10000 AS u,
-        |    CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 10000
-        |         WHEN source IN ('src4','src5','src6','src7') THEN 5000
-        |         ELSE 2000 END AS BIGINT) AS keep_rate
+        |    $mixtureUSql AS u,
+        |    CAST($mixtureRateSql AS BIGINT) AS keep_rate
         |  FROM documents)
         |SELECT doc_id, source, u, keep_rate FROM d
         |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
@@ -889,10 +895,8 @@ object SparkEntry {
         |  FROM g),
         |s AS (
         |  SELECT doc_id, source, n_chars, CAST(rn AS INT) AS quota_rank,
-        |    ${h32Sql("concat('mix_', CAST(doc_id AS VARCHAR))")} % 10000 AS u,
-        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 10000
-        |         WHEN source IN ('src4','src5','src6','src7') THEN 5000
-        |         ELSE 2000 END AS rate
+        |    $mixtureUSql AS u,
+        |    $mixtureRateSql AS rate
         |  FROM q WHERE rn <= 10)
         |SELECT doc_id, source, n_chars, quota_rank, u
         |FROM s WHERE u < rate ORDER BY doc_id""".stripMargin,

@@ -66,6 +66,11 @@ object Layout {
     * is codegen'd, map-only, and bit-identical in the DuckDB oracle.
     */
   def zOrderKey(a: Column, b: Column): Column = {
+    // DOMAIN CONTRACT: inputs are masked to their low 16 bits — a key
+    // above 65535 WRAPS, silently interleaving unrelated rows into the
+    // same z-range. Callers with wider/unbalanced domains must quantize
+    // first ([[writeZOrdered]] does this from observed bounds); this raw
+    // primitive stays arithmetic-only so the oracle can pin it.
     def spread(x: Column): Column = {
       val m1 = x.bitwiseAND(lit(0xFFFFL))
       val m2 = m1.bitwiseOR(shiftleft(m1, 8)).bitwiseAND(lit(0x00FF00FFL))
@@ -76,18 +81,30 @@ object Layout {
     spread(a.cast(LongType)).bitwiseOR(shiftleft(spread(b.cast(LongType)), 1))
   }
 
-  /** Write `df` z-order-clustered on (a, b): range-partition by the Morton
-    * key (so files tile the z-curve contiguously), sort within partitions,
-    * drop the key. One exchange at write time buys stat-pruned scans on
-    * both dimensions forever after.
+  /** Write `df` z-order-clustered on (a, b): quantize each dim to the FULL
+    * 16-bit range from its observed min/max (one tiny aggregate job at
+    * write time — without it a dim wider than 65535 wraps, and dims of
+    * unequal width let the wider one own all the high interleave bits,
+    * degrading to a 1-D sort), range-partition by the Morton key so files
+    * tile the z-curve contiguously, sort within partitions, drop the key.
+    * One exchange at write time buys stat-pruned scans on both dimensions
+    * forever after.
     */
   def writeZOrdered(df: DataFrame, a: String, b: String, outPath: String,
-      numFiles: Int): Unit =
-    df.withColumn("_zkey", zOrderKey(col(a), col(b)))
+      numFiles: Int): Unit = {
+    val Array(aLo, aHi, bLo, bHi) =
+      df.agg(min(col(a)).cast(LongType), max(col(a)).cast(LongType),
+          min(col(b)).cast(LongType), max(col(b)).cast(LongType))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    def q(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (c.cast(LongType) - lo) * 65535L / (hi - lo)
+    df.withColumn("_zkey", zOrderKey(q(col(a), aLo, aHi), q(col(b), bLo, bHi)))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
       .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Write an events-derived fact partitioned by event date (the testdata
     * events all land in one month, so DAY is the demonstrable EP3-style

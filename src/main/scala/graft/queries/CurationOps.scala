@@ -15,11 +15,11 @@ import graft.Tables
   */
 object CurationOps {
 
-  private def toksAll: Column = split(lower(trim(col("text"))), "\\s+")
-
-  /** Deterministic 32-bit hash (same md5-prefix contract as TextOps.h32). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  // the tokenizer and the md5-prefix hash are TextOps' — one definition,
+  // one cross-engine contract (a tokenizer change may not desynchronize
+  // the curation stats from the dedup family)
+  private def toksAll: Column = TextOps.toksAll
+  private def h32(c: Column): Column = TextOps.h32(c)
 
   // ------------------------------------------------------- per-source quota
   /** Cap each source at K documents, keeping the longest first (ties broken
@@ -159,10 +159,7 @@ object CurationOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_count"))
     // guard: Spark's sequence(a, b) DESCENDS when b < a, so a 1-token doc
-    // must short-circuit to an empty bigram list (DuckDB range() is empty;
-    // such a doc then has no bigram rows and drops out of the join — the
-    // stats are defined over docs with >= 2 tokens, which the corpus
-    // guarantees with a 10-token floor)
+    // must short-circuit to an empty bigram list (DuckDB range() is empty)
     val bigrams = when(size(col("toks")) >= 2,
       transform(
         sequence(lit(0), size(col("toks")) - 2),
@@ -173,13 +170,19 @@ object CurationOps {
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
-    topTok.join(biStats, Seq("doc_id"))
+    // LEFT join + coalesce: a 1-token doc has no bigram rows but must still
+    // appear, with n_bigrams = 0 and a NULL fraction — exactly what the
+    // oracle's per-row arithmetic yields (0 bigrams, 0/0 → NULL), so both
+    // engines agree on sub-2-token docs instead of Spark dropping them
+    topTok.join(biStats, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"), col("top_token_count"),
         (col("top_token_count").cast(DoubleType) / col("n_tokens")).as("top_token_frac"),
-        col("n_bigrams"), col("n_distinct_bigrams"),
-        (lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
-          .as("dup_bigram_frac"))
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"))
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) /
+          nullif(col("n_bigrams").cast(DoubleType), lit(0.0)))
       .withColumn("passes_repetition",
         (col("top_token_frac") <= 0.3 && col("dup_bigram_frac") <= 0.5)
           .cast(IntegerType))

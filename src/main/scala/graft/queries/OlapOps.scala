@@ -53,8 +53,11 @@ object OlapOps {
         date_trunc("hour", col("ts")).as("hour_start"))
     val hourly = events.groupBy(col("event_type"), col("hour_start"))
       .agg(count(lit(1)).as("n"))
-    val span = events.agg(min(col("hour_start")).as("h0"), max(col("hour_start")).as("h1"))
-    val grid = events.select(col("event_type")).distinct()
+    // span and type list derive from the ALREADY-REDUCED hourly aggregate
+    // (|types|×|hours| rows), not from events — one fact scan total, never
+    // three (hourly contains every (type, hour) present by construction)
+    val span = hourly.agg(min(col("hour_start")).as("h0"), max(col("hour_start")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_start"))

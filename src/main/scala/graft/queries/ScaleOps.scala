@@ -95,8 +95,12 @@ object ScaleOps {
     */
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val SaltBuckets = 8
+    // coalesce: a NULL salt-source column must not drop the row (NULL salt
+    // never equi-matches) — the rewrite stays exact on nullable inputs
     val fact = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_partkey") + col("l_suppkey"), lit(SaltBuckets)))
+      .withColumn("salt", pmod(
+        coalesce(col("l_partkey"), lit(0L)) + coalesce(col("l_suppkey"), lit(0L)),
+        lit(SaltBuckets)))
     val dim = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))

@@ -22,15 +22,17 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Lower-cased whitespace tokenization — the shared normal form. */
-  private def toksAll: Column = split(lower(trim(col("text"))), "\\s+")
+  /** Lower-cased whitespace tokenization — the shared normal form (also
+    * the contract CurationOps' token/bigram stats are defined over). */
+  private[queries] def toksAll: Column = split(lower(trim(col("text"))), "\\s+")
   private def toksSet: Column = array_distinct(toksAll)
 
   /** Deterministic 32-bit token hash: first 8 hex digits of md5 as a long.
     * Reproducible in any engine with md5 — the cross-engine contract the
-    * DuckDB oracle relies on.
+    * DuckDB oracle relies on. Shared with CurationOps (mixture sampling)
+    * so the contract lives in exactly one place.
     */
-  private def h32(c: Column): Column =
+  private[queries] def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
   // ------------------------------------------------------------ dedup: exact
@@ -184,7 +186,9 @@ object TextOps {
     * pathological chains, and convergence is verified (changed == 0), never
     * assumed.
     */
-  def dedupCC(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric star edge set of the LSH band-bucket graph — the input
+    * of [[dedupCC]]'s propagation rounds. */
+  private[graft] def ccEdges(spark: SparkSession, dir: String): DataFrame = {
     val banded = minhashBands(spark, dir)
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     val star = banded
@@ -193,24 +197,35 @@ object TextOps {
       .select(col("rep").as("src"), col("doc_id").as("dst"))
       .distinct()
     // symmetric closure: min labels must flow both up and down the star
-    val edges = star
-      .union(star.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    var labels = banded.select(col("doc_id")).distinct()
+    star.union(star.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** ONE min-label propagation round, as a LAZY plan: each node takes the
+    * min of its own and its neighbors' labels — one hash join + one
+    * map-side-combining groupBy. Factored out so PlanGuard-style specs can
+    * audit the per-round plan the iterative loop executes (the loop's
+    * localCheckpoint stubs hide it from the usual whole-query plan walk).
+    */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("doc_id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst_comp")).as("nbr_comp"))
+    labels
+      .join(nbrMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+  }
+
+  def dedupCC(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ccEdges(spark, dir).persist()
+    var labels = minhashBands(spark, dir).select(col("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("dst_comp")), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("dst_comp")).as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = ccRound(labels, edges).localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.comp") =!= col("o.comp"))

@@ -65,24 +65,21 @@ class LayoutSpec extends SparkSpec {
   test("z-order clustering tightens per-file stats on BOTH dimensions") {
     import org.apache.spark.sql.functions._
     val n = 8 // files per layout
-    // orders with both clustering dims quantized to a common 8-bit scale —
-    // interleaving is only balanced when the dims contribute equal bits
-    // (raw custkey is 8-bit, raw daykey 12-bit: the top z-bits would all
-    // come from the wider dim and the demo would degrade to a 1-D sort)
+    // raw dims of very different widths (custkey ~8-bit, daykey ~12-bit):
+    // writeZOrdered's internal full-range quantization is what keeps the
+    // interleave balanced — the spec feeds it the unscaled columns
     val base = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("dkey"))
-    val Array(maxC, maxD) = base.agg(max("o_custkey"), max("dkey"))
+    val Array(minC, maxC, minD, maxD) = base
+      .agg(min("o_custkey"), max("o_custkey"), min("dkey"), max("dkey"))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val q = base
-      .withColumn("aq", (col("o_custkey") * 255L / maxC).cast("long"))
-      .withColumn("bq", (col("dkey") * 255L / maxD).cast("long"))
 
     val zDir = Files.createTempDirectory("graft-zorder").toString
     val linDir = Files.createTempDirectory("graft-linear").toString
-    Layout.writeZOrdered(q, "aq", "bq", zDir, n)
+    Layout.writeZOrdered(base, "o_custkey", "dkey", zDir, n)
     // the single-dim alternative: range-sorted by dkey only
-    q.repartitionByRange(n, col("bq")).sortWithinPartitions(col("bq"))
+    base.repartitionByRange(n, col("dkey")).sortWithinPartitions(col("dkey"))
       .write.mode("overwrite").parquet(linDir)
 
     // per-file normalized coverage of each dim, from actual file contents
@@ -90,11 +87,11 @@ class LayoutSpec extends SparkSpec {
     def coverage(dir: String): Seq[(Double, Double)] =
       spark.read.parquet(dir)
         .groupBy(input_file_name().as("f"))
-        .agg(min("aq").as("a0"), max("aq").as("a1"),
-          min("bq").as("b0"), max("bq").as("b1"))
+        .agg(min("o_custkey").as("a0"), max("o_custkey").as("a1"),
+          min("dkey").as("b0"), max("dkey").as("b1"))
         .collect().toSeq.map { r =>
-          ((r.getAs[Long]("a1") - r.getAs[Long]("a0")).toDouble / 255.0,
-           (r.getAs[Long]("b1") - r.getAs[Long]("b0")).toDouble / 255.0)
+          ((r.getAs[Long]("a1") - r.getAs[Long]("a0")).toDouble / (maxC - minC).toDouble,
+           (r.getAs[Long]("b1") - r.getAs[Long]("b0")).toDouble / (maxD - minD).toDouble)
         }
     val zCov = coverage(zDir)
     val linCov = coverage(linDir)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions.col
 
 /** The SCALE.md plan audit as a regression test: every `SparkEntry.queries`
   * plan is inspected (pre-AQE physical plan — planning only, nothing runs,
@@ -115,6 +116,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(plans("q_multi_count_distinct_twophase")
       .collect { case e: ExpandExec => e }.isEmpty,
       "q_multi_count_distinct_twophase plans an Expand — the rewrite regressed")
+  }
+
+  test("the CC propagation round plans hash join + combining aggregate only") {
+    // q_dedup_cc's loop executes eagerly, so the whole-query guards above
+    // only ever see its checkpointed stub — audit the per-round plan the
+    // loop actually pays, LAZILY, via the factored-out round builder
+    val edges = graft.queries.TextOps.ccEdges(spark, sf)
+    val labels = edges.select(col("src").as("doc_id"))
+      .distinct().withColumn("comp", col("doc_id"))
+    val round = graft.queries.TextOps
+      .ccRound(labels, edges).queryExecution.sparkPlan
+    assert(round.collect { case j: CartesianProductExec => j }.isEmpty)
+    assert(round.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(round.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+    // the neighbor-min aggregate must combine map-side (partial_min)
+    assert(round.collect { case a: BaseAggregateExec => a }
+      .exists(_.aggregateExpressions.exists(_.toString.contains("partial_min"))),
+      "CC round's neighbor-min aggregate lost its map-side partial")
   }
 
   test("EP1 staging (the 100 TB front door) plans no window at all") {

@@ -42,9 +42,10 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(withBloom.queryExecution.optimizedPlan.toString.contains("might_contain"),
         "no bloom filter injected on the probe side")
       val expected = {
+        val prevE = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         try query().collect().toSeq
-        finally conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        finally conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevE)
       }
       assert(withBloom.collect().toSeq === expected)
     } finally {

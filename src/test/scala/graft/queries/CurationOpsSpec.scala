@@ -49,6 +49,29 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("repetition stats: 1-token docs keep a row with NULL bigram fraction") {
+    // the oracle's per-row arithmetic yields (n_bigrams=0, frac=NULL,
+    // passes=0) for a 1-token doc — the Spark side must agree instead of
+    // dropping the doc at the bigram join (verified against DuckDB)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdocs").toString
+    Seq(
+      (0L, "solo", "en", "s", 4L),
+      (1L, "two words", "en", "s", 9L),
+      (2L, "a a a", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.repetitionStats(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(rows.length === 3, "the 1-token doc must not drop out")
+    val solo = rows(0)
+    assert(solo.getAs[Long]("n_bigrams") === 0L)
+    assert(solo.isNullAt(solo.fieldIndex("dup_bigram_frac")))
+    assert(solo.getAs[Int]("passes_repetition") === 0)
+    val rep = rows(2) // "a a a": 2 bigrams, 1 distinct -> 0.5 dup fraction
+    assert(rep.getAs[Double]("dup_bigram_frac") === 0.5)
+  }
+
   test("two-phase salted quota == single-window quota, rows and ranks") {
     val single = CurationOps.sourceQuota(spark, sf).collect().toSeq
     val two = CurationOps.sourceQuotaTwoPhase(spark, sf).collect().toSeq
