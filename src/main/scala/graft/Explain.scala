@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * SparkEntry query (or just the ones named as extra args) so broadcast
   * choices, pushed filters, and codegen spans can be reviewed.
   *
+  * Planning only — nothing executes — with one exception: q_dedup_cc's
+  * construction runs its bounded label-propagation rounds eagerly, so its
+  * printed plan is the checkpointed tail; the per-round plan it pays is
+  * audited separately (PlanGuardSpec "CC propagation round").
+  *
   * Usage: runMain graft.Explain <sfDir> [queryName...]
   */
 object Explain {
