@@ -113,6 +113,61 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum("o_orderkey")).collect().head.getLong(0) === keySum)
   }
 
+  test("dynamic partition overwrite: a backfill rewrites only its own date") {
+    // the idempotent-backfill contract at 100 TB: re-running one day's job
+    // in overwrite mode must replace THAT day's partition and leave every
+    // other day untouched (static overwrite mode would clobber the table)
+    val out = Files.createTempDirectory("graft-backfill").toString
+    Layout.writePartitionedEvents(spark, sf, out)
+    val before = spark.read.parquet(out)
+    val dates = before.select("event_date").distinct()
+      .collect().map(_.get(0).toString).sorted
+    assert(dates.length > 1)
+    val target = dates.head
+    val othersBefore = before.filter(col("event_date") =!= target).count()
+
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the backfill: target day only, halved rows (a corrected re-run)
+      Tables.events(spark, sf)
+        .withColumn("event_date",
+          org.apache.spark.sql.functions.date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(col("event_date") === target && col("event_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    val after = spark.read.parquet(out)
+    val expectedTarget = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.date_format(col("ts"), "yyyy-MM-dd") === target
+        && col("event_id") % 2 === 0).count()
+    assert(after.filter(col("event_date") === target).count() === expectedTarget)
+    assert(after.filter(col("event_date") =!= target).count() === othersBefore,
+      "untargeted partitions were clobbered by the backfill")
+  }
+
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    // a 100 TB table accretes columns over years; readers must union the
+    // generations (old files surface the new column as NULL) instead of
+    // requiring a petabyte rewrite
+    val out = Files.createTempDirectory("graft-evolve").toString
+    val v1 = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    v1.write.parquet(s"$out/gen=1")
+    val v2 = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority")) // the accreted column
+    v2.write.parquet(s"$out/gen=2")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet ===
+      Set("o_orderkey", "o_custkey", "o_orderpriority", "gen"))
+    assert(merged.count() === 2 * v1.count())
+    // old generation: accreted column is NULL; new generation: populated
+    assert(merged.filter(col("gen") === 1 && col("o_orderpriority").isNotNull).count() === 0)
+    assert(merged.filter(col("gen") === 2 && col("o_orderpriority").isNull).count() === 0)
+  }
+
   test("partitionBy prunes a date-filtered scan to its partition") {
     val out = Files.createTempDirectory("graft-layout").toString
     Layout.writePartitionedEvents(spark, sf, out)
