@@ -131,6 +131,8 @@ object SparkEntry {
     "q_repetition" -> (CurationOps.repetitionStats _),
     // the composed flow: dedup -> quality gate -> quota -> mixture
     "q_curation_pipeline" -> (CurationOps.curationPipeline _),
+    // blocked levenshtein entity matching (equi-join blocks, verify inside)
+    "q_fuzzy_match" -> (CurationOps.fuzzyMatch _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -866,6 +868,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, lower(p_name) AS name,
+        |    split_part(lower(p_name), ' ', 1) AS blk,
+        |    CAST(length(split_part(lower(p_name), ' ', 2)) AS INT) AS nlen
+        |  FROM part)
+        |SELECT a.blk, a.nlen, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN levenshtein(a.name, b.name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.nlen = b.nlen
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |GROUP BY a.blk, a.nlen
+        |ORDER BY a.blk, a.nlen""".stripMargin,
     "q_source_quota" -> sourceQuotaSql,
     "q_mixture_sample" ->
       s"""WITH d AS (

@@ -130,6 +130,49 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------- fuzzy entity matching
+  /** Blocked edit-distance matching — the entity-resolution primitive
+    * (fuzzy dedup of names/titles/SKUs). The naive form is an all-pairs
+    * levenshtein (quadratic death); the standard production shape is
+    * BLOCKING: pairs form only within (first word, second-word length) —
+    * an equi-join — and the edit-distance predicate verifies inside each
+    * block. Length blocking is sound for the substitution-dominated typo
+    * model (insertions/deletions need a ±1 length band, one more explode).
+    * Output is per-block match counts, so result size is |blocks|, not
+    * |pairs|.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // dedupe-then-pair: collapse to DISTINCT names with multiplicities
+    // FIRST, pair only the distinct names, and reconstruct row-pair counts
+    // arithmetically — m_a·m_b cross pairs for distinct-name matches,
+    // C(m,2) within an identical name (those are exactly the dist-0
+    // pairs). On a corpus where names repeat heavily this shrinks the
+    // levenshtein work from |rows-per-block|² to |distinct-names-per-
+    // block|² (sf0.1: 10.6 s → sub-second) while hash-matching the naive
+    // per-row pairwise oracle — the same rewrite-vs-naive-oracle proof
+    // shape as q_theta_prefilter and q_quota_twophase.
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name"))
+      .withColumn("blk", element_at(split(col("name"), " "), 1))
+      .withColumn("nlen", length(element_at(split(col("name"), " "), 2)))
+      .groupBy(col("blk"), col("nlen"), col("name"))
+      .agg(count(lit(1)).as("m"))
+    val exact = names.groupBy(col("blk"), col("nlen"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast(LongType).as("n_exact"))
+    val cross = names.select(col("blk"), col("nlen"), col("name").as("n_a"), col("m").as("m_a"))
+      .join(names.select(col("blk"), col("nlen"), col("name").as("n_b"), col("m").as("m_b")),
+        Seq("blk", "nlen"))
+      .filter(col("n_a") < col("n_b") && levenshtein(col("n_a"), col("n_b")) <= 2)
+      .groupBy(col("blk"), col("nlen"))
+      .agg(sum(col("m_a") * col("m_b")).as("n_cross"))
+    exact.join(cross, Seq("blk", "nlen"), "full_outer")
+      .select(col("blk"), col("nlen"),
+        (coalesce(col("n_exact"), lit(0L)) + coalesce(col("n_cross"), lit(0L))).as("n_pairs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("blk"), col("nlen"))
+  }
+
   // --------------------------------------------- repetition quality gates
   /** Gopher-style repetition statistics per document: the fraction of
     * tokens that are the single most frequent token, and the fraction of

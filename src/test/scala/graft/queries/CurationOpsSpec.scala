@@ -78,6 +78,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(two === single)
   }
 
+  test("dedupe-then-pair fuzzy match == naive per-row pairwise form") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+      .withColumn("blk", element_at(split(col("name"), " "), 1))
+      .withColumn("nlen", length(element_at(split(col("name"), " "), 2)))
+    val naive = parts.select(col("p_partkey").as("k_a"), col("name").as("n_a"),
+        col("blk"), col("nlen"))
+      .join(parts.select(col("p_partkey").as("k_b"), col("name").as("n_b"),
+        col("blk"), col("nlen")), Seq("blk", "nlen"))
+      .filter(col("k_a") < col("k_b"))
+      .filter(levenshtein(col("n_a"), col("n_b")) <= 2)
+      .groupBy(col("blk"), col("nlen"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((levenshtein(col("n_a"), col("n_b")) === 0).cast("int")).cast("long").as("n_exact"))
+      .orderBy(col("blk"), col("nlen"))
+      .collect().toSeq
+    assert(CurationOps.fuzzyMatch(spark, sf).collect().toSeq === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")
