@@ -71,8 +71,16 @@ object Bench {
         hot.foreach(_.cache())
         val dims = graft.olap.Dims.build(oltp)
         val facts = graft.olap.Facts.build(oltp, dims)
-        (facts.values.toSeq :+ oltp("observations") :+ oltp("invalid_stg_insect_observations"))
-          .foreach(_.write.format("noop").mode("overwrite").save())
+        // the 3 fact builds and 2 table exports are INDEPENDENT jobs — a
+        // production driver submits them concurrently (FAIR-scheduler
+        // style) instead of serializing 5 DAG tails; on a many-core
+        // cluster this overlaps their scheduling + idle stages
+        val outs = facts.values.toSeq :+ oltp("observations") :+
+          oltp("invalid_stg_insect_observations")
+        val jobs = outs.map(df => scala.concurrent.Future {
+          df.write.format("noop").mode("overwrite").save()
+        }(scala.concurrent.ExecutionContext.global))
+        jobs.foreach(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
         graft.etl.Pipeline.cleanup(spark) // A10: drop staging + OLTP caches between runs
         true
       } catch { case e: Throwable =>
