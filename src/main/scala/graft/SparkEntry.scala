@@ -341,9 +341,9 @@ object SparkEntry {
 
   private val eventErrSql =
     """CASE WHEN value IS NULL OR value < 0 THEN 'value out of range'
-      | WHEN UPPER(event_type) NOT IN ('CLICK','VIEW','PURCHASE','SIGNUP') THEN 'unknown event_type'
+      | WHEN event_type IS NULL OR UPPER(event_type) NOT IN ('CLICK','VIEW','PURCHASE','SIGNUP') THEN 'unknown event_type'
       | WHEN value > 400 THEN 'value above limit'
-      | WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 'malformed props'
+      | WHEN props IS NULL OR NOT regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 'malformed props'
       | ELSE NULL END""".stripMargin.replaceAll("\n", " ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -453,8 +453,8 @@ object SparkEntry {
         |    year, month,
         |    strftime(make_date(year, month, 1), '%B') AS month_name,
         |    strftime(make_date(year, month, 1), '%Y-%m') AS month_year
-        |  FROM (SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS year,
-        |          CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS month FROM orders))
+        |  FROM (SELECT DISTINCT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS year,
+        |          CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS month FROM lineitem))
         |SELECT d.date_sk, d.year, d.month, d.month_name, d.month_year,
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -676,7 +676,7 @@ object SparkEntry {
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
         |c AS (
         |  SELECT doc_id, tk,
-        |    unnest(range(0, CAST(floor((len(tk) - 1) / 40) AS INT) + 1)) AS chunk_idx
+        |    unnest(range(0, GREATEST(0, CAST(floor((len(tk) - 11) / 40) AS INT)) + 1)) AS chunk_idx
         |  FROM t),
         |s AS (SELECT doc_id, chunk_idx, tk[chunk_idx * 40 + 1 : chunk_idx * 40 + 50] AS chunk FROM c)
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
@@ -802,7 +802,7 @@ object SparkEntry {
         |edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
         |walk AS (
         |  WITH RECURSIVE wr(doc_id, reach) AS (
-        |    SELECT DISTINCT doc_id, doc_id FROM banded
+        |    SELECT doc_id, doc_id FROM documents
         |    UNION
         |    SELECT w.doc_id, e.dst FROM wr w JOIN edges e ON e.src = w.reach)
         |  SELECT * FROM wr)

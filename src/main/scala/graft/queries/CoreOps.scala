@@ -125,11 +125,16 @@ object CoreOps {
     * matched rows before the next rule runs).
     */
   private[graft] def eventError: Column =
+    // every rule null-guards its column (B2): a negated isin/rlike over a
+    // NULL is NULL, which when() SKIPS — without the guard a NULL-typed or
+    // NULL-props row would fall through every rule and ship as valid
     when(col("value").isNull || col("value") < 0, "value out of range")
-      .when(!upper(col("event_type")).isin("CLICK", "VIEW", "PURCHASE", "SIGNUP"),
+      .when(col("event_type").isNull ||
+          !upper(col("event_type")).isin("CLICK", "VIEW", "PURCHASE", "SIGNUP"),
         "unknown event_type")
       .when(col("value") > 400, "value above limit")
-      .when(!col("props").rlike("^\\{\"k\": [0-9]+\\}$"), "malformed props")
+      .when(col("props").isNull || !col("props").rlike("^\\{\"k\": [0-9]+\\}$"),
+        "malformed props")
       .otherwise(null)
 
   /** Quarantine sink (A4): invalid rows + error reason, like
@@ -321,7 +326,8 @@ object CoreOps {
       .withColumn("run", explode(expr("regexp_extract_all(props, '[0-9]+', 0)")))
       .withColumn("sub", explode(expr(
         s"flatten(transform(sequence(1, length(run)), i -> transform(sequence(1, $maxW), w -> substring(run, i, w))))")))
-      .filter(length(col("sub")) >= 1) // trailing windows emit short repeats; DISTINCT collapses them
+      // trailing windows emit truncated (never empty) repeats; DISTINCT
+      // below collapses them, no length filter needed
       .select(col("event_id"), col("sub"))
       .distinct()
     val cust = Tables.customer(spark, dir)
@@ -340,10 +346,16 @@ object CoreOps {
     * SERIAL replacement), then lineitem joined on extracted year/month.
     */
   def dimDateJoin(spark: SparkSession, dir: String): DataFrame = {
-    val dimDate = Tables.orders(spark, dir)
+    // dim months derive from the FACT's own date column (the reference
+    // builds dim_date from the observation dates it will re-join,
+    // 08_ETL2_part2.sql:50-52) — deriving them from another table's dates
+    // silently dropped fact rows whose month that table never saw (2.5% of
+    // lineitems at sf0.01: ship months trail order months)
+    val li = Tables.lineitem(spark, dir)
+    val dimDate = li
       .select(
-        year(col("o_orderdate")).as("year"),
-        month(col("o_orderdate")).as("month"))
+        year(col("l_shipdate")).as("year"),
+        month(col("l_shipdate")).as("month"))
       .distinct()
       // Arithmetic surrogate key (year*100+month), not a global-window
       // row_number: deterministic, collision-free, and needs no
@@ -354,7 +366,6 @@ object CoreOps {
         date_format(make_date(col("year"), col("month"), lit(1)), "MMMM"))
       .withColumn("month_year",
         date_format(make_date(col("year"), col("month"), lit(1)), "yyyy-MM"))
-    val li = Tables.lineitem(spark, dir)
     li.join(broadcast(dimDate),
         year(li("l_shipdate")) === dimDate("year") &&
           month(li("l_shipdate")) === dimDate("month"), "inner")

@@ -21,6 +21,13 @@ object CurationOps {
   private def toksAll: Column = TextOps.toksAll
   private def h32(c: Column): Column = TextOps.h32(c)
 
+  // ONE quota definition (K, ordering, window) shared by sourceQuota, the
+  // two-phase rewrite, and the composed pipeline — an edit to K or the
+  // tie-break cannot desynchronize the three
+  private val QuotaK = 10
+  private def quotaOrder: Seq[Column] = Seq(col("n_chars").desc, col("doc_id"))
+  private def quotaWindow = Window.partitionBy(col("source")).orderBy(quotaOrder: _*)
+
   // ------------------------------------------------------- per-source quota
   /** Cap each source at K documents, keeping the longest first (ties broken
     * by doc_id) — the per-domain quota every web-scale corpus applies so a
@@ -32,16 +39,12 @@ object CurationOps {
     * the K·P survivors), exactly the shape [[CoreOps]] uses for top-k; a
     * quota of K only ever needs K rows per source in memory.
     */
-  def sourceQuota(spark: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+  def sourceQuota(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("quota_rank", row_number().over(w))
-      .filter(col("quota_rank") <= k)
+      .withColumn("quota_rank", row_number().over(quotaWindow))
+      .filter(col("quota_rank") <= QuotaK)
       .orderBy(col("source"), col("quota_rank"))
-  }
 
   /** The at-scale form of [[sourceQuota]], DEMONSTRATED exact: a mega-source
     * would land entirely on one reducer under a plain
@@ -55,18 +58,15 @@ object CurationOps {
     * q_theta_prefilter proves the theta escape hatch.
     */
   def sourceQuotaTwoPhase(spark: SparkSession, dir: String): DataFrame = {
-    val k = 10
     val salts = 16
-    val order = Seq(col("n_chars").desc, col("doc_id"))
-    val local = Window.partitionBy(col("source"), col("salt")).orderBy(order: _*)
-    val global = Window.partitionBy(col("source")).orderBy(order: _*)
+    val local = Window.partitionBy(col("source"), col("salt")).orderBy(quotaOrder: _*)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("salt", pmod(col("doc_id"), lit(salts)))
       .withColumn("lrn", row_number().over(local))
-      .filter(col("lrn") <= k)
-      .withColumn("quota_rank", row_number().over(global))
-      .filter(col("quota_rank") <= k)
+      .filter(col("lrn") <= QuotaK)
+      .withColumn("quota_rank", row_number().over(quotaWindow))
+      .filter(col("quota_rank") <= QuotaK)
       .select(col("doc_id"), col("source"), col("n_chars"), col("quota_rank"))
       .orderBy(col("source"), col("quota_rank"))
   }
@@ -106,23 +106,21 @@ object CurationOps {
     * barriers between them).
     */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val dedupW = Window.partitionBy(col("content_hash"))
+    // genuinely COMPOSED: the dedup stage IS TextOps.dedupExact (its
+    // is_dup flag), not a re-derivation of the content-hash window — an
+    // edit to the dedup normalization propagates here by construction
     val keepers = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        sha2(lower(trim(col("text"))), 256).as("content_hash"))
-      .withColumn("keep_id", min(col("doc_id")).over(dedupW))
-      .filter(col("doc_id") === col("keep_id"))
-      .drop("content_hash", "keep_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(TextOps.dedupExact(spark, dir)
+        .filter(col("is_dup") === 0).select(col("doc_id")), Seq("doc_id"))
     val gated = keepers.join(
       repetitionStats(spark, dir)
         .filter(col("passes_repetition") === 1)
         .select(col("doc_id")),
       Seq("doc_id"))
-    val quotaW = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
     gated
-      .withColumn("quota_rank", row_number().over(quotaW))
-      .filter(col("quota_rank") <= 10)
+      .withColumn("quota_rank", row_number().over(quotaWindow))
+      .filter(col("quota_rank") <= QuotaK)
       .withColumn("u", mixtureU)
       .filter(col("u") < mixtureRate)
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -154,7 +152,13 @@ object CurationOps {
     val names = Tables.part(spark, dir)
       .select(lower(col("p_name")).as("name"))
       .withColumn("blk", element_at(split(col("name"), " "), 1))
-      .withColumn("nlen", length(element_at(split(col("name"), " "), 2)))
+      // single-word names: nlen 0 (DuckDB split_part yields '' → 0), NOT a
+      // NULL key — NULL never equi-matches, which would silently exempt
+      // one-word names from cross-name pairing while n_exact still counted
+      // them (and under ANSI the unguarded element_at(…, 2) throws)
+      .withColumn("nlen",
+        when(size(split(col("name"), " ")) >= 2,
+          length(element_at(split(col("name"), " "), 2))).otherwise(lit(0)))
       .groupBy(col("blk"), col("nlen"), col("name"))
       .agg(count(lit(1)).as("m"))
     val exact = names.groupBy(col("blk"), col("nlen"))

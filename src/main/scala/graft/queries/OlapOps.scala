@@ -181,6 +181,12 @@ object OlapOps {
     * FIXED constants, not a data-dependent min/max pre-pass — the
     * production shape when the domain is known; a data-driven span costs
     * one extra 1-row aggregate (the [[gapFill]] pattern).
+    *
+    * Edge buckets are CATCH-ALLS: values outside [lo, hi) clamp into
+    * bucket 0 / bucket nb−1, so bucket_lo/bucket_hi label the nominal bin,
+    * not a bound on its contents — min_v/max_v carry the actual extremes
+    * (the standard histogram underflow/overflow-bin convention; dropping
+    * out-of-range rows would silently hide outliers).
     */
   def histogram(spark: SparkSession, dir: String): DataFrame = {
     val lo = 0.0

@@ -219,7 +219,12 @@ object TextOps {
 
   def dedupCC(spark: SparkSession, dir: String): DataFrame = {
     val edges = ccEdges(spark, dir).persist()
-    var labels = minhashBands(spark, dir).select(col("doc_id")).distinct()
+    // labels seed from the documents table directly — deriving it from
+    // minhashBands would pay the full signature pass a SECOND time just to
+    // enumerate doc ids (equivalent on this corpus: every doc tokenizes
+    // non-empty, so every doc has bands; a doc without bands is an
+    // isolated singleton component either way)
+    var labels = graft.Tables.documents(spark, dir).select(col("doc_id"))
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
@@ -264,7 +269,13 @@ object TextOps {
         array_sort(array_distinct(transform(col("shingles"), s => h32(s)))).as("h"))
 
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
+    // the explicit repartition is a REUSE point, not a distribution need:
+    // sh is referenced four times (two sketch sides, h_a, h_b) and has no
+    // shuffle of its own, so each reference would re-read documents and
+    // re-hash every shingle; one Exchange on doc_id makes every consumer
+    // (the doc_id joins consume it directly, the bucket join above it)
+    // read ONE materialized shuffle instead of recomputing the md5 pass
+    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
     val sketch = sh.select(col("doc_id"), explode(slice(col("h"), 1, 5)).as("bucket"))
     val cand = sketch.select(col("doc_id").as("doc_id_a"), col("bucket"))
       .join(sketch.select(col("doc_id").as("doc_id_b"), col("bucket")), Seq("bucket"))
@@ -441,18 +452,25 @@ object TextOps {
   /** Context-window chunking — the step that turns documents into
     * training-window rows: fixed 50-token chunks every 40 tokens (10-token
     * overlap so no span straddles a boundary unseen). Chunk starts are pure
-    * arithmetic over the token count (floor((n−1)/stride)+1 chunks), so the
-    * whole op is one Generate + scalar projections — map-only, no shuffle,
-    * no per-chunk re-tokenization (the token array is computed once and
-    * sliced). Each chunk carries its token count and content hash — the
-    * join keys downstream dedup/packing stages need.
+    * arithmetic over the token count, so the whole op is one Generate +
+    * scalar projections — map-only, no shuffle, no per-chunk
+    * re-tokenization (the token array is computed once and sliced). Each
+    * chunk carries its token count and content hash — the join keys
+    * downstream dedup/packing stages need.
+    *
+    * Last-chunk bound: a chunk starting at stride·k is emitted only if it
+    * reaches PAST the previous chunk's end — when n mod stride is in
+    * 1..overlap the naive floor((n−1)/stride) count emits a final window
+    * wholly contained in the previous one (a duplicate training row with a
+    * distinct hash, invisible to downstream dedup; 22% of docs at sf0.01),
+    * so the bound is max(0, floor((n − overlap − 1)/stride)).
     */
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), toksAll.as("tk"))
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("chunk_idx",
-        explode(expr(s"sequence(0, CAST(floor((n_tokens - 1) / $ChunkStride) AS INT))")))
+        explode(expr(s"sequence(0, GREATEST(0, CAST(floor((n_tokens - ${ChunkSize - ChunkStride} - 1) / $ChunkStride) AS INT)))")))
       .withColumn("chunk", expr(s"slice(tk, chunk_idx * $ChunkStride + 1, $ChunkSize)"))
       .select(
         col("doc_id"),

@@ -82,7 +82,9 @@ class CurationOpsSpec extends SparkSpec {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), lower(col("p_name")).as("name"))
       .withColumn("blk", element_at(split(col("name"), " "), 1))
-      .withColumn("nlen", length(element_at(split(col("name"), " "), 2)))
+      .withColumn("nlen",
+        when(size(split(col("name"), " ")) >= 2,
+          length(element_at(split(col("name"), " "), 2))).otherwise(lit(0)))
     val naive = parts.select(col("p_partkey").as("k_a"), col("name").as("n_a"),
         col("blk"), col("nlen"))
       .join(parts.select(col("p_partkey").as("k_b"), col("name").as("n_b"),
