@@ -85,6 +85,12 @@ object Observations {
     * versions-per-user.
     */
   def resolveAffiliation(withUsers: DataFrame, userInstitution: DataFrame): DataFrame = {
+    // INNER join, reference-faithful (04_ETL1_part3.sql:411 `JOIN
+    // user_institution`): an observation whose only author match is a user
+    // with ZERO affiliation versions (institution name absent from the
+    // institutions table) is dropped, not quarantined — the same silent
+    // drop the reference performs. Same contract-documenting stance as
+    // matchAuthors' inner join.
     val cand = withUsers.join(
       userInstitution.select(
         col("user_institution_id"), col("user_id").as("ui_user_id"),

@@ -55,12 +55,13 @@ object Pipeline {
       Validate.splitFirstMatch(stgInst, Validate.institutionRules)
     val instValid = instValid0.cache() // A3 staging materialization
 
-    val countries = Normalize.buildDim(
+    val countries1 = Normalize.buildDim(
       instValid.filter(col("country").isNotNull)
         .select(col("country").as("country_name")),
       "country_id", Seq("country_name"))
 
-    def countiesFrom(stg: DataFrame, existing: DataFrame): DataFrame =
+    def countiesFrom(stg: DataFrame, existing: DataFrame,
+        countries: DataFrame): DataFrame =
       Normalize.upsertDim(existing,
         stg.join(countries, stg("country") === countries("country_name"))
           .filter(col("county").isNotNull)
@@ -89,7 +90,7 @@ object Pipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Schemas.allString(Seq("county_name")).add("country_id", "long").add("county_id", "long"))
       .select(col("county_id"), col("county_name"), col("country_id"))
-    val counties1 = countiesFrom(instValid, emptyCounties)
+    val counties1 = countiesFrom(instValid, emptyCounties, countries1)
     val emptyCities = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Schemas.allString(Seq("city_name")).add("county_id", "long").add("city_id", "long"))
@@ -114,12 +115,22 @@ object Pipeline {
     val (usersValid0, invalidUsers) = Validate.splitFirstMatch(stgUsers, Validate.userRules)
     val usersValid = usersValid0.cache()
 
-    val counties = countiesFrom(usersValid, counties1)
+    // A6 idempotent countries upsert from the USERS staging too
+    // (03_ETL1_part2.sql:77-84): without it the user-side geography chain
+    // would depend on the institutions file having yielded valid rows
+    val countries = Normalize.upsertDim(countries1,
+      usersValid.filter(col("country").isNotNull)
+        .select(col("country").as("country_name")),
+      "country_id", Seq("country_name"))
+    val counties = countiesFrom(usersValid, counties1, countries)
     val cities = citiesFrom(usersValid, counties, cities1)
 
-    // DISTINCT ON (username) ORDER BY username, join_date → earliest row wins
+    // DISTINCT ON (username) ORDER BY username, join_date → earliest row
+    // wins; email/city complete the tiebreak so two staging rows tied on
+    // (join_date, full_name) cannot flip the surviving email between runs
+    // (the same deterministic-keep policy as cities/institutions/species)
     val userW = Window.partitionBy(col("username"))
-      .orderBy(col("join_date"), col("full_name"))
+      .orderBy(col("join_date"), col("full_name"), col("email"), col("city"))
     val users = Normalize.nameSplit(
       usersValid.withColumn("rn", row_number().over(userW)).filter(col("rn") === 1))
       .join(cityByName(cities), usersValid("city") === col("city_name"), "left")

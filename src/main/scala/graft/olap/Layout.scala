@@ -96,9 +96,14 @@ object Layout {
       df.agg(min(col(a)).cast(LongType), max(col(a)).cast(LongType),
           min(col(b)).cast(LongType), max(col(b)).cast(LongType))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    // double arithmetic: (c-lo)*65535 in Long overflows once the observed
+    // range exceeds ~1.4e14 (a nanosecond-epoch column does), silently
+    // wrapping the z-key; doubles lose only sub-bucket precision, which
+    // the 16-bit quantization discards anyway
     def q(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (c.cast(LongType) - lo) * 65535L / (hi - lo)
+      else ((c.cast(DoubleType) - lo.toDouble) * 65535.0 / (hi - lo).toDouble)
+        .cast(LongType)
     df.withColumn("_zkey", zOrderKey(q(col(a), aLo, aHi), q(col(b), bLo, bHi)))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))

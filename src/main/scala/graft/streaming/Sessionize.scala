@@ -35,23 +35,31 @@ object Sessionize {
     * splits equals folding all events at once.
     */
   def fold(open0: Option[Open], sortedMs: Seq[Long]): (List[Open], Option[Open]) = {
+    // interval merge over (prior open session ∪ new events), in time
+    // order: a cross-batch late event within GapMs of the open session
+    // extends it BACKWARDS (min-clamped start), while a late event more
+    // than GapMs before session_start is gap-separated — it must become
+    // its own (immediately closed) session, NOT be folded into the open
+    // one (an unconditional merge would emit a session violating its own
+    // gap bound and diverge from the batch analog). Only the LAST run can
+    // still grow, so every earlier run closes.
+    val items = (open0.toList ++ sortedMs.map(t => Open(t, t, 1)))
+      .sortBy(s => (s.startMs, s.lastMs))
     var closed = List.empty[Open]
-    var open = open0
-    for (t <- sortedMs) {
-      open = open match {
-        case Some(s) if t - s.lastMs <= GapMs =>
-          // min-clamp the start: a cross-batch LATE event (t < lastMs, so
-          // the gap test trivially holds) must extend the session backwards,
-          // not be counted under a session_start later than the event
-          Some(Open(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+    var cur: Option[Open] = None
+    for (it <- items) {
+      cur = cur match {
+        case Some(s) if it.startMs - s.lastMs <= GapMs =>
+          Some(Open(math.min(s.startMs, it.startMs),
+            math.max(s.lastMs, it.lastMs), s.n + it.n))
         case Some(s) =>
           closed ::= s
-          Some(Open(t, t, 1))
+          Some(it)
         case None =>
-          Some(Open(t, t, 1))
+          Some(it)
       }
     }
-    (closed.reverse, open)
+    (closed.reverse, cur)
   }
 
   /** Per-user state transition for one micro-batch: fold the new events

@@ -226,7 +226,9 @@ object Streams {
     val tagged = batch.withColumn("error_message", CoreOps.eventError)
     (tagged.filter(col("error_message").isNull).drop("error_message"),
       tagged.filter(col("error_message").isNotNull)
-        .withColumn("row_data", to_json(struct(batch.columns.toIndexedSeq.map(col): _*))))
+        // Validate.rowSnapshot, not a bare to_json: jsonb keeps null fields
+        // and the batch quarantine this re-enacts does too
+        .withColumn("row_data", graft.etl.Validate.rowSnapshot(batch)))
   }
 
   /** Streaming validate→quarantine: every micro-batch runs the SAME split

@@ -49,6 +49,19 @@ object SessionizeProps extends Properties("Sessionize") {
         closed.isEmpty && open.contains(Open(t0 - lateBy, t0 + span, n + 1))
     }
 
+  property("a beyond-gap straggler closes as its OWN session, never merged") =
+    Prop.forAll(Gen.choose(1L, 10L * GapMs), Gen.choose(0L, GapMs), Gen.choose(1, 5)) {
+      (beyondBy, span, n) =>
+        // an event more than GapMs before session_start is gap-separated:
+        // folding it into the open session would emit a session violating
+        // its own gap bound (and diverge from the batch analog)
+        val t0 = 20L * GapMs
+        val open0 = Open(t0, t0 + span, n)
+        val t = t0 - GapMs - beyondBy
+        val (closed, open) = fold(Some(open0), Seq(t))
+        closed == List(Open(t, t, 1)) && open.contains(open0)
+    }
+
   property("fold is invariant to micro-batch splits") =
     Prop.forAll(genTimes, Gen.choose(0, 5)) { (ts, nSplits) =>
       val splitAt = (1 to nSplits).map(i => ts.size * i / (nSplits + 1))
