@@ -93,6 +93,8 @@ object SparkEntry {
     "q_lateral" -> (OlapOps.lateralTopOrders _),
     // deterministic array aggregation (sorted collect_set profile)
     "q_collect_types" -> (OlapOps.collectTypes _),
+    // exact-decimal time-decay recency weighting
+    "q_decay_score" -> (OlapOps.decayScore _),
     // fixed-bucket equi-width histogram
     "q_histogram" -> (OlapOps.histogram _),
     "q_rollup" -> (OlapOps.rollupOrders _),
@@ -606,6 +608,16 @@ object SparkEntry {
         |  COUNT(CASE WHEN lower(event_type) = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(CASE WHEN lower(event_type) = 'signup' THEN 1 END) AS n_signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_decay_score" ->
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS tmax FROM events),
+        |e AS (
+        |  SELECT user_id, value,
+        |    LEAST(CAST(floor(datediff('day', CAST(ts AS DATE), m.tmax) / 7) AS INT), 10) AS k
+        |  FROM events CROSS JOIN m)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(power(0.5, k) AS DECIMAL(13,12)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS decay_score
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_collect_types" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list(DISTINCT lower(event_type))), ' ') AS event_types,

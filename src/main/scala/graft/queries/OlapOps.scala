@@ -156,6 +156,33 @@ object OlapOps {
         |FROM sq_customer ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Time-decayed activity score — the recency weighting a training-data
+    * pipeline applies so fresh interactions outweigh stale ones: weight
+    * 0.5^(age_weeks, capped) per event, summed per user. The numeric
+    * design is what makes this ORACLE-HASHABLE: 0.5^k is an exact IEEE
+    * power of two (identical in every engine), the weight and value are
+    * multiplied and SUMMED AS DECIMALS (exact, order-independent — a
+    * double sum's rounding depends on partition arrival order and would
+    * flap the hash), cast to double only at the output edge — the same
+    * discipline as the monetary sums. Map-only except the final combining
+    * groupBy; the 1-row max-date aggregate broadcasts (gapFill pattern).
+    */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val tmax = ev.agg(max(col("d")).as("tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("k",
+        least(floor(datediff(col("tmax"), col("d")) / 7), lit(10)).cast(IntegerType))
+      .withColumn("wv",
+        pow(lit(0.5), col("k")).cast(DecimalType(13, 12)) *
+          col("value").cast(DecimalType(12, 2)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wv")).cast(DoubleType).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
   /** Array aggregation: per-user event-type profile as a SORTED distinct
     * array plus first/last activity. `collect_set` alone is
     * order-NONDETERMINISTIC (partition arrival order) — `array_sort` on
