@@ -135,6 +135,9 @@ object SparkEntry {
     "q_curation_pipeline" -> (CurationOps.curationPipeline _),
     // blocked levenshtein entity matching (equi-join blocks, verify inside)
     "q_fuzzy_match" -> (CurationOps.fuzzyMatch _),
+    // complete lev<=2 matching: total-length ±2 band restores indel pairs;
+    // oracle is the UNBANDED naive pairwise form, proving the band drops nothing
+    "q_fuzzy_match_indel" -> (CurationOps.fuzzyMatchIndel _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -893,6 +896,18 @@ object SparkEntry {
         |WHERE levenshtein(a.name, b.name) <= 2
         |GROUP BY a.blk, a.nlen
         |ORDER BY a.blk, a.nlen""".stripMargin,
+    "q_fuzzy_match_indel" ->
+      """WITH p AS (
+        |  SELECT p_partkey, lower(p_name) AS name,
+        |    split_part(lower(p_name), ' ', 1) AS blk
+        |  FROM part)
+        |SELECT a.blk, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN levenshtein(a.name, b.name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN length(a.name) <> length(b.name) THEN 1 ELSE 0 END) AS BIGINT) AS n_indel
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |GROUP BY a.blk
+        |ORDER BY a.blk""".stripMargin,
     "q_source_quota" -> sourceQuotaSql,
     "q_mixture_sample" ->
       s"""WITH d AS (

@@ -134,10 +134,11 @@ object CurationOps {
     * levenshtein (quadratic death); the standard production shape is
     * BLOCKING: pairs form only within (first word, second-word length) —
     * an equi-join — and the edit-distance predicate verifies inside each
-    * block. Length blocking is sound for the substitution-dominated typo
-    * model (insertions/deletions need a ±1 length band, one more explode).
-    * Output is per-block match counts, so result size is |blocks|, not
-    * |pairs|.
+    * block. Exact-length blocking is sound for the substitution-dominated
+    * typo model only — these are SUBSTITUTION-BLOCK matches; insert/delete
+    * typos are restored by [[fuzzyMatchIndel]]'s total-length band, which
+    * is complete for the full lev≤2 set within the block. Output is
+    * per-block match counts, so result size is |blocks|, not |pairs|.
     */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     // dedupe-then-pair: collapse to DISTINCT names with multiplicities
@@ -175,6 +176,48 @@ object CurationOps {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
       .filter(col("n_pairs") > 0)
       .orderBy(col("blk"), col("nlen"))
+  }
+
+  /** COMPLETE lev≤2 matching within first-word blocks — [[fuzzyMatch]]'s
+    * missing insert/delete pairs restored (ADVICE r6: the exact second-word-
+    * length block never pairs length-changing typos). The sound band is
+    * TOTAL name length ±2, not second-word length ±1: levenshtein ≥
+    * |len(a)−len(b)| always, so lev≤2 ⟹ total lengths within 2 — whereas a
+    * space edit can move the SECOND word's length by 3 with lev=1
+    * ("a b cde" → "a bcde"). One extra explode (5 band rows per distinct
+    * name) on the probe side; the build side keys by its own length, so
+    * each unordered pair meets exactly once. Same dedupe-then-pair rewrite
+    * as [[fuzzyMatch]], hash-matched against the UNBANDED naive pairwise
+    * oracle — the band provably drops nothing.
+    */
+  def fuzzyMatchIndel(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name"))
+      .withColumn("blk", element_at(split(col("name"), " "), 1))
+      .withColumn("len", length(col("name")))
+      .groupBy(col("blk"), col("name"), col("len"))
+      .agg(count(lit(1)).as("m"))
+    val exact = names.groupBy(col("blk"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast(LongType).as("n_exact"))
+    val probe = names
+      .withColumn("band", explode(array((-2 to 2).map(d => col("len") + lit(d)): _*)))
+    val cross = names.select(col("blk"), col("len").as("band"), col("name").as("n_a"),
+        col("m").as("m_a"), col("len").as("len_a"))
+      .join(probe.select(col("blk"), col("band"), col("name").as("n_b"),
+        col("m").as("m_b"), col("len").as("len_b")), Seq("blk", "band"))
+      .filter(col("n_a") < col("n_b") && levenshtein(col("n_a"), col("n_b")) <= 2)
+      .groupBy(col("blk"))
+      .agg(
+        sum(col("m_a") * col("m_b")).cast(LongType).as("n_cross"),
+        sum(when(col("len_a") =!= col("len_b"), col("m_a") * col("m_b"))
+          .otherwise(lit(0L))).cast(LongType).as("n_indel"))
+    exact.join(cross, Seq("blk"), "full_outer")
+      .select(col("blk"),
+        (coalesce(col("n_exact"), lit(0L)) + coalesce(col("n_cross"), lit(0L))).as("n_pairs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_indel"), lit(0L)).as("n_indel"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("blk"))
   }
 
   // --------------------------------------------- repetition quality gates

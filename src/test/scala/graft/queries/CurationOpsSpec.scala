@@ -100,6 +100,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("indel fuzzy match == UNBANDED naive pairwise form (band drops nothing)") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), lower(col("p_name")).as("name"))
+      .withColumn("blk", element_at(split(col("name"), " "), 1))
+    val naive = parts.select(col("p_partkey").as("k_a"), col("name").as("n_a"), col("blk"))
+      .join(parts.select(col("p_partkey").as("k_b"), col("name").as("n_b"), col("blk")),
+        Seq("blk"))
+      .filter(col("k_a") < col("k_b"))
+      .filter(levenshtein(col("n_a"), col("n_b")) <= 2)
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((levenshtein(col("n_a"), col("n_b")) === 0).cast("int")).cast("long").as("n_exact"),
+        sum((length(col("n_a")) =!= length(col("n_b"))).cast("int")).cast("long").as("n_indel"))
+      .orderBy(col("blk"))
+      .collect().toSeq
+    val banded = CurationOps.fuzzyMatchIndel(spark, sf).collect().toSeq
+    assert(banded === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("indel fuzzy match pairs insert/delete typos the exact-length block misses") {
+    // the generated p_name corpus happens to contain ZERO length-changing
+    // lev<=2 pairs (checked at sf0.001/0.01/0.1), so the oracle entry proves
+    // band exactness but not the indel path — this fixture does: one
+    // insertion typo and one space-shift typo, both invisible to the
+    // (first word, exact second-word length) block
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzyparts").toString
+    Seq(
+      (1L, "alpha brush metal"),   // base
+      (2L, "alpha brushy metal"),  // insertion: lev 1, 2nd-word len 5 -> 6
+      (3L, "alpha brush metal"),   // exact duplicate of 1
+      (4L, "alpha brash metal"),   // substitution: lev 1, same lengths
+      (5L, "alpha brus hmetal"),   // space shift: lev 2, TOTAL len unchanged
+      (6L, "beta lace"),
+      (7L, "beta lacquered"))      // len diff 5: never a lev<=2 pair
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = CurationOps.fuzzyMatchIndel(spark, dir).collect()
+    val alpha = out.find(_.getAs[String]("blk") == "alpha").get
+    // pairs among {1,2,3,4,5}: (1,3) exact; (1,4),(3,4) substitution;
+    // (1,2),(2,3) insertion [indel]; (2,4) lev 2 [indel]; (1,5),(3,5) space
+    // shift lev 2; (4,5) lev 3 no; (2,5) lev 3 no => 8 pairs, 3 indel
+    assert(alpha.getAs[Long]("n_pairs") === 8L)
+    assert(alpha.getAs[Long]("n_exact") === 1L)
+    assert(alpha.getAs[Long]("n_indel") === 3L)
+    assert(!out.exists(_.getAs[String]("blk") == "beta"))
+    // the substitution-only block on the same fixture finds strictly fewer:
+    // it misses all three indel pairs AND the space-shift pairs (nlen moves)
+    val subOnly = CurationOps.fuzzyMatch(spark, dir).collect()
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(subOnly === 3L, "exact-nlen block should see only (1,3),(1,4),(3,4)")
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")
