@@ -1057,13 +1057,27 @@ object SparkEntry {
         |ORDER BY i_custkey""".stripMargin,
     // Morton spread via chained CTEs (each step referenced twice — a CTE
     // chain avoids the 2^4 textual blowup of inlining the magic-number
-    // steps); bit-identical to Layout.zOrderKey's shift/and/or ladder
+    // steps); bit-identical to Layout.zOrderKey's shift/and/or ladder.
+    // Inputs quantize to the full 16-bit range from observed min/max first
+    // (the zOrderKey domain contract): identical double arithmetic on both
+    // sides — (c-lo)*65535.0/(hi-lo), mul before div — so FLOOR agrees
     "q_zorder_key" ->
-      """WITH o AS (
+      """WITH ob AS (
         |  SELECT o_orderkey, o_custkey,
         |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dkey
         |  FROM orders),
-        |m0 AS (SELECT *, o_custkey & 65535 AS a0, dkey & 65535 AS b0 FROM o),
+        |bnd AS (
+        |  SELECT CAST(MIN(o_custkey) AS DOUBLE) AS a_lo, CAST(MAX(o_custkey) AS DOUBLE) AS a_hi,
+        |         CAST(MIN(dkey) AS DOUBLE) AS b_lo, CAST(MAX(dkey) AS DOUBLE) AS b_hi
+        |  FROM ob),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, dkey,
+        |    CASE WHEN a_hi = a_lo THEN 0
+        |         ELSE CAST(FLOOR((CAST(o_custkey AS DOUBLE) - a_lo) * 65535.0 / (a_hi - a_lo)) AS BIGINT) END AS qa,
+        |    CASE WHEN b_hi = b_lo THEN 0
+        |         ELSE CAST(FLOOR((CAST(dkey AS DOUBLE) - b_lo) * 65535.0 / (b_hi - b_lo)) AS BIGINT) END AS qb
+        |  FROM ob CROSS JOIN bnd),
+        |m0 AS (SELECT *, qa & 65535 AS a0, qb & 65535 AS b0 FROM o),
         |m1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
         |               (b0 | (b0 << 8)) & 16711935 AS b1 FROM m0),
         |m2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,

@@ -92,10 +92,18 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, a: String, b: String, outPath: String,
       numFiles: Int): Unit = {
-    val Array(aLo, aHi, bLo, bHi) =
+    val boundsRow =
       df.agg(min(col(a)).cast(LongType), max(col(a)).cast(LongType),
           min(col(b)).cast(LongType), max(col(b)).cast(LongType))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        .collect().head
+    // an empty input or an all-NULL dimension column yields NULL aggregates
+    // — fail with the actual problem instead of a downstream NPE/cast error
+    // (ADVICE r6); a degenerate-but-silent write would hide a broken source
+    require(!boundsRow.anyNull,
+      s"writeZOrdered($a, $b): input is empty or a dimension column is " +
+        "all-NULL — no min/max bounds to quantize from")
+    val Array(aLo, aHi, bLo, bHi) =
+      (0 until 4).map(boundsRow.getLong).toArray
     // double arithmetic: (c-lo)*65535 in Long overflows once the observed
     // range exceeds ~1.4e14 (a nanosecond-epoch column does), silently
     // wrapping the z-key; doubles lose only sub-bucket precision, which

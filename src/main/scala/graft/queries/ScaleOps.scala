@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -133,20 +133,43 @@ object ScaleOps {
       .orderBy(col("o_orderpriority"))
 
   /** Morton (z-order) clustering keys over orders: customer key × days
-    * since epoch start, bit-interleaved ([[graft.olap.Layout.zOrderKey]]).
-    * The WRITE-side use (range-partition + sort by this key → files with
-    * tight min/max on BOTH dims) is demonstrated with measured file stats
-    * in LayoutSpec; this entry oracle-pins the key arithmetic itself, since
-    * a z-value computed differently by two engines would cluster
-    * differently and silently break stat-pruning expectations.
+    * since epoch start, quantized to the full 16-bit range from observed
+    * min/max, then bit-interleaved ([[graft.olap.Layout.zOrderKey]]). The
+    * quantize-first step honors zOrderKey's documented domain contract for
+    * ANY key width (ADVICE r6: raw o_custkey exceeds 65535 at SF≳0.5 and
+    * would wrap, interleaving unrelated rows) — the bounds are a 1-row
+    * aggregate broadcast-crossed into the scan (the q_gapfill/q_decay_score
+    * shape: the "nested loop" side is one row by construction), so the
+    * whole entry stays one declarative plan the oracle can mirror. The
+    * WRITE-side use (range-partition + sort by this key → files with tight
+    * min/max on BOTH dims) is demonstrated with measured file stats in
+    * LayoutSpec; this entry oracle-pins quantization + interleave
+    * arithmetic, since a z-value computed differently by two engines would
+    * cluster differently and silently break stat-pruning expectations.
     */
-  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
           .cast(LongType).as("dkey"))
-      .withColumn("zkey", graft.olap.Layout.zOrderKey(col("o_custkey"), col("dkey")))
+    val bounds = o.agg(
+      min(col("o_custkey")).cast(LongType).as("a_lo"),
+      max(col("o_custkey")).cast(LongType).as("a_hi"),
+      min(col("dkey")).as("b_lo"),
+      max(col("dkey")).as("b_hi"))
+    // same double-arithmetic quantization as Layout.writeZOrdered (see the
+    // overflow note there); floor ≡ its toward-zero cast on non-negatives
+    def q(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        floor((c.cast(DoubleType) - lo.cast(DoubleType)) * lit(65535.0) /
+          (hi.cast(DoubleType) - lo.cast(DoubleType))))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("zkey", graft.olap.Layout.zOrderKey(
+        q(col("o_custkey"), col("a_lo"), col("a_hi")),
+        q(col("dkey"), col("b_lo"), col("b_hi"))))
+      .select(col("o_orderkey"), col("o_custkey"), col("dkey"), col("zkey"))
       .orderBy(col("o_orderkey"))
+  }
 
   /** Deterministic stratified sampling — the training-data downsampling
     * primitive. Each stratum (event_type) gets its own keep-rate; membership

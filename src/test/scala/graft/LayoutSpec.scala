@@ -113,6 +113,19 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum("o_orderkey")).collect().head.getLong(0) === keySum)
   }
 
+  test("writeZOrdered fails fast on empty input instead of a null-bounds NPE") {
+    import org.apache.spark.sql.functions._
+    val empty = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 0) // no rows -> NULL min/max aggregates
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("dkey"))
+    val out = Files.createTempDirectory("graft-zempty").toString
+    val ex = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(empty, "o_custkey", "dkey", out, 2)
+    }
+    assert(ex.getMessage.contains("no min/max bounds"))
+  }
+
   test("dynamic partition overwrite: a backfill rewrites only its own date") {
     // the idempotent-backfill contract at 100 TB: re-running one day's job
     // in overwrite mode must replace THAT day's partition and leave every
