@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * run is a FULL materialization via the noop sink — every row and column
   * is produced, unlike `.count()` which lets Catalyst prune the work the
   * verify path actually pays for.
+  *
+  * Between legs the harness quiesces (clearCache + GC) so one leg's
+  * leftover blocks/garbage cannot inflate a neighbor's time, and the
+  * artifact is emitted three ways (full line, full file, short summary
+  * line LAST) so a truncating tail capture still yields a parseable
+  * total — both VERDICT r6 #1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +42,20 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
+    // Neighbor-proofing (VERDICT r6 #1): a 91-leg run accumulates JVM
+    // garbage, dropped-but-unreleased cache/localCheckpoint blocks, and
+    // pending ContextCleaner work across legs — enough to inflate an
+    // unrelated later leg several-fold vs its isolated time (q_text_stats
+    // measured 6.68 s in the r6 full run, 0.80 s isolated). Clearing the
+    // SQL cache and forcing a GC BETWEEN legs (never inside a timed
+    // window) lets the cleaner release neighbor state so each leg starts
+    // from the same baseline its isolated measurement would see. The OS
+    // page cache is deliberately untouched — warm input files are what the
+    // warmup pass exists to provide.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // Optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
     // those queries (and skips the ETL leg unless it names etl_pipeline).
     // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
@@ -43,6 +63,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
     names.foreach(materialize) // warmup, untimed
     val results = names.map { name =>
+      quiesce()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         if (materialize(name)) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -80,14 +101,25 @@ object Bench {
         val jobs = outs.map(df => scala.concurrent.Future {
           df.write.format("noop").mode("overwrite").save()
         }(scala.concurrent.ExecutionContext.global))
-        jobs.foreach(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
-        graft.etl.Pipeline.cleanup(spark) // A10: drop staging + OLTP caches between runs
+        // await ALL siblings before surfacing any failure (ADVICE r6: a
+        // fail-fast rethrow left sibling writes running into the next
+        // iteration), and bound the wait so one wedged job cannot hang the
+        // whole bench
+        val failures = jobs.flatMap(f =>
+          scala.util.Try(scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration(10, "min"))).failed.toOption)
+        failures.headOption.foreach(e => throw e)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] etl_pipeline failed: ${e.getMessage}")
         false
+      } finally {
+        // A10 cleanup runs even on failure, so cached staging/OLTP tables
+        // from a failed run cannot poison the next iteration's timings
+        graft.etl.Pipeline.cleanup(spark)
       }
     val allResults = if (!runEtlLeg) results else {
+      quiesce()
       runEtl() // warmup, untimed — mirrors the query warmup pass (ADVICE r4):
                // the first run pays JIT/codegen + fixture page-cache costs
       val etlTimes = (1 to 3).map { _ =>
@@ -96,6 +128,56 @@ object Bench {
       }
       results :+
         ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
+    }
+    // Dedup signature-table reuse (VERDICT r6 #3): the family's dominant
+    // cost at 100 TB is the MinHash signature pass, and the three
+    // per-entry legs above each pay it in full. `_recompute` times exactly
+    // that (three consumers, three signature passes); `_shared` times the
+    // production shape — materialize `minhashBands` ONCE to parquet, then
+    // feed minhash-cluster + incremental-probe + CC from the persisted
+    // table (one signature pass + one write, consumers read longs back).
+    // The delta is the number SCALE.md's reuse point claims.
+    val runDedupLeg = only.forall(_.exists(_.startsWith("dedup_family")))
+    val dedupResults = if (!runDedupLeg) Seq.empty[(String, Double)] else {
+      import org.apache.spark.sql.DataFrame
+      def consumeFamily(banded: () => DataFrame): Boolean =
+        try {
+          val docs = Tables.documents(spark, sfDir)
+          Seq(graft.queries.TextOps.dedupMinhashFrom(banded()),
+              graft.queries.TextOps.dedupIncrementalFrom(banded()),
+              graft.queries.TextOps.dedupCCFrom(docs, banded()))
+            .foreach(_.write.format("noop").mode("overwrite").save())
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] dedup family leg failed: ${e.getMessage}")
+          false
+        }
+      val sigDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-sigs").toString + "/minhash_bands"
+      def recomputeRun(): Boolean =
+        consumeFamily(() => graft.queries.TextOps.minhashBands(spark, sfDir))
+      def sharedRun(): Boolean =
+        try {
+          graft.queries.TextOps.minhashBands(spark, sfDir)
+            .write.mode("overwrite").parquet(sigDir)
+          val banded = spark.read.parquet(sigDir)
+          consumeFamily(() => banded)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] dedup shared leg failed: ${e.getMessage}")
+          false
+        }
+      def median3(run: () => Boolean): Double = {
+        quiesce()
+        run() // warmup, untimed
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
+      }
+      Seq(
+        "dedup_family_recompute" -> median3(recomputeRun _),
+        "dedup_family_shared" -> median3(sharedRun _))
     }
     // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
     // join over plain parquet vs bucketBy'd tables — the bucketed number is
@@ -114,6 +196,7 @@ object Bench {
             try { mk().write.format("noop").mode("overwrite").save(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false }
+          quiesce()
           run() // warmup, untimed
           val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
@@ -128,11 +211,29 @@ object Bench {
             spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
-    val finalResults = allResults ++ layoutResults
+    val finalResults = allResults ++ dedupResults ++ layoutResults
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = finalResults.count(_._2 < 0)
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
+    // truncated the 91-entry JSON line and lost the total ("parsed": null).
+    // Three sinks, redundant by design: (1) the full line first, for any
+    // consumer that reads the whole stream; (2) the full JSON as a FILE,
+    // immune to tail truncation; (3) a SHORT summary line LAST — total +
+    // the 5 slowest legs — small enough that any tail capture gets a
+    // parseable total.
+    println(fullJson)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    val top5 = finalResults.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${finalResults.size},"n_failed":$failed,"full":"$outFile"}""")
     spark.stop()
   }
 }

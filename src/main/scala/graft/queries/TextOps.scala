@@ -110,8 +110,12 @@ object TextOps {
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
 
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBands(spark, dir)
+  /** [[dedupMinhash]] from an ALREADY-BUILT band table — the seam the
+    * signature-reuse path plugs into: at 100 TB the dominant family cost is
+    * the signature pass itself, so a production pipeline materializes
+    * `minhashBands` ONCE (parquet) and feeds every consumer from it
+    * (measured as `dedup_family_shared` vs `_recompute` in the bench). */
+  private[graft] def dedupMinhashFrom(banded: DataFrame): DataFrame = {
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     banded
       .withColumn("bucket_rep", min(col("doc_id")).over(bucketW))
@@ -120,6 +124,9 @@ object TextOps {
       .withColumn("is_dup", (col("doc_id") =!= col("cluster_id")).cast(IntegerType))
       .orderBy(col("doc_id"))
   }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashFrom(minhashBands(spark, dir))
 
   // ------------------------------------------------- dedup: incremental batch
   /** INCREMENTAL near-dup assignment — the multi-batch production shape of
@@ -141,8 +148,12 @@ object TextOps {
     * WITHIN the batch first, then this probe against history; the oracle
     * checks the probe step.
     */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBands(spark, dir)
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalFrom(minhashBands(spark, dir))
+
+  /** [[dedupIncremental]] from an already-built band table (see
+    * [[dedupMinhashFrom]] for the reuse rationale). */
+  private[graft] def dedupIncrementalFrom(banded: DataFrame): DataFrame = {
     val existingBuckets = banded
       .filter(col("doc_id") % 10 =!= 0)
       .groupBy(col("band_id"), col("band_key"))
@@ -175,8 +186,9 @@ object TextOps {
     * map-side-combining groupBy per round), converging in O(graph diameter)
     * rounds — the hash-to-min family of MapReduce CC algorithms. The
     * driver-side loop is bounded control flow (diameter of a near-dup
-    * chain, handfuls), not data flow: each round's `count` moves one long
-    * to the driver. `localCheckpoint` truncates lineage so the plan does
+    * chain, handfuls), not data flow: each round's changed-sum moves one
+    * long to the driver, riding the round's own materialization job.
+    * `localCheckpoint` truncates lineage so the plan does
     * not deepen with iteration count — the standard Spark iterative-algo
     * hygiene (same reason GraphX/ALS checkpoint).
     *
@@ -188,8 +200,12 @@ object TextOps {
     */
   /** The symmetric star edge set of the LSH band-bucket graph — the input
     * of [[dedupCC]]'s propagation rounds. */
-  private[graft] def ccEdges(spark: SparkSession, dir: String): DataFrame = {
-    val banded = minhashBands(spark, dir)
+  private[graft] def ccEdges(spark: SparkSession, dir: String): DataFrame =
+    ccEdgesFrom(minhashBands(spark, dir))
+
+  /** [[ccEdges]] from an already-built band table (see [[dedupMinhashFrom]]
+    * for the reuse rationale). */
+  private[graft] def ccEdgesFrom(banded: DataFrame): DataFrame = {
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     val star = banded
       .withColumn("rep", min(col("doc_id")).over(bucketW))
@@ -202,9 +218,13 @@ object TextOps {
 
   /** ONE min-label propagation round, as a LAZY plan: each node takes the
     * min of its own and its neighbors' labels — one hash join + one
-    * map-side-combining groupBy. Factored out so PlanGuard-style specs can
-    * audit the per-round plan the iterative loop executes (the loop's
-    * localCheckpoint stubs hide it from the usual whole-query plan walk).
+    * map-side-combining groupBy. The round also emits its OWN convergence
+    * signal (`chg` = 1 iff this node's label strictly dropped), so the
+    * driver's changed-count rides the round's materialization instead of a
+    * separate next⋈previous join+count job (VERDICT r6 #6 — per-round job
+    * count halved). Factored out so PlanGuard-style specs can audit the
+    * per-round plan the iterative loop executes (the loop's localCheckpoint
+    * stubs hide it from the usual whole-query plan walk).
     */
   private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
     val nbrMin = edges
@@ -214,27 +234,36 @@ object TextOps {
     labels
       .join(nbrMin, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+        (coalesce(col("nbr_comp"), col("comp")) < col("comp"))
+          .cast(LongType).as("chg"))
   }
 
-  def dedupCC(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ccEdges(spark, dir).persist()
+  def dedupCC(spark: SparkSession, dir: String): DataFrame =
+    dedupCCFrom(graft.Tables.documents(spark, dir),
+      minhashBands(spark, dir))
+
+  /** [[dedupCC]] from an already-built band table (see [[dedupMinhashFrom]]
+    * for the reuse rationale); `docs` seeds the label set. */
+  private[graft] def dedupCCFrom(docs: DataFrame, banded: DataFrame): DataFrame = {
+    val edges = ccEdgesFrom(banded).persist()
     // labels seed from the documents table directly — deriving it from
     // minhashBands would pay the full signature pass a SECOND time just to
     // enumerate doc ids (equivalent on this corpus: every doc tokenizes
     // non-empty, so every doc has bands; a doc without bands is an
     // isolated singleton component either way)
-    var labels = graft.Tables.documents(spark, dir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"))
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
-      val next = ccRound(labels, edges).localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      // lazy localCheckpoint: the changed-sum action below both MATERIALIZES
+      // the round's checkpoint blocks and aggregates the round's own chg
+      // column — ONE job per round, where the previous form paid a second
+      // next⋈labels join+count job just to detect convergence
+      val next = ccRound(labels, edges).localCheckpoint(eager = false)
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
       labels = next
       rounds += 1
     }
