@@ -53,16 +53,22 @@ object ScaleOps {
   }
 
   /** Skew-salted two-phase aggregation (SCALE.md "real cluster" #3 made
-    * concrete): `l_returnflag` has THREE values, so a direct groupBy lands
-    * the whole fact table on three reducers no matter how many executors
-    * exist — the canonical skew stall. The salted form shuffles on
-    * (key, salt) first — 32× more, uniformly loaded, partitions — computes
-    * partial aggregates there, then re-aggregates the ≤ |keys|×32 partial
-    * rows on the key alone. Exact for any decomposable aggregate
-    * (count/sum/min/max), which is why it can hash-match the plain GROUP BY
-    * oracle. The salt is derived (l_orderkey mod 32) rather than rand() so
-    * the plan stays deterministic, but ANY salt gives the same answer —
-    * the final re-agg collapses it.
+    * concrete): `l_returnflag` has THREE values, so the aggregate's final
+    * merge concentrates on three reducers no matter how many executors
+    * exist. For decomposable aggregates map-side partials already shrink
+    * the shuffle, so the plain form survives; the salt is the REQUIRED
+    * shape when partials don't combine — holistic aggregates (exact
+    * percentile, collect_list), where the hot key's entire value buffer
+    * lands on one reducer and AQE has no rewrite (proven plan-level in
+    * AqeSkewSpec). The salted form shuffles on (key, salt) first — 32×
+    * more, uniformly loaded, partitions — computes partial aggregates
+    * there, then re-aggregates the ≤ |keys|×32 partial rows on the key
+    * alone. Exact for any decomposable aggregate (count/sum/min/max),
+    * which is why it can hash-match the plain GROUP BY oracle; a holistic
+    * aggregate needs a mergeable sketch instead (approx_percentile —
+    * ApproxSpec's documented trade). The salt is derived (l_orderkey mod
+    * 32) rather than rand() so the plan stays deterministic, but ANY salt
+    * gives the same answer — the final re-agg collapses it.
     */
   def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
     val SaltBuckets = 32
@@ -89,9 +95,14 @@ object ScaleOps {
     * smaller side). The join becomes an equi-join on (key, salt): same
     * matches, uniformly loaded partitions. Exact — hash-matches the plain
     * join oracle — so applying it to a hot key is a plan change, not a
-    * semantics change. (AQE skew splitting does this automatically for
-    * sort-merge joins; the manual form also covers the cases AQE can't
-    * see, e.g. skew appearing after a filter AQE has no stats for.)
+    * semantics change. (AQE's OptimizeSkewedJoin does this automatically
+    * for sort-merge/shuffled-hash joins, demonstrated plan-level in
+    * AqeSkewSpec — including post-filter skew, since it reads the shuffle's
+    * own map-output stats. The manual form remains for what AQE provably
+    * can't fix: skew under a HOLISTIC aggregate (no join to split —
+    * AqeSkewSpec's second half), row skew hidden from the byte-based
+    * detection by highly compressible hot-key data, and plans that must
+    * stay deterministic across runs.)
     */
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val SaltBuckets = 8
