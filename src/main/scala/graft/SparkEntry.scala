@@ -125,6 +125,9 @@ object SparkEntry {
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
     "q_fingerprint" -> (TextOps.fingerprint _),
+    // benchmark decontamination: broadcast the eval shingle set, map-side
+    // probe the training corpus (GPT-3-style n-gram overlap)
+    "q_decontaminate" -> (TextOps.decontaminate _),
     // corpus curation: per-source quota, mixture sampling, repetition gates
     "q_source_quota" -> (CurationOps.sourceQuota _),
     // salted two-phase rank, hash-matching the same oracle (skew escape)
@@ -138,6 +141,9 @@ object SparkEntry {
     // complete lev<=2 matching: total-length ±2 band restores indel pairs;
     // oracle is the UNBANDED naive pairwise form, proving the band drops nothing
     "q_fuzzy_match_indel" -> (CurationOps.fuzzyMatchIndel _),
+    // training-context packing: per-source concat-and-chunk pack assignment
+    // via one window cumsum (no sequential recurrence)
+    "q_seq_pack" -> (CurationOps.seqPack _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -875,6 +881,37 @@ object SparkEntry {
         |FROM s CROSS JOIN (SELECT unnest(range(1, 6)) AS r)
         |WHERE r <= len(h)
         |ORDER BY doc_id, rank""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})) AS h
+        |  FROM t WHERE len(tk) >= 3),
+        |e AS (SELECT DISTINCT unnest(h) AS sh FROM s WHERE doc_id % 20 = 0),
+        |tr AS (
+        |  SELECT doc_id, CAST(len(h) AS INT) AS n_shingles, unnest(h) AS sh
+        |  FROM s WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, tr.n_shingles, COUNT(*) AS n_hits,
+        |  CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS hit_rate
+        |FROM tr JOIN e USING (sh)
+        |GROUP BY tr.doc_id, tr.n_shingles
+        |ORDER BY tr.doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
+        |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     // the two-phase salted rank must land on the SAME rows and ranks as the
     // single-window form — one oracle, both plans
     "q_quota_twophase" -> sourceQuotaSql,

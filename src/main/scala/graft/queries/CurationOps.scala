@@ -278,4 +278,31 @@ object CurationOps {
           .cast(IntegerType))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------- sequence packing
+  /** Training-context packing: assign each document to a fixed-token-budget
+    * pack (concat-and-chunk semantics — the standard pretraining shape:
+    * documents concatenate in a deterministic order and the stream splits
+    * every [[PackBudget]] tokens; a doc straddling a boundary belongs to
+    * the pack where it STARTS, its offset telling the trainer where the
+    * split lands). Packing is per `source`, ordered by doc_id — one window
+    * whose shuffle key is the source partition, which is exactly how a
+    * 100 TB corpus packs: per-shard sequential, never a global order. A
+    * doc's pack is floor(exclusive-prefix-tokens / budget), a pure window
+    * cumsum — no sequential recurrence, so the plan is one Exchange + one
+    * running Window at any scale.
+    */
+  private val PackBudget = 256
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(toksAll).as("n_tokens"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"cum_excl div $PackBudget").as("pack_id"),
+        (col("cum_excl") % PackBudget).as("pack_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }

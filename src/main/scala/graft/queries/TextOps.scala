@@ -292,8 +292,18 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), toksAll.as("t"))
       .filter(size(col("t")) >= 3)
+      // the CASE guard makes the transform TOTAL, not just filtered: a
+      // downstream join's inferred isnotnull can be pushed into the same
+      // Filter as a conjunct ORDERED BEFORE the size predicate, evaluating
+      // the transform on a sub-3-token row — sequence(0, -2) descends and
+      // t[i+1] throws. Same trap (and same guard) as repetitionStats'
+      // bigrams; sf data never trips it (all docs have >= 3 tokens), a
+      // short-doc corpus does.
       .withColumn("shingles",
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        expr("""CASE WHEN size(t) >= 3
+               |  THEN transform(sequence(0, size(t)-3),
+               |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+               |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .select(col("doc_id"),
         array_sort(array_distinct(transform(col("shingles"), s => h32(s)))).as("h"))
 
@@ -391,6 +401,44 @@ object TextOps {
         (col("pos") + 1).cast(IntegerType).as("rank"),
         col("col").as("shingle_hash"))
       .orderBy(col("doc_id"), col("rank"))
+
+  // -------------------------------------------------------- decontamination
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 3-gram shingle with the held-out eval slice (`doc_id % 20 == 0` — a
+    * deterministic stand-in for a benchmark suite; production uses 13-grams
+    * per the GPT-3 appendix, same plan with a wider shingle window). The
+    * scale shape is the point: the benchmark side is always tiny relative
+    * to the corpus (thousands of eval docs vs billions of training docs),
+    * so its DISTINCT shingle set is BROADCAST and contamination becomes a
+    * map-side hash probe over the training shingles — the 100 TB corpus
+    * never shuffles. Output is one row per contaminated training doc with
+    * its hit count and hit rate (n_hits / n_shingles), the removal
+    * criterion upstream of any dedup/quota stage.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // same reuse point as dedupNgram: both consumers (eval set, training
+    // probe) sit above ONE doc_id exchange, so ReuseExchange materializes
+    // the scan+shingle+md5 pass once instead of once per side.
+    // explode_OUTER, not explode: a non-outer Generate infers
+    // `size(h) > 0 AND isnotnull(h)` and predicate pushdown inlines the
+    // whole shingle+md5 transform into the scan Filter (the PlanGuard
+    // HOF-in-Filter trap — the array is then re-derived per conjunct per
+    // row). The outer form infers nothing; empty-shingle rows become one
+    // null that the equi-join (or the explicit isNotNull) drops.
+    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
+    val evalShingles = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode_outer(col("h")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val train = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), size(col("h")).as("n_shingles"), explode_outer(col("h")).as("sh"))
+    train.join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("hit_rate",
+        col("n_hits").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("hit_rate"))
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------- text stats
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")

@@ -154,6 +154,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(subOnly === 3L, "exact-nlen block should see only (1,3),(1,4),(3,4)")
   }
 
+  test("seq pack: fixture assignment is exact, straddlers stay where they start") {
+    import spark.implicits._
+    def txt(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    Seq(
+      (1L, "s1", txt(100)), // cum_excl 0   -> pack 0, offset 0
+      (2L, "s1", txt(100)), // cum_excl 100 -> pack 0, offset 100
+      (3L, "s1", txt(100)), // cum_excl 200 -> pack 0 (straddles 256), offset 200
+      (4L, "s1", txt(50)),  // cum_excl 300 -> pack 1, offset 44
+      (5L, "s2", txt(10)))  // own source: pack 0, offset 0
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.seqPack(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 100L)), 3L -> ((0L, 200L)),
+      4L -> ((1L, 44L)), 5L -> ((0L, 0L))))
+  }
+
+  test("seq pack: offsets bounded by the budget, packs contiguous per source") {
+    val out = CurationOps.seqPack(spark, sf).cache()
+    assert(out.filter(col("pack_offset") < 0 || col("pack_offset") >= 256).count() === 0)
+    // recompute the running sum independently: pack_id must be the
+    // exclusive-prefix div and pack ids never decrease within a source
+    val perSource = out.orderBy("source", "doc_id").collect()
+      .groupBy(_.getAs[String]("source"))
+    for ((_, rows) <- perSource) {
+      var cum = 0L
+      var lastPack = 0L
+      for (r <- rows) {
+        assert(r.getAs[Long]("pack_id") === cum / 256)
+        assert(r.getAs[Long]("pack_offset") === cum % 256)
+        assert(r.getAs[Long]("pack_id") >= lastPack)
+        lastPack = r.getAs[Long]("pack_id")
+        cum += r.getAs[Int]("n_tokens")
+      }
+    }
+    out.unpersist()
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")

@@ -96,4 +96,37 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.langId(spark, sf)
     assert(out.filter(!col("pred_lang").isin("en", "es", "de", "fr", "und")).count() === 0)
   }
+
+  test("decontaminate: fixture hits are exact and the eval side broadcasts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq(
+      (0L,  "the quick brown fox jumps"),   // eval (id % 20 == 0)
+      (40L, "zzz yyy xxx www"),             // eval
+      (1L,  "a quick brown fox runs"),      // shares "quick brown fox": 1/3
+      (2L,  "totally different text here"), // clean: absent from output
+      (3L,  "the quick brown fox jumps"),   // verbatim eval copy: 3/3
+      (41L, "zzz yyy xxx qqq"),             // shares "zzz yyy xxx": 1/2
+      (5L,  "ab"))                          // <3 tokens: no shingles, absent
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.decontaminate(spark, dir)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(1L, 3L, 41L))
+    assert(rows(1L) === ((3, 1L, 1.0 / 3)))
+    assert(rows(3L) === ((3, 3L, 1.0)))
+    assert(rows(41L) === ((2, 1L, 0.5)))
+    // the scale contract: the tiny eval shingle set is the BROADCAST side,
+    // so the training corpus is probed map-side and never shuffles
+    assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("decontaminate: only training docs appear, rates in (0,1]") {
+    val out = TextOps.decontaminate(spark, sf).cache()
+    assert(out.filter(col("doc_id") % 20 === 0).count() === 0)
+    assert(out.filter(col("hit_rate") <= 0 || col("hit_rate") > 1).count() === 0)
+    assert(out.filter(col("n_hits") > col("n_shingles")).count() === 0)
+    out.unpersist()
+  }
 }
