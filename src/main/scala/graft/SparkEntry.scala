@@ -144,6 +144,8 @@ object SparkEntry {
     // training-context packing: per-source concat-and-chunk pack assignment
     // via one window cumsum (no sequential recurrence)
     "q_seq_pack" -> (CurationOps.seqPack _),
+    // deterministic hash-bucket train/valid/test split (map-only, append-stable)
+    "q_data_split" -> (CurationOps.dataSplit _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -912,6 +914,16 @@ object SparkEntry {
         |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
         |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_data_split" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |    ${h32Sql("concat('split_', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // the two-phase salted rank must land on the SAME rows and ranks as the
     // single-window form — one oracle, both plans
     "q_quota_twophase" -> sourceQuotaSql,

@@ -95,6 +95,25 @@ object CurationOps {
       .filter(col("u") < col("keep_rate"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------ train/valid/test split
+  /** Deterministic holdout split: a salted hash of doc_id lands each doc in
+    * one of 100 buckets, and fixed bucket ranges become train (90%), valid
+    * (5%), test (5%). Hash-based (never random()) so the assignment is
+    * stable across runs, engines, and cluster sizes — the property that
+    * matters at 100 TB is that re-running the split after appending a batch
+    * NEVER reassigns an existing doc, which any sampled/ordered scheme
+    * breaks. Map-only: no shuffle, no state, embarrassingly parallel.
+    */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (h32(concat(lit("split_"), col("doc_id"))) % 100L).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------- composed curation pipeline
   /** The full curation flow a training-data pipeline runs, composed from
     * the operators above as ONE declarative plan: exact dedup (keep the

@@ -195,6 +195,32 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("data split: complete, roughly 90/5/5, and append-stable") {
+    val out = CurationOps.dataSplit(spark, sf).cache()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.count() === total)
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    // hash buckets are uniform-ish; at 500 docs allow wide slack
+    assert(bySplit("train").toDouble / total > 0.8)
+    assert(bySplit.getOrElse("valid", 0L) + bySplit.getOrElse("test", 0L) > 0)
+    // append-stability: splitting a PHYSICALLY different (half-size) corpus
+    // assigns every common doc identically — per-doc hashing depends on
+    // nothing but the doc itself, the property a random()/ordered/sampled
+    // split breaks the moment a batch is appended
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reSplit = CurationOps.dataSplit(spark, dir)
+      .select(col("doc_id"), col("split").as("split2"))
+    assert(reSplit.count() > 0)
+    assert(out.join(reSplit, "doc_id")
+      .filter(col("split") =!= col("split2")).count() === 0)
+    out.unpersist()
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")

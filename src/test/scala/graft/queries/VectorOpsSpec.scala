@@ -32,6 +32,75 @@ class VectorOpsSpec extends SparkSpec {
     lsh.unpersist()
   }
 
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+                       brute: org.apache.spark.sql.DataFrame): Double = {
+    val nTrue = brute.count().toDouble
+    brute.join(
+      approx.filter(col("probe_id") < 5).select(col("probe_id"), col("neighbor_id")),
+      Seq("probe_id", "neighbor_id")).count() / nTrue
+  }
+
+  test("ANN recall@3 vs brute force: measured on the corpus, IVF floor pinned") {
+    // quantifies the pruning trade the approximate scale paths make: of
+    // each probe's TRUE top-3 (brute force), what fraction does the index
+    // return? This corpus is near-random (true top-3 cosine ~0.25-0.40,
+    // ~70 degrees), so 4-bit hyperplane LSH recall is honestly near zero —
+    // per-plane agreement ~0.6, to the 4th power ~0.15 per neighbor; the
+    // clustered-fixture test below is where LSH recall is asserted. IVF
+    // (nprobe=1 of 8 cells) measures 1.0 here; floor at 0.5.
+    val brute = VectorOps.simTopk(spark, sf)
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    val rLsh = recallOf(VectorOps.simLsh(spark, sf), brute)
+    val rIvf = recallOf(VectorOps.simIvf(spark, sf), brute)
+    info(f"recall@3 at $sf: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    assert(rIvf >= 0.5, f"IVF recall collapsed: $rIvf%.3f")
+    assert(rLsh >= 0.0 && rLsh <= 1.0 && rIvf <= 1.0)
+    brute.unpersist()
+  }
+
+  test("ANN recall@3 is exactly 1.0 on clustered data (both indexes)") {
+    // the regime ANN indexes exist for: tight clusters. Cluster members
+    // here are pure SCALINGS of a center, so every hyperplane projection
+    // scales too — sign bits (hence the LSH bucket) are IDENTICAL by
+    // construction, deterministically, whatever the md5-derived planes
+    // are; cluster-mates dominate the ranking at cosine exactly 1.0. IVF
+    // cell assignment is likewise scale-invariant. So both indexes must
+    // return the true top-3 with recall exactly 1.0 — no probability.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val dim = 64
+    val centers = Seq(
+      Array.tabulate(dim)(i => math.sin(i + 1).toFloat),
+      Array.tabulate(dim)(i => math.cos(2 * i + 1).toFloat),
+      Array.tabulate(dim)(i => (if (i % 2 == 0) 1.0 else -0.5).toFloat))
+    val scales = Seq(1.0f, 1.1f, 0.9f, 1.2f, 0.8f)
+    // ids: the three scale-1.0 centers take 0,1,2 — so they are BOTH the
+    // probe set (vec_id < 5) and the ONLY vectors under the IVF centroid
+    // cutoff (vec_id < 8), one centroid per cluster. The remaining members
+    // start at 5. (With several near-identical centroids per cluster,
+    // float rounding makes mates pick different "nearest" ones and
+    // scatters a cluster across cells — measured recall 0.333.)
+    val rows = for {
+      c <- centers.indices; (s, j) <- scales.zipWithIndex
+    } yield ((if (j == 0) c else 8 + (j - 1) * 3 + c).toLong, centers(c).map(_ * s), c)
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val labels = rows.map { case (id, _, c) => (id, c) }.toDF("vec_id", "cluster")
+    val brute = VectorOps.simTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    // sanity: each probe's true top-3 are cluster-mates
+    assert(brute
+      .join(labels.select(col("vec_id").as("probe_id"), col("cluster").as("pc")), "probe_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("cluster").as("nc")), "neighbor_id")
+      .filter(col("pc") =!= col("nc")).count() === 0)
+    val rLsh = recallOf(VectorOps.simLsh(spark, dir), brute)
+    val rIvf = recallOf(VectorOps.simIvf(spark, dir), brute)
+    info(f"clustered-fixture recall@3: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    assert(rLsh === 1.0)
+    assert(rIvf === 1.0)
+    brute.unpersist()
+  }
+
   test("embed dedup: pairs stay within (label, bucket) and meet the threshold") {
     val out = VectorOps.embedDedup(spark, sf).cache()
     assert(out.filter(col("cos_sim") < 0.3).count() === 0)
