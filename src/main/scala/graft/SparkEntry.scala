@@ -146,6 +146,9 @@ object SparkEntry {
     "q_seq_pack" -> (CurationOps.seqPack _),
     // deterministic hash-bucket train/valid/test split (map-only, append-stable)
     "q_data_split" -> (CurationOps.dataSplit _),
+    // CCNet-style LM quality scoring: self-estimated bigram model, exact-int
+    // ratio-of-sums familiarity (division-only, hash-stable cross-engine)
+    "q_lm_score" -> (CurationOps.lmFamiliarity _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -914,6 +917,26 @@ object SparkEntry {
         |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
         |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+        |  FROM t WHERE len(tk) >= 2),
+        |cb AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+        |cw AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |  FROM cb GROUP BY 1),
+        |lm AS (
+        |  SELECT bg, c2, c1
+        |  FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(c2) AS BIGINT) AS sum_bg_count,
+        |  CAST(SUM(c1) AS BIGINT) AS sum_ctx_count,
+        |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity
+        |FROM b JOIN lm USING (bg)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_data_split" ->
       s"""WITH b AS (
         |  SELECT doc_id, source,

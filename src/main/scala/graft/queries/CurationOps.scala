@@ -259,6 +259,16 @@ object CurationOps {
     * a pushdown barrier, so the explode form is immune by construction —
     * the same projection-collapse trap TextOps.minhashBands documents.
     */
+  // guard: Spark's sequence(a, b) DESCENDS when b < a, so a 1-token doc
+  // must short-circuit to an empty bigram list (DuckDB range() is empty);
+  // one definition shared by repetitionStats and lmFamiliarity
+  private def bigramsOf: Column =
+    when(size(col("toks")) >= 2,
+      transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toksAll.as("toks"))
@@ -267,13 +277,7 @@ object CurationOps {
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_token_count"))
-    // guard: Spark's sequence(a, b) DESCENDS when b < a, so a 1-token doc
-    // must short-circuit to an empty bigram list (DuckDB range() is empty)
-    val bigrams = when(size(col("toks")) >= 2,
-      transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    val bigrams = bigramsOf
     val biStats = docs
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
@@ -295,6 +299,48 @@ object CurationOps {
       .withColumn("passes_repetition",
         (col("top_token_frac") <= 0.3 && col("dup_bigram_frac") <= 0.5)
           .cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- LM familiarity score
+  /** CCNet-style statistical quality scoring without the external model: a
+    * bigram language model is estimated from the corpus itself (count(w1
+    * w2) / count(w1·)), and each document scores by how familiar its
+    * transitions are to that model. The score is the RATIO OF SUMS — Σ
+    * bigram-count / Σ context-count over the doc's bigram instances, i.e.
+    * the context-weighted mean transition probability — NOT the mean of
+    * per-bigram ratios: every aggregate stays an exact int64 and the one
+    * double division happens after, so both engines hash identically (the
+    * same discipline as tfidf's division-only idf; a float SUM's addend
+    * order is engine-internal). Low familiarity = improbable transitions =
+    * the gibberish/boilerplate tail a quality gate drops.
+    *
+    * Scale shape: two bigram-keyed combining aggregates build the LM
+    * (vocabulary²-bounded, tiny next to the corpus), one equi-join
+    * re-scores the instances, one per-doc aggregate. In production the LM
+    * comes from a reference corpus (that is CCNet's actual design: score
+    * web text against Wikipedia) and is a BROADCAST table — the corpus
+    * side never shuffles on anything but doc_id.
+    */
+  def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("toks"))
+      .select(col("doc_id"), explode(bigramsOf).as("bg"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val cw = cb
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val lm = cb.withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(cw, Seq("w1"))
+      .select(col("bg"), col("c2"), col("c1"))
+    bg.join(lm, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_bg_count"),
+        sum(col("c1")).as("sum_ctx_count"))
+      .withColumn("familiarity",
+        col("sum_bg_count").cast(DoubleType) / col("sum_ctx_count").cast(DoubleType))
       .orderBy(col("doc_id"))
   }
 

@@ -195,6 +195,27 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("lm familiarity: fixture model is exact; scores bounded on the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    // corpus LM: c2(ab)=3 ba=1 bc=1 cc=1; contexts c1(a)=3 b=2 c=1
+    Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.lmFamiliarity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_bg_count"),
+          r.getAs[Long]("sum_ctx_count"), r.getAs[Double]("familiarity")))).toMap
+    // d1 = ab,ba,ab -> (3+1+3)/(3+2+3); d2 = ab,bc -> 4/5; d3 = cc -> 1/1;
+    // the 1-token doc has no bigrams and is absent
+    assert(got === Map(
+      1L -> ((3L, 7L, 8L, 0.875)),
+      2L -> ((2L, 4L, 5L, 0.8)),
+      3L -> ((1L, 1L, 1L, 1.0))))
+    val corpus = CurationOps.lmFamiliarity(spark, sf)
+    assert(corpus.filter(col("familiarity") <= 0 || col("familiarity") > 1).count() === 0)
+  }
+
   test("data split: complete, roughly 90/5/5, and append-stable") {
     val out = CurationOps.dataSplit(spark, sf).cache()
     val total = graft.Tables.documents(spark, sf).count()
