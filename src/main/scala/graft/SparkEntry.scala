@@ -156,6 +156,9 @@ object SparkEntry {
     "q_top_ngrams" -> (TextOps.topNgrams _),
     // context-window chunking (50-token windows, stride 40, map-only)
     "q_doc_chunks" -> (TextOps.docChunks _),
+    // sub-document dedup: repeated 50-token windows across the corpus
+    // (boilerplate/template detection document dedup cannot see)
+    "q_chunk_dedup" -> (TextOps.chunkDedup _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
     // §2.I: the streaming window aggregation run in batch mode (the
@@ -709,6 +712,22 @@ object SparkEntry {
         |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
         |  ${h32Sql("list_aggregate(chunk, 'string_agg', ' ')")} AS chunk_hash
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, GREATEST(0, CAST(floor((len(tk) - 11) / 40) AS INT)) + 1)) AS chunk_idx
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    ${h32Sql("list_aggregate(tk[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], 'string_agg', ' ')")} AS chunk_hash
+        |  FROM c)
+        |SELECT chunk_hash, COUNT(*) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM s GROUP BY chunk_hash HAVING COUNT(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "q_window_battery" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(RANK() OVER w AS INT) AS rnk,

@@ -556,6 +556,26 @@ object TextOps {
         h32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  // ----------------------------------------------------- chunk-level dedup
+  /** Sub-document dedup: the SAME 50-token training windows [[docChunks]]
+    * emits, grouped by content hash — the granularity that catches repeated
+    * boilerplate (headers, licenses, templates) living inside otherwise
+    * distinct documents, which document-level dedup cannot see. Pure hash
+    * groupBy on the chunk hash with map-side combine: O(N chunks), no
+    * pairs, no explosion — document dedup's scale shape applied one level
+    * down. Downstream, a training pipeline drops every (doc_id, chunk_idx)
+    * whose hash group keeps a different representative.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("chunk_hash"))
+
   // -------------------------------------------------------------- language ID
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in"),

@@ -122,6 +122,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("chunk dedup: catches boilerplate inside non-duplicate documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkdedup").toString
+    val boiler = (1 to 50).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, boiler),                                              // 1 chunk
+      (2L, boiler + " " + (1 to 30).map(i => s"x$i").mkString(" ")), // 2 chunks
+      (3L, (1 to 40).map(i => s"y$i").mkString(" ")))            // unique
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.chunkDedup(spark, dir).collect()
+    // docs 1 and 2 are NOT document-level duplicates, but share chunk 0
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_occurrences") === 2L)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+    assert(out.head.getAs[Long]("keep_doc_id") === 1L)
+    assert(TextOps.dedupExact(spark, dir)
+      .filter(col("is_dup") === 1).count() === 0)
+  }
+
   test("decontaminate: only training docs appear, rates in (0,1]") {
     val out = TextOps.decontaminate(spark, sf).cache()
     assert(out.filter(col("doc_id") % 20 === 0).count() === 0)
