@@ -128,6 +128,9 @@ object SparkEntry {
     // benchmark decontamination: broadcast the eval shingle set, map-side
     // probe the training corpus (GPT-3-style n-gram overlap)
     "q_decontaminate" -> (TextOps.decontaminate _),
+    // same answer via a distributed BloomFilterAggregate prefilter + exact
+    // confirm join — the shape for eval sets too big to broadcast exactly
+    "q_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
     // corpus curation: per-source quota, mixture sampling, repetition gates
     "q_source_quota" -> (CurationOps.sourceQuota _),
     // salted two-phase rank, hash-matching the same oracle (skew escape)
@@ -269,6 +272,27 @@ object SparkEntry {
       |      WHEN 2 THEN concat(sig6, '_', sig7, '_', sig8)
       |      ELSE concat(sig9, '_', sig10, '_', sig11) END AS band_key
       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id))""".stripMargin
+
+  /** One oracle for BOTH decontamination plans (broadcast-exact
+    * q_decontaminate and the bloom-prefiltered q_decontaminate_bloom) —
+    * shared so the "same oracle, both plans" claim cannot drift. */
+  private val decontaminateSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, len(tk) - 2),
+      |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})) AS h
+      |  FROM t WHERE len(tk) >= 3),
+      |e AS (SELECT DISTINCT unnest(h) AS sh FROM s WHERE doc_id % 20 = 0),
+      |tr AS (
+      |  SELECT doc_id, CAST(len(h) AS INT) AS n_shingles, unnest(h) AS sh
+      |  FROM s WHERE doc_id % 20 <> 0)
+      |SELECT tr.doc_id, tr.n_shingles, COUNT(*) AS n_hits,
+      |  CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS hit_rate
+      |FROM tr JOIN e USING (sh)
+      |GROUP BY tr.doc_id, tr.n_shingles
+      |ORDER BY tr.doc_id""".stripMargin
 
   /** One oracle for BOTH quota plans (single-window q_source_quota and the
     * salted two-phase q_quota_twophase) — shared so the "same oracle, both
@@ -905,23 +929,10 @@ object SparkEntry {
         |FROM s CROSS JOIN (SELECT unnest(range(1, 6)) AS r)
         |WHERE r <= len(h)
         |ORDER BY doc_id, rank""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(0, len(tk) - 2),
-        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})) AS h
-        |  FROM t WHERE len(tk) >= 3),
-        |e AS (SELECT DISTINCT unnest(h) AS sh FROM s WHERE doc_id % 20 = 0),
-        |tr AS (
-        |  SELECT doc_id, CAST(len(h) AS INT) AS n_shingles, unnest(h) AS sh
-        |  FROM s WHERE doc_id % 20 <> 0)
-        |SELECT tr.doc_id, tr.n_shingles, COUNT(*) AS n_hits,
-        |  CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS hit_rate
-        |FROM tr JOIN e USING (sh)
-        |GROUP BY tr.doc_id, tr.n_shingles
-        |ORDER BY tr.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the bloom prefilter is transparent to the answer (false positives
+    // die in the exact confirm join), so the oracle is shared verbatim
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_seq_pack" ->
       """WITH d AS (
         |  SELECT source, doc_id,

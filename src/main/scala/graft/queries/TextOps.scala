@@ -425,19 +425,76 @@ object TextOps {
     // HOF-in-Filter trap — the array is then re-derived per conjunct per
     // row). The outer form infers nothing; empty-shingle rows become one
     // null that the equi-join (or the explicit isNotNull) drops.
+    val (evalShingles, train) = decontaminationSides(spark, dir)
+    hitRates(train.join(broadcast(evalShingles), Seq("sh")))
+  }
+
+  /** The shared build of [[decontaminate]] and [[decontaminateBloom]]:
+    * (distinct eval shingle set, exploded training shingles with their
+    * per-doc totals), both sitting above one doc_id exchange.
+    */
+  private def decontaminationSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
     val evalShingles = sh.filter(col("doc_id") % 20 === 0)
       .select(explode_outer(col("h")).as("sh"))
       .filter(col("sh").isNotNull).distinct()
     val train = sh.filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), size(col("h")).as("n_shingles"), explode_outer(col("h")).as("sh"))
-    train.join(broadcast(evalShingles), Seq("sh"))
+    (evalShingles, train)
+  }
+
+  /** The shared tail: contaminated-shingle rows → per-doc hit counts/rates. */
+  private def hitRates(contaminated: DataFrame): DataFrame =
+    contaminated
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_hits"))
       .withColumn("hit_rate",
         col("n_hits").cast(DoubleType) / col("n_shingles").cast(DoubleType))
       .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("hit_rate"))
       .orderBy(col("doc_id"))
+
+  /** Bloom-prefiltered decontamination — identical output (and oracle) to
+    * [[decontaminate]], restructured for the regime where the EXACT eval
+    * shingle set is too big to broadcast (a full benchmark suite is
+    * millions of 13-gram shingles ≈ GBs as an exact hash set; the 2×
+    * escape-hatch-rewrite precedent of q_quota_twophase). Three phases:
+    *
+    *  1. build: Spark's own `BloomFilterAggregate` (the runtime-filter
+    *     expression) folds the eval shingles into a `numBits`-capped blob
+    *     on the executors — partial sketches merge like any aggregate, so
+    *     the driver only ever sees the single O(numBits) result (same
+    *     bounded-collect class as the IVF centroid fetch, documented
+    *     here). The eval-slice predicate pushes to the parquet scan, so
+    *     this extra job reads 5% of the corpus, not all of it.
+    *  2. prefilter: codegen'd `might_contain` probes the blob map-side
+    *     over the training shingles; false positives pass (rate set by
+    *     numBits/items), false negatives cannot, so nothing true is lost.
+    *  3. confirm: an exact join against the eval set over ONLY the bloom
+    *     survivors — at a contamination rate of ~1% the shuffle carries
+    *     ~1% of the corpus shingles instead of all of them, which is the
+    *     100 TB win; the join also drops the bloom's false positives, so
+    *     correctness never depends on the fpp.
+    *
+    * `numBits` defaults to 2^20 (128 KiB blob); the spec runs it at 64
+    * bits (fpp ≈ 1) to prove the confirm join alone still yields the
+    * exact answer.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, numBits: Long = 1L << 20): DataFrame = {
+    val (evalShingles, train) = decontaminationSides(spark, dir)
+    val bloomRow = evalShingles
+      .agg(graft.functions.BloomFunctions
+        .bloom_agg(xxhash64(col("sh")), 1L << 20, numBits).as("bf"))
+      .head()
+    require(!bloomRow.isNullAt(0),
+      "decontaminateBloom: empty eval shingle set — no filter to build " +
+        "(corpus has no eval docs with >= 3 tokens)")
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    val candidates = train.filter(
+      graft.functions.BloomFunctions.might_contain(bloom, xxhash64(col("sh"))))
+    // deliberately NOT broadcast: the premise is an un-broadcastable exact
+    // eval set, so the confirm is a shuffle join over the survivors (AQE
+    // may still pick broadcast at test SFs — that's its call, not ours)
+    hitRates(candidates.join(evalShingles, Seq("sh")))
   }
 
   // ------------------------------------------------------------- text stats

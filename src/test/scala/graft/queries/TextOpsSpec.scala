@@ -122,6 +122,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("decontaminate bloom: exact answer at any fpp, probe is a map-side might_contain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon-bloom").toString
+    Seq(
+      (0L,  "the quick brown fox jumps"),
+      (40L, "zzz yyy xxx www"),
+      (1L,  "a quick brown fox runs"),
+      (2L,  "totally different text here"),
+      (3L,  "the quick brown fox jumps"),
+      (41L, "zzz yyy xxx qqq"),
+      (5L,  "ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = TextOps.decontaminate(spark, dir).collect().toSeq
+    val bloom = TextOps.decontaminateBloom(spark, dir)
+    assert(bloom.collect().toSeq === exact)
+    // the prefilter is really in the plan, below the confirm join
+    assert(bloom.queryExecution.optimizedPlan.toString.contains("might_contain"))
+    // 64-bit bloom => fpp ~ 1, every shingle survives the prefilter — the
+    // exact confirm join alone must still produce the exact answer
+    assert(TextOps.decontaminateBloom(spark, dir, numBits = 64)
+      .collect().toSeq === exact)
+  }
+
+  test("decontaminate bloom: matches the broadcast-exact plan on the corpus") {
+    assert(TextOps.decontaminateBloom(spark, sf).collect().toSeq ===
+      TextOps.decontaminate(spark, sf).collect().toSeq)
+  }
+
   test("chunk dedup: catches boilerplate inside non-duplicate documents") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chunkdedup").toString
