@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, OlapOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -152,6 +152,11 @@ object SparkEntry {
     // CCNet-style LM quality scoring: self-estimated bigram model, exact-int
     // ratio-of-sums familiarity (division-only, hash-stable cross-engine)
     "q_lm_score" -> (CurationOps.lmFamiliarity _),
+    // privacy tier: PII detection + masking (map-only regex pass over a
+    // deterministic contact string derived from event columns)
+    "q_pii_redact" -> (PrivacyOps.piiRedact _),
+    // k-anonymity releasability with one generalization step (dow -> '*')
+    "q_kanon_release" -> (PrivacyOps.kanonRelease _),
     // text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
@@ -967,6 +972,52 @@ object SparkEntry {
         |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity
         |FROM b JOIN lm USING (bg)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    concat('contact u', CAST(user_id AS VARCHAR),
+        |      '@mail', CAST(user_id % 10 AS VARCHAR), '.example.com',
+        |      CASE WHEN event_type = 'signup'
+        |        THEN concat(' alt u', CAST(user_id AS VARCHAR), '.alt@mail.example.org')
+        |        ELSE '' END,
+        |      CASE WHEN event_type IN ('click', 'view')
+        |        THEN concat(' call 555-', lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'))
+        |        ELSE '' END,
+        |      ' from 10.', CAST(user_id % 256 AS VARCHAR), '.0.',
+        |      CAST(event_id % 256 AS VARCHAR)) AS contact
+        |  FROM events)
+        |SELECT event_id, contact,
+        |  CAST(len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\b[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(contact, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM c ORDER BY event_id""".stripMargin,
+    "q_kanon_release" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+        |    CAST(dayofweek(ts) + 1 AS INT) AS dow, user_id
+        |  FROM events),
+        |l1 AS (
+        |  SELECT event_type, hour, dow, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM base GROUP BY 1, 2, 3),
+        |supp AS (SELECT event_type, hour, dow FROM l1 WHERE n_users < 20),
+        |l2 AS (
+        |  SELECT event_type, hour, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM base JOIN supp USING (event_type, hour, dow)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, hour, CAST(dow AS VARCHAR) AS dow,
+        |  n_events, n_users, 1 AS anon_level
+        |FROM l1 WHERE n_users >= 20
+        |UNION ALL
+        |SELECT event_type, hour, '*' AS dow, n_events, n_users,
+        |  CASE WHEN n_users >= 20 THEN 2 ELSE 0 END AS anon_level
+        |FROM l2
+        |ORDER BY event_type, hour, dow""".stripMargin,
     "q_data_split" ->
       s"""WITH b AS (
         |  SELECT doc_id, source,

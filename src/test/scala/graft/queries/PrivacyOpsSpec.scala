@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Privacy-tier operators: exact fixture pins for the redaction strings and
+  * the full k-anonymity generalization ladder (including the level-0
+  * withhold path the generated corpus does not reach at every SF), plus
+  * invariants over the driver testdata.
+  */
+class PrivacyOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Nanos-long ts for hour `h` of epoch day `d` (epoch day 0 = Thursday,
+    * so Spark dayofweek(d0)=5; the fixture picks days by that mapping). */
+  private def ts(d: Int, h: Int): Long = (d * 86400L + h * 3600L) * 1000000000L
+
+  test("pii redact: exact masking and counts on a pinned fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, ts(0, 0), 7L, "signup"),
+      (2L, ts(0, 1), 300L, "click"),
+      (3L, ts(0, 2), 12L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = PrivacyOps.piiRedact(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(rows(1L) === ((2, 0, 1,
+      "contact <EMAIL> alt <EMAIL> from <IP>")))
+    assert(rows(2L) === ((1, 1, 1,
+      "contact <EMAIL> call <PHONE> from <IP>")))
+    assert(rows(3L) === ((1, 0, 1,
+      "contact <EMAIL> from <IP>")))
+  }
+
+  test("pii redact: nothing PII-shaped survives redaction on the corpus") {
+    val out = PrivacyOps.piiRedact(spark, sf).cache()
+    for (re <- Seq(PrivacyOps.EmailRe, PrivacyOps.PhoneRe, PrivacyOps.IpRe))
+      assert(out.filter(col("redacted").rlike(re)).count() === 0)
+    // every planted email was found: mask count == detection count
+    assert(out.filter(
+      size(regexp_extract_all(col("redacted"), lit("<EMAIL>"), lit(0))) =!= col("n_emails"))
+      .count() === 0)
+    assert(out.filter(col("n_ips") =!= 1).count() === 0)
+    out.unpersist()
+  }
+
+  test("k-anonymity: full ladder (release / generalize / withhold) on a pinned fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // d4=Monday(dow 2), d3=Sunday(1), d2=Saturday(7)
+    val rows =
+      (101L to 125L).map(u => (u, ts(4, 0), u, "click")) ++   // 25 users: L1 release
+      (101L to 105L).map(u => (u, ts(4, 1), u, "click")) ++   // 5 users  \ union 12
+      (103L to 112L).map(u => (u, ts(3, 1), u, "click")) ++   //  10 users / -> withhold
+      (101L to 116L).map(u => (u, ts(4, 2), u, "view")) ++    // 16 users \ union 25
+      (110L to 125L).map(u => (u, ts(2, 2), u, "view"))       //  16 users / -> L2 release
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = PrivacyOps.kanonRelease(spark, dir).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out === Map(
+      ("click", 0, "2") -> ((25L, 25L, 1)),   // released as-is
+      ("click", 1, "*") -> ((15L, 12L, 0)),   // generalized, still < k: withheld
+      ("view", 2, "*") -> ((32L, 25L, 2))))   // generalized union reaches k
+  }
+
+  test("k-anonymity: released cells always have >= k distinct users on the corpus") {
+    val out = PrivacyOps.kanonRelease(spark, sf).cache()
+    assert(out.filter(!col("anon_level").isin(0, 1, 2)).count() === 0)
+    assert(out.filter(col("anon_level") >= 1 && col("n_users") < PrivacyOps.KAnon).count() === 0)
+    assert(out.filter(col("anon_level") === 0 && col("n_users") >= PrivacyOps.KAnon).count() === 0)
+    // generalized rows carry the coarsened label
+    assert(out.filter(col("anon_level") =!= 1 && col("dow") =!= "*").count() === 0)
+    out.unpersist()
+  }
+}
