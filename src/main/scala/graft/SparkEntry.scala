@@ -207,6 +207,9 @@ object SparkEntry {
     "q_quantiles" -> (ScaleOps.quantiles _),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
+    // retrieve-from-curated composition: candidates LM-quality-gated
+    // (aggregate-barriered) before the cosine pass
+    "q_retrieval_gated" -> (VectorOps.retrievalGated _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
     "q_sim_ivf" -> (VectorOps.simIvf _),
     "q_embed_dedup" -> (VectorOps.embedDedup _),
@@ -238,6 +241,30 @@ object SparkEntry {
     * engines instead of Spark-NaN vs DuckDB-inf diverging. */
   private def cosSql(a: String, b: String, n: String): String =
     s"(${dotSql(a, b, n)} / nullif(sqrt(${dotSql(a, a, n)}) * sqrt(${dotSql(b, b, n)}), 0))"
+
+  /** The ORDER-BY-free core of the q_lm_score oracle (CurationOps
+    * .lmFamiliarity) — shared with q_retrieval_gated, whose quality gate
+    * is this query filtered on familiarity. */
+  private val lmFamiliarityCore: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+      |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+      |  FROM t WHERE len(tk) >= 2),
+      |cb AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+      |cw AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM cb GROUP BY 1),
+      |lm AS (
+      |  SELECT bg, c2, c1
+      |  FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(c2) AS BIGINT) AS sum_bg_count,
+      |  CAST(SUM(c1) AS BIGINT) AS sum_ctx_count,
+      |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity
+      |FROM b JOIN lm USING (bg)
+      |GROUP BY b.doc_id""".stripMargin
 
   /** DuckDB ±1 hyperplane projection (plane j) matching VectorOps.planeDot. */
   private def planeDotSql(j: Int): String =
@@ -952,26 +979,7 @@ object SparkEntry {
         |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
         |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
-    "q_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
-        |b AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
-        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
-        |  FROM t WHERE len(tk) >= 2),
-        |cb AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
-        |cw AS (
-        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-        |  FROM cb GROUP BY 1),
-        |lm AS (
-        |  SELECT bg, c2, c1
-        |  FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1)
-        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(c2) AS BIGINT) AS sum_bg_count,
-        |  CAST(SUM(c1) AS BIGINT) AS sum_ctx_count,
-        |  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity
-        |FROM b JOIN lm USING (bg)
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_lm_score" -> s"SELECT * FROM ($lmFamiliarityCore) ORDER BY doc_id",
     "q_pii_redact" ->
       """WITH c AS (
         |  SELECT event_id,
@@ -1331,6 +1339,21 @@ object SparkEntry {
         |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
         |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
         |  FROM pr JOIN e c ON c.vec_id <> pr.probe_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_retrieval_gated" ->
+      s"""WITH g AS (
+        |  SELECT doc_id FROM ($lmFamiliarityCore)
+        |  WHERE familiarity >= ${graft.queries.VectorOps.RetrievalGateMin}),
+        |e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
+        |c AS (SELECT e.* FROM e JOIN g ON e.vec_id = g.doc_id),
+        |pairs AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN c ON c.vec_id <> pr.probe_id)
         |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
         |  FROM pairs)

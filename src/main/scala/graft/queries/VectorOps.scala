@@ -68,6 +68,50 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** The LM-familiarity floor for [[retrievalGated]] — chosen to split the
+    * corpus non-trivially at every test SF (84% / 86% / 36% of documents
+    * pass at sf0.001 / 0.01 / 0.1); mirrored verbatim in the oracle. */
+  private[graft] val RetrievalGateMin = 0.0335
+
+  /** Dataset-building retrieval: cosine top-3 per probe as in [[simTopk]],
+    * but with the candidate corpus QUALITY-GATED first — embeddings join
+    * their documents (vec_id = doc_id, the driver tables' shared id space)
+    * restricted to docs whose CCNet-style LM familiarity clears
+    * [[RetrievalGateMin]]. This is the composed shape a training-data
+    * pipeline actually runs (retrieve-from-curated, not retrieve-then-
+    * filter): the gate prunes candidates BEFORE the similarity pass, so
+    * the pair join scans the gated slice only. Probes are deliberately
+    * NOT gated (a query vector need not be high quality).
+    *
+    * Scale notes: the gate side is [[CurationOps.lmFamiliarity]] — its
+    * aggregate barrier also means the gate filter sits above a groupBy and
+    * can never be pushdown-inlined as a per-row lambda (the PlanGuard
+    * HOF-in-Filter trap). The gate⋈embeddings join is a plain hash join on
+    * ids; only the tiny probe set broadcasts.
+    */
+  def retrievalGated(spark: SparkSession, dir: String): DataFrame = {
+    val gate = CurationOps.lmFamiliarity(spark, dir)
+      .filter(col("familiarity") >= RetrievalGateMin)
+      .select(col("doc_id"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val cand = e.join(gate, e("vec_id") === gate("doc_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   // ------------------------------------------------------- LSH-bucketed top-k
   /** Signed projection of an embedding onto deterministic pseudo-random
     * hyperplane j (±1 components from md5(j_i), reproducible in any engine —

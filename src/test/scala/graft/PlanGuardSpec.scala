@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     * z-order's 1-row min/max-bounds broadcast cross (quantization).
     * Everything else must stay equi/hash. */
   private val sanctionedBnlj =
-    Set("q_theta_contains", "q_sim_topk", "q_gapfill", "q_decay_score", "q_zorder_key")
+    Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
+      "q_decay_score", "q_zorder_key")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {
