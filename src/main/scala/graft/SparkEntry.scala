@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -215,6 +215,11 @@ object SparkEntry {
     "q_embed_dedup" -> (VectorOps.embedDedup _),
     // per-vector int8 scalar quantization + reconstruction-error audit
     "q_vec_quant" -> (VectorOps.vecQuantize _),
+    // table maintenance: CDC merge-apply (last-writer-wins + tombstones,
+    // the foreachBatch-MERGE shape), key-skew diagnostics, compaction plan
+    "q_cdc_apply" -> (MaintenanceOps.cdcApply _),
+    "q_skew_report" -> (MaintenanceOps.skewReport _),
+    "q_compaction_plan" -> (MaintenanceOps.compactionPlan _),
   )
 
   private val revenueSql =
@@ -1431,5 +1436,49 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
         |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |snap AS (
+        |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS snap_val
+        |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 300)
+        |SELECT COALESCE(s.key, l.user_id) AS key, s.name,
+        |  CASE WHEN l.user_id IS NULL THEN s.snap_val ELSE l.value END AS val,
+        |  CASE WHEN l.user_id IS NULL THEN 'unchanged'
+        |       WHEN s.key IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM snap s FULL OUTER JOIN latest l ON s.key = l.user_id
+        |WHERE COALESCE(l.event_type, '') <> 'error'
+        |ORDER BY key""".stripMargin,
+    "q_skew_report" ->
+      """WITH li AS (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+        |e AS (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_col, * FROM li
+        |  UNION ALL SELECT 'orders.o_custkey', * FROM o
+        |  UNION ALL SELECT 'events.user_id', * FROM e)
+        |SELECT key_col, COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  MAX(cnt) AS max_cnt,
+        |  quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50_cnt,
+        |  quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_cnt,
+        |  CAST(MAX(cnt) AS DOUBLE) / AVG(cnt) AS skew_ratio
+        |FROM u GROUP BY key_col ORDER BY key_col""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH p AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT doc_id % 20) AS files_now
+        |  FROM documents GROUP BY source, lang),
+        |q AS (
+        |  SELECT *, GREATEST(1, (total_chars + 65535) // 65536) AS planned_files
+        |  FROM p)
+        |SELECT source, lang, n_docs, total_chars, files_now, planned_files,
+        |  GREATEST(0, files_now - planned_files) AS files_saved
+        |FROM q ORDER BY source, lang""".stripMargin,
   )
 }

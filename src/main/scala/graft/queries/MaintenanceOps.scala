@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Table-maintenance operators a lakehouse pipeline runs continuously:
+  * CDC change-log application (the MERGE shape), key-skew diagnostics,
+  * and small-file compaction planning. All three are plain DataFrame
+  * plans — one key-shuffle for the merge, two-level hash aggregates for
+  * the diagnostics — with O(partitions)-sized outputs, so they cost the
+  * same per byte at 100 TB as at sf0.01.
+  */
+object MaintenanceOps {
+
+  /** CDC merge-apply: reconcile a keyed snapshot with a change log where
+    * the LATEST change per key wins and one change kind is a tombstone.
+    * Extends the reference's keyed upsert (09_ETL3.sql ON CONFLICT DO
+    * UPDATE, re-enacted in [[CoreOps.factUpsert]]) with the delete case
+    * and last-writer-wins conflict resolution — the shape a
+    * foreachBatch-MERGE sink applies per micro-batch.
+    *
+    * Snapshot = customers with key in [50, 300); change log = events
+    * keyed by user_id (0–149), `error` = tombstone. The key ranges
+    * overlap so all four outcomes occur: insert (change key not in
+    * snapshot), update (latest change is a value), delete (latest change
+    * is a tombstone), unchanged (snapshot key with no change).
+    *
+    * Plan: one window shuffle on user_id reduces the log to latest-per-
+    * key, then a full-outer sort-merge join on the SAME key applies it —
+    * the second shuffle reuses the first's partitioning. At 100 TB the
+    * snapshot is bucketed by key and the per-batch log is small, so the
+    * merge is a shuffle-free bucket join with an O(batch) probe side.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(spark, dir)
+      .filter(col("c_custkey") >= 50 && col("c_custkey") < 300)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("snap_val"))
+    // last-writer-wins: latest (ts, event_id) per key; ts ties are
+    // impossible to rely on at ns truncation, so event_id breaks them
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("ckey"), col("event_type").as("op"),
+        col("value").as("chg_val"))
+    snap.join(latest, col("key") === col("ckey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "error") // tombstones drop
+      .select(
+        coalesce(col("key"), col("ckey")).as("key"),
+        col("name"), // null for inserts: the log carries no name
+        when(col("ckey").isNull, col("snap_val"))
+          .otherwise(col("chg_val")).as("val"),
+        when(col("ckey").isNull, lit("unchanged"))
+          .when(col("key").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy(col("key"))
+  }
+
+  /** Key-skew diagnostics over the three join/agg keys the engine
+    * shuffles on most: per-key row counts summarized as exact p50/p99 and
+    * a max/avg skew ratio. This is the measurement that DECIDES between
+    * the plain, salted ([[ScaleOps.saltedJoin]]), and AQE plans — run it
+    * before picking, not after the straggler appears.
+    *
+    * Each branch is two hash aggregates (groupBy key → count, then a
+    * 1-row summary); map-side partials apply to both, and the exact
+    * percentile sorts only n_keys counts, not n_rows. At 100 TB the
+    * documented escape is `approx_percentile` (t-digest, mergeable) —
+    * the same exact-vs-sketch trade as [[ScaleOps.quantiles]].
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    keyCountReport(Tables.lineitem(spark, dir), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(keyCountReport(Tables.orders(spark, dir), "o_custkey", "orders.o_custkey"))
+      .unionAll(keyCountReport(Tables.events(spark, dir), "user_id", "events.user_id"))
+      .orderBy(col("key_col"))
+
+  /** One summary row for the per-key count distribution of `df[key]`. */
+  private[queries] def keyCountReport(df: DataFrame, key: String, label: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        percentile(col("cnt").cast(DoubleType), lit(0.5)).as("p50_cnt"),
+        percentile(col("cnt").cast(DoubleType), lit(0.99)).as("p99_cnt"),
+        (max(col("cnt")).cast(DoubleType) /
+          avg(col("cnt"))).as("skew_ratio"))
+      .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+        col("max_cnt"), col("p50_cnt"), col("p99_cnt"), col("skew_ratio"))
+
+  /** Small-file compaction planning from partition stats: per
+    * (source, lang) partition of the documents table, compare the current
+    * file count against the count a target file size implies and emit the
+    * saving. Current layout is simulated as one file per ingest batch
+    * (batch = doc_id mod 20 — each micro-batch append wrote every
+    * partition it touched), which is exactly how streaming sinks produce
+    * the small-file problem this plan exists to undo.
+    *
+    * Pure integer arithmetic (ceil via (n + t − 1) div t) over one
+    * two-level aggregate; the exact COUNT(DISTINCT batch) rides the same
+    * shuffle as the sums. Output is O(partitions) — the plan itself never
+    * grows with data volume, only with partition count.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 65536L // target chars per compacted file
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(pmod(col("doc_id"), lit(20L))).as("files_now"))
+      .withColumn("planned_files", // integer ceil: `/` on longs would be double division
+        greatest(lit(1L), expr(s"(total_chars + ${target - 1}) DIV $target")))
+      .withColumn("files_saved",
+        greatest(lit(0L), col("files_now") - col("planned_files")))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("files_now"), col("planned_files"), col("files_saved"))
+      .orderBy(col("source"), col("lang"))
+  }
+}

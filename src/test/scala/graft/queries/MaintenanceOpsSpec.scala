@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Table-maintenance operators: fixture pins for every CDC action kind and
+  * the last-writer-wins tie-break, hand-computed skew percentiles, and the
+  * compaction-plan ceil boundaries — the edge cases the generated corpus
+  * cannot be relied on to exercise at every SF.
+  */
+class MaintenanceOpsSpec extends SparkSpec {
+
+  /** Nanos-long ts at minute `m` (Tables.events truncates to micros). */
+  private def ts(m: Int): Long = m * 60L * 1000000000L
+
+  test("cdc apply: all four actions and last-writer-wins on a pinned fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq(
+      (50L, "cust50", 10.0),   // updated twice; latest (ts tie, higher id) wins
+      (60L, "cust60", 20.0),   // latest change is a tombstone -> deleted
+      (150L, "cust150", 30.0)) // no change -> unchanged
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(
+      (1L, ts(1), 50L, "click", 1.0),
+      (2L, ts(2), 50L, "view", 2.0),     // same ts as id 3 -> event_id breaks
+      (3L, ts(2), 50L, "purchase", 3.0), // the tie: this one wins
+      (4L, ts(1), 60L, "click", 4.0),
+      (5L, ts(2), 60L, "error", 0.0),    // tombstone last -> delete
+      (6L, ts(1), 70L, "signup", 6.0),   // not in snapshot -> insert
+      (7L, ts(1), 80L, "signup", 7.0),
+      (8L, ts(2), 80L, "error", 0.0))    // insert then tombstone -> absent
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = MaintenanceOps.cdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(rows.keySet === Set(50L, 70L, 150L)) // 60 deleted, 80 never lands
+    assert(rows(50L) === ((Some("cust50"), 3.0, "update")))
+    assert(rows(70L) === ((None, 6.0, "insert"))) // log carries no name
+    assert(rows(150L) === ((Some("cust150"), 30.0, "unchanged")))
+  }
+
+  test("skew report: hand-computed percentiles and ratio") {
+    import spark.implicits._
+    // per-key counts: a->1, b->1, c->2, d->4 (8 rows, 4 keys)
+    val df = Seq("a", "b", "c", "c", "d", "d", "d", "d").toDF("k")
+    val r = MaintenanceOps.keyCountReport(df, "k", "fixture").collect()(0)
+    assert(r.getLong(1) === 4L && r.getLong(2) === 8L && r.getLong(3) === 4L)
+    // sorted counts [1,1,2,4]: p50 at idx 1.5 -> 1.5; p99 at idx 2.97 -> 3.94
+    assert(r.getDouble(4) === 1.5)
+    assert(math.abs(r.getDouble(5) - 3.94) < 1e-12)
+    assert(r.getDouble(6) === 2.0) // max 4 / avg 2
+  }
+
+  test("compaction plan: ceil boundaries and the saved-files clamp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // srcA/en: 3 batches, exactly one target file's worth -> saves 2
+    // srcA/fr: 2 batches, one char over a file -> plans 2, saves 0
+    // srcB/en: 1 batch, tiny -> plans max(1, 0)=1, saved clamps at 0
+    Seq(
+      (0L, "srcA", "en", 30000L), (1L, "srcA", "en", 30000L), (2L, "srcA", "en", 5536L),
+      (3L, "srcA", "fr", 65537L), (24L, "srcA", "fr", 0L),
+      (5L, "srcB", "en", 10L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MaintenanceOps.compactionPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows(("srcA", "en")) === ((3L, 65536L, 3L, 1L, 2L)))
+    assert(rows(("srcA", "fr")) === ((2L, 65537L, 2L, 2L, 0L)))
+    assert(rows(("srcB", "en")) === ((1L, 10L, 1L, 1L, 0L)))
+  }
+
+  test("skew report on the corpus: row conservation and ordering invariants") {
+    val rows = MaintenanceOps.skewReport(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("events.user_id", "lineitem.l_orderkey", "orders.o_custkey"))
+    for (r <- rows) {
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+      assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getLong(3).toDouble)
+      val expected = r.getLong(3).toDouble / (r.getLong(2).toDouble / r.getLong(1))
+      assert(math.abs(r.getDouble(6) - expected) < 1e-9)
+    }
+  }
+}
