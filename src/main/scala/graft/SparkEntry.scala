@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -220,6 +220,11 @@ object SparkEntry {
     "q_cdc_apply" -> (MaintenanceOps.cdcApply _),
     "q_skew_report" -> (MaintenanceOps.skewReport _),
     "q_compaction_plan" -> (MaintenanceOps.compactionPlan _),
+    // behavioral analytics: staged conversion funnel, weekly retention
+    // cohorts, and per-day L-infinity distribution-drift monitoring
+    "q_funnel" -> (BehaviorOps.funnel _),
+    "q_retention" -> (BehaviorOps.retention _),
+    "q_drift_linf" -> (BehaviorOps.driftLinf _),
   )
 
   private val revenueSql =
@@ -1480,5 +1485,50 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_chars, files_now, planned_files,
         |  GREATEST(0, files_now - planned_files) AS files_saved
         |FROM q ORDER BY source, lang""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'signup' AS stage_name, COUNT(*) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS avg_delta_us FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*),
+        |  AVG(epoch_us(t2) - epoch_us(t1)) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*),
+        |  AVG(epoch_us(t3) - epoch_us(t2)) FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS INT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_drift_linf" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, CAST(SUM(o) AS BIGINT) AS day_total FROM c GROUP BY day),
+        |t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS type_total
+        |      FROM c GROUP BY event_type),
+        |g AS (SELECT CAST(SUM(type_total) AS BIGINT) AS grand FROM t),
+        |x AS (
+        |  SELECT d.day, d.day_total, t.type_total, g.grand, COALESCE(c.o, 0) AS o
+        |  FROM d CROSS JOIN t CROSS JOIN g
+        |  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type)
+        |SELECT day, day_total AS n_events,
+        |  MAX(ABS(CAST(o AS DOUBLE) / day_total
+        |          - CAST(type_total AS DOUBLE) / grand)) AS linf_drift
+        |FROM x GROUP BY day, day_total ORDER BY day""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Behavioral analytics over the event stream — the funnel / cohort /
+  * drift-monitor family a product-analytics engine ships and a training-
+  * data pipeline reuses to watch its own ingest (is today's source mix
+  * drifting from the corpus baseline?). All three are chained hash
+  * aggregates on `user_id`/day keys: the per-user reductions happen
+  * FIRST, so every join after them carries O(users)/O(days) rows, not
+  * O(events) — the property that keeps them linear at 100 TB.
+  */
+object BehaviorOps {
+
+  /** Staged conversion funnel (signup → click → purchase), strictly
+    * time-ordered per user: each stage's timestamp must be strictly
+    * after the previous stage's (ties at microsecond grain do not
+    * convert). Per stage: users reaching it and the mean microseconds
+    * from the previous stage.
+    *
+    * Each stage is filter → join on the previous stage's per-user row →
+    * min-aggregate, so all three stages shuffle on the SAME key
+    * (user_id) and reuse one partitioning; the per-stage frames shrink
+    * monotonically. Deltas are summed as exact long microseconds (both
+    * engines' integer AVG is sum/count — order-independent), then one
+    * division, so the doubles hash-match.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    def stage(n: Int, name: String, df: DataFrame, delta: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), avg(delta).as("avg_delta_us"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_users"), col("avg_delta_us"))
+    stage(1, "signup", s1, lit(null).cast(LongType))
+      .unionAll(stage(2, "click", s2, unix_micros(col("t2")) - unix_micros(col("t1"))))
+      .unionAll(stage(3, "purchase", s3, unix_micros(col("t3")) - unix_micros(col("t2"))))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week, counted per week-offset from that cohort. Week index is pure
+    * integer arithmetic (days-since-epoch floor-div 7) — no engine-
+    * specific week-truncation semantics to disagree on.
+    *
+    * Two aggregates on user_id (first week, then the cohort join) and
+    * one on the (cohort, offset) grain; the exact COUNT(DISTINCT user)
+    * rides the final shuffle. The cohort table is O(users) — at 100 TB
+    * the events→cohort join is the standard fact⋈reduced-dim shuffle,
+    * bucketable on user_id.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+        .cast(IntegerType).as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-day distribution-drift monitor: the L∞ distance between each
+    * day's event-type mix and the corpus-wide baseline mix. L∞ (max of
+    * per-type |share − baseline share|) is chosen over chi-square/TVD
+    * deliberately: MAX of doubles is order-independent where a SUM of
+    * doubles is not, so the statistic is bit-stable across engines and
+    * partitionings. Absent (day, type) cells count as share 0 via the
+    * day×type grid, or a quiet day would under-report its drift.
+    *
+    * Shape: one (day, type) count aggregate feeds everything; the type
+    * totals (|types| rows) and grand total (1 row) are aggregate-derived
+    * tiny frames broadcast-crossed into the day grid — the sanctioned
+    * q_gapfill pattern. Two fact-scans' worth of work total, O(days)
+    * output.
+    */
+  def driftLinf(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("o"))
+    val d = c.groupBy(col("day")).agg(sum(col("o")).as("day_total"))
+    val t = c.groupBy(col("event_type")).agg(sum(col("o")).as("type_total"))
+    val g = t.agg(sum(col("type_total")).as("grand"))
+    d.crossJoin(t).crossJoin(g)
+      .join(c, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("o"))
+      .groupBy(col("day"), col("day_total"))
+      .agg(max(abs(
+        col("o").cast(DoubleType) / col("day_total") -
+          col("type_total").cast(DoubleType) / col("grand"))).as("linf_drift"))
+      .select(col("day"), col("day_total").as("n_events"), col("linf_drift"))
+      .orderBy(col("day"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Behavioral-analytics fixtures: strict funnel ordering (ties and
+  * out-of-order stages must NOT convert), cohort arithmetic, and the
+  * absent-cell case in the drift grid — the paths the generated corpus
+  * cannot be relied on to exercise.
+  */
+class BehaviorOpsSpec extends SparkSpec {
+
+  /** Nanos-long ts at minute `m` of epoch day `d`. */
+  private def ts(d: Int, m: Int): Long = (d * 86400L + m * 60L) * 1000000000L
+
+  test("funnel: strict ordering, ties and reversed stages do not convert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      // user 1: full conversion, 1 min then 2 min
+      (1L, ts(0, 0), 1L, "signup"), (2L, ts(0, 1), 1L, "click"),
+      (3L, ts(0, 3), 1L, "purchase"),
+      // user 2: click at the SAME micro as signup -> stalls at stage 1
+      (4L, ts(0, 0), 2L, "signup"), (5L, ts(0, 0), 2L, "click"),
+      // user 3: click BEFORE signup, purchase after -> purchase without
+      // a qualifying click cannot convert either
+      (6L, ts(0, 5), 3L, "signup"), (7L, ts(0, 4), 3L, "click"),
+      (8L, ts(0, 6), 3L, "purchase"),
+      // user 4: click but never signed up -> not in the funnel at all
+      (9L, ts(0, 0), 4L, "click"),
+      // user 5: converts to click in 3 min; two clicks, earliest wins
+      (10L, ts(0, 0), 5L, "signup"), (11L, ts(0, 3), 5L, "click"),
+      (12L, ts(0, 9), 5L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(rows(1) === ((4L, None)))                    // users 1,2,3,5 signed up
+    assert(rows(2)._1 === 2L)                           // users 1 and 5
+    assert(rows(2)._2 === Some((60e6 + 180e6) / 2))     // mean of 1 and 3 min
+    assert(rows(3) === ((1L, Some(120e6))))             // user 1 only, 2 min
+  }
+
+  test("retention: cohort week and offsets from hand-placed activity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    Seq(
+      // epoch week 0 = days 0..6; user 1 active weeks 0 and 2
+      (1L, ts(0, 0), 1L, "click"), (2L, ts(15, 0), 1L, "view"),
+      // user 2 first seen week 2, active weeks 2 and 3
+      (3L, ts(14, 0), 2L, "click"), (4L, ts(21, 0), 2L, "view"),
+      // user 3 only week 0
+      (5L, ts(3, 0), 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.retention(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      (0, 0) -> 2L, // users 1 and 3 in cohort 0, week 0
+      (0, 2) -> 1L, // user 1 returns two weeks later
+      (2, 0) -> 1L, // user 2's own cohort
+      (2, 1) -> 1L))
+  }
+
+  test("drift: a day missing a type entirely still pays that type's share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // day 0: 3 click + 1 view; day 1: 4 click only (view absent)
+    // baseline: click 7/8, view 1/8
+    val evs =
+      (1L to 3L).map(i => (i, ts(0, i.toInt), i, "click", 0.0)) ++
+        Seq((4L, ts(0, 9), 4L, "view", 0.0)) ++
+        (5L to 8L).map(i => (i, ts(1, i.toInt), i, "click", 0.0))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.driftLinf(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toSeq
+    // day 0: |3/4 - 7/8| = 1/8, |1/4 - 1/8| = 1/8 -> 0.125
+    // day 1: |4/4 - 7/8| = 1/8, |0 - 1/8| = 1/8 -> 0.125 (needs the grid:
+    // without the absent view cell the max would still be 1/8 here, but
+    // the o=0 term is what carries it when the missing type dominates)
+    assert(rows === Seq(4L -> 0.125, 4L -> 0.125))
+  }
+
+  test("drift: absent dominant type is reported at full baseline share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift2").toString
+    // baseline: view 9/10; day 1 has NO view at all -> drift must be 0.9-ish
+    val evs =
+      (1L to 9L).map(i => (i, ts(0, i.toInt), i, "view", 0.0)) ++
+        Seq((10L, ts(1, 1), 1L, "click", 0.0))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val byDay = BehaviorOps.driftLinf(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byDay(1L) === 0.9) // |0 - 9/10| from the absent-view grid cell
+  }
+}
