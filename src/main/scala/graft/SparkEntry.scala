@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -225,6 +225,10 @@ object SparkEntry {
     "q_funnel" -> (BehaviorOps.funnel _),
     "q_retention" -> (BehaviorOps.retention _),
     "q_drift_linf" -> (BehaviorOps.driftLinf _),
+    // profiling: count-min-sketch heavy hitters (exact audit beside) and
+    // join-key inference via distinct-set containment
+    "q_heavy_hitters" -> (ProfileOps.heavyHitters _),
+    "q_fk_profile" -> (ProfileOps.fkProfile _),
   )
 
   private val revenueSql =
@@ -1530,5 +1534,44 @@ object SparkEntry {
         |  MAX(ABS(CAST(o AS DOUBLE) / day_total
         |          - CAST(type_total AS DOUBLE) / grand)) AS linf_drift
         |FROM x GROUP BY day, day_total ORDER BY day""".stripMargin,
+    "q_heavy_hitters" -> {
+      val bucketSql =
+        h32Sql("concat(CAST(depth AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))") + " % 64"
+      s"""WITH d AS (SELECT unnest(range(4)) AS depth),
+        |cms AS (
+        |  SELECT depth, $bucketSql AS bucket, COUNT(*) AS cell
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
+        |exact AS (SELECT l_partkey, COUNT(*) AS exact FROM lineitem GROUP BY 1),
+        |probe AS (
+        |  SELECT e.l_partkey, e.exact, d.depth, $bucketSql AS bucket
+        |  FROM exact e CROSS JOIN d),
+        |est AS (
+        |  SELECT p.l_partkey, p.exact, MIN(c.cell) AS est
+        |  FROM probe p JOIN cms c ON c.depth = p.depth AND c.bucket = p.bucket
+        |  GROUP BY 1, 2)
+        |SELECT l_partkey, est, exact, est - exact AS overestimate
+        |FROM est ORDER BY est DESC, l_partkey LIMIT 10""".stripMargin
+    },
+    "q_fk_profile" -> {
+      def pairSql(ct: String, cc: String, pt: String, pc: String): String =
+        s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+          |  CAST(SUM(is_c) AS BIGINT) AS n_child_keys,
+          |  CAST(SUM(is_p) AS BIGINT) AS n_parent_keys,
+          |  CAST(SUM(is_c * is_p) AS BIGINT) AS n_matched,
+          |  CAST(SUM(is_c * is_p) AS DOUBLE) / SUM(is_c) AS containment,
+          |  SUM(is_c * is_p) = SUM(is_c) AS is_fk_candidate
+          |FROM (
+          |  SELECT COALESCE(c.is_c, 0) AS is_c, COALESCE(p.is_p, 0) AS is_p
+          |  FROM (SELECT DISTINCT $cc AS k, 1 AS is_c FROM $ct) c
+          |  FULL OUTER JOIN (SELECT DISTINCT $pc AS k, 1 AS is_p FROM $pt) p
+          |  ON c.k = p.k)""".stripMargin
+      Seq(
+        pairSql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        pairSql("lineitem", "l_partkey", "part", "p_partkey"),
+        pairSql("orders", "o_custkey", "customer", "c_custkey"),
+        pairSql("events", "user_id", "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY child_col, parent_col")
+    },
   )
 }

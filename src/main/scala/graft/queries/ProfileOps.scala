@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import TextOps.h32
+
+/** Data-profiling operators — the catalog-building pass a pipeline runs
+  * over an unfamiliar 100 TB corpus before it writes a single query:
+  * sketch-based frequency estimation and join-key (FK) inference. Both
+  * are exact-arithmetic and engine-portable: the sketch is md5-derived
+  * integer hashing (same automaton both engines), the profiler is
+  * distinct-set algebra on one full-outer join.
+  */
+object ProfileOps {
+
+  private val Depths  = 4   // CMS rows (independent hash functions)
+  private val Width   = 64L // CMS buckets per row
+
+  /** Count-min-sketch heavy hitters over lineitem.l_partkey, audited
+    * against the exact counts. The sketch state is DepthsxWidth = 256
+    * cells regardless of data volume — built by one map-side-combinable
+    * groupBy over a 4x depth explode — where the exact computation's
+    * state is O(distinct keys). That fixed size is the 100 TB story:
+    * cells merge associatively across any partitioning (the same
+    * property BloomFunctions exploits), and heavy-hitter candidates are
+    * then probed against 256 broadcast cells instead of re-scanning. The
+    * entry probes ALL distinct keys so the oracle can audit the CMS
+    * guarantee (est >= exact, overestimate = collision mass) key by key;
+    * a production probe set would come from a sample or prior top-k.
+    *
+    * Top-10 by estimate (tie-broken by key) with the exact count and
+    * overestimate beside — integer arithmetic end to end.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsAudit(Tables.lineitem(spark, dir).select(col("l_partkey")), "l_partkey")
+      .orderBy(col("est").desc, col("l_partkey"))
+      .limit(10)
+
+  /** CMS estimate vs exact count for every distinct value of `key` —
+    * the unlimited audit frame behind [[heavyHitters]]. */
+  private[queries] def cmsAudit(df: DataFrame, key: String): DataFrame = {
+    val depths = array((0 until Depths).map(lit): _*)
+    def bucket(k: Column, depth: Column): Column =
+      pmod(h32(concat(depth.cast(StringType), lit(":"), k.cast(StringType))),
+        lit(Width))
+    // build: 4x explode -> (depth, bucket) counts, <=256 cells
+    val cms = df.select(explode(depths).as("depth"), col(key))
+      .groupBy(col("depth"), bucket(col(key), col("depth")).as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    // probe: each candidate's 4 (depth, bucket) coords -> min cell
+    val exact = df.groupBy(col(key)).agg(count(lit(1)).as("exact"))
+    exact.select(col(key), col("exact"), explode(depths).as("depth"))
+      .withColumn("bucket", bucket(col(key), col("depth")))
+      .join(cms, Seq("depth", "bucket"))
+      .groupBy(col(key), col("exact"))
+      .agg(min(col("cell")).as("est"))
+      .select(col(key), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overestimate"))
+  }
+
+  /** Join-key inference: for each candidate (child column, parent key)
+    * pair, the distinct-set containment — what fraction of child values
+    * exist in the parent. Containment 1.0 marks an FK candidate; the
+    * deliberately-included events.user_id vs customer.c_custkey pair
+    * shows a non-FK reading (user ids are not customer keys at every SF).
+    *
+    * Per pair: distinct-project both sides (map-side partial dedup),
+    * one full-outer join with presence markers, one count aggregate —
+    * no cross join, no collect. Work is O(distinct keys), not O(rows),
+    * so profiling cost is set by key cardinality alone at any volume.
+    */
+  def fkProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val cu = Tables.customer(spark, dir)
+    pair(li, "l_orderkey", "lineitem.l_orderkey", o, "o_orderkey", "orders.o_orderkey")
+      .unionAll(pair(li, "l_partkey", "lineitem.l_partkey",
+        Tables.part(spark, dir), "p_partkey", "part.p_partkey"))
+      .unionAll(pair(o, "o_custkey", "orders.o_custkey", cu, "c_custkey", "customer.c_custkey"))
+      .unionAll(pair(Tables.events(spark, dir), "user_id", "events.user_id",
+        cu, "c_custkey", "customer.c_custkey"))
+      .orderBy(col("child_col"), col("parent_col"))
+  }
+
+  /** One containment row for a (child column, parent key) pair. */
+  private[queries] def pair(
+      child: DataFrame, childCol: String, childName: String,
+      parent: DataFrame, parentCol: String, parentName: String): DataFrame = {
+      val c = child.select(col(childCol).as("k")).distinct()
+        .withColumn("is_c", lit(1L))
+      val p = parent.select(col(parentCol).as("k")).distinct()
+        .withColumn("is_p", lit(1L))
+      c.join(p, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("is_c"), lit(0L))).as("n_child_keys"),
+          sum(coalesce(col("is_p"), lit(0L))).as("n_parent_keys"),
+          sum(coalesce(col("is_c"), lit(0L)) * coalesce(col("is_p"), lit(0L)))
+            .as("n_matched"))
+        .select(lit(childName).as("child_col"), lit(parentName).as("parent_col"),
+          col("n_child_keys"), col("n_parent_keys"), col("n_matched"),
+          (col("n_matched").cast(DoubleType) / col("n_child_keys"))
+            .as("containment"),
+          (col("n_matched") === col("n_child_keys")).as("is_fk_candidate"))
+  }
+}
