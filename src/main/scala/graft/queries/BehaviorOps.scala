@@ -22,10 +22,12 @@ object BehaviorOps {
     * convert). Per stage: users reaching it and the mean microseconds
     * from the previous stage.
     *
-    * Each stage is filter → join on the previous stage's per-user row →
-    * min-aggregate, so all three stages shuffle on the SAME key
-    * (user_id) and reuse one partitioning; the per-stage frames shrink
-    * monotonically. Deltas are summed as exact long microseconds (both
+    * Each stage is filter → join on the previous stage's per-user frame
+    * → min-aggregate; the reduced frames are O(users), shrink
+    * monotonically, and Catalyst broadcasts them into the fact scans at
+    * small scale (the observed plan) or SMJs them on the shared user_id
+    * key past the broadcast threshold. Deltas are summed as exact long
+    * microseconds (both
     * engines' integer AVG is sum/count — order-independent), then one
     * division, so the doubles hash-match.
     */
