@@ -220,6 +220,8 @@ object SparkEntry {
     "q_cdc_apply" -> (MaintenanceOps.cdcApply _),
     "q_skew_report" -> (MaintenanceOps.skewReport _),
     "q_compaction_plan" -> (MaintenanceOps.compactionPlan _),
+    // snapshot-to-snapshot reconciliation by content checksum
+    "q_data_diff" -> (MaintenanceOps.dataDiff _),
     // behavioral analytics: staged conversion funnel, weekly retention
     // cohorts, and per-day L-infinity distribution-drift monitoring
     "q_funnel" -> (BehaviorOps.funnel _),
@@ -1489,6 +1491,25 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_chars, files_now, planned_files,
         |  GREATEST(0, files_now - planned_files) AS files_saved
         |FROM q ORDER BY source, lang""".stripMargin,
+    "q_data_diff" -> {
+      val sum1 = h32Sql("text")
+      val sum2 = h32Sql("CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END")
+      s"""WITH v1 AS (
+        |  SELECT doc_id, source, $sum1 AS sum1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source AS source2, $sum2 AS sum2
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (
+        |  SELECT COALESCE(v1.source, v2.source2) AS source,
+        |    CASE WHEN v1.sum1 IS NULL THEN 'added'
+        |         WHEN v2.sum2 IS NULL THEN 'removed'
+        |         WHEN v1.sum1 = v2.sum2 THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, COUNT(*) AS n_docs
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

@@ -94,6 +94,44 @@ object MaintenanceOps {
       .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
         col("max_cnt"), col("p50_cnt"), col("p99_cnt"), col("skew_ratio"))
 
+  /** Snapshot-to-snapshot reconciliation (data diff): given two versions
+    * of the documents table, classify every doc as added / removed /
+    * changed / unchanged by content checksum and report counts per
+    * (source, status) — the validation gate a pipeline runs between a
+    * re-extraction and the corpus it replaces, before anything ships.
+    * Versions are derived deterministically from the one driver table so
+    * every SF exercises all four statuses: v1 omits doc_id ≡ 0 (mod 7),
+    * v2 omits doc_id ≡ 0 (mod 13) and re-extracts (uppercases) doc_id ≡
+    * 0 (mod 11).
+    *
+    * One full-outer join on doc_id (both sides co-partitioned on it)
+    * comparing md5-derived checksums, then a hash aggregate — O(docs)
+    * once, no second scan. At 100 TB both snapshots are bucketed by
+    * doc_id and the join is shuffle-free; the checksum column is the
+    * only payload carried, so shuffle bytes are O(docs × 8), not corpus
+    * size.
+    */
+  def dataDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      .select(col("doc_id"), col("source"),
+        TextOps.h32(col("text")).as("sum1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0L)
+      .select(col("doc_id"), col("source").as("source2"),
+        TextOps.h32(when(pmod(col("doc_id"), lit(11L)) === 0L, upper(col("text")))
+          .otherwise(col("text"))).as("sum2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source2")).as("source"),
+        when(col("sum1").isNull, lit("added"))
+          .when(col("sum2").isNull, lit("removed"))
+          .when(col("sum1") === col("sum2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
   /** Small-file compaction planning from partition stats: per
     * (source, lang) partition of the documents table, compare the current
     * file count against the count a target file size implies and emit the

@@ -76,6 +76,35 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(rows(("srcB", "en")) === ((1L, 10L, 1L, 1L, 0L)))
   }
 
+  test("data diff: all four statuses from the derived versions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    Seq(
+      (1L, "s", "x one"),   // in both, same text -> unchanged
+      (7L, "s", "x seven"), // 7 % 7 = 0: absent from v1 -> added
+      (13L, "s", "x 13"),   // 13 % 13 = 0: absent from v2 -> removed
+      (22L, "s", "x 22"),   // 22 % 11 = 0: re-extracted (upper) -> changed
+      (91L, "s", "x 91"))   // 91 = 7*13: in neither version -> no row
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MaintenanceOps.dataDiff(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("data diff: pure-digit re-extraction is a no-op (upper fixed point)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff2").toString
+    // doc 33 is re-extracted (33 % 11 = 0) but has no cased letters, so
+    // its checksum is identical -> unchanged, not changed
+    Seq((33L, "s", "123 456")).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MaintenanceOps.dataDiff(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(rows === Array(("unchanged", 1L)))
+  }
+
   test("skew report on the corpus: row conservation and ordering invariants") {
     val rows = MaintenanceOps.skewReport(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.getString(0)).toSeq ===
