@@ -227,6 +227,8 @@ object SparkEntry {
     "q_funnel" -> (BehaviorOps.funnel _),
     "q_retention" -> (BehaviorOps.retention _),
     "q_drift_linf" -> (BehaviorOps.driftLinf _),
+    // gaps-and-islands activity streaks (one window, no self-join)
+    "q_streaks" -> (BehaviorOps.streaks _),
     // profiling: count-min-sketch heavy hitters (exact audit beside) and
     // join-key inference via distinct-set containment
     "q_heavy_hitters" -> (ProfileOps.heavyHitters _),
@@ -1539,6 +1541,18 @@ object SparkEntry {
         |  COUNT(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    (day - DATE '1970-01-01')
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_drift_linf" ->
       """WITH c AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS o

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,6 +76,30 @@ object BehaviorOps {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Per-user activity streaks via gaps-and-islands: consecutive active
+    * days share a constant (day_index − row_number) island key, so runs
+    * fall out of one partitioned window plus two hash aggregates — no
+    * self-join, no iteration. The distinct (user, day) reduction comes
+    * first, so the window sorts O(active user-days), not O(events), and
+    * everything shuffles once on user_id.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island",
+        datediff(col("day"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
   }
 
   /** Per-day distribution-drift monitor: the L∞ distance between each

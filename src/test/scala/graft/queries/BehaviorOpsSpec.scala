@@ -61,6 +61,25 @@ class BehaviorOpsSpec extends SparkSpec {
       (2, 1) -> 1L))
   }
 
+  test("streaks: islands, multiple same-day events, and singleton runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streak").toString
+    Seq(
+      // user 1: days 1,2,3 then 10,11 -> streaks of 3 and 2
+      (1L, ts(1, 0), 1L, "click"), (2L, ts(2, 0), 1L, "view"),
+      (3L, ts(2, 5), 1L, "view"), // second event same day: no double-count
+      (4L, ts(3, 0), 1L, "click"),
+      (5L, ts(10, 0), 1L, "click"), (6L, ts(11, 0), 1L, "click"),
+      // user 2: isolated days 5 and 7 -> two singleton streaks
+      (7L, ts(5, 0), 2L, "click"), (8L, ts(7, 0), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) === ((2L, 3L, 5L)))
+    assert(rows(2L) === ((2L, 1L, 2L)))
+  }
+
   test("drift: a day missing a type entirely still pays that type's share") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
