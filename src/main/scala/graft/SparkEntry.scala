@@ -1570,8 +1570,9 @@ object SparkEntry {
         |          - CAST(type_total AS DOUBLE) / grand)) AS linf_drift
         |FROM x GROUP BY day, day_total ORDER BY day""".stripMargin,
     "q_heavy_hitters" -> {
+      // 4 hash functions = 4 disjoint 8-hex slices of ONE md5 digest
       val bucketSql =
-        h32Sql("concat(CAST(depth AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))") + " % 64"
+        "CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * CAST(depth AS INT), 8)) AS BIGINT) % 64"
       s"""WITH d AS (SELECT unnest(range(4)) AS depth),
         |cms AS (
         |  SELECT depth, $bucketSql AS bucket, COUNT(*) AS cell

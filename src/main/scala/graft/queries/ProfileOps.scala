@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import TextOps.h32
 
 /** Data-profiling operators — the catalog-building pass a pipeline runs
   * over an unfamiliar 100 TB corpus before it writes a single query:
@@ -40,20 +39,28 @@ object ProfileOps {
       .limit(10)
 
   /** CMS estimate vs exact count for every distinct value of `key` —
-    * the unlimited audit frame behind [[heavyHitters]]. */
+    * the unlimited audit frame behind [[heavyHitters]].
+    *
+    * All [[Depths]] hash functions come from ONE md5 digest per row: an
+    * md5 is 32 hex chars, and 4 disjoint 8-char slices are 4 independent
+    * 32-bit hashes. The naive form (md5 per (row, depth)) made digesting
+    * the dominant cost of the build scan at sf0.1 — 4x the hashing for
+    * zero extra information. One digest, [[Depths]] buckets; the DuckDB
+    * oracle slices the same digest at the same offsets.
+    */
   private[queries] def cmsAudit(df: DataFrame, key: String): DataFrame = {
-    val depths = array((0 until Depths).map(lit): _*)
-    def bucket(k: Column, depth: Column): Column =
-      pmod(h32(concat(depth.cast(StringType), lit(":"), k.cast(StringType))),
-        lit(Width))
-    // build: 4x explode -> (depth, bucket) counts, <=256 cells
-    val cms = df.select(explode(depths).as("depth"), col(key))
-      .groupBy(col("depth"), bucket(col(key), col("depth")).as("bucket"))
+    def buckets(k: Column): Column = array((0 until Depths).map { i =>
+      conv(substring(md5(k.cast(StringType)), 1 + 8 * i, 8), 16, 10)
+        .cast(LongType) % Width
+    }: _*)
+    // build: one digest per row, posexplode its 4 slices -> <=256 cells
+    val cms = df.select(col(key), posexplode(buckets(col(key))).as(Seq("depth", "bucket")))
+      .groupBy(col("depth"), col("bucket"))
       .agg(count(lit(1)).as("cell"))
     // probe: each candidate's 4 (depth, bucket) coords -> min cell
     val exact = df.groupBy(col(key)).agg(count(lit(1)).as("exact"))
-    exact.select(col(key), col("exact"), explode(depths).as("depth"))
-      .withColumn("bucket", bucket(col(key), col("depth")))
+    exact.select(col(key), col("exact"),
+        posexplode(buckets(col(key))).as(Seq("depth", "bucket")))
       .join(cms, Seq("depth", "bucket"))
       .groupBy(col(key), col("exact"))
       .agg(min(col("cell")).as("est"))
