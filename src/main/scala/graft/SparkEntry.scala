@@ -131,6 +131,9 @@ object SparkEntry {
     // same answer via a distributed BloomFilterAggregate prefilter + exact
     // confirm join — the shape for eval sets too big to broadcast exactly
     "q_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
+    // cross-split contamination audit: test-doc shingles probed against
+    // per-shingle train counts (shuffle join — neither side broadcastable)
+    "q_split_leakage" -> (TextOps.splitLeakage _),
     // corpus curation: per-source quota, mixture sampling, repetition gates
     "q_source_quota" -> (CurationOps.sourceQuota _),
     // salted two-phase rank, hash-matching the same oracle (skew escape)
@@ -149,6 +152,9 @@ object SparkEntry {
     "q_seq_pack" -> (CurationOps.seqPack _),
     // deterministic hash-bucket train/valid/test split (map-only, append-stable)
     "q_data_split" -> (CurationOps.dataSplit _),
+    // weighted sampling without replacement (priority sampling): map-only
+    // projection + TakeOrdered top-k, no transcendentals, no global sort
+    "q_priority_sample" -> (CurationOps.prioritySample _),
     // CCNet-style LM quality scoring: self-estimated bigram model, exact-int
     // ratio-of-sums familiarity (division-only, hash-stable cross-engine)
     "q_lm_score" -> (CurationOps.lmFamiliarity _),
@@ -215,6 +221,9 @@ object SparkEntry {
     "q_embed_dedup" -> (VectorOps.embedDedup _),
     // per-vector int8 scalar quantization + reconstruction-error audit
     "q_vec_quant" -> (VectorOps.vecQuantize _),
+    // quantized Lloyd's k-means: broadcast-literal centroids, map-only
+    // assignment, one K·d-cell aggregate per update — exact int arithmetic
+    "q_kmeans" -> (VectorOps.kmeans _),
     // table maintenance: CDC merge-apply (last-writer-wins + tombstones,
     // the foreachBatch-MERGE shape), key-skew diagnostics, compaction plan
     "q_cdc_apply" -> (MaintenanceOps.cdcApply _),
@@ -983,6 +992,31 @@ object SparkEntry {
     // the bloom prefilter is transparent to the answer (false positives
     // die in the exact confirm join), so the oracle is shared verbatim
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_split_leakage" -> {
+      val bucket = h32Sql("concat('split_', CAST(doc_id AS VARCHAR))") + " % 100"
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN $bucket < 90 THEN 'train'
+        |         WHEN $bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+        |    list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})) AS h
+        |  FROM t WHERE len(tk) >= 3),
+        |trc AS (
+        |  SELECT sh, COUNT(*) AS n_train_docs
+        |  FROM (SELECT doc_id, unnest(h) AS sh FROM s WHERE split = 'train')
+        |  GROUP BY sh),
+        |te AS (
+        |  SELECT doc_id, CAST(len(h) AS INT) AS n_shingles, unnest(h) AS sh
+        |  FROM s WHERE split = 'test')
+        |SELECT te.doc_id, te.n_shingles, COUNT(*) AS n_leaked,
+        |  MAX(trc.n_train_docs) AS max_train_docs,
+        |  CAST(COUNT(*) AS DOUBLE) / te.n_shingles AS leak_ratio
+        |FROM te JOIN trc USING (sh)
+        |GROUP BY te.doc_id, te.n_shingles
+        |ORDER BY te.doc_id""".stripMargin
+    },
     "q_seq_pack" ->
       """WITH d AS (
         |  SELECT source, doc_id,
@@ -1044,6 +1078,12 @@ object SparkEntry {
         |  CASE WHEN n_users >= 20 THEN 2 ELSE 0 END AS anon_level
         |FROM l2
         |ORDER BY event_type, hour, dow""".stripMargin,
+    "q_priority_sample" ->
+      s"""SELECT doc_id, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) * 4294967296 /
+        |    (${h32Sql("concat('prio_', CAST(doc_id AS VARCHAR))")} + 1) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 30""".stripMargin,
     "q_data_split" ->
       s"""WITH b AS (
         |  SELECT doc_id, source,
@@ -1428,6 +1468,40 @@ object SparkEntry {
         |    i -> abs(CAST(embedding[i] AS DOUBLE) - (mn + codes[i] * coalesce(scale, 0.0)))),
         |    (x, y) -> x + y) / len(embedding) AS mean_abs_err
         |FROM c ORDER BY vec_id""".stripMargin,
+    // two unrolled Lloyd iterations over 1e-6-quantized embeddings; the 64
+    // in range(1, 65) is the embedding width (schema constant, all SFs).
+    // Exact int arithmetic end to end; floor((exact double)/n) centroids.
+    "q_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT q.vec_id, q.v, c0.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (q.v[i]-c0.c[i])*(q.v[i]-c0.c[i])), (a,b) -> a+b) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |  GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM m1 GROUP BY cid),
+        |d2 AS (
+        |  SELECT q.vec_id, c1.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (q.v[i]-c1.c[i])*(q.v[i]-c1.c[i])), (a,b) -> a+b) AS dist
+        |  FROM q CROSS JOIN c1),
+        |a2 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist2
+        |FROM a2 ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for the vector tier.
   *
@@ -37,6 +37,16 @@ object VectorFunctions {
     */
   def signed_proj(emb: Column, planeId: Int): Column =
     ColumnShim.column(SignedProjection(ColumnShim.expression(emb), planeId))
+
+  /** Exact squared Euclidean distance of two bigint arrays; codegen'd.
+    * Equal to `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0L, _ + _)`
+    * — integer arithmetic, so "bitwise" is simply exact. Serves the
+    * quantized k-means tier, where vectors are integer-quantized precisely
+    * so that distance comparisons are engine-exact.
+    */
+  def vec_sqdist_l(a: Column, b: Column): Column =
+    ColumnShim.column(
+      LongVecSqDist(ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
 /** Dot product of two `array<float>` columns, accumulated left-to-right in
@@ -169,6 +179,75 @@ case class SignedProjection(child: Expression, planeId: Int) extends UnaryExpres
 
   override protected def withNewChildInternal(newChild: Expression): SignedProjection =
     copy(child = newChild)
+}
+
+/** Squared Euclidean distance of two `array<bigint>` columns — exact int64
+  * arithmetic (the caller guarantees headroom: quantized components q and
+  * dims d must satisfy d * (2q)^2 < 2^63; the 1e-6-quantized 64-dim
+  * embeddings sit ~5 orders of magnitude under the bound). Null semantics
+  * mirror the `zip_with`+`aggregate` HOF form: a null element poisons the
+  * sum, and length-mismatched arrays yield null.
+  */
+case class LongVecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_sqdist_l requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      null
+    } else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $x.getLong($i) - $y.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_sqdist_l"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVecSqDist =
+    copy(left = newLeft, right = newRight)
 }
 
 object SignedProjection {

@@ -96,6 +96,19 @@ object CurationOps {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------ train/valid/test split
+  /** The split-bucket hash behind [[dataSplit]]: h32("split_" + id) mod 100.
+    * Exposed at EXPRESSION level (not as a join against the dataSplit frame)
+    * so consumers like [[TextOps.splitLeakage]] can stamp the split onto any
+    * row map-side — composition without a self-join, and a single definition
+    * an edit to the salt or ranges propagates through.
+    */
+  private[queries] def splitBucket(docId: Column): Column =
+    h32(concat(lit("split_"), docId)) % 100L
+
+  /** train/valid/test label for a split bucket (90/5/5). */
+  private[queries] def splitOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+
   /** Deterministic holdout split: a salted hash of doc_id lands each doc in
     * one of 100 buckets, and fixed bucket ranges become train (90%), valid
     * (5%), test (5%). Hash-based (never random()) so the assignment is
@@ -106,13 +119,44 @@ object CurationOps {
     */
   def dataSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (h32(concat(lit("split_"), col("doc_id"))) % 100L).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "valid")
-          .otherwise("test"))
+      .select(col("doc_id"), col("source"), splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------ weighted priority sample
+  /** How many documents [[prioritySample]] keeps — small enough that the
+    * top-k bites at every test SF (the sf0.001 corpus is 500 docs). */
+  private[queries] val PrioK = 30
+
+  /** Weighted sampling without replacement via priority sampling (Duffield,
+    * Lund & Thorup): each doc draws a hash-uniform u in [1, 2^32] and gets
+    * priority w/u with w = n_chars, and the k highest-priority docs are the
+    * sample — inclusion probability proportional to weight, without
+    * replacement by construction (a doc appears at most once). This is the
+    * quality-weighted subsample selection (sample long/high-scoring docs
+    * preferentially) that mixture tiers are too coarse for.
+    *
+    * Every arithmetic step is single-rounded and engine-portable: u is an
+    * exact integer, w * 2^32 is exact in a double for any real n_chars
+    * (w < 2^21), and the one division rounds identically under IEEE-754 —
+    * so the DuckDB oracle hash-matches bitwise, the same contract as the
+    * vector tier. No transcendentals: the classic exponential-key scheme
+    * (-ln u / w) would hinge on libm's last-ulp behavior.
+    *
+    * Scale shape: the projection is map-only over three pruned columns, and
+    * the global top-k is orderBy+limit — Spark's TakeOrdered, a per-partition
+    * k-heap merged on the driver, O(k·P) driver memory and NO global sort
+    * shuffle. Re-runs and appends keep existing picks stable except where a
+    * genuinely higher-priority newcomer displaces the boundary.
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("priority",
+        col("n_chars").cast(DoubleType) * lit(4294967296.0) /
+          (h32(concat(lit("prio_"), col("doc_id"))) + lit(1L)))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PrioK)
 
   // --------------------------------------------- composed curation pipeline
   /** The full curation flow a training-data pipeline runs, composed from

@@ -497,6 +497,52 @@ object TextOps {
     hitRates(candidates.join(evalShingles, Seq("sh")))
   }
 
+  // -------------------------------------------------- split-leakage audit
+  /** Cross-split contamination audit: for every TEST document of the
+    * [[CurationOps.dataSplit]] holdout, how many of its 3-gram shingles
+    * also occur in any TRAIN document — the "did my held-out slice leak
+    * into training" check run after every split or corpus refresh (the
+    * within-corpus complement of [[decontaminate]]'s external-benchmark
+    * probe). Output per test doc: shingle total, leaked count, the worst
+    * shingle's train-document frequency, and the leak ratio; clean test
+    * docs don't appear (an inner probe, like decontaminate).
+    *
+    * The split is stamped map-side via [[CurationOps.splitBucket]] — the
+    * expression, not a self-join against the dataSplit frame. Unlike
+    * decontaminate, NEITHER side is broadcastable (train is 90% of the
+    * corpus, and its per-shingle counts are vocabulary-sized), so the
+    * probe is an equi-join shuffled on the shingle hash: per-shingle
+    * train counts come from one map-side-combinable groupBy, the test
+    * side (5% of the corpus) shuffles on the same key, and skew is
+    * bounded because `h` is per-doc distinct — a shingle contributes one
+    * row per containing doc, never per occurrence. The shared shingle
+    * pass sits above one doc_id exchange (same reuse point as
+    * decontaminate) so train and test consumers read one materialized
+    * scan+shingle+md5 pass.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
+      .withColumn("split", CurationOps.splitOf(CurationOps.splitBucket(col("doc_id"))))
+    val trainCounts = sh.filter(col("split") === "train")
+      .select(col("doc_id"), explode_outer(col("h")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    sh.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("h")).as("n_shingles"),
+        explode_outer(col("h")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(trainCounts, Seq("sh"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_leaked"),
+        max(col("n_train_docs")).as("max_train_docs"))
+      .withColumn("leak_ratio",
+        col("n_leaked").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+      .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+        col("max_train_docs"), col("leak_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- text stats
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 

@@ -201,6 +201,85 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // --------------------------------------------------- quantized k-means
+  /** Clusters for [[kmeans]] — seeded from the vectors with `vec_id < K`
+    * (deterministic, oracle-reproducible; k-means++ would slot in as a
+    * different seed rule, same iteration plan). */
+  private val KmeansK = 4
+
+  /** Quantization scale: embedding components are mapped to
+    * floor(x * 1e6) — exact in both engines (float widens to double
+    * exactly, one deterministic multiply, floor) — so every distance and
+    * centroid below is INTEGER arithmetic with no cross-engine rounding
+    * surface at all. Headroom: 64 dims x (2 * |x|max * 1e6)^2 stays ~5
+    * orders of magnitude under int64. */
+  private val QuantScale = 1000000L
+
+  /** Lloyd's k-means over integer-quantized embeddings, two assignment
+    * passes with one centroid update between them — the trained coarse
+    * quantizer [[simIvf]] stubs with fixed seed vectors, and the cluster
+    * structure SemDeDup-style semantic curation starts from. Output: each
+    * vector's final cluster and exact squared distance.
+    *
+    * Engine-exact by construction: quantized components are ints, distances
+    * are int sums (the codegen'd [[graft.functions.LongVecSqDist]]), ties
+    * break toward the lowest cluster id via struct-ordered `least`, and the
+    * updated centroid is the floor of an exactly-representable division
+    * (component sums stay under 2^53, so the double divide is exact-input,
+    * single-rounded, floor'd — identical in DuckDB). A production run loops
+    * until movement < eps; both iterations here ARE that loop body.
+    *
+    * The scale shape is the k-means shape: centroids are a bounded model
+    * artifact (K x d ints), collected O(K·d) like the IVF centroid fetch
+    * and shipped as literals, so each ASSIGNMENT pass is a map-only
+    * projection — K codegen'd integer distance loops per row, no shuffle,
+    * no join. Each UPDATE pass is one per-dimension explode into a
+    * map-side-combinable groupBy((cluster, dim)) — the K·d-cell aggregate
+    * every distributed k-means pays per iteration, and nothing else
+    * shuffles. Empty clusters simply drop out of the next round's literal
+    * set (both engines agree by inner-join/absent-literal symmetry).
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_sqdist_l
+    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))")
+        .as("qv"))
+
+    // argmin over the centroid set: struct ordering = (dist, cid) lexicographic
+    def assign(centroids: Seq[(Int, Array[Long])]): Column = {
+      val alts = centroids.map { case (cid, c) =>
+        struct(vec_sqdist_l(col("qv"), typedLit(c)).as("dist"), lit(cid).as("cid"))
+      }
+      least(alts: _*)
+    }
+
+    // seed: the K lowest-id vectors, an O(K·d) bounded collect (model
+    // artifact, same class as the IVF centroid fetch)
+    val c0 = q.filter(col("vec_id") < KmeansK).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+    // one Lloyd update: per-(cluster, dim) integer sums -> floor-averaged
+    // centroid components; K·d result rows, collected O(K·d)
+    val c1 = q.withColumn("cluster", assign(c0).getField("cid"))
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "comp")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        floor(col("s").cast(DoubleType) / col("n")).cast(LongType).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+      }
+      .toSeq.sortBy(_._1)
+
+    q.withColumn("a", assign(c1))
+      .select(col("vec_id"), col("a").getField("cid").as("cluster"),
+        col("a").getField("dist").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------- bucketed cosine near-dup
   /** Embedding-cosine near-duplicate pairs, doubly bucket-pruned: candidate
     * pairs are only formed within (`label`, LSH bucket) — the coarse IVF

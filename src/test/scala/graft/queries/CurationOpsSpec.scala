@@ -242,6 +242,33 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("priority sample: exact top-k of an independently recomputed priority order") {
+    // independent reimplementation: JDK md5, plain doubles — the same
+    // arithmetic contract the DuckDB oracle relies on, derived without
+    // touching the Spark expression tree
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val all = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = all
+      .map { case (id, src, w) =>
+        (id, src, w, w.toDouble * 4294967296.0 / (h32(s"prio_$id") + 1).toDouble)
+      }
+      .sortBy { case (id, _, _, p) => (-p, id) }
+      .take(30).toSeq
+    val q = CurationOps.prioritySample(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // the scale contract: global top-k is TakeOrdered (per-partition heaps
+    // merged on the driver), never a single-partition global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("curation pipeline: every survivor passes each stage's own gate") {
     val out = CurationOps.curationPipeline(spark, sf).cache()
     assert(out.count() > 0, "pipeline must keep something at this SF")

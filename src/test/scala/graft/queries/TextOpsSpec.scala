@@ -122,6 +122,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("split leakage: fixture hits are exact and valid docs count for neither side") {
+    import spark.implicits._
+    // ids chosen for their hash-split assignment: 2,3,5 -> train,
+    // 29,35,47 -> test, 1 -> valid (pinned; the split hash is stable)
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    Seq(
+      (2L,  "the quick brown fox jumps"),    // train
+      (3L,  "the quick brown cat sits"),     // train
+      (5L,  "ab"),                           // train, <3 tokens: no shingles
+      (29L, "a quick brown fox runs today"), // test: 1 of 4 shingles leaked
+      (35L, "the quick brown fox jumps"),    // test: verbatim train copy, 3/3
+      (47L, "totally unrelated clean text"), // test, clean: absent
+      (1L,  "the quick brown fox jumps"))    // VALID copy: must count nowhere
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.splitLeakage(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 35: "the quick brown" occurs in train docs 2 AND 3 -> max 2; if
+    // the valid doc 1 leaked into the train side this would read 3
+    assert(rows === Map(
+      29L -> ((4, 1L, 1L, 0.25)),
+      35L -> ((3, 3L, 2L, 1.0))))
+  }
+
   test("decontaminate bloom: exact answer at any fpp, probe is a map-side might_contain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-bloom").toString

@@ -126,4 +126,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.count() > 0)
     out.unpersist()
   }
+
+  test("kmeans: matches an independent in-memory Lloyd reimplementation exactly") {
+    // plain-Scala reference: same seed rule, same quantization, same
+    // floor-averaged update, same (dist, cid) tie-break — any divergence
+    // in the distributed plan (partial sums, argmin encoding, centroid
+    // collect) surfaces as a mismatch on SOME of the 500 vectors
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cs: Seq[(Int, Array[Long])]): Map[Long, (Int, Long)] =
+      vecs.map { case (id, v) =>
+        id -> cs.map { case (cid, c) => (d2(v, c), cid) }.min.swap
+      }.toMap
+    val c0 = vecs.filter(_._1 < 4).map { case (id, v) => (id.toInt, v) }.toSeq
+    val a1 = assign(c0)
+    val c1 = a1.groupBy(_._2._1).toSeq.sortBy(_._1).map { case (cid, members) =>
+      val vs = members.keys.map(id => vecs(id.toInt)._2).toSeq
+      (cid, Array.tabulate(64)(i =>
+        math.floor(vs.map(_(i)).sum.toDouble / vs.size).toLong))
+    }
+    val expected = assign(c1)
+    val got = VectorOps.kmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).toSet.size > 1, "degenerate single cluster")
+  }
 }
