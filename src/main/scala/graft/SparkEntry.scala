@@ -224,6 +224,9 @@ object SparkEntry {
     // quantized Lloyd's k-means: broadcast-literal centroids, map-only
     // assignment, one K·d-cell aggregate per update — exact int arithmetic
     "q_kmeans" -> (VectorOps.kmeans _),
+    // SemDeDup: cosine near-dup keep/drop inside the LEARNED k-means
+    // clusters (LSH sub-bucket pruned) — shares kmeans' centroid set
+    "q_semdedup" -> (VectorOps.semDedup _),
     // table maintenance: CDC merge-apply (last-writer-wins + tombstones,
     // the foreachBatch-MERGE shape), key-skew diagnostics, compaction plan
     "q_cdc_apply" -> (MaintenanceOps.cdcApply _),
@@ -268,6 +271,40 @@ object SparkEntry {
     * engines instead of Spark-NaN vs DuckDB-inf diverging. */
   private def cosSql(a: String, b: String, n: String): String =
     s"(${dotSql(a, b, n)} / nullif(sqrt(${dotSql(a, a, n)}) * sqrt(${dotSql(b, b, n)}), 0))"
+
+  /** Two unrolled Lloyd iterations over 1e-6-quantized embeddings — the
+    * WITH-body behind q_kmeans, shared with q_semdedup (whose clusters are
+    * the SAME trained set by construction). Terminal CTE: a2(vec_id, cid,
+    * dist) = the final assignment. */
+  private val kmeansCte: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < 4),
+      |d1 AS (
+      |  SELECT q.vec_id, q.v, c0.cid,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> (q.v[i]-c0.c[i])*(q.v[i]-c0.c[i])), (a,b) -> a+b) AS dist
+      |  FROM q CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM m1 GROUP BY cid),
+      |d2 AS (
+      |  SELECT q.vec_id, c1.cid,
+      |    list_reduce(list_transform(range(1, 65),
+      |      i -> (q.v[i]-c1.c[i])*(q.v[i]-c1.c[i])), (a,b) -> a+b) AS dist
+      |  FROM q CROSS JOIN c1),
+      |a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
 
   /** The ORDER-BY-free core of the q_lm_score oracle (CurationOps
     * .lmFamiliarity) — shared with q_retrieval_gated, whose quality gate
@@ -1472,36 +1509,32 @@ object SparkEntry {
     // in range(1, 65) is the embedding width (schema constant, all SFs).
     // Exact int arithmetic end to end; floor((exact double)/n) centroids.
     "q_kmeans" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < 4),
-        |d1 AS (
-        |  SELECT q.vec_id, q.v, c0.cid,
-        |    list_reduce(list_transform(range(1, 65),
-        |      i -> (q.v[i]-c0.c[i])*(q.v[i]-c0.c[i])), (a,b) -> a+b) AS dist
-        |  FROM q CROSS JOIN c0),
-        |a1 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, i, CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
-        |  GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM m1 GROUP BY cid),
-        |d2 AS (
-        |  SELECT q.vec_id, c1.cid,
-        |    list_reduce(list_transform(range(1, 65),
-        |      i -> (q.v[i]-c1.c[i])*(q.v[i]-c1.c[i])), (a,b) -> a+b) AS dist
-        |  FROM q CROSS JOIN c1),
-        |a2 AS (
-        |  SELECT vec_id, cid, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d2) WHERE rn = 1)
+      s"""WITH $kmeansCte
         |SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist2
         |FROM a2 ORDER BY vec_id""".stripMargin,
+    // SemDeDup: the SAME trained clusters (shared kmeansCte, a2 = final
+    // assignment), the SAME 4-plane bucket as q_embed_dedup, min-lower-id
+    // keep rule
+    "q_semdedup" ->
+      s"""WITH $kmeansCte,
+        |e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |bk AS (
+        |  SELECT e.vec_id, a2.cid AS cluster, e.embedding, e.n,
+        |    CAST((CASE WHEN ${planeDotSql(0)} > 0 THEN 8 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(1)} > 0 THEN 4 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(2)} > 0 THEN 2 ELSE 0 END)
+        |       + (CASE WHEN ${planeDotSql(3)} > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |  FROM e JOIN a2 USING (vec_id)),
+        |p AS (
+        |  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+        |  FROM bk a JOIN bk b
+        |    ON a.cluster = b.cluster AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.embedding", "b.embedding", "a.n")} >= 0.3
+        |  GROUP BY b.vec_id)
+        |SELECT bk.vec_id, CAST(bk.cluster AS INT) AS cluster, bk.bucket,
+        |  p.dup_of IS NULL AS is_kept, p.dup_of
+        |FROM bk LEFT JOIN p USING (vec_id)
+        |ORDER BY bk.vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),

@@ -239,29 +239,36 @@ object VectorOps {
     * shuffles. Empty clusters simply drop out of the next round's literal
     * set (both engines agree by inner-join/absent-literal symmetry).
     */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** The 1e-6-quantized integer form of the `embedding` column. */
+  private def quantizedEmbedding: Column =
+    expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))")
+
+  /** argmin over the centroid set as a (dist, cid) struct: struct ordering
+    * is lexicographic, so `least` IS "minimum distance, ties to the lowest
+    * cluster id" — one codegen'd integer distance loop per centroid. */
+  private def assignStruct(qv: Column, centroids: Seq[(Int, Array[Long])]): Column = {
     import graft.functions.VectorFunctions.vec_sqdist_l
-    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))")
-        .as("qv"))
-
-    // argmin over the centroid set: struct ordering = (dist, cid) lexicographic
-    def assign(centroids: Seq[(Int, Array[Long])]): Column = {
-      val alts = centroids.map { case (cid, c) =>
-        struct(vec_sqdist_l(col("qv"), typedLit(c)).as("dist"), lit(cid).as("cid"))
-      }
-      least(alts: _*)
+    val alts = centroids.map { case (cid, c) =>
+      struct(vec_sqdist_l(qv, typedLit(c)).as("dist"), lit(cid).as("cid"))
     }
+    least(alts: _*)
+  }
 
-    // seed: the K lowest-id vectors, an O(K·d) bounded collect (model
-    // artifact, same class as the IVF centroid fetch)
+  /** The trained centroid set after one Lloyd update: seed from the K
+    * lowest-id vectors (O(K·d) bounded collect, the model-artifact class
+    * of the IVF centroid fetch), assign map-side, then one per-(cluster,
+    * dim) integer-sum aggregate -> floor-averaged components (K·d rows,
+    * collected O(K·d)). Shared by [[kmeans]] and [[semDedup]] so "the
+    * clusters semantic dedup runs in" and "the clusters the k-means entry
+    * reports" cannot drift apart.
+    */
+  private[queries] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizedEmbedding.as("qv"))
     val c0 = q.filter(col("vec_id") < KmeansK).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
-
-    // one Lloyd update: per-(cluster, dim) integer sums -> floor-averaged
-    // centroid components; K·d result rows, collected O(K·d)
-    val c1 = q.withColumn("cluster", assign(c0).getField("cid"))
+    q.withColumn("cluster", assignStruct(col("qv"), c0).getField("cid"))
       .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "comp")))
       .groupBy(col("cluster"), col("dim"))
       .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
@@ -273,10 +280,71 @@ object VectorOps {
         (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
       }
       .toSeq.sortBy(_._1)
+  }
 
-    q.withColumn("a", assign(c1))
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val c1 = lloydCentroids(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizedEmbedding.as("qv"))
+      .withColumn("a", assignStruct(col("qv"), c1))
       .select(col("vec_id"), col("a").getField("cid").as("cluster"),
         col("a").getField("dist").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------- SemDeDup
+  /** Cosine threshold above which two same-cluster vectors count as
+    * semantic duplicates. Low by honest necessity: the synthetic corpus is
+    * near-random vectors (see the recall notes in VectorOpsSpec), so a
+    * paper-realistic 0.95+ would fire on nothing at any SF; the plan is
+    * threshold-independent. */
+  private[queries] val SemDedupTau = 0.3
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication inside LEARNED k-means clusters — embeddings are
+    * clustered, pairwise cosine is computed only within a cluster, and of
+    * any near-duplicate pair the lower-id vector survives. Output is one
+    * row per vector: its cluster, sub-bucket, keep flag, and (for dropped
+    * vectors) the smallest lower-id duplicate partner.
+    *
+    * Differences from the paper, both deliberate and documented: (a) the
+    * keep rule is "drop v iff SOME lower-id vector within tau exists" — a
+    * parallel one-pass rule, where the paper's greedy-by-index scan is
+    * inherently sequential (keep status depends on earlier keeps); (b)
+    * within-cluster pairs are additionally pruned by the 4-bit LSH
+    * sub-bucket ([[lshBucket]], as [[embedDedup]]) because a coarse K
+    * leaves clusters of N/K vectors where all-pairs is quadratic death at
+    * 100 TB — the paper's K ~ sqrt(N) hides the same cost inside cluster
+    * size instead.
+    *
+    * Scale shape: cluster assignment is the map-only literal-centroid
+    * projection (shared with [[kmeans]]), the bucket is map-side, and the
+    * only shuffles are the (cluster, bucket) pair join and the per-victim
+    * min-partner aggregate — both keyed, both skew-bounded by the
+    * sub-bucket. The keep decision then LEFT-joins back so every vector
+    * reports exactly once.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c1 = lloydCentroids(spark, dir)
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        normd(col("embedding")).as("norm"), lshBucket(col("embedding")).as("bucket"),
+        quantizedEmbedding.as("qv"))
+      .withColumn("cluster", assignStruct(col("qv"), c1).getField("cid"))
+      .drop("qv")
+    val a = v.select(col("cluster"), col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = v.select(col("cluster"), col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val dupOf = a.join(b, Seq("cluster", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .filter(dotd(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))
+        >= SemDedupTau)
+      .groupBy(col("vec_id_b").as("vec_id"))
+      .agg(min(col("vec_id_a")).as("dup_of"))
+    v.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("bucket"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"))
       .orderBy(col("vec_id"))
   }
 

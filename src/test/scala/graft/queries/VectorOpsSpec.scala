@@ -127,6 +127,36 @@ class VectorOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semdedup: decisions match an independently recomputed pair set") {
+    val out = VectorOps.semDedup(spark, sf).cache()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(out.count() === n)
+    assert(out.select("vec_id").distinct().count() === n)
+    // clusters are the kmeans entry's clusters (the shared-centroid contract)
+    val km = VectorOps.kmeans(spark, sf).select(col("vec_id"), col("cluster").as("kc"))
+    assert(out.join(km, "vec_id").filter(col("cluster") =!= col("kc")).count() === 0)
+    // independent recompute of every (cluster, bucket) near-dup pair with
+    // interpreted HOF cosine; min lower-id partner must match dup_of exactly
+    val e = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (a, v) => a + v)
+    val v = out.select("vec_id", "cluster", "bucket").join(e, "vec_id")
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val pairs = v.select(col("cluster"), col("bucket"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(v.select(col("cluster"), col("bucket"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster", "bucket"))
+      .filter(col("a") < col("b"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.3)
+    val expected = pairs.groupBy(col("b").as("vec_id")).agg(min(col("a")).as("exp_dup"))
+    assert(out.join(expected, Seq("vec_id"), "left")
+      .filter(coalesce(col("dup_of"), lit(-1L)) =!= coalesce(col("exp_dup"), lit(-1L)))
+      .count() === 0)
+    assert(out.filter(!col("is_kept")).count() > 0, "corpus must exercise drops")
+    out.unpersist()
+  }
+
   test("kmeans: matches an independent in-memory Lloyd reimplementation exactly") {
     // plain-Scala reference: same seed rule, same quantization, same
     // floor-averaged update, same (dist, cid) tie-break — any divergence
