@@ -211,6 +211,9 @@ object SparkEntry {
     "q_salted_agg" -> (ScaleOps.saltedAgg _),
     // exact grouped quantiles (approx_percentile is the documented 100 TB path)
     "q_quantiles" -> (ScaleOps.quantiles _),
+    // per-group p05/p95 outlier clipping: exact-percentile bounds frame
+    // (group-cardinality rows) broadcast back, clipping map-side
+    "q_winsorize" -> (ScaleOps.winsorize _),
     // similarity search
     "q_sim_topk" -> (VectorOps.simTopk _),
     // retrieve-from-curated composition: candidates LM-quality-gated
@@ -1290,6 +1293,16 @@ object SparkEntry {
         |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
         |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, lo, hi,
+        |  CASE WHEN value IS NOT NULL THEN least(greatest(value, lo), hi) END AS clipped,
+        |  (value < lo OR value > hi) AS is_clipped
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q_hopping_counts" ->
       """WITH h AS (
         |  SELECT event_type,

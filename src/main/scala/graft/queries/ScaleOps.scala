@@ -143,6 +143,40 @@ object ScaleOps {
         percentile(col("price"), lit(0.75)).as("p75"))
       .orderBy(col("o_orderpriority"))
 
+  /** Per-group winsorization: every event's `value` clipped to its
+    * event type's exact [p05, p95] — the outlier-capping normalization a
+    * feature pipeline applies before aggregation or training so one
+    * corrupt sensor reading cannot dominate a sum. Composes the exact
+    * percentile aggregate of [[quantiles]] with a bounds join back onto
+    * the stream: the bounds frame is GROUP-CARDINALITY rows (5 event
+    * types here; always small relative to events), so the join
+    * broadcasts and clipping is map-side — the fact table never
+    * shuffles. The exact percentile itself is the scale cost (holistic,
+    * needs the group's values together — the AqeSkewSpec-documented
+    * salt-or-sketch case); the approx-percentile escape hatch for
+    * monstrous groups is demonstrated in ApproxSpec.
+    *
+    * A NULL value stays NULL with a NULL clip flag (explicit CASE in
+    * both engines — Spark's and DuckDB's least/greatest both SKIP nulls
+    * rather than propagate them, which would silently clip a NULL to
+    * the bound).
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.05)).as("lo"),
+      percentile(col("value"), lit(0.95)).as("hi"))
+    e.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped",
+        when(col("value").isNotNull,
+          least(greatest(col("value"), col("lo")), col("hi"))))
+      .withColumn("is_clipped", col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"), col("clipped"), col("is_clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** Morton (z-order) clustering keys over orders: customer key × days
     * since epoch start, quantized to the full 16-bit range from observed
     * min/max, then bit-interleaved ([[graft.olap.Layout.zOrderKey]]). The

@@ -73,6 +73,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("winsorize: fixture bounds interpolate exactly, nulls stay null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsor").toString
+    // values 1..20 in one group: quantile_cont gives p05 = 1.95, p95 = 19.05
+    ((1 to 20).map(i => (i.toLong, 1000000000L * i, "a", Some(i.toDouble)))
+      :+ ((21L, 21000000000L, "a", None: Option[Double])))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = ScaleOps.winsorize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(rows(1).getDouble(3) - 1.95) < 1e-12)
+    assert(math.abs(rows(1).getDouble(4) - 19.05) < 1e-12)
+    // clipping lands EXACTLY on the group's own bounds
+    assert(rows(1).getDouble(5) === rows(1).getDouble(3) && rows(1).getBoolean(6))
+    assert(rows(20).getDouble(5) === rows(20).getDouble(4) && rows(20).getBoolean(6))
+    assert(rows(10).getDouble(5) === 10.0 && !rows(10).getBoolean(6)) // untouched
+    assert(rows(21).isNullAt(2) && rows(21).isNullAt(5) && rows(21).isNullAt(6))
+    // corpus invariant: every clipped value is inside its group's bounds
+    val out = ScaleOps.winsorize(spark, sf)
+    assert(out.filter(col("clipped") < col("lo") || col("clipped") > col("hi"))
+      .count() === 0)
+    assert(out.filter(col("is_clipped") =!= (col("value") =!= col("clipped")))
+      .count() === 0)
+  }
+
   test("stratified sample: membership is the hash rule, rates land near target") {
     val s = ScaleOps.stratifiedSample(spark, sf)
     assert(s.filter(col("h_bucket") >= col("strat_rate")).count() === 0)
