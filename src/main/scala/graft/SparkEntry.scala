@@ -124,6 +124,9 @@ object SparkEntry {
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
+    // asymmetric containment near-dup (quote/subset pairs Jaccard misses):
+    // min-5 sketch probed against the full inverted shingle postings
+    "q_dedup_contain" -> (TextOps.dedupContain _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     // benchmark decontamination: broadcast the eval shingle set, map-side
     // probe the training corpus (GPT-3-style n-gram overlap)
@@ -1015,6 +1018,32 @@ object SparkEntry {
         |  JOIN s sb ON sb.doc_id = doc_id_b)
         |SELECT doc_id_a, doc_id_b, jaccard FROM j
         |WHERE jaccard >= 0.8
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q_dedup_contain" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")}))) AS h
+        |  FROM t WHERE len(tk) >= 3),
+        |probe AS (SELECT doc_id AS doc_id_a, unnest(h[1:5]) AS sh FROM s),
+        |postings AS (SELECT doc_id AS doc_id_b, unnest(h) AS sh FROM s),
+        |cand AS (
+        |  SELECT DISTINCT doc_id_a, doc_id_b
+        |  FROM probe JOIN postings USING (sh)
+        |  WHERE doc_id_a <> doc_id_b),
+        |j AS (
+        |  SELECT doc_id_a, doc_id_b,
+        |    CAST(len(sa.h) AS INT) AS n_a, CAST(len(sb.h) AS INT) AS n_b,
+        |    CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE) / len(sa.h) AS containment
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = doc_id_a
+        |  JOIN s sb ON sb.doc_id = doc_id_b
+        |  WHERE len(sa.h) < len(sb.h)
+        |     OR (len(sa.h) = len(sb.h) AND doc_id_a < doc_id_b))
+        |SELECT doc_id_a, doc_id_b, n_a, n_b, containment FROM j
+        |WHERE containment >= 0.9
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q_fingerprint" ->
       s"""WITH t AS (

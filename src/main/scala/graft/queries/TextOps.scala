@@ -335,6 +335,54 @@ object TextOps {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  // --------------------------------------------------- dedup: containment
+  /** Asymmetric near-duplicate detection by shingle CONTAINMENT
+    * |A∩B| / |A| — the quote/subset relation resemblance misses: a short
+    * doc pasted inside a long one has tiny Jaccard (the union is the long
+    * doc) but containment ~1. Output: (contained, container) pairs with
+    * c >= 0.9, where the contained side is the smaller shingle set (ties
+    * one direction by id — equal-size mutual containment is ordinary
+    * near-identity, one row suffices).
+    *
+    * Candidates differ from [[dedupNgram]]'s sketch∩sketch on purpose:
+    * min-sketches of A and B need not overlap when A ⊂ B (B's minima can
+    * all be smaller than A's), so the probe is A's min-5 against B's FULL
+    * shingle postings — the inverted-index shape. Complete for true
+    * subsets (every shingle of A is in B, in particular A's minima);
+    * for c in [0.9, 1) it is the standard probabilistic sketch trade,
+    * and the oracle mirrors the same candidate rule (the fuzzy-blocking
+    * precedent). Postings skew is bounded: `h` is per-doc DISTINCT, so a
+    * shingle posts once per containing doc, and the candidate join keys
+    * on the shingle hash — the split-leakage shuffle class, O(Σ df²)
+    * only over the 5-sketch slice, never all-pairs.
+    */
+  def dedupContain(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
+    val probe = sh.select(col("doc_id").as("doc_id_a"),
+      explode(slice(col("h"), 1, 5)).as("sh"))
+    val postings = sh.select(col("doc_id").as("doc_id_b"),
+      explode_outer(col("h")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val cand = probe.join(postings, Seq("sh"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val ha = sh.select(col("doc_id").as("doc_id_a"), col("h").as("h_a"))
+    val hb = sh.select(col("doc_id").as("doc_id_b"), col("h").as("h_b"))
+    cand.join(ha, Seq("doc_id_a")).join(hb, Seq("doc_id_b"))
+      .withColumn("n_a", size(col("h_a")))
+      .withColumn("n_b", size(col("h_b")))
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("doc_id_a") < col("doc_id_b")))
+      .withColumn("containment",
+        size(array_intersect(col("h_a"), col("h_b"))).cast(DoubleType) /
+          col("n_a").cast(DoubleType))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"),
+        col("containment"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   // ---------------------------------------------------------- dedup: SimHash
   /** 32-bit SimHash signature per document: each token votes ±1 on every
     * bit of its 32-bit hash; signature bit b is 1 iff the vote sum is

@@ -122,6 +122,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("containment: catches a quoted subset that Jaccard misses, directed small-into-large") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val quote = "alpha beta gamma delta epsilon zeta" // 6 tokens, 4 shingles
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, quote),                  // the short doc
+      (2L, s"$quote $filler"),      // contains doc 1 verbatim + 30 filler tokens
+      (3L, "totally unrelated words again and again repeated"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.dedupContain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // 1 ⊂ 2 at containment 1.0, directed (contained first); nothing else
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // the same pair is INVISIBLE to resemblance dedup: tiny Jaccard
+    assert(TextOps.dedupNgram(spark, dir).count() === 0)
+  }
+
   test("split leakage: fixture hits are exact and valid docs count for neither side") {
     import spark.implicits._
     // ids chosen for their hash-split assignment: 2,3,5 -> train,
