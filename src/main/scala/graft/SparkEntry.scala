@@ -161,6 +161,9 @@ object SparkEntry {
     // CCNet-style LM quality scoring: self-estimated bigram model, exact-int
     // ratio-of-sums familiarity (division-only, hash-stable cross-engine)
     "q_lm_score" -> (CurationOps.lmFamiliarity _),
+    // DSIR importance weighting: target-domain vs raw bigram-LM familiarity
+    // ratio from ONE shared bigram pass (division-only, overflow-safe)
+    "q_dsir" -> (CurationOps.dsirWeights _),
     // privacy tier: PII detection + masking (map-only regex pass over a
     // deterministic contact string derived from event columns)
     "q_pii_redact" -> (PrivacyOps.piiRedact _),
@@ -1101,6 +1104,41 @@ object SparkEntry {
         |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_lm_score" -> s"SELECT * FROM ($lmFamiliarityCore) ORDER BY doc_id",
+    "q_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+        |  FROM t WHERE len(tk) >= 2),
+        |cba AS (SELECT bg, COUNT(*) AS c2_all FROM b GROUP BY bg),
+        |cwa AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2_all) AS BIGINT) AS c1_all
+        |  FROM cba GROUP BY 1),
+        |lma AS (
+        |  SELECT bg, c2_all, c1_all
+        |  FROM cba JOIN cwa ON split_part(cba.bg, ' ', 1) = cwa.w1),
+        |cbt AS (SELECT bg, COUNT(*) AS c2_t FROM b WHERE lang = 'en' GROUP BY bg),
+        |cwt AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2_t) AS BIGINT) AS c1_t
+        |  FROM cbt GROUP BY 1),
+        |lmt AS (
+        |  SELECT bg, c2_t, c1_t
+        |  FROM cbt JOIN cwt ON split_part(cbt.bg, ' ', 1) = cwt.w1),
+        |agg AS (
+        |  SELECT b.doc_id, b.lang, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(lma.c2_all) AS BIGINT) AS sba, CAST(SUM(lma.c1_all) AS BIGINT) AS sca,
+        |    COUNT(lmt.c2_t) AS n_matched_target,
+        |    CAST(SUM(lmt.c2_t) AS BIGINT) AS sbt, CAST(SUM(lmt.c1_t) AS BIGINT) AS sct
+        |  FROM b JOIN lma USING (bg) LEFT JOIN lmt USING (bg)
+        |  GROUP BY b.doc_id, b.lang)
+        |SELECT doc_id, lang, n_bigrams, n_matched_target,
+        |  CAST(sba AS DOUBLE) / CAST(sca AS DOUBLE) AS fam_raw,
+        |  CAST(sbt AS DOUBLE) / CAST(sct AS DOUBLE) AS fam_target,
+        |  (CAST(sbt AS DOUBLE) / CAST(sct AS DOUBLE)) /
+        |    (CAST(sba AS DOUBLE) / CAST(sca AS DOUBLE)) AS dsir_weight
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH c AS (
         |  SELECT event_id,

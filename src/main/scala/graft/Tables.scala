@@ -24,16 +24,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set
-    * at session-build time by Verify/Bench/tests — a loader must never
-    * mutate session conf) it reads as raw long nanos, truncated here to a
-    * microsecond timestamp — exactly what DuckDB does when it scans the
-    * same file, so oracle comparisons line up.
+  /** events.ts has shipped as TIMESTAMP(NANOS) in some driver testdata
+    * generations and TIMESTAMP(MICROS) in others, so the loader branches on
+    * what the file actually contains. Nanos: Spark's vectorized reader
+    * rejects the type outright unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session-build time
+    * by Verify/Bench/tests — a loader must never mutate session conf) maps
+    * it to raw long nanos, truncated here to a microsecond timestamp —
+    * exactly what DuckDB does scanning the same file. Micros: the column
+    * arrives as TIMESTAMP_NTZ and only needs the cast to session-local
+    * TimestampType (UTC everywhere here, so no instant shift) that every
+    * downstream op and oracle already assumes.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

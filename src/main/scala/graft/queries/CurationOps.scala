@@ -388,6 +388,64 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------- DSIR importance weighting
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document is weighted
+    * by how much more a TARGET-domain language model likes it than the raw
+    * corpus model does — weight = p_target(doc)/p_raw(doc), the importance
+    * ratio that resampling then draws against to shift the corpus toward
+    * the target distribution. Both models here are the [[lmFamiliarity]]
+    * bigram ratio-of-sums estimator; the target model trains on the
+    * English subset (`lang = 'en'` stands in for "the Wikipedia-like
+    * slice"), the raw model on the whole corpus, and BOTH read the one
+    * exploded bigram pass — at 100 TB the dominant cost is that pass, so
+    * the two models must never trigger a second tokenize+explode.
+    *
+    * Arithmetic discipline: every aggregate is an exact int64; the weight
+    * is computed as (Σbg_t/Σctx_t) / (Σbg_raw/Σctx_raw) — three double
+    * divisions in a fixed association order, never a product of sums
+    * (which overflows int64 once per-doc context mass passes ~3e9 at
+    * corpus scale) and never a float SUM (addend order is
+    * engine-internal). A document sharing no bigram with the target model
+    * LEFT-joins to nulls: its target sums are NULL, so familiarity_target
+    * and dsir_weight are NULL in both engines — reported, not dropped,
+    * with `n_matched_target` telling downstream how much evidence the
+    * weight rests on.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toksAll.as("toks"))
+      .select(col("doc_id"), col("lang"), explode(bigramsOf).as("bg"))
+    def lmOf(instances: DataFrame, c2Name: String, c1Name: String): DataFrame = {
+      val cb = instances.groupBy(col("bg")).agg(count(lit(1)).as(c2Name))
+      val cw = cb
+        .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+        .agg(sum(col(c2Name)).as(c1Name))
+      cb.withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .join(cw, Seq("w1"))
+        .select(col("bg"), col(c2Name), col(c1Name))
+    }
+    val lmRaw = lmOf(bg, "c2_all", "c1_all")
+    val lmTgt = lmOf(bg.filter(col("lang") === "en"), "c2_t", "c1_t")
+    val famRaw = col("sum_bg_all").cast(DoubleType) / col("sum_ctx_all").cast(DoubleType)
+    val famTgt = col("sum_bg_t").cast(DoubleType) / col("sum_ctx_t").cast(DoubleType)
+    bg.join(lmRaw, Seq("bg")).join(lmTgt, Seq("bg"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2_all")).as("sum_bg_all"),
+        sum(col("c1_all")).as("sum_ctx_all"),
+        count(col("c2_t")).as("n_matched_target"),
+        sum(col("c2_t")).as("sum_bg_t"),
+        sum(col("c1_t")).as("sum_ctx_t"))
+      .select(
+        col("doc_id"), col("lang"), col("n_bigrams"), col("n_matched_target"),
+        famRaw.as("fam_raw"),
+        famTgt.as("fam_target"),
+        (famTgt / famRaw).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- sequence packing
   /** Training-context packing: assign each document to a fixed-token-budget
     * pack (concat-and-chunk semantics — the standard pretraining shape:

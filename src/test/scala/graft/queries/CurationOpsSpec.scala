@@ -216,6 +216,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus.filter(col("familiarity") <= 0 || col("familiarity") > 1).count() === 0)
   }
 
+  test("dsir weights: fixture ratio is exact; null iff no target evidence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // target LM = doc1 (en): c2_t(ab)=2 ba=1; c1_t(a)=2 b=1
+    // raw LM = all: c2(ab)=3 ba=1 bc=1 cc=1 xy=1; c1(a)=3 b=2 c=1 x=1
+    Seq((1L, "a b a b", "en"), (2L, "a b c", "fr"),
+        (3L, "c c", "fr"), (4L, "x y", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.dsirWeights(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_matched_target"),
+          r.getAs[Double]("fam_raw"),
+          Option(r.getAs[java.lang.Double]("dsir_weight")).map(_.toDouble)))).toMap
+    // d1 = ab,ba,ab: raw 7/8, target (2+1+2)/(2+1+2)=1 -> w = 1/(7/8)
+    // d2 = ab,bc: raw 4/5, target matches only ab: 2/2=1 -> w = 1/(4/5)
+    // d3 = cc, d4 = xy: no target bigram -> NULL weight, reported not dropped
+    assert(got === Map(
+      1L -> ((3L, 3L, 0.875, Some(1.0 / 0.875))),
+      2L -> ((2L, 1L, 0.8, Some(1.25))),
+      3L -> ((1L, 0L, 1.0, None)),
+      4L -> ((1L, 0L, 1.0, None))))
+    // corpus invariants: weight is NULL exactly when no bigram matched the
+    // target model; an en doc's bigrams are target-model members by
+    // construction; familiarities stay in (0, 1]
+    val corpus = CurationOps.dsirWeights(spark, sf).cache()
+    assert(corpus.filter(col("dsir_weight").isNull =!=
+      (col("n_matched_target") === 0)).count() === 0)
+    assert(corpus.filter(col("lang") === "en")
+      .filter(col("n_matched_target") =!= col("n_bigrams")).count() === 0)
+    assert(corpus.filter(col("fam_raw") <= 0 || col("fam_raw") > 1).count() === 0)
+    assert(corpus.filter(col("fam_target") <= 0 || col("fam_target") > 1).count() === 0)
+    corpus.unpersist()
+  }
+
   test("data split: complete, roughly 90/5/5, and append-stable") {
     val out = CurationOps.dataSplit(spark, sf).cache()
     val total = graft.Tables.documents(spark, sf).count()
