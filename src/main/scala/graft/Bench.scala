@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   * artifact is emitted three ways (full line, full file, short summary
   * line LAST) so a truncating tail capture still yields a parseable
   * total — both VERDICT r6 #1.
+  *
+  * Contention evidence (VERDICT r7 #1): the quiesce protects legs from
+  * each OTHER, but nothing in-JVM can protect against a busy BOX (the
+  * r7 driver run read 4 legs 3-21x wrong). So the artifact now carries
+  * its own contamination evidence: a constant calibration workload timed
+  * at start/mid/end ("calibration" key, spread ~1.0 when quiet), and
+  * per-leg min-of-3 alongside the median ("queries_min") — external
+  * contention only ever ADDS time, so median >> min flags the leg.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,20 +64,64 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Shared timing shape (VERDICT r7 #1): every leg reports BOTH the
+    // median and the MIN of its 3 timed runs. The median is the honest
+    // central estimate on a quiet box; the min is far more robust to
+    // external contention (a busy neighbor can only ever ADD time), so a
+    // leg whose median is several-fold above its min is itself evidence
+    // the box was busy during that leg.
+    case class Timing(median: Double, min: Double)
+    def timed3(run: () => Boolean, warmup: Boolean = true): Timing = {
+      quiesce()
+      if (warmup) run() // untimed — JIT/codegen + page cache
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (times.exists(_ < 0)) Timing(-1.0, -1.0)
+      else Timing(times.sorted.apply(1), times.min)
+    }
+    // Contention calibration (VERDICT r7 next-round #1): a CONSTANT
+    // workload — fixed 200M-row in-memory aggregate (~0.5 s, long enough to amortize scheduling noise), zero disk, zero
+    // dependence on SPARK_GRAFT_SF_DIR — timed at the start, middle and
+    // end of the run. On a quiet box the three numbers agree within
+    // noise; if the box is externally contaminated during any phase the
+    // corresponding checkpoint inflates, making a bad run SELF-DIAGNOSING
+    // instead of requiring hand adjudication (r6 and r7 both needed it:
+    // four r7 legs read 3-21x wrong with no in-artifact evidence).
+    def calRun(): Boolean =
+      try {
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("sum(id % 7) as s", "count(*) as c", "avg(id) as a")
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}"); false
+      }
+    // 3 untimed iterations before the 3 timed ones: the calibration job is
+    // short enough that JIT tiering alone moved a single-warmup first
+    // checkpoint ~1.7x vs later ones (measured), which would read as fake
+    // contention; with deep warmup + the 200M-row size, spread ~1.1 quiet
+    def calibrate(): Timing = {
+      (1 to 3).foreach(_ => calRun())
+      timed3(calRun _, warmup = false)
+    }
     // Optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
     // those queries (and skips the ETL leg unless it names etl_pipeline).
     // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
     names.foreach(materialize) // warmup, untimed
+    // calStart runs AFTER the global warmup pass so the three checkpoints
+    // bracket exactly the timed window — measured before: a start
+    // calibration in a cold JVM reads ~2x the end value from JIT alone,
+    // which would false-flag every clean run as contaminated
+    val calStart = calibrate()
     val results = names.map { name =>
-      quiesce()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        if (materialize(name)) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      // median of 3; any failed run surfaces as the -1 sentinel
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
+      // per-leg warmup already done by the pass above; timed3's own warmup
+      // re-materializes once more so each leg's 3 timed runs start hot even
+      // when an earlier leg evicted shared state
+      name -> timed3(() => materialize(name), warmup = false)
     }
     // EP1+EP2 end-to-end (VERDICT r3 next-round #1): CSV ingest → validate/
     // quarantine → OLTP → star dims → 3 fact builds over a generated
@@ -118,16 +170,9 @@ object Bench {
         // from a failed run cannot poison the next iteration's timings
         graft.etl.Pipeline.cleanup(spark)
       }
+    val calMid = calibrate()
     val allResults = if (!runEtlLeg) results else {
-      quiesce()
-      runEtl() // warmup, untimed — mirrors the query warmup pass (ADVICE r4):
-               // the first run pays JIT/codegen + fixture page-cache costs
-      val etlTimes = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        if (runEtl()) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      results :+
-        ("etl_pipeline" -> (if (etlTimes.exists(_ < 0)) -1.0 else etlTimes.sorted.apply(1)))
+      results :+ ("etl_pipeline" -> timed3(runEtl _))
     }
     // Dedup signature-table reuse (VERDICT r6 #3): the family's dominant
     // cost at 100 TB is the MinHash signature pass, and the three
@@ -138,7 +183,7 @@ object Bench {
     // table (one signature pass + one write, consumers read longs back).
     // The delta is the number SCALE.md's reuse point claims.
     val runDedupLeg = only.forall(_.exists(_.startsWith("dedup_family")))
-    val dedupResults = if (!runDedupLeg) Seq.empty[(String, Double)] else {
+    val dedupResults = if (!runDedupLeg) Seq.empty[(String, Timing)] else {
       import org.apache.spark.sql.DataFrame
       def consumeFamily(banded: () => DataFrame): Boolean =
         try {
@@ -166,18 +211,9 @@ object Bench {
           System.err.println(s"[bench] dedup shared leg failed: ${e.getMessage}")
           false
         }
-      def median3(run: () => Boolean): Double = {
-        quiesce()
-        run() // warmup, untimed
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
-      }
       Seq(
-        "dedup_family_recompute" -> median3(recomputeRun _),
-        "dedup_family_shared" -> median3(sharedRun _))
+        "dedup_family_recompute" -> timed3(recomputeRun _),
+        "dedup_family_shared" -> timed3(sharedRun _))
     }
     // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
     // join over plain parquet vs bucketBy'd tables — the bucketed number is
@@ -186,38 +222,45 @@ object Bench {
     // 100 TB case (neither side fits an executor) — locally Catalyst would
     // broadcast sf0.1 orders and both legs would measure the same plan.
     val runLayoutLeg = only.forall(_.exists(_.startsWith("layout_")))
-    val layoutResults = if (!runLayoutLeg) Seq.empty[(String, Double)] else {
+    val layoutResults = if (!runLayoutLeg) Seq.empty[(String, Timing)] else {
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         graft.olap.Layout.writeBucketedPair(spark, sfDir, numBuckets = cpus.toInt)
-        def median3(mk: () => org.apache.spark.sql.DataFrame): Double = {
-          def run(): Boolean =
-            try { mk().write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false }
-          quiesce()
-          run() // warmup, untimed
-          val times = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
-          }
-          if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
-        }
+        def legOf(mk: () => org.apache.spark.sql.DataFrame): Timing = timed3(() =>
+          try { mk().write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false })
         Seq(
-          "layout_join_plain" -> median3(() => graft.olap.Layout.orderRevenue(
+          "layout_join_plain" -> legOf(() => graft.olap.Layout.orderRevenue(
             Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))),
-          "layout_join_bucketed" -> median3(() => graft.olap.Layout.orderRevenue(
+          "layout_join_bucketed" -> legOf(() => graft.olap.Layout.orderRevenue(
             spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
     val finalResults = allResults ++ dedupResults ++ layoutResults
-    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
+    val calEnd = calibrate()
+    // "queries" stays median (the shape every prior round's artifact used,
+    // and what the driver parses); "queries_min" is the contention-robust
+    // twin; "calibration" is the constant-workload checkpoint trio. A
+    // clean run has cal spread ~1.0 and median/min per leg close; a
+    // contaminated run shows it in one or both, in the artifact itself.
+    def round3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+    val qs = finalResults.map { case (k, t) => "\"" + k + "\":" + round3(t.median) }
       .mkString("{", ",", "}")
-    val total = finalResults.map(_._2).filter(_ >= 0).sum
-    val failed = finalResults.count(_._2 < 0)
+    val qsMin = finalResults.map { case (k, t) => "\"" + k + "\":" + round3(t.min) }
+      .mkString("{", ",", "}")
+    val cals = Seq("start" -> calStart, "mid" -> calMid, "end" -> calEnd)
+    val calMeds = cals.map(_._2.median).filter(_ >= 0)
+    val calSpread =
+      if (calMeds.isEmpty || calMeds.min <= 0) -1.0 else calMeds.max / calMeds.min
+    val calJson = cals.map { case (k, t) =>
+      "\"" + k + "\":{\"median\":" + round3(t.median) + ",\"min\":" + round3(t.min) + "}"
+    }.mkString("{", ",", s""","spread":${round3(calSpread)}}""")
+    val total = finalResults.map(_._2.median).filter(_ >= 0).sum
+    val failed = finalResults.count(_._2.median < 0)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"calibration":$calJson,"sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any
@@ -231,9 +274,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    val top5 = finalResults.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${finalResults.size},"n_failed":$failed,"full":"$outFile"}""")
+    val top5 = finalResults.sortBy(-_._2.median).take(5)
+      .map { case (k, t) => "\"" + k + "\":" + round3(t.median) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${finalResults.size},"n_failed":$failed,"cal_spread":${round3(calSpread)},"full":"$outFile"}""")
     spark.stop()
   }
 }

@@ -1031,7 +1031,10 @@ object SparkEntry {
         |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")}))) AS h
         |  FROM t WHERE len(tk) >= 3),
         |probe AS (SELECT doc_id AS doc_id_a, unnest(h[1:5]) AS sh FROM s),
-        |postings AS (SELECT doc_id AS doc_id_b, unnest(h) AS sh FROM s),
+        |postings AS (
+        |  SELECT doc_id AS doc_id_b, sh
+        |  FROM (SELECT doc_id, unnest(h) AS sh FROM s)
+        |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= ${TextOps.StopShingleDfCap}),
         |cand AS (
         |  SELECT DISTINCT doc_id_a, doc_id_b
         |  FROM probe JOIN postings USING (sh)
@@ -1078,7 +1081,8 @@ object SparkEntry {
         |trc AS (
         |  SELECT sh, COUNT(*) AS n_train_docs
         |  FROM (SELECT doc_id, unnest(h) AS sh FROM s WHERE split = 'train')
-        |  GROUP BY sh),
+        |  GROUP BY sh
+        |  HAVING COUNT(*) <= ${TextOps.StopShingleDfCap}),
         |te AS (
         |  SELECT doc_id, CAST(len(h) AS INT) AS n_shingles, unnest(h) AS sh
         |  FROM s WHERE split = 'test')

@@ -355,14 +355,37 @@ object TextOps {
     * shingle posts once per containing doc, and the candidate join keys
     * on the shingle hash — the split-leakage shuffle class, O(Σ df²)
     * only over the 5-sketch slice, never all-pairs.
+    *
+    * Stop-shingle guard (VERDICT r7 next-round #2): shingles with
+    * document frequency above [[StopShingleDfCap]] are dropped from the
+    * postings BEFORE the candidate join — at web scale one boilerplate
+    * shingle (a license header) posts in millions of docs and its
+    * candidate key is O(df²)-hot; df-capping is the standard
+    * inverted-index guard. Recall trade: a pair whose EVERY probe-sketch
+    * shingle is boilerplate loses its candidate — exactly the pairs whose
+    * similarity is boilerplate-driven. At the test SFs the cap drops
+    * nothing (measured sf0.1: max df 25 over 5000 docs, SCALE.md §Dedup),
+    * so the oracle parity is exact; the mechanism itself is spec-proven
+    * with a synthetic low cap (TextOpsSpec).
     */
-  def dedupContain(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
+  val StopShingleDfCap = 1000
+
+  def dedupContain(spark: SparkSession, dir: String): DataFrame =
+    dedupContainFrom(shingleHashes(spark, dir).repartition(col("doc_id")),
+      StopShingleDfCap)
+
+  private[graft] def dedupContainFrom(sh: DataFrame, dfCap: Int): DataFrame = {
     val probe = sh.select(col("doc_id").as("doc_id_a"),
       explode(slice(col("h"), 1, 5)).as("sh"))
     val postings = sh.select(col("doc_id").as("doc_id_b"),
       explode_outer(col("h")).as("sh"))
       .filter(col("sh").isNotNull)
+      // df computed as a window count INSIDE the sh-hash exchange the
+      // candidate join needs anyway — EnsureRequirements reuses the
+      // hashpartitioning(sh), so the guard costs a sort, not a shuffle
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= dfCap)
+      .drop("df")
     val cand = probe.join(postings, Seq("sh"))
       .filter(col("doc_id_a") =!= col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"))
@@ -567,15 +590,29 @@ object TextOps {
     * pass sits above one doc_id exchange (same reuse point as
     * decontaminate) so train and test consumers read one materialized
     * scan+shingle+md5 pass.
+    *
+    * Stop-shingle guard (VERDICT r7 next-round #2): train shingles with
+    * df > [[StopShingleDfCap]] are dropped AFTER the count aggregate
+    * (free — already reduced to one row per shingle) and before the
+    * probe join, so a web-scale boilerplate shingle can neither make the
+    * join key hot nor count as "leakage" — a shingle present in a
+    * million training docs is vocabulary, not contamination evidence.
+    * At test SFs the cap drops nothing (max df 25 at sf0.1), so oracle
+    * parity is exact; mechanism spec-proven with a low cap.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir).repartition(col("doc_id"))
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageFrom(shingleHashes(spark, dir).repartition(col("doc_id")),
+      StopShingleDfCap)
+
+  private[graft] def splitLeakageFrom(shRaw: DataFrame, dfCap: Int): DataFrame = {
+    val sh = shRaw
       .withColumn("split", CurationOps.splitOf(CurationOps.splitBucket(col("doc_id"))))
     val trainCounts = sh.filter(col("split") === "train")
       .select(col("doc_id"), explode_outer(col("h")).as("sh"))
       .filter(col("sh").isNotNull)
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n_train_docs"))
+      .filter(col("n_train_docs") <= dfCap)
     sh.filter(col("split") === "test")
       .select(col("doc_id"), size(col("h")).as("n_shingles"),
         explode_outer(col("h")).as("sh"))

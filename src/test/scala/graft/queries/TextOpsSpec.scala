@@ -166,6 +166,46 @@ class TextOpsSpec extends SparkSpec {
       35L -> ((3, 3L, 2L, 1.0))))
   }
 
+  test("stop-shingle df-cap: boilerplate-only candidates drop, genuine pairs survive") {
+    import spark.implicits._
+    // hand-built (doc_id, h) shingle frames: shingle 100 is "boilerplate"
+    // (posts in 11 docs), shingles 1..4 are genuine content shared by the
+    // real near-dup pair (1, 2); doc 11 is a boilerplate-ONLY doc whose
+    // sole route to any candidate is the hot shingle
+    val sh = (Seq(
+      1L -> Seq(1L, 2L, 3L, 100L),
+      2L -> Seq(1L, 2L, 3L, 4L, 100L),
+      11L -> Seq(100L)) ++
+      (3 to 10).map(i => i.toLong -> Seq(100L, 200L + i)))
+      .toDF("doc_id", "h")
+    // uncapped (production constant, far above any df here): doc 11 is
+    // contained in every doc carrying shingle 100
+    val uncapped = TextOps.dedupContainFrom(sh, TextOps.StopShingleDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(_._1 == 11L) === 10)
+    // capped at 5: df(100)=11 > 5 drops it from the postings — the
+    // boilerplate-only pairs vanish, the genuine pair survives intact
+    val capped = TextOps.dedupContainFrom(sh, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 2L)))
+
+    // split leakage: train docs 2,3 / test doc 29 (split-hash-pinned ids);
+    // shingle 100 in both train docs, shingle 7 in one
+    val shLeak = Seq(
+      2L -> Seq(7L, 100L),
+      3L -> Seq(100L),
+      29L -> Seq(7L, 100L)).toDF("doc_id", "h")
+    val unc = TextOps.splitLeakageFrom(shLeak, TextOps.StopShingleDfCap).collect()
+    assert(unc.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))).toSeq === Seq((29L, 2, 2L, 2L, 1.0)))
+    // cap 1: df(100)=2 in train > 1 — it neither counts as leakage nor
+    // reaches the probe join; only shingle 7 remains
+    val cap1 = TextOps.splitLeakageFrom(shLeak, 1).collect()
+    assert(cap1.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))).toSeq === Seq((29L, 2, 1L, 1L, 0.5)))
+  }
+
   test("decontaminate bloom: exact answer at any fpp, probe is a map-side might_contain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-decon-bloom").toString
