@@ -215,6 +215,35 @@ object Bench {
         "dedup_family_recompute" -> timed3(recomputeRun _),
         "dedup_family_shared" -> timed3(sharedRun _))
     }
+    // K-means centroid reuse (VERDICT r7 next-round #3, same story as the
+    // dedup family): the Lloyd pass (seed collect + assignment + K·d-cell
+    // update aggregate) is a TRAINING artifact; `_recompute` times the
+    // per-entry shape where kmeans and semDedup each train their own,
+    // `_shared` trains once and feeds both consumers the same literals —
+    // the persistent-pipeline shape where the model is stored, not relearned.
+    val runKmeansLeg = only.forall(_.exists(_.startsWith("kmeans_family")))
+    val kmeansResults = if (!runKmeansLeg) Seq.empty[(String, Timing)] else {
+      def consume(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def recomputeRun(): Boolean =
+        try {
+          consume(graft.queries.VectorOps.kmeans(spark, sfDir))
+          consume(graft.queries.VectorOps.semDedup(spark, sfDir))
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] kmeans recompute leg failed: ${e.getMessage}"); false }
+      def sharedRun(): Boolean =
+        try {
+          val c1 = graft.queries.VectorOps.lloydCentroids(spark, sfDir)
+          consume(graft.queries.VectorOps.kmeansFrom(spark, sfDir, c1))
+          consume(graft.queries.VectorOps.semDedupFrom(spark, sfDir, c1))
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] kmeans shared leg failed: ${e.getMessage}"); false }
+      Seq(
+        "kmeans_family_recompute" -> timed3(recomputeRun _),
+        "kmeans_family_shared" -> timed3(sharedRun _))
+    }
     // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
     // join over plain parquet vs bucketBy'd tables — the bucketed number is
     // what every repeated ETL2-style join costs once the one-time bucketed
@@ -238,7 +267,7 @@ object Bench {
             spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
-    val finalResults = allResults ++ dedupResults ++ layoutResults
+    val finalResults = allResults ++ dedupResults ++ kmeansResults ++ layoutResults
     val calEnd = calibrate()
     // "queries" stays median (the shape every prior round's artifact used,
     // and what the driver parses); "queries_min" is the contention-robust

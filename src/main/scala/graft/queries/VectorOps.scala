@@ -262,7 +262,7 @@ object VectorOps {
     * clusters semantic dedup runs in" and "the clusters the k-means entry
     * reports" cannot drift apart.
     */
-  private[queries] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+  private[graft] def lloydCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantizedEmbedding.as("qv"))
     val c0 = q.filter(col("vec_id") < KmeansK).collect()
@@ -282,8 +282,19 @@ object VectorOps {
       .toSeq.sortBy(_._1)
   }
 
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val c1 = lloydCentroids(spark, dir)
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansFrom(spark, dir, lloydCentroids(spark, dir))
+
+  /** [[kmeans]] from an already-trained centroid set — the seam the
+    * `kmeans_family_shared` bench leg measures (VERDICT r7 next-round #3,
+    * the minhash-signature-reuse precedent): in a persistent pipeline the
+    * Lloyd pass (seed collect + assign + update, 2 collect-bearing jobs)
+    * is a training artifact paid ONCE, and every consumer — the cluster
+    * report here, [[semDedupFrom]], the IVF quantizer it stubs — ships the
+    * same K·d literals. The per-entry `queries` forms keep training
+    * inline so their timed cost stays the honest end-to-end number. */
+  private[graft] def kmeansFrom(spark: SparkSession, dir: String,
+      c1: Seq[(Int, Array[Long])]): DataFrame = {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantizedEmbedding.as("qv"))
       .withColumn("a", assignStruct(col("qv"), c1))
@@ -324,8 +335,13 @@ object VectorOps {
     * sub-bucket. The keep decision then LEFT-joins back so every vector
     * reports exactly once.
     */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val c1 = lloydCentroids(spark, dir)
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(spark, dir, lloydCentroids(spark, dir))
+
+  /** [[semDedup]] from an already-trained centroid set — see
+    * [[kmeansFrom]] for why the seam exists. */
+  private[graft] def semDedupFrom(spark: SparkSession, dir: String,
+      c1: Seq[(Int, Array[Long])]): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         normd(col("embedding")).as("norm"), lshBucket(col("embedding")).as("bucket"),
