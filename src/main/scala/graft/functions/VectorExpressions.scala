@@ -5,11 +5,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector tier.
   *
@@ -47,6 +47,16 @@ object VectorFunctions {
   def vec_sqdist_l(a: Column, b: Column): Column =
     ColumnShim.column(
       LongVecSqDist(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Sum of absolute int8-dequantization errors
+    * Σ |emb(i) - (mn + codes(i) * scale)| accumulated left-to-right in
+    * double precision; codegen'd. Bitwise-equal to the interpreted
+    * `aggregate(zip_with(emb, codes, (x, c) -> abs(x.cast(Double) - (mn + c * scale))), 0.0, _ + _)`.
+    */
+  def vec_recon_sae(emb: Column, codes: Column, mn: Column, scale: Column): Column =
+    ColumnShim.column(VecReconSAE(ColumnShim.expression(emb),
+      ColumnShim.expression(codes), ColumnShim.expression(mn),
+      ColumnShim.expression(scale)))
 }
 
 /** Dot product of two `array<float>` columns, accumulated left-to-right in
@@ -248,6 +258,91 @@ case class LongVecSqDist(left: Expression, right: Expression) extends BinaryExpr
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongVecSqDist =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sum of absolute reconstruction errors of an int8-quantized
+  * `array<float>`: Σ |emb(i) - (mn + codes(i) * scale)|, left-to-right
+  * double accumulation. Evaluation order mirrors the `zip_with`+`aggregate`
+  * HOF form it replaces EXACTLY — `codes(i)` widens int→double, multiplies
+  * by `scale`, adds `mn`, subtracts from the float-widened element, abs,
+  * accumulate — so DuckDB oracles hash-match bitwise. Null semantics
+  * mirror the HOF form: any null input or null element poisons the result,
+  * and length-mismatched arrays yield null (zip_with pads with nulls).
+  * Empty arrays yield 0.0 (the fold seed). One stated divergence: empty
+  * arrays WITH a null mn/scale poison here but fold to 0.0 in the HOF
+  * (which never consults the scalars) — unreachable from [[
+  * graft.queries.VectorOps.vecQuantize]], where mn is null only when the
+  * array itself is, and scale arrives pre-coalesced.
+  */
+case class VecReconSAE(emb: Expression, codes: Expression, mn: Expression,
+    scale: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = emb
+  override def second: Expression = codes
+  override def third: Expression = mn
+  override def fourth: Expression = scale
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (emb.dataType, codes.dataType, mn.dataType, scale.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_recon_sae requires (array<float>, array<int>, double, double), got " +
+          s"(${emb.dataType.catalogString}, ${codes.dataType.catalogString}, " +
+          s"${mn.dataType.catalogString}, ${scale.dataType.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    val lo = c.asInstanceOf[Double]
+    val sc = d.asInstanceOf[Double]
+    val n = x.numElements()
+    if (n != q.numElements()) {
+      null
+    } else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || q.isNullAt(i)) return null
+        acc += math.abs(x.getFloat(i).toDouble - (lo + q.getInt(i).toDouble * sc))
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, q, lo, sc) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $q.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $q.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Math.abs(
+         |      ((double) $x.getFloat($i)) - ($lo + ((double) $q.getInt($i)) * $sc));
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_recon_sae"
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): VecReconSAE =
+    copy(emb = newFirst, codes = newSecond, mn = newThird, scale = newFourth)
 }
 
 object SignedProjection {

@@ -112,6 +112,47 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("vec_recon_sae matches the HOF audit bitwise (random vectors, nulls, both eval paths)") {
+    import VectorFunctions.vec_recon_sae
+    // the displaced HOF form from vecQuantize's reconstruction audit,
+    // kept as the executable specification
+    def hofSae(emb: Column, codes: Column, mn: Column, scale: Column): Column =
+      aggregate(
+        zip_with(emb, codes, (x, c) =>
+          abs(x.cast(DoubleType) - (mn + c * scale))),
+        lit(0.0), (acc, v) => acc + v)
+    val schema = StructType(Seq(
+      StructField("emb", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = true),
+      StructField("mn", DoubleType, nullable = true),
+      StructField("scale", DoubleType, nullable = true)))
+    val genCode: Gen[java.lang.Integer] = Gen.frequency(
+      9 -> Gen.choose(0, 255).map(java.lang.Integer.valueOf),
+      1 -> Gen.const(null: java.lang.Integer))
+    val genRow: Gen[Row] = for {
+      emb <- genVec
+      sameLen <- Gen.frequency(4 -> true, 1 -> false)
+      m <- Gen.choose(0, 80)
+      codes <- Gen.listOfN(if (sameLen) emb.size else m, genCode)
+      mn <- Gen.chooseNum(-10.0, 10.0)
+      scale <- Gen.chooseNum(0.0, 0.1)
+    } yield Row(emb, codes, mn, scale)
+    val rows = samples(genRow, 150) ++ Seq(
+      Row(Seq.empty[java.lang.Float], Seq.empty[java.lang.Integer], 0.0, 0.0),
+      Row(null, Seq.empty[java.lang.Integer], 0.0, 0.0),
+      Row(Seq[java.lang.Float](1f), Seq[java.lang.Integer](3), null, 0.5))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    def check(): Unit = {
+      val out = df.select(
+        vec_recon_sae(col("emb"), col("codes"), col("mn"), col("scale")).as("nat"),
+        hofSae(col("emb"), col("codes"), col("mn"), col("scale")).as("ref"))
+      val disagree = out.filter(!(col("nat") <=> col("ref"))).collect()
+      assert(disagree.isEmpty, s"native != HOF on: ${disagree.mkString(", ")}")
+    }
+    withCodegen("CODEGEN_ONLY") { check() }
+    withCodegen("NO_CODEGEN") { check() }
+  }
+
   test("the vector queries carry no interpreted HOF lambdas — only the native expressions") {
     import graft.queries.VectorOps
     val sf = "/root/testdata/sf0.001"
