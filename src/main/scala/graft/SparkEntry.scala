@@ -227,6 +227,9 @@ object SparkEntry {
     "q_retrieval_gated" -> (VectorOps.retrievalGated _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
     "q_sim_ivf" -> (VectorOps.simIvf _),
+    // multi-probe IVF: each probe searches its nprobe nearest cells —
+    // the recall/cost knob (curve measured in VectorOpsSpec)
+    "q_sim_ivf_multi" -> (VectorOps.simIvfMulti _),
     "q_embed_dedup" -> (VectorOps.embedDedup _),
     // per-vector int8 scalar quantization + reconstruction-error audit
     "q_vec_quant" -> (VectorOps.vecQuantize _),
@@ -1637,6 +1640,30 @@ object SparkEntry {
         |    ${cosSql("pr.p_emb", "a.embedding", "pr.n")} AS cos_sim
         |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.probe_id)
         |SELECT probe_id, cell, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // same cell assignment as q_sim_ivf; probes additionally keep their
+    // top-IvfNProbe cells (r <= nprobe instead of r = 1 on the probe side)
+    "q_sim_ivf_multi" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, e.n, c.cid,
+        |    ${cosSql("e.embedding", "c.c_emb", "e.n")} AS sim
+        |  FROM e JOIN c ON TRUE),
+        |rsims AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |  FROM sims),
+        |asg AS (SELECT vec_id, embedding, n, cid AS cell FROM rsims WHERE r = 1),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, embedding AS p_emb, n, cid AS cell
+        |  FROM rsims WHERE r <= ${VectorOps.IvfNProbe} AND vec_id < 5),
+        |pairs AS (
+        |  SELECT pr.probe_id, a.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "a.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.probe_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_sim FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
         |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,

@@ -101,6 +101,66 @@ class VectorOpsSpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("multi-probe IVF: nprobe=1 equals single-probe IVF; recall/cost curve is monotone") {
+    // consistency: at nprobe=1 the multi-probe plan must reproduce
+    // q_sim_ivf exactly (same cells, same candidates, same ranking)
+    val single = VectorOps.simIvf(spark, sf)
+      .select("probe_id", "rank", "neighbor_id", "cos_sim")
+    val multi1 = VectorOps.simIvfMultiP(spark, sf, 1)
+    assert(multi1.exceptAll(single).count() === 0)
+    assert(single.exceptAll(multi1).count() === 0)
+    // cost axis on the corpus: compared pairs grow with nprobe, recall
+    // never decreases (a superset of cells can only add candidates)
+    val brute = VectorOps.simTopk(spark, sf)
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    val curve = Seq(1, 2, 4).map { np =>
+      val pairs = VectorOps.simIvfPairs(spark, sf, np).count()
+      val r = recallOf(VectorOps.simIvfMultiP(spark, sf, np), brute)
+      (np, pairs, r)
+    }
+    curve.foreach { case (np, pairs, r) =>
+      info(f"corpus $sf nprobe=$np: pairs=$pairs recall@3=$r%.3f") }
+    assert(curve.sliding(2).forall { case Seq(a, b) => b._2 >= a._2 && b._3 >= a._3 - 1e-12 })
+    brute.unpersist()
+  }
+
+  test("multi-probe IVF: boundary probes buy recall back, measured curve on a 3-cell fixture") {
+    // The regime multi-probe exists for: a probe whose true neighbors sit
+    // in OTHER cells. u ⊥ v in 64 dims; p = cos40°·u + sin40°·v is its own
+    // centroid (id 2 < 8), so at nprobe=1 it searches an EMPTY cell; its
+    // true top-3 (u, v, the B cluster around v) are split across cells A
+    // and B. Exact expected recalls, no probability:
+    //   nprobe=1: probe u finds nothing, probe v finds its cluster, p
+    //             finds nothing                       -> 3/9
+    //   nprobe=2: u adds cell C (finds p), p adds cell A (finds u)
+    //                                                 -> 5/9
+    //   nprobe=4: all three cells searched            -> 9/9
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprobe").toString
+    val dim = 64
+    val u = Array.tabulate(dim)(i => if (i < 32) 1.0f else 0.0f)
+    val v = Array.tabulate(dim)(i => if (i >= 32) 1.0f else 0.0f)
+    val c40 = math.cos(math.toRadians(40)).toFloat
+    val s40 = math.sin(math.toRadians(40)).toFloat
+    val p = Array.tabulate(dim)(i => u(i) * c40 + v(i) * s40)
+    val rows = Seq(
+      (0L, u), (1L, v), (2L, p)) ++
+      Seq(1.1f, 0.9f, 1.2f).zipWithIndex.map { case (s, j) =>
+        ((8 + j).toLong, v.map(_ * s))
+      }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = VectorOps.simTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    val got = Seq(1, 2, 4).map { np =>
+      np -> recallOf(VectorOps.simIvfMultiP(spark, dir, np), brute)
+    }
+    got.foreach { case (np, r) => info(f"boundary fixture nprobe=$np: recall@3=$r%.3f") }
+    assert(got.map(_._2).zip(Seq(3.0 / 9, 5.0 / 9, 1.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+    brute.unpersist()
+  }
+
   test("embed dedup: pairs stay within (label, bucket) and meet the threshold") {
     val out = VectorOps.embedDedup(spark, sf).cache()
     assert(out.filter(col("cos_sim") < 0.3).count() === 0)
