@@ -35,11 +35,17 @@ object MaintenanceOps {
     * snapshot is bucketed by key and the per-batch log is small, so the
     * merge is a shuffle-free bucket join with an O(batch) probe side.
     */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.customer(spark, dir)
+  /** The keyed snapshot [[cdcApply]] merges into — shared with the
+    * streaming `foreachBatch` CDC sink ([[graft.streaming.Streams.cdcSink]])
+    * so the one-shot and micro-batched paths reconcile the SAME table. */
+  private[graft] def cdcSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .filter(col("c_custkey") >= 50 && col("c_custkey") < 300)
       .select(col("c_custkey").as("key"), col("c_name").as("name"),
         col("c_acctbal").as("snap_val"))
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val snap = cdcSnapshot(spark, dir)
     // last-writer-wins: latest (ts, event_id) per key; ts ties are
     // impossible to rely on at ns truncation, so event_id breaks them
     val w = Window.partitionBy(col("user_id"))

@@ -131,6 +131,71 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/sink").count() === 2 * perFile)
   }
 
+  test("streaming CDC merge: file-drop micro-batches converge to the one-shot MERGE") {
+    // sf0.01, not sf0.001: the smaller SF's change keys never overlap the
+    // snapshot (no 'update' rows), which would leave the MERGE half-tested
+    val sf = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val ingest = Files.createDirectories(java.nio.file.Paths.get(s"$root/ingest"))
+    // split the change log into two files by event_id PARITY — an
+    // interleaved split, not a time split, so each micro-batch carries
+    // changes that are out of order relative to the other batch; the LWW
+    // register must converge regardless. ts is re-encoded as long NANOS
+    // (what readEvents' schema expects): a raw file copy is wrong here
+    // because this SF stores ts as TIMESTAMP(MICROS), which readEvents
+    // would shrink 1000x — ordering survives (div is monotone, so the
+    // convergence assert would still pass) but the redelivered batches
+    // below would carry full-scale timestamps and spuriously win LWW
+    val raw = graft.Tables.events(spark, sf)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    Seq(0, 1).foreach { par =>
+      val half = Files.createTempDirectory(s"graft-cdc-h$par")
+      raw.filter(pmod(col("event_id"), lit(2L)) === par)
+        .coalesce(1).write.mode("overwrite").parquet(half.toString)
+      val part = Option(half.toFile.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, ingest.resolve(s"f$par.parquet"))
+    }
+    val snap = graft.queries.MaintenanceOps.cdcSnapshot(spark, sf)
+    val q = Streams.cdcSink(Streams.readEvents(spark, ingest.toString),
+      snap, s"$root/state", s"$root/chk")
+    q.awaitTermination()
+
+    // maxFilesPerTrigger=1 → exactly two state versions
+    val versions = Option(new java.io.File(s"$root/state").listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(versions === Seq("v=0", "v=1"))
+    val expected = graft.queries.MaintenanceOps.cdcApply(spark, sf).collect().toSeq
+    assert(expected.map(_.getString(3)).toSet === Set("insert", "update", "unchanged"),
+      "fixture must exercise every action")
+    val got = Streams.cdcRelease(
+      spark.read.parquet(s"$root/state/${versions.last}")).collect().toSeq
+    assert(got === expected)
+
+    // out-of-order REDELIVERY long after: the even half arrives again as a
+    // later batch — every change in it is equal-or-older than what the
+    // state already absorbed, so the strict LWW comparison drops them all
+    val evenHalf = graft.Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(2L)) === 0L)
+    Streams.applyCdcBatch(snap, evenHalf, s"$root/state", batchId = 5L)
+    assert(Streams.cdcRelease(
+      spark.read.parquet(s"$root/state/v=5")).collect().toSeq === expected)
+
+    // crash replay: recompute batch 1 from batch 0's state — v=1 must be
+    // rebuilt with identical content. The file source's batch order isn't
+    // contractual, so read which half batch 0 actually was from the
+    // winning event ids v=0 retained (the LWW register keeps them for
+    // exactly this kind of provenance)
+    val b0Parity = spark.read.parquet(s"$root/state/v=0")
+      .filter(col("event_id").isNotNull)
+      .agg(max(pmod(col("event_id"), lit(2L)))).head.getLong(0)
+    val batch1 = graft.Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(2L)) === (1L - b0Parity))
+    Streams.applyCdcBatch(snap, batch1, s"$root/state", batchId = 1L)
+    assert(Streams.cdcRelease(
+      spark.read.parquet(s"$root/state/v=1")).collect().toSeq === expected)
+  }
+
   test("hopping windows: each event lands in exactly its two overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
