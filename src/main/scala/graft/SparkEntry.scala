@@ -1112,8 +1112,8 @@ object SparkEntry {
         |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_lm_score" -> s"SELECT * FROM ($lmFamiliarityCore) ORDER BY doc_id",
     "q_dsir" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, lang, unnest(list_transform(range(0, len(tk) - 1),
@@ -1126,7 +1126,7 @@ object SparkEntry {
         |lma AS (
         |  SELECT bg, c2_all, c1_all
         |  FROM cba JOIN cwa ON split_part(cba.bg, ' ', 1) = cwa.w1),
-        |cbt AS (SELECT bg, COUNT(*) AS c2_t FROM b WHERE lang = 'en' GROUP BY bg),
+        |cbt AS (SELECT bg, COUNT(*) AS c2_t FROM b WHERE lang = '${CurationOps.DsirTargetLang}' GROUP BY bg),
         |cwt AS (
         |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2_t) AS BIGINT) AS c1_t
         |  FROM cbt GROUP BY 1),

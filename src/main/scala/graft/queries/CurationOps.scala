@@ -371,11 +371,14 @@ object CurationOps {
       .select(col("doc_id"), toksAll.as("toks"))
       .select(col("doc_id"), explode(bigramsOf).as("bg"))
     val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val cw = cb
-      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
-      .agg(sum(col("c2")).as("c1"))
-    val lm = cb.withColumn("w1", element_at(split(col("bg"), " "), 1))
-      .join(cw, Seq("w1"))
+    // context totals as a window over the VOCABULARY table, not a second
+    // aggregate + self-join: cb referenced twice re-plans its whole
+    // scan+explode+aggregate subtree, turning the corpus pass into three
+    // (ADVICE r7, measured by PlanGuardSpec's 2-scan bound). The window's
+    // partition key is vocabulary-sized w1 — bounded, well-partitioned.
+    val lm = cb
+      .withColumn("c1", sum(col("c2")).over(
+        Window.partitionBy(element_at(split(col("bg"), " "), 1))))
       .select(col("bg"), col("c2"), col("c1"))
     bg.join(lm, Seq("bg"))
       .groupBy(col("doc_id"))
@@ -396,10 +399,23 @@ object CurationOps {
     * ratio that resampling then draws against to shift the corpus toward
     * the target distribution. Both models here are the [[lmFamiliarity]]
     * bigram ratio-of-sums estimator; the target model trains on the
-    * English subset (`lang = 'en'` stands in for "the Wikipedia-like
+    * [[DsirTargetLang]] subset (standing in for "the Wikipedia-like
     * slice"), the raw model on the whole corpus, and BOTH read the one
-    * exploded bigram pass — at 100 TB the dominant cost is that pass, so
-    * the two models must never trigger a second tokenize+explode.
+    * exploded bigram pass — at 100 TB the dominant cost is that pass.
+    *
+    * How the pass count is actually bounded (ADVICE r7 — the earlier
+    * comment claimed single-pass while the plan re-ran the explode per
+    * consumer): BOTH models are built by ONE vocabulary aggregate, with
+    * the target model as a conditional count over the same rows
+    * (`sum(when(lang = target, 1))`, null when unmatched — exactly the
+    * absent-row semantics the old filtered-aggregate + left-join had).
+    * That leaves exactly TWO bigram passes, train and score — the CCNet
+    * shape, irreducible without materializing the exploded corpus — and
+    * the count no longer grows with the number of models. An Exchange-
+    * reuse point is NOT the answer here: each consumer prunes different
+    * columns below any shared shuffle, so the subplans never compare
+    * equal (measured: 0 ReusedExchange). PlanGuardSpec pins the 2-scan
+    * bound.
     *
     * Arithmetic discipline: every aggregate is an exact int64; the weight
     * is computed as (Σbg_t/Σctx_t) / (Σbg_raw/Σctx_raw) — three double
@@ -412,24 +428,36 @@ object CurationOps {
     * with `n_matched_target` telling downstream how much evidence the
     * weight rests on.
     */
+  /** The DSIR target domain — shared between [[dsirWeights]] and its
+    * oracle SQL (interpolated there) so op and oracle cannot drift
+    * (ADVICE r7). */
+  private[graft] val DsirTargetLang = "en"
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), toksAll.as("toks"))
       .select(col("doc_id"), col("lang"), explode(bigramsOf).as("bg"))
-    def lmOf(instances: DataFrame, c2Name: String, c1Name: String): DataFrame = {
-      val cb = instances.groupBy(col("bg")).agg(count(lit(1)).as(c2Name))
-      val cw = cb
-        .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
-        .agg(sum(col(c2Name)).as(c1Name))
-      cb.withColumn("w1", element_at(split(col("bg"), " "), 1))
-        .join(cw, Seq("w1"))
-        .select(col("bg"), col(c2Name), col(c1Name))
-    }
-    val lmRaw = lmOf(bg, "c2_all", "c1_all")
-    val lmTgt = lmOf(bg.filter(col("lang") === "en"), "c2_t", "c1_t")
+    // ONE vocabulary aggregate trains BOTH models. c2_t uses sum(when) so
+    // a bigram with no target-domain occurrences is NULL, reproducing the
+    // row-absent semantics of a separately-built filtered model; c1_t is
+    // then re-nulled per bigram for the same reason (the context total
+    // exists for the w1, but an unmatched bigram must not contribute it
+    // to any document's target sums).
+    val cb = bg.groupBy(col("bg")).agg(
+      count(lit(1)).as("c2_all"),
+      sum(when(col("lang") === DsirTargetLang, 1L)).as("c2_t"))
+    // context totals as a window over the vocabulary table (see
+    // lmFamiliarity): sum ignores nulls, so c1_t is the target context
+    // mass; both totals ride ONE w1-partitioned window exchange
+    val w1Win = Window.partitionBy(element_at(split(col("bg"), " "), 1))
+    val lm = cb
+      .withColumn("c1_all", sum(col("c2_all")).over(w1Win))
+      .withColumn("c1_t", sum(col("c2_t")).over(w1Win))
+      .select(col("bg"), col("c2_all"), col("c1_all"), col("c2_t"),
+        when(col("c2_t").isNotNull, col("c1_t")).as("c1_t"))
     val famRaw = col("sum_bg_all").cast(DoubleType) / col("sum_ctx_all").cast(DoubleType)
     val famTgt = col("sum_bg_t").cast(DoubleType) / col("sum_ctx_t").cast(DoubleType)
-    bg.join(lmRaw, Seq("bg")).join(lmTgt, Seq("bg"), "left")
+    bg.join(lm, Seq("bg"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(
         count(lit(1)).as("n_bigrams"),

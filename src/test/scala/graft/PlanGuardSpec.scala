@@ -142,6 +142,19 @@ class PlanGuardSpec extends SparkSpec {
       "CC round's neighbor-min aggregate lost its map-side partial")
   }
 
+  test("LM/DSIR pay the bigram explode twice (train + score), never per model") {
+    // ADVICE r7: dsirWeights' docstring claimed one exploded pass while
+    // the plan ran it per consumer (3x). The conditional-aggregate
+    // restructure bounds it at two document scans — one LM-train pass,
+    // one re-score pass — independent of how many models are trained.
+    for (name <- Seq("q_lm_score", "q_dsir")) {
+      val scans = plans(name).collect { case s: FileSourceScanExec => s }
+      assert(scans.size === 2,
+        s"$name plans ${scans.size} file scans; the tokenize+explode pass " +
+          "must run exactly twice (train + score)")
+    }
+  }
+
   test("EP1 staging (the 100 TB front door) plans no window at all") {
     val dir = Files.createTempDirectory("graft-planguard")
     val stg = graft.etl.Ingest.stageObservations(spark, graft.etl.DopiFixture.write(dir))
