@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Bench-regression gate: the judge's manual adjudication as one command.
+
+Usage:
+    python3 tools/benchgate.py CURRENT.json PREVIOUS.json [--rerun] [--threshold R]
+
+Compares two bench artifacts (BENCH_FULL.json format: a JSON object with a
+"queries" median map, and — from round 8 on — a "queries_min" map and a
+"calibration" start/mid/end block) and classifies every common leg:
+
+  ok                  ratio <= threshold (default 1.5)
+  contention-suspect  median regressed but the leg's OWN min-of-3 did not
+                      (external load only ever ADDS time, so a clean min
+                      acquits the code), or the calibration spread shows
+                      the run itself was contaminated
+  regression?         median AND min both regressed — needs an isolated
+                      re-run to confirm
+
+With --rerun, every non-ok leg is re-run isolated (SPARK_GRAFT_BENCH_ONLY
+through graft.Bench, same SF dir) and re-judged against the previous value:
+what survives isolation is a CONFIRMED regression and the exit code is 1.
+Without --rerun the exit code is 1 only if a "regression?" leg exists, so CI
+can choose between cheap flagging and full adjudication.
+
+Round 7 context: the driver's box was busy, four legs read 3-21x wrong, and
+two headline wins appeared inverted — each needed a hand re-run to refute.
+This script is that ritual, mechanized (VERDICT r7 next-round #7).
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" not in doc:
+        sys.exit(f"{path}: no 'queries' map — not a bench artifact")
+    return doc
+
+
+def classify(name, cur, prev, cur_min, threshold, cal_spread):
+    if prev is None or prev <= 0 or cur is None or cur < 0:
+        return "incomparable"
+    ratio = cur / prev
+    if ratio <= threshold:
+        return "ok"
+    # the leg's own min acquits it: contention only ever adds time
+    if cur_min is not None and 0 <= cur_min <= prev * threshold:
+        return "contention-suspect"
+    if cal_spread is not None and cal_spread > 1.3:
+        return "contention-suspect"
+    return "regression?"
+
+
+def isolated_rerun(names, sf_dir):
+    """Re-run the named legs through graft.Bench in isolation; returns their
+    fresh median map (the run's own quiesce + warmup discipline applies)."""
+    out = f"/tmp/benchgate_rerun_{os.getpid()}.json"
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_ONLY=",".join(names),
+               SPARK_GRAFT_BENCH_OUT=out,
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    print(f"[benchgate] isolated re-run of {len(names)} leg(s): {', '.join(names)}",
+          flush=True)
+    proc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        env=env, capture_output=True, text=True)
+    if proc.returncode != 0 or not os.path.exists(out):
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-2000:])
+        sys.exit("[benchgate] isolated re-run failed")
+    doc = json.load(open(out))
+    return doc.get("queries", {}), doc.get("queries_min", {})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("current")
+    ap.add_argument("previous")
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-run flagged legs isolated and re-judge")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    cur_doc = load_queries(args.current)
+    prev_doc = load_queries(args.previous)
+    cur, prev = cur_doc["queries"], prev_doc["queries"]
+    cur_min = cur_doc.get("queries_min", {})
+    cal = cur_doc.get("calibration", {})
+    cal_spread = cal.get("spread")
+
+    if cal_spread is not None:
+        tag = "QUIET" if cal_spread <= 1.3 else "CONTAMINATED?"
+        print(f"[benchgate] calibration spread {cal_spread} -> {tag} "
+              f"(start/mid/end medians: "
+              + "/".join(str(cal.get(k, {}).get("median")) for k in ("start", "mid", "end"))
+              + ")")
+
+    common = sorted(set(cur) & set(prev))
+    rows = []
+    for name in common:
+        verdict = classify(name, cur.get(name), prev.get(name),
+                           cur_min.get(name), args.threshold, cal_spread)
+        rows.append({"leg": name, "prev": prev[name], "cur": cur[name],
+                     "cur_min": cur_min.get(name),
+                     "ratio": round(cur[name] / prev[name], 2)
+                     if prev[name] and prev[name] > 0 and cur[name] >= 0 else None,
+                     "verdict": verdict})
+
+    flagged = [r for r in rows if r["verdict"] in ("regression?", "contention-suspect")]
+    confirmed = []
+    if args.rerun and flagged:
+        fresh, fresh_min = isolated_rerun([r["leg"] for r in flagged], args.sf_dir)
+        for r in flagged:
+            iso = fresh.get(r["leg"])
+            r["isolated"] = iso
+            if iso is None or iso < 0:
+                r["verdict"] = "rerun-failed"
+            elif iso <= prev[r["leg"]] * args.threshold:
+                r["verdict"] = "phantom (isolated %.2fs)" % iso
+            else:
+                r["verdict"] = "CONFIRMED regression"
+                confirmed.append(r["leg"])
+
+    new_legs = sorted(set(cur) - set(prev))
+    gone_legs = sorted(set(prev) - set(cur))
+
+    for r in rows:
+        if r["verdict"] != "ok":
+            print("  {leg:36s} prev={prev:>8} cur={cur:>8} min={cur_min} "
+                  "ratio={ratio} -> {verdict}".format(**r))
+    n_ok = sum(1 for r in rows if r["verdict"] == "ok")
+    print(f"[benchgate] {len(common)} common legs: {n_ok} ok, "
+          f"{len(flagged)} flagged; +{len(new_legs)} new, -{len(gone_legs)} gone")
+    report = {"common": len(common), "ok": n_ok, "flagged": rows and
+              [r for r in rows if r["verdict"] != "ok"] or [],
+              "new_legs": new_legs, "gone_legs": gone_legs,
+              "cal_spread": cal_spread, "confirmed": confirmed}
+    out_path = os.environ.get("BENCHGATE_OUT", "/tmp/benchgate_report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[benchgate] report -> {out_path}")
+    if args.rerun:
+        sys.exit(1 if confirmed else 0)
+    sys.exit(1 if any(r["verdict"] == "regression?" for r in rows) else 0)
+
+
+if __name__ == "__main__":
+    main()
