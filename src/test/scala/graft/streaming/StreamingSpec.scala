@@ -196,6 +196,47 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$root/state/v=1")).collect().toSeq === expected)
   }
 
+  test("CDC merge plan is equivalent to the pure LWW model on seeded random logs") {
+    // CdcLwwProps proves the MODEL's convergence over hundreds of random
+    // schedules; this case proves the Spark PLAN computes that model —
+    // together they carry the streaming sink's correctness claim.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import CdcModel._
+    for (seed <- 1L to 3L) {
+      val snapKeys = (3L to 12L).filter(k => (k + seed) % 3 != 0)
+      val snap = snapKeys.map(k => k -> ((s"n$k", k * 10.0))).toMap
+      val gEv = for {
+        k <- Gen.choose(0L, 15L)
+        t <- Gen.choose(0L, 5L)
+        op <- Gen.frequency(4 -> Gen.const("set"), 1 -> Gen.const("error"))
+        v <- Gen.choose(0, 1000).map(_ / 10.0)
+      } yield (k, t, op, v)
+      val log = (0 until 30).map { i =>
+        val (k, t, op, v) = gEv.pureApply(Gen.Parameters.default, Seed(seed * 100 + i))
+        Ev(k, i.toLong, t, op, v)
+      }
+      // model: two batches split by eid parity, odd batch first (out of order)
+      val (even, odd) = log.partition(_.eid % 2 == 0)
+      val expected = release(Seq(odd, even).foldLeft(init(snap))(merge))
+
+      // plan: same snapshot/batches as DataFrames through the real operators
+      import spark.implicits._
+      val snapDf = snap.toSeq.map { case (k, (n, v)) => (k, n, v) }
+        .toDF("key", "name", "snap_val")
+      def batchDf(evs: Seq[Ev]) = evs
+        .map(e => (e.key, e.op, e.value, e.ts, e.eid))
+        .toDF("user_id", "event_type", "value", "tsl", "event_id")
+        .withColumn("ts", expr("timestamp_micros(tsl)")).drop("tsl")
+      val state = Seq(odd, even).map(batchDf)
+        .foldLeft(Streams.cdcInitState(snapDf))(Streams.cdcMergeState)
+      val got = Streams.cdcRelease(state).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))).toMap
+      assert(got === expected, s"seed $seed diverged")
+    }
+  }
+
   test("hopping windows: each event lands in exactly its two overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
