@@ -257,6 +257,9 @@ object SparkEntry {
     // join-key inference via distinct-set containment
     "q_heavy_hitters" -> (ProfileOps.heavyHitters _),
     "q_fk_profile" -> (ProfileOps.fkProfile _),
+    // distributed OLS: one exact-moment aggregate, closed-form fit at the
+    // O(groups) output edge — how a linear scorer trains at 100 TB
+    "q_ols_fit" -> (ProfileOps.olsFit _),
   )
 
   private val revenueSql =
@@ -1827,5 +1830,31 @@ object SparkEntry {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY child_col, parent_col")
     },
+    // same exact int64 moments, same fixed double association order as
+    // the Spark side — slope/intercept/r2 round identically
+    "q_ols_fit" ->
+      s"""WITH m AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM (
+        |    SELECT lang,
+        |      CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS x,
+        |      CAST(n_chars AS BIGINT) AS y
+        |    FROM documents)
+        |  GROUP BY lang)
+        |SELECT lang, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope,
+        |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS r2
+        |FROM m ORDER BY lang""".stripMargin,
   )
 }

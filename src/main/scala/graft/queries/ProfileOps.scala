@@ -92,6 +92,55 @@ object ProfileOps {
       .orderBy(col("child_col"), col("parent_col"))
   }
 
+  /** Distributed ordinary-least-squares fit via exact integer moment
+    * aggregates — the normal-equations shape, which is how a linear
+    * scorer (a quality/length model, a drift baseline, a feature
+    * calibration) trains at 100 TB: ONE map-side-combinable aggregate
+    * collects (n, Σx, Σy, Σxy, Σx², Σy²) per group, and the closed-form
+    * slope/intercept/R² are computed from those six numbers at the
+    * O(groups)-sized output edge. No iteration, no gradient steps, no
+    * driver-side data — the moments ARE the sufficient statistics, and
+    * they merge associatively across any partitioning because they are
+    * exact int64 sums (never a float accumulation — the q_dsir
+    * arithmetic discipline).
+    *
+    * Fit here: n_chars ~ n_tokens per language over `documents` — the
+    * chars-per-token line whose residual is a cheap gibberish signal.
+    * int64 headroom: Σxy sums x·y ≈ 2e5 per doc; ~1e11 docs at 100 TB
+    * stay ~2 orders under 2^63. The final arithmetic is double with a
+    * FIXED association order — each moment cast once, every product and
+    * difference mirrored verbatim in the oracle SQL — so both engines
+    * round identically (the kmeans floor-division precedent). Degenerate
+    * groups (constant x, or fewer than 2 rows) yield NULL slope/R² via
+    * nullif, identically in both engines.
+    */
+  def olsFit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.toksAll).cast(LongType).as("x"),
+        col("n_chars").cast(LongType).as("y"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(Seq(col("lang"), col("n")) ++ {
+        def dbl(c: String): Column = col(c).cast(DoubleType)
+        val num = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+        val dn = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+        val dy = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+        val slope = num / nullif(dn, lit(0.0))
+        Seq(
+          slope.as("slope"),
+          ((dbl("sy") - slope * dbl("sx")) / dbl("n")).as("intercept"),
+          ((num * num) / nullif(dn * dy, lit(0.0))).as("r2"))
+      }: _*)
+      .orderBy(col("lang"))
+  }
+
   /** One containment row for a (child column, parent key) pair. */
   private[queries] def pair(
       child: DataFrame, childCol: String, childName: String,

@@ -53,4 +53,56 @@ class ProfileOpsSpec extends SparkSpec {
     assert(rows("lineitem.l_partkey"))  // lineitem -> part is a real FK
     assert(rows("orders.o_custkey"))    // orders -> customer is a real FK
   }
+
+  test("ols fit matches an in-memory least-squares reference; residuals uncorrelated with x") {
+    val sf = "/root/testdata/sf0.001"
+    val data = graft.Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ProfileOps.olsFit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    for ((lang, rows) <- data.groupBy(_._1)) {
+      // plain-Scala reference with the SAME exact-moment arithmetic
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+      val sxx = rows.map(r => r._2 * r._2).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gs, gi, gr2) = got(lang)
+      assert(gn === rows.length)
+      assert(math.abs(gs - slope) < 1e-9 * math.max(1.0, math.abs(slope)))
+      assert(math.abs(gi - intercept) < 1e-9 * math.max(1.0, math.abs(intercept)))
+      assert(gr2 >= 0.0 && gr2 <= 1.0 + 1e-12)
+      // the defining normal-equation property: residuals are orthogonal
+      // to the regressor (sum of residual*x is 0 up to rounding)
+      val resDotX = rows.map(r => (r._3 - (intercept + slope * r._2)) * r._2).sum
+      assert(math.abs(resDotX) < 1e-6 * sxx)
+    }
+  }
+
+  test("ols fit: degenerate groups (constant x, singleton) yield NULL slope/r2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ols").toString
+    Seq(
+      ("aa", 1L, "w1 w2 w3", 30L),   // constant x = 3 across the group
+      ("aa", 2L, "v1 v2 v3", 60L),
+      ("bb", 3L, "u1 u2", 20L),      // singleton group
+      ("cc", 4L, "t1", 10L),         // perfect 2-point line
+      ("cc", 5L, "t1 t2 t3", 30L))
+      .toDF("lang", "doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ProfileOps.olsFit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("aa").isNullAt(2) && rows("aa").isNullAt(4))  // var(x)=0
+    assert(rows("bb").isNullAt(2))                            // n=1
+    assert(math.abs(rows("cc").getDouble(2) - 10.0) < 1e-12)  // slope 10
+    assert(math.abs(rows("cc").getDouble(3) - 0.0) < 1e-12)   // intercept 0
+    assert(math.abs(rows("cc").getDouble(4) - 1.0) < 1e-12)   // perfect fit
+  }
 }
