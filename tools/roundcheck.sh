@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-close ritual, mechanized (ROUNDLOG item 8 + VERDICT r7 #7):
+#   1. compile
+#   2. correctness sweep: every SparkEntry entry vs the DuckDB oracle at
+#      sf0.001 / sf0.01 / sf0.1
+#   3. controlled bench at sf0.1 (quiet box assumed — check cal_spread!)
+#   4. benchgate vs the previous round's artifact (auto-adjudicating)
+#   5. full sbt test
+# Any failure stops the ritual with a nonzero exit. Artifacts land in
+# $OUT_DIR (default /tmp/roundcheck).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT_DIR="${OUT_DIR:-/tmp/roundcheck}"
+PREV_BENCH="${PREV_BENCH:-BENCH_FULL.json}"   # previous round's artifact
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+mkdir -p "$OUT_DIR"
+
+echo "== [1/5] compile"
+sbt -batch compile > "$OUT_DIR/compile.log" 2>&1
+
+echo "== [2/5] correctness sweep (3 SFs)"
+for sf in 0.001 0.01 0.1; do
+  SPARK_GRAFT_CPUS="$CPUS" sbt -batch \
+    "runMain graft.Verify /root/testdata/sf$sf $OUT_DIR/verify_$sf" \
+    > "$OUT_DIR/verify_$sf.log" 2>&1
+  python3 tools/check.py "/root/testdata/sf$sf" "$OUT_DIR/verify_$sf" \
+    | tail -1 | tee "$OUT_DIR/check_$sf.txt"
+  grep -q ", 0 failed" "$OUT_DIR/check_$sf.txt"
+done
+
+echo "== [3/5] controlled bench at sf0.1 (local[$CPUS])"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_BENCH_OUT="$OUT_DIR/BENCH_FULL.json" \
+  sbt -batch "runMain graft.Bench" > "$OUT_DIR/bench.log" 2>&1
+WINDOWS=$(grep -c "WindowExec: No Partition Defined" "$OUT_DIR/bench.log" || true)
+[ "$WINDOWS" = "0" ] || { echo "unpartitioned window detected"; exit 1; }
+grep '"metric"' "$OUT_DIR/bench.log" | tail -1
+
+echo "== [4/5] benchgate vs $PREV_BENCH"
+if [ -f "$PREV_BENCH" ]; then
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+    BENCHGATE_OUT="$OUT_DIR/benchgate_report.json" \
+    python3 tools/benchgate.py "$OUT_DIR/BENCH_FULL.json" "$PREV_BENCH" --rerun
+else
+  echo "(no previous artifact at $PREV_BENCH — skipping gate)"
+fi
+
+echo "== [5/5] full sbt test"
+sbt -batch test > "$OUT_DIR/test.log" 2>&1
+grep -E "Tests: succeeded|All tests passed" "$OUT_DIR/test.log" | tail -2
+
+echo "== roundcheck complete; artifacts in $OUT_DIR"
