@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, GraphOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -260,6 +260,21 @@ object SparkEntry {
     // distributed OLS: one exact-moment aggregate, closed-form fit at the
     // O(groups) output edge — how a linear scorer trains at 100 TB
     "q_ols_fit" -> (ProfileOps.olsFit _),
+    // equi-depth histogram: exact-percentile split points + broadcast
+    // bucket assignment — the range-partition balance statistic
+    "q_equidepth" -> (ProfileOps.equidepth _),
+    // robust outlier profile: element-picked median + MAD per group
+    "q_mad_outliers" -> (ProfileOps.madOutliers _),
+    // incremental view maintenance: signed delta aggregate merged into a
+    // stored view — O(delta+view) refresh, base never rescanned
+    "q_ivm_agg" -> (MaintenanceOps.ivmApply _),
+    // two-proportion z-test between experiment arms, one scan-reduce
+    "q_ab_test" -> (BehaviorOps.abTest _),
+    // corpus-slice vocabulary profile: hapax + inverse-Simpson diversity
+    "q_vocab_profile" -> (TextOps.vocabProfile _),
+    // fixed-point PageRank over the customer-supplier trade graph:
+    // 3 unrolled BSP iterations, one edge-shuffle each, integer-exact
+    "q_pagerank" -> (GraphOps.pagerank _),
   )
 
   private val revenueSql =
@@ -1856,5 +1871,110 @@ object SparkEntry {
         |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS r2
         |FROM m ORDER BY lang""".stripMargin,
+    // same exact i/8 quantile boundaries (binary fractions, identical
+    // interpolation both engines — the q_quantiles precedent), same
+    // closed-left `>` bucket rule
+    "q_equidepth" -> {
+      val bsList = (1 until graft.queries.ProfileOps.EquidepthBuckets)
+        .map(i => i.toDouble / graft.queries.ProfileOps.EquidepthBuckets)
+        .mkString("[", ", ", "]")
+      val bucketExpr = (1 until graft.queries.ProfileOps.EquidepthBuckets)
+        .map(i => s"CAST(price > bs[$i] AS INT)").mkString(" + ")
+      s"""WITH l AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+        |b AS (SELECT quantile_cont(price, $bsList) AS bs FROM l)
+        |SELECT bucket, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi
+        |FROM (SELECT price, 1 + $bucketExpr AS bucket FROM l CROSS JOIN b)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    // element-picked lower medians (never interpolated) so every value is
+    // a datum and |x-med|, the second pick, and the 3*MAD comparison are
+    // single IEEE ops — identical in both engines
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL),
+        |r1 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        |med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT e.event_type, e.event_id, m.med, ABS(e.value - m.med) AS dev
+        |      FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(m.mad) AS mad,
+        |  COUNT(*) FILTER (WHERE d.dev > 3 * m.mad) AS n_outliers
+        |FROM d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // the oracle RECOMPUTES the final state from scratch — the abelian
+    // merge in MaintenanceOps.ivmApply must equal it group for group;
+    // final set algebra: (B \ D) ∪ I  =  k%7=0 ∨ k%11≠0
+    "q_ivm_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // all four inputs are exact conditional counts from ONE scan; the z
+    // arithmetic is mirrored node for node (olsFit association precedent)
+    "q_ab_test" -> {
+      val zSql = "(p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+      s"""WITH c AS (SELECT
+        |    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+        |    COUNT(*) FILTER (WHERE user_id % 2 = 0 AND event_type = 'purchase') AS conv_a,
+        |    COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+        |    COUNT(*) FILTER (WHERE user_id % 2 = 1 AND event_type = 'purchase') AS conv_b
+        |  FROM events),
+        |p AS (SELECT *,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+        |  FROM c)
+        |SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, $zSql AS z,
+        |  ABS($zSql) > ${graft.queries.BehaviorOps.AbZCrit} AS significant
+        |FROM p""".stripMargin
+    },
+    // same whitespace tokenizer as every text entry; integer algebra up
+    // to the single double division for the diversity index
+    "q_vocab_profile" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, COUNT(*) AS n FROM tk GROUP BY source, tok)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  COUNT(*) FILTER (WHERE n = 1) AS n_hapax,
+        |  CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE) / CAST(SUM(n * n) AS DOUBLE) AS inv_simpson
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // unrolled fixed-point iterations — every division is integral
+    // truncation on positive values, so ranks are bit-identical
+    "q_pagerank" -> {
+      import graft.queries.GraphOps.{PrBaseNum, PrDampNum, PrIters, PrScale}
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""r$k AS (
+          |  SELECT d.node, d.deg,
+          |    $PrBaseNum + ($PrDampNum * COALESCE(SUM(r.pr // r.deg), 0)) // $PrScale AS pr
+          |  FROM deg d
+          |  LEFT JOIN edges e ON e.dst = d.node
+          |  LEFT JOIN r${k - 1} r ON r.node = e.src
+          |  GROUP BY d.node, d.deg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, deg, CAST($PrScale AS BIGINT) AS pr FROM deg),
+        |$iterCtes
+        |SELECT node // 2 AS entity_key,
+        |  CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+        |  CAST(pr AS BIGINT) AS pr
+        |FROM r$PrIters
+        |ORDER BY pr DESC, kind, entity_key LIMIT 20""".stripMargin
+    },
   )
 }

@@ -133,4 +133,48 @@ object BehaviorOps {
       .select(col("day"), col("day_total").as("n_events"), col("linf_drift"))
       .orderBy(col("day"))
   }
+
+  /** |z| threshold for [[abTest]] significance — 95% two-sided. Shared
+    * with the oracle SQL. */
+  private[graft] val AbZCrit = 1.96
+
+  /** Two-proportion z-test between experiment arms: users are split by
+    * `user_id % 2` (the deterministic stand-in for an assignment
+    * column), the metric is purchase-rate per event, and the output is
+    * ONE row of arm counts, rates, the pooled-variance z statistic, and
+    * the 95% verdict — the decision gate an experimentation platform
+    * computes over the full event log.
+    *
+    * The entire test reduces in a single global hash aggregate: the four
+    * inputs (events and purchases per arm) are conditional COUNTs, so
+    * the map side combines everything and ONE row crosses the wire —
+    * at 100 TB this is the cheapest possible shape, a pure scan-reduce
+    * with no join and no window. The z arithmetic runs on that one row:
+    * every operand derives from exact integer counts, and each +,−,×,/,
+    * sqrt is a single correctly-rounded IEEE-754 op mirrored
+    * structurally in the oracle SQL, so the statistic matches
+    * bit-for-bit (the olsFit fixed-association precedent).
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val isB   = col("user_id") % 2 === 1
+    val isBuy = col("event_type") === "purchase"
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    Tables.events(spark, dir)
+      .agg(
+        count(when(!isB, 1)).as("n_a"),
+        count(when(!isB && isBuy, 1)).as("conv_a"),
+        count(when(isB, 1)).as("n_b"),
+        count(when(isB && isBuy, 1)).as("conv_b"))
+      .withColumn("p_a", dbl("conv_a") / dbl("n_a"))
+      .withColumn("p_b", dbl("conv_b") / dbl("n_b"))
+      .withColumn("p_pool",
+        (dbl("conv_a") + dbl("conv_b")) / (dbl("n_a") + dbl("n_b")))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / dbl("n_a") + lit(1.0) / dbl("n_b"))))
+      .withColumn("significant", abs(col("z")) > lit(AbZCrit))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("p_a"), col("p_b"), col("z"), col("significant"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over relationship graphs derived from the
+  * fact tables — the one dataflow shape (bulk-synchronous iteration) the
+  * rest of the query surface doesn't exercise. Connected components
+  * already lives in TextOps (dedup_cc, star-edge contraction); this file
+  * holds the rank-propagation family.
+  *
+  * Everything is 64-bit integer fixed-point: doubles under iterated
+  * divide-and-sum would accumulate engine-specific rounding (summation
+  * order differs between a hash aggregate and DuckDB's), so ranks are
+  * scaled by [[PrScale]] and every division is integral truncation —
+  * bit-identical in any engine. The cost is quantization (each `div`
+  * floors away < 1 unit = 1e-6 of a rank), which is far below any
+  * ranking-relevant signal and identical on both sides.
+  */
+object GraphOps {
+
+  /** Fixed-point scale: rank 1.0 == 1e6 units. */
+  private[graft] val PrScale = 1000000L
+  /** Damping 0.85 expressed in [[PrScale]] units. */
+  private[graft] val PrDampNum  = 850000L
+  private[graft] val PrBaseNum  = 150000L
+  /** Unrolled iteration count — enough for ranks to separate on the
+    * trade graph; each extra iteration is one more join+agg stage. */
+  private[graft] val PrIters = 3
+
+  /** PageRank over the customer–supplier TRADE GRAPH: an (undirected)
+    * edge per distinct (customer, supplier) pair that ever traded
+    * (lineitem⋈orders), node ids made disjoint by 2c / 2s+1. Rank after
+    * [[PrIters]] synchronous iterations of
+    * `r' = 0.15 + 0.85 * Σ_in r/deg`, top-20 by final rank.
+    *
+    * The 100 TB shape is the canonical BSP loop: each iteration is ONE
+    * shuffle — join the (node, rank) table to the edge list on `src`,
+    * re-aggregate contributions by `dst` — so k iterations cost k
+    * edge-sized shuffles, never a collect (ranks are O(nodes), driver
+    * never sees them). The edge list and degree table are iterated
+    * [[PrIters]]+1 times, so they are persisted once up front — the
+    * GraphX idiom (cache the topology, stream the ranks) — rather than
+    * re-deriving the lineitem⋈orders join per iteration. On a cluster
+    * both sides would be pre-partitioned by node id so the per-iteration
+    * join is co-located; AQE handles the power-law in-degree skew a web
+    * graph would add (AqeSkewSpec).
+    *
+    * Overflow headroom: total rank mass is conserved-or-shrunk by the
+    * update (truncating `div` only loses units), so Σ contributions into
+    * any node ≤ N·[[PrScale]] ≈ 1.7e10 at sf0.1; ×[[PrDampNum]] ≈ 1.4e16,
+    * three orders of magnitude inside int64.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    prRanks(edges)
+      .select(
+        expr("node div 2").as("entity_key"),
+        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer")).as("kind"),
+        col("pr"))
+      .orderBy(col("pr").desc, col("kind"), col("entity_key"))
+      .limit(20)
+  }
+
+  /** The [[PrIters]]-step fixed-point iteration over an arbitrary directed
+    * `(src, dst)` edge list — factored out so the spec can pin ranks on a
+    * hand-computed graph. Nodes are DEFINED as the distinct sources (every
+    * node of a symmetric graph is one), so callers must feed symmetric
+    * edge lists or accept that pure sinks receive no row. Returns
+    * `(node, deg, pr)`.
+    */
+  private[graft] def prRanks(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).persist()
+    // "pr", not "rank": `rank` is a window-function keyword in both SQL
+    // dialects and must not appear as a bare identifier in expr()/oracle
+    var ranks = deg.select(col("node"), col("deg"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contribs = e
+        .join(ranks.withColumn("contrib", expr("pr div deg"))
+          .select(col("node"), col("contrib")), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      ranks = deg.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
+          (lit(PrBaseNum) + expr(s"($PrDampNum * coalesce(inflow, 0L)) div $PrScale"))
+            .as("pr"))
+    }
+    ranks
+  }
+}

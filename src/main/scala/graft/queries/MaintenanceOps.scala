@@ -167,4 +167,54 @@ object MaintenanceOps {
         col("files_now"), col("planned_files"), col("files_saved"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** Incremental view maintenance: refresh a stored GROUP BY aggregate
+    * (per-customer order count + exact-decimal spend) under a batch of
+    * inserts AND deletes by merging a SIGNED delta aggregate — the base
+    * table is never rescanned. This is the algebra behind every
+    * incrementally-maintained matview: count and SUM are abelian-group
+    * aggregates, so `view ⊕ Σ(+insert) ⊖ Σ(-delete)` equals a full
+    * recompute, and groups whose merged count reaches zero vanish.
+    *
+    * Delta partitioning of orders (arithmetic, deterministic): the stored
+    * base is `o_orderkey % 7 != 0`; the batch INSERTS the `% 7 == 0` rows
+    * and DELETES the base rows with `% 11 == 0`. The oracle recomputes
+    * the final state from scratch (`% 7 == 0 OR % 11 != 0`), proving the
+    * incremental algebra exact — including decimal sums, which stay in
+    * DECIMAL until the final cast so accumulation order can't matter.
+    *
+    * The 100 TB story is the cost asymmetry this entry's plan makes
+    * visible: the base aggregate here stands in for a STORED view, so a
+    * refresh costs O(|delta| + |view|) — one shuffle of the (small)
+    * delta to its group keys plus a key-colocated full-outer merge into
+    * the view — while the oracle's recompute shape costs a full scan of
+    * the 100 TB base. Deletes need no tombstone lookup: a -1 weight row
+    * is enough, because subtraction is just addition of the inverse.
+    */
+  def ivmApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+    val base    = o.filter(col("o_orderkey") % 7 =!= 0)
+    val inserts = o.filter(col("o_orderkey") % 7 === 0)
+    val deletes = base.filter(col("o_orderkey") % 11 === 0)
+
+    val view = base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price")).as("amt"))
+    val delta = inserts.withColumn("w", lit(1L))
+      .unionByName(deletes.withColumn("w", lit(-1L)))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("w")).as("dcnt"), sum(col("w") * col("price")).as("damt"))
+
+    view.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("n_orders"),
+        (coalesce(col("amt"), lit(BigDecimal(0)).cast(DecimalType(22, 2))) +
+          coalesce(col("damt"), lit(BigDecimal(0)).cast(DecimalType(22, 2))))
+          .as("amt_dec"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_custkey"), col("n_orders"),
+        col("amt_dec").cast(DoubleType).as("total_spend"))
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -161,4 +161,94 @@ object ProfileOps {
             .as("containment"),
           (col("n_matched") === col("n_child_keys")).as("is_fk_candidate"))
   }
+
+  /** Buckets for [[equidepth]] — shared with the oracle SQL. */
+  private[graft] val EquidepthBuckets = 8
+
+  /** Equi-depth histogram of lineitem.l_extendedprice: boundaries at the
+    * exact i/8 quantiles, then every row assigned to the bucket counted
+    * above it — per bucket the row count, min and max. This is the
+    * statistic a planner derives range-partition split points from
+    * (Spark's own RangePartitioner approximates exactly this by
+    * sampling): near-equal `n` across buckets is the definition of a
+    * balanced range shuffle.
+    *
+    * Window-free by construction — the naive form is `ntile(8)` over a
+    * GLOBAL ordering, a single-task sort of the whole table that this
+    * codebase bans (PlanGuardSpec). Instead: one holistic percentile
+    * aggregate produces the 7 interior boundaries (ONE row), which
+    * broadcast back onto the scan where bucket assignment is a map-side
+    * comparison sum — the [[ScaleOps.winsorize]] bounds-join shape. The
+    * exact percentile is the only holistic cost; `approx_percentile` is
+    * the documented sketch escape hatch at 100 TB (same trade as
+    * [[ScaleOps.quantiles]]). Boundary quantiles i/8 are exact binary
+    * fractions and both engines interpolate identically, so the
+    * boundaries — and therefore every bucket count — hash-match.
+    * Rows equal to a boundary go to the lower bucket (`>`, not `>=`),
+    * the same closed-left rule in both engines.
+    */
+  def equidepth(spark: SparkSession, dir: String): DataFrame = {
+    val B = EquidepthBuckets
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast(DoubleType).as("price"))
+    val bounds = l.agg(
+      percentile(col("price"),
+        typedLit((1 until B).map(_.toDouble / B))).as("bs"))
+    val bucket = (1 until B)
+      .map(i => (col("price") > element_at(col("bs"), i)).cast(IntegerType))
+      .reduce(_ + _) + 1
+    l.join(broadcast(bounds))
+      .select(col("price"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("price")).as("lo"), max(col("price")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Robust outlier profile per event type: lower median, median absolute
+    * deviation (MAD), and how many readings sit beyond 3·MAD — the
+    * outlier gate a feature pipeline applies where mean/stddev would be
+    * dragged by the very outliers it hunts (one corrupt sensor shifts a
+    * mean arbitrarily; it moves a median by at most one rank).
+    *
+    * Exactness discipline: medians are ELEMENT-PICKED (row_number to the
+    * lower-median rank, ties broken by event_id), never interpolated —
+    * the picked value is a datum, so `|value − med|`, the second
+    * element-pick over deviations, and the `dev > 3·MAD` comparison are
+    * single correctly-rounded IEEE ops that agree bit-for-bit across
+    * engines. NULL values are excluded up front (the two engines default
+    * NULL sort order differently; B2's validation tier owns NULL
+    * accounting).
+    *
+    * Scale shape: two rank windows partitioned by event_type — the
+    * per-group holistic sort winsorize already pays, with the same
+    * salt-or-sketch escape for monstrous groups — and two broadcast
+    * joins of GROUP-CARDINALITY frames; the events table itself never
+    * shuffles beyond the rank exchanges.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    def lowerMedian(df: DataFrame, ord: String, out: String): DataFrame = {
+      val w  = Window.partitionBy(col("event_type")).orderBy(col(ord), col("event_id"))
+      val wn = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col(ord).as(out))
+    }
+    val med = lowerMedian(e, "value", "med")
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

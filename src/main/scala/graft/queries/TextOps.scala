@@ -823,4 +823,42 @@ object TextOps {
           .cast(IntegerType))
       .withColumn("n_frames", (lit(1) + col("n_bytes") % 7).cast(IntegerType))
       .orderBy(col("doc_id"))
+
+  // -------------------------------------------- corpus vocabulary profile
+  /** Vocabulary profile per corpus slice (source): token volume, distinct
+    * vocabulary, hapax legomena (terms seen exactly once — the classic
+    * vocabulary-richness signal; a slice of scraped spam has few, a
+    * diverse slice has many), and the inverse-Simpson diversity index
+    * `(Σn)² / Σn²` — the "effective vocabulary size" a mixture designer
+    * compares across sources before weighting them ([[CurationOps]]'
+    * mixture sampling consumes exactly this kind of slice statistic).
+    * Complements [[CurationOps.repetitionStats]], which gates single
+    * DOCUMENTS on their max-token share; this profiles the whole
+    * distribution of a SLICE.
+    *
+    * Shape: one explode into a (source, token) hash groupBy — map-side
+    * combined, the same one-shuffle profile as tf — then a second
+    * groupBy on source whose output is slice-cardinality. Everything
+    * downstream of the counts is integer algebra; the single division
+    * for the index happens in doubles after explicit casts, mirrored
+    * token-for-token in the oracle. At 100 TB the (source, token) state
+    * is bounded by vocabulary, not corpus size — Heaps' law keeps it
+    * sublinear — and both aggregates combine associatively, so the op
+    * is one clean scan-reduce.
+    */
+  def vocabProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toksAll).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n") === 1, 1)).as("n_hapax"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .withColumn("inv_simpson",
+        col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType) /
+          col("sum_sq").cast(DoubleType))
+      .orderBy(col("source"))
 }

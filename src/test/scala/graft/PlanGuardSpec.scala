@@ -37,13 +37,14 @@ class PlanGuardSpec extends SparkSpec {
     * constructor (a 1-ROW global min/max span aggregate crossed with the
     * distinct event types — both sides dimension-scale by construction),
     * decay-score's identical 1-row max-date broadcast cross,
-    * z-order's 1-row min/max-bounds broadcast cross (quantization), and
+    * z-order's 1-row min/max-bounds broadcast cross (quantization),
     * drift-monitor's day×type grid (|event types| rows × 1-row grand
-    * total, both aggregate-derived). Everything else must stay
-    * equi/hash. */
+    * total, both aggregate-derived), and equi-depth's 1-row quantile-
+    * boundaries broadcast cross (the z-order bounds shape). Everything
+    * else must stay equi/hash. */
   private val sanctionedBnlj =
     Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
-      "q_decay_score", "q_zorder_key", "q_drift_linf")
+      "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -113,4 +113,18 @@ class BehaviorOpsSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(byDay(1L) === 0.9) // |0 - 9/10| from the absent-view grid cell
   }
+
+  test("ab test: z recomputed from the exact counts, arms partition the log") {
+    val sf = "/root/testdata/sf0.001"
+    val r = BehaviorOps.abTest(spark, sf).collect()(0)
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na + nb === graft.Tables.events(spark, sf).count())
+    assert(ca <= na && cb <= nb && na > 0 && nb > 0)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pPool = (ca.toDouble + cb.toDouble) / (na.toDouble + nb.toDouble)
+    val z = (pa - pb) / math.sqrt(pPool * (1.0 - pPool) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
+    assert(r.getDouble(6) === z) // bit-exact: same IEEE ops, same order
+    assert(r.getBoolean(7) === (math.abs(z) > 1.96))
+  }
 }

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank: ranks pinned by hand on a 3-node path graph
+  * (including a truncating division step), mass-conservation and
+  * degree-monotonicity invariants on the real trade graph.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  test("prRanks matches hand-computed fixed-point values on a path graph") {
+    import spark.implicits._
+    // undirected path A(1)–B(2)–C(3): deg 1, 2, 1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = GraphOps.prRanks(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 3 iterations of r' = 150000 + 850000*Σ(r/deg) div 1e6, by hand:
+    //   i1: A=C=575000, B=1850000
+    //   i2: A=C=936250, B=1127500
+    //   i3: 850000*563750 div 1e6 = 479187 (the .5 truncates) →
+    //       A=C=629187, B=1741625
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("trade-graph ranks: mass bounded, hubs outrank leaves") {
+    val sf = "/root/testdata/sf0.001"
+    val ranks = GraphOps.pagerank(spark, sf)
+    val rows = ranks.collect()
+    assert(rows.length === 20)
+    // truncating div only LOSES mass: every rank sits in
+    // [base, damp-limit] and the top-20 is rank-sorted
+    val prs = rows.map(_.getLong(2))
+    assert(prs.forall(_ >= 150000L))
+    assert(prs.sameElements(prs.sorted(Ordering[Long].reverse)))
+    // suppliers are ~10x better connected than customers in TPC-H-ish
+    // data (every supplier trades with many customers), so the top of
+    // the ranking must be supplier-dominated
+    assert(rows.take(5).count(_.getString(1) == "supplier") === 5)
+  }
+}

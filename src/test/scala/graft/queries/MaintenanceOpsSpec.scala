@@ -116,4 +116,24 @@ class MaintenanceOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - expected) < 1e-9)
     }
   }
+
+  test("ivm: signed-delta merge equals a from-scratch recompute, in-engine") {
+    val sf = "/root/testdata/sf0.001"
+    val got = MaintenanceOps.ivmApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // recompute the final state directly (no view, no delta) in Spark
+    // itself: proves the abelian-group algebra inside ONE engine, so the
+    // oracle check can only fail on cross-engine grounds
+    val want = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 =!= 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+    // the batch genuinely exercised both directions
+    val base = graft.Tables.orders(spark, sf).filter(col("o_orderkey") % 7 =!= 0)
+    assert(base.filter(col("o_orderkey") % 11 === 0).count() > 0) // deletes
+  }
 }

@@ -105,4 +105,39 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(rows("cc").getDouble(3) - 0.0) < 1e-12)   // intercept 0
     assert(math.abs(rows("cc").getDouble(4) - 1.0) < 1e-12)   // perfect fit
   }
+
+  test("equidepth: buckets partition the table and are depth-balanced") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ProfileOps.equidepth(spark, sf).collect()
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 8))
+    // equi-DEPTH: the largest bucket exceeds the smallest by at most the
+    // mass tied at a boundary value — continuous prices, so ~1-2 rows
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= math.max(2L, total / 100))
+    // value ranges are disjoint and ordered: hi(b) <= lo(b+1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2))
+    case _ => ()
+    }
+  }
+
+  test("mad outliers: median and MAD match a driver-side sort, one type") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ProfileOps.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click" && col("value").isNotNull)
+      .select(col("value"), col("event_id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    val n = vals.length
+    val med = vals((n + 1) / 2 - 1)._1  // lower median, 1-based rank (n+1)/2
+    val devs = vals.map { case (v, id) => (math.abs(v - med), id) }.sortBy(identity)
+    val mad = devs((n + 1) / 2 - 1)._1
+    val r = got("click")
+    assert(r.getLong(1) === n.toLong)
+    assert(r.getDouble(2) === med && r.getDouble(3) === mad)
+    assert(r.getLong(4) === devs.count(_._1 > 3 * mad).toLong)
+  }
 }

@@ -262,4 +262,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("n_hits") > col("n_shingles")).count() === 0)
     out.unpersist()
   }
+
+  test("vocab profile: invariants + one slice recomputed from raw tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextOps.vocabProfile(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, types, hapax, sumSq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(types <= n && hapax <= types)
+      assert(sumSq >= n)                   // Σn_i² ≥ Σn_i (each n_i ≥ 1)
+      val inv = r.getDouble(5)
+      assert(inv >= 1.0 - 1e-12 && inv <= types.toDouble + 1e-9) // 1 ≤ (Σn)²/Σn² ≤ V
+    }
+    // recompute the first slice naively from the raw text
+    val src = out(0).getString(0)
+    val toks = graft.Tables.documents(spark, sf)
+      .filter(col("source") === src).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+    val counts = toks.groupBy(identity).map(_._2.length.toLong)
+    assert(out(0).getLong(1) === toks.length.toLong)
+    assert(out(0).getLong(2) === counts.size.toLong)
+    assert(out(0).getLong(3) === counts.count(_ == 1L).toLong)
+    assert(out(0).getLong(4) === counts.map(c => c * c).sum)
+  }
 }
