@@ -270,6 +270,13 @@ object SparkEntry {
     "q_ivm_agg" -> (MaintenanceOps.ivmApply _),
     // two-proportion z-test between experiment arms, one scan-reduce
     "q_ab_test" -> (BehaviorOps.abTest _),
+    // chi-square independence over the arm x type contingency table,
+    // order-pinned fold so even the float statistic hash-matches
+    "q_chisq" -> (BehaviorOps.chisq _),
+    // per-user EWMA: the ordered fold a combining aggregate can't express
+    "q_ewma" -> (BehaviorOps.ewma _),
+    // zone-map skip-ratio audit: clustered vs unclustered column pruning
+    "q_zonemap_audit" -> (MaintenanceOps.zonemapAudit _),
     // corpus-slice vocabulary profile: hapax + inverse-Simpson diversity
     "q_vocab_profile" -> (TextOps.vocabProfile _),
     // fixed-point PageRank over the customer-supplier trade graph:
@@ -1949,6 +1956,69 @@ object SparkEntry {
         |  CAST(SUM(n * n) AS BIGINT) AS sum_sq,
         |  CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE) / CAST(SUM(n * n) AS DOUBLE) AS inv_simpson
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // Σ(O−E)²/E is an order-dependent double sum, so BOTH engines fold
+    // the cell terms in (arm, type) order: Spark aggregate-over-
+    // sort_array ≡ DuckDB list_reduce-over-ordered-list
+    "q_chisq" ->
+      s"""WITH cells AS (
+        |  SELECT user_id % 2 AS arm, event_type, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY arm),
+        |t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY event_type),
+        |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |x AS (SELECT c.arm, c.event_type, c.o, g.n,
+        |    CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE) / CAST(g.n AS DOUBLE) AS e
+        |  FROM cells c JOIN r USING (arm) JOIN t USING (event_type) CROSS JOIN g),
+        |y AS (SELECT arm, event_type, n,
+        |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+        |  FROM x)
+        |SELECT MIN(n) AS n_events, COUNT(*) AS n_cells,
+        |  list_reduce(list(term ORDER BY arm, event_type), (a, b) -> a + b) AS chisq,
+        |  (COUNT(DISTINCT arm) - 1) * (COUNT(DISTINCT event_type) - 1) AS df,
+        |  list_reduce(list(term ORDER BY arm, event_type), (a, b) -> a + b)
+        |    > ${graft.queries.BehaviorOps.ChisqCrit} AS significant
+        |FROM y""".stripMargin,
+    // the identical left fold: first element is the seed in BOTH
+    // engines (list_reduce ≡ aggregate-with-first-as-init), and α=1/4
+    // makes every coefficient an exact double
+    "q_ewma" -> {
+      import graft.queries.BehaviorOps.EwmaAlpha
+      s"""WITH e AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, COUNT(*) AS n,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  list_reduce(vals, (acc, x) ->
+        |    CAST($EwmaAlpha AS DOUBLE) * x + CAST(${1.0 - EwmaAlpha} AS DOUBLE) * acc) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin
+    },
+    // zones are exact per-file min/max; both probes and the monthly file
+    // rule are shared constants, so the audit rows match exactly
+    "q_zonemap_audit" -> {
+      import graft.queries.MaintenanceOps.{ZoneDateLo, ZoneDateHi, ZonePriceGt}
+      val dateSkip  = s"d_max < $ZoneDateLo OR d_min > $ZoneDateHi"
+      val priceSkip = s"p_max <= $ZonePriceGt"
+      def leg(name: String, skip: String) =
+        s"""SELECT '$name' AS predicate, COUNT(*) AS n_files,
+          |  COUNT(*) FILTER (WHERE $skip) AS n_skipped,
+          |  CAST(COALESCE(SUM(CASE WHEN $skip THEN n_rows END), 0) AS BIGINT) AS rows_skipped,
+          |  CAST(COUNT(*) FILTER (WHERE $skip) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS skip_ratio
+          |FROM z""".stripMargin
+      s"""WITH o AS (SELECT
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS file_id,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+        |    CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders),
+        |z AS (SELECT file_id, COUNT(*) AS n_rows,
+        |    MIN(day_idx) AS d_min, MAX(day_idx) AS d_max,
+        |    MIN(price) AS p_min, MAX(price) AS p_max
+        |  FROM o GROUP BY file_id)
+        |SELECT * FROM (${leg("date_between", dateSkip)}
+        |UNION ALL
+        |${leg("price_gt", priceSkip)})
+        |ORDER BY predicate""".stripMargin
+    },
     // unrolled fixed-point iterations — every division is integral
     // truncation on positive values, so ranks are bit-identical
     "q_pagerank" -> {

@@ -177,4 +177,95 @@ object BehaviorOps {
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         col("p_a"), col("p_b"), col("z"), col("significant"))
   }
+
+  /** Smoothing factor for [[ewma]] — 1/4, chosen EXACTLY representable in
+    * binary so both α and 1−α are exact doubles and the fold introduces
+    * no constant-rounding divergence. Shared with the oracle SQL. */
+  private[graft] val EwmaAlpha = 0.25
+
+  /** Per-user exponentially-weighted moving average of the event value —
+    * the classic time-decayed feature (recent behavior outweighs old)
+    * that simple windows can't express: EWMA is an ORDERED FOLD
+    * `s ← α·x + (1−α)·s`, not an associative sum, so it cannot ride a
+    * combining aggregate. The op makes that explicit: values are
+    * collected per user in (ts, event_id) order and folded left with the
+    * first element as seed — the Spark `aggregate` HOF and DuckDB's
+    * `list_reduce` execute the IDENTICAL operation chain, and since α,
+    * 1−α, and every intermediate are IEEE doubles under correctly-
+    * rounded ×/+, the result hash-matches bit for bit.
+    *
+    * Scale honesty: the fold is group-LOCAL — state is one double, but
+    * the values must be ordered within the group, so the cost is the
+    * per-user sort (array of that user's events; bounded by per-entity
+    * activity, NOT corpus size — the sessionize trade). The unbounded-
+    * history escape hatch is the streaming form: mapGroupsWithState
+    * carrying the one-double state forever, no reordering needed because
+    * event-time watermarking bounds lateness ([[graft.streaming.Streams]]).
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+    e.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(
+        col("user_id"),
+        size(col("seq")).cast(LongType).as("n"),
+        aggregate(
+          slice(col("seq"), lit(2), size(col("seq")) - 1),
+          element_at(col("seq"), 1).getField("value"),
+          (acc, s) => lit(EwmaAlpha) * s.getField("value") +
+            lit(1.0 - EwmaAlpha) * acc).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  /** χ² critical value at p=0.05 for 4 degrees of freedom — the (arms−1)
+    * ×(types−1) of this contingency table. Shared with the oracle SQL. */
+  private[graft] val ChisqCrit = 9.487729036781154
+
+  /** Chi-square independence test over the arm × event-type contingency
+    * table — [[abTest]]'s k-ary sibling: does the event-type MIX differ
+    * between arms, not just one conversion rate? Observed counts are one
+    * hash aggregate; expected counts E = row·col/N come from two
+    * group-cardinality broadcasts plus the 1-row grand total (the
+    * sanctioned driftLinf grid shape).
+    *
+    * The statistic is Σ(O−E)²/E over all cells — a SUM of doubles, which
+    * is order-DEPENDENT, so the op pins the order instead of praying:
+    * per-cell terms are collected and sorted by (arm, type), then folded
+    * left — Spark's `aggregate` over `sort_array` and DuckDB's
+    * `list_reduce` over `list(... ORDER BY ...)` run the same addition
+    * chain, making even this float statistic hash-exact. Cell count is
+    * arms×types (tiny at any corpus size), so the collect is O(1).
+    */
+  def chisq(spark: SparkSession, dir: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    val cells = Tables.events(spark, dir)
+      .select((col("user_id") % 2).cast(LongType).as("arm"), col("event_type"))
+      .groupBy(col("arm"), col("event_type")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("arm")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ct"))
+    val grand = colT.agg(sum(col("ct")).as("n"))
+    val terms = cells
+      .join(broadcast(rowT), Seq("arm"))
+      .join(broadcast(colT), Seq("event_type"))
+      .crossJoin(broadcast(grand))
+      .withColumn("e", dbl(col("rt")) * dbl(col("ct")) / dbl(col("n")))
+      .withColumn("term",
+        (dbl(col("o")) - col("e")) * (dbl(col("o")) - col("e")) / col("e"))
+    val folded = terms.agg(
+      min(col("n")).as("n_events"),
+      count(lit(1)).as("n_cells"),
+      ((countDistinct(col("arm")) - 1) * (countDistinct(col("event_type")) - 1))
+        .as("dfree"),
+      sort_array(collect_list(struct(col("arm"), col("event_type"), col("term"))))
+        .as("ts"))
+    folded.select(
+      col("n_events"), col("n_cells"),
+      aggregate(
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        element_at(col("ts"), 1).getField("term"),
+        (acc, s) => acc + s.getField("term")).as("chisq"),
+      col("dfree").as("df"))
+      .withColumn("significant", col("chisq") > lit(ChisqCrit))
+  }
 }

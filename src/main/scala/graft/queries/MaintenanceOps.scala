@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -216,5 +216,55 @@ object MaintenanceOps {
       .select(col("o_custkey"), col("n_orders"),
         col("amt_dec").cast(DoubleType).as("total_spend"))
       .orderBy(col("o_custkey"))
+  }
+
+  /** Zone-map predicate bounds for [[zonemapAudit]] — shared with the
+    * oracle SQL so op and oracle cannot drift. */
+  private[graft] val ZoneDateLo  = 400L      // day-index window [lo, hi]
+  private[graft] val ZoneDateHi  = 500L
+  private[graft] val ZonePriceGt = 450000.0  // price > threshold probe
+
+  /** Zone-map (min/max statistics) skip-ratio audit: how many of a
+    * table's write batches can a predicate prune WITHOUT reading them?
+    * Orders are grouped into monthly "files" (the natural append layout
+    * of a time-series ingest), each file's min/max recorded for a
+    * CLUSTERED column (order date — correlated with arrival) and an
+    * UNCLUSTERED one (price — uniform within every month), then two
+    * probe predicates are tested against the zones: a date window skips
+    * every file whose range misses it; a price threshold skips a file
+    * only if its max clears it.
+    *
+    * This is the measurement behind every lakehouse layout decision:
+    * min/max stats prune ~95% of files for the clustered column and ~0%
+    * for the unclustered one at ANY volume — the quantified argument for
+    * re-clustering/z-ordering a 100 TB table
+    * ([[graft.olap.Layout.writeZOrdered]] is the fix this audit
+    * motivates; `q_compaction_plan` sizes the rewrite). Cost:
+    * one O(files)-output aggregate plus two O(files) reductions — the
+    * audit never reads more than the stats a writer already maintains.
+    */
+  def zonemapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("file_id"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+        .cast(LongType).as("day_idx"),
+      col("o_totalprice").cast(DoubleType).as("price"))
+    val zones = o.groupBy(col("file_id")).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("day_idx")).as("d_min"), max(col("day_idx")).as("d_max"),
+      min(col("price")).as("p_min"), max(col("price")).as("p_max"))
+    def summarize(name: String, skip: Column): DataFrame =
+      zones.agg(
+        lit(name).as("predicate"),
+        count(lit(1)).as("n_files"),
+        count(when(skip, 1)).as("n_skipped"),
+        coalesce(sum(when(skip, col("n_rows"))), lit(0L)).as("rows_skipped"))
+        .withColumn("skip_ratio",
+          col("n_skipped").cast(DoubleType) / col("n_files").cast(DoubleType))
+    summarize("date_between",
+        col("d_max") < ZoneDateLo || col("d_min") > ZoneDateHi)
+      .unionByName(summarize("price_gt", col("p_max") <= ZonePriceGt))
+      .orderBy(col("predicate"))
   }
 }

@@ -39,12 +39,15 @@ class PlanGuardSpec extends SparkSpec {
     * decay-score's identical 1-row max-date broadcast cross,
     * z-order's 1-row min/max-bounds broadcast cross (quantization),
     * drift-monitor's day×type grid (|event types| rows × 1-row grand
-    * total, both aggregate-derived), and equi-depth's 1-row quantile-
-    * boundaries broadcast cross (the z-order bounds shape). Everything
-    * else must stay equi/hash. */
+    * total, both aggregate-derived), equi-depth's 1-row quantile-
+    * boundaries broadcast cross (the z-order bounds shape), and
+    * chi-square's 1-row grand-total cross onto the arms×types cell
+    * frame (the drift-monitor grid shape). Everything else must stay
+    * equi/hash. */
   private val sanctionedBnlj =
     Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
-      "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth")
+      "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth",
+      "q_chisq")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Behavioral-analytics fixtures: strict funnel ordering (ties and
@@ -126,5 +128,44 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
     assert(r.getDouble(6) === z) // bit-exact: same IEEE ops, same order
     assert(r.getBoolean(7) === (math.abs(z) > 1.96))
+  }
+
+  test("ewma: driver-side left fold reproduces the engine bit-exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = BehaviorOps.ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val u = rows(0).getLong(0)
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("user_id") === u && col("value").isNotNull)
+      .select(col("ts"), col("event_id"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000 + r.getTimestamp(0).getNanos / 1000 % 1000,
+        r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val want = vals.tail.foldLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
+    assert(byUser(u)._1 === vals.length.toLong)
+    assert(byUser(u)._2 === want) // identical IEEE op chain
+  }
+
+  test("chisq: statistic recomputed from the contingency table, df = 4") {
+    val sf = "/root/testdata/sf0.001"
+    val r = BehaviorOps.chisq(spark, sf).collect()(0)
+    val cells = graft.Tables.events(spark, sf)
+      .select((col("user_id") % 2).as("arm"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    // fold in the SAME (arm, type) order the op pins
+    val terms = cells.toSeq.sortBy(_._1).map { case ((a, t), o) =>
+      val e = rowT(a).toDouble * colT(t).toDouble / n.toDouble
+      (o.toDouble - e) * (o.toDouble - e) / e
+    }
+    val chisq = terms.tail.foldLeft(terms.head)(_ + _)
+    assert(r.getLong(0) === n && r.getLong(1) === cells.size.toLong)
+    assert(r.getDouble(2) === chisq) // identical fold order → bit-exact
+    assert(r.getLong(3) === 4L)
+    assert(r.getBoolean(4) === (chisq > 9.487729036781154))
   }
 }

@@ -136,4 +136,25 @@ class MaintenanceOpsSpec extends SparkSpec {
     val base = graft.Tables.orders(spark, sf).filter(col("o_orderkey") % 7 =!= 0)
     assert(base.filter(col("o_orderkey") % 11 === 0).count() > 0) // deletes
   }
+
+  test("zonemap audit: clustered column prunes, unclustered column cannot") {
+    // sf0.01, not sf0.001: the zero-skip claim for the unclustered column
+    // needs files with real mass (~190 orders/month; at sf0.001 a 2-order
+    // month can miss the top decile by chance and "skip")
+    val sf = "/root/testdata/sf0.01"
+    val rows = MaintenanceOps.zonemapAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nFiles = rows("date_between").getLong(1)
+    assert(nFiles === rows("price_gt").getLong(1) && nFiles > 10)
+    // order date is correlated with the monthly file layout: the ~3-month
+    // probe window leaves all other files skippable
+    assert(rows("date_between").getLong(2) >= nFiles - 5)
+    assert(rows("date_between").getDouble(4) > 0.9)
+    // price is uniform within every month: min/max spans the probe in
+    // every file with real mass, so pruning is negligible (only the
+    // trailing partial month — 2 orders — can miss the top decile).
+    // That asymmetry IS the re-clustering motivation.
+    assert(rows("price_gt").getDouble(4) < 0.05)
+    assert(rows("price_gt").getLong(3) < 10L) // rows skipped: tail crumbs only
+  }
 }
