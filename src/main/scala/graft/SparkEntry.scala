@@ -181,6 +181,12 @@ object SparkEntry {
     "q_chunk_dedup" -> (TextOps.chunkDedup _),
     // multimodal metadata plumbing (SQL-expressible deterministic stub)
     "q_multimodal_meta" -> (TextOps.multimodalMeta _),
+    // multimodal feature-extract: resize plan + quantized pseudo-embedding
+    // (column twin of the MultimodalStub batch encoder)
+    "q_media_features" -> (TextOps.mediaFeatures _),
+    // multimodal frame sampling: stride Generate over per-payload frame
+    // counts, per-frame digests, payload never travels with the frames
+    "q_frame_sample" -> (TextOps.frameSample _),
     // §2.I: the streaming window aggregation run in batch mode (the
     // transform is mode-agnostic; the watermark is a no-op on batch)
     "q_hourly_counts" -> ((s: SparkSession, dir: String) =>
@@ -1476,6 +1482,42 @@ object SparkEntry {
         |  CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 129 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the resize scale is one double division + min (correctly-rounded
+    // IEEE both engines); embedding slices are integer arithmetic on the
+    // one per-payload sha digest
+    "q_media_features" -> {
+      val box = s"${graft.queries.TextOps.MediaFitBox}.0"
+      s"""WITH m AS (SELECT doc_id,
+        |    CAST(64 + CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) % 193 AS INT) AS width,
+        |    CAST(64 + CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT) % 129 AS INT) AS height,
+        |    sha256(text) AS sha
+        |  FROM documents),
+        |s AS (SELECT *,
+        |    least($box / CAST(width AS DOUBLE), $box / CAST(height AS DOUBLE)) AS scale
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(CAST(width AS DOUBLE) * scale) AS INT) AS resized_w,
+        |  CAST(floor(CAST(height AS DOUBLE) * scale) AS INT) AS resized_h,
+        |  list_transform(range(0, 8), i ->
+        |    CAST(concat('0x', substr(sha, CAST(1 + 8 * i AS INT), 8)) AS BIGINT) % 256 - 128)
+        |    AS embedding
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+    // same frame arithmetic as q_multimodal_meta; range() end-exclusive
+    // stride == sequence(0, n-1, stride) inclusive — identical index sets
+    "q_frame_sample" -> {
+      val stride = graft.queries.TextOps.FrameStride
+      s"""WITH m AS (SELECT doc_id, sha256(text) AS content_sha,
+        |    CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, content_sha,
+        |    unnest(range(0, n_frames, $stride)) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  sha256(concat(content_sha, ':', CAST(frame_idx AS VARCHAR))) AS frame_sha,
+        |  frame_idx = 0 AS is_key_frame
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
     "q_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,

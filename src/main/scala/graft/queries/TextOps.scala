@@ -824,6 +824,77 @@ object TextOps {
       .withColumn("n_frames", (lit(1) + col("n_bytes") % 7).cast(IntegerType))
       .orderBy(col("doc_id"))
 
+  /** Target box for [[mediaFeatures]]' aspect-preserving resize — shared
+    * with the oracle SQL and the batch stub. */
+  private[graft] val MediaFitBox = 64
+
+  /** Per-payload "feature extraction" over the opaque binary column: the
+    * aspect-preserving resize plan (fit into [[MediaFitBox]]²) and an
+    * 8-dim quantized pseudo-embedding — the column-expression twin of
+    * [[graft.multimodal.MultimodalStub.extractBatch]] (byte-equality
+    * asserted in MultimodalSpec), which is where a real vision encoder
+    * would slot in. Extends [[multimodalMeta]] the way a production
+    * pipeline extends decode: metadata first, then derived features.
+    *
+    * Scale shape is map-only — no shuffle, no UDF: the sha256 is the one
+    * per-payload digest (reused for all 8 embedding slices, the CMS
+    * one-digest discipline), the resize is pure arithmetic on the
+    * decoded dims, and the embedding is integer slicing, so the whole
+    * op rides the scan at 100 TB. The resize SCALE factor is a single
+    * double division and min — correctly-rounded IEEE both engines.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = multimodalMeta(spark, dir)
+    val scale = least(
+      lit(MediaFitBox.toDouble) / col("width").cast(DoubleType),
+      lit(MediaFitBox.toDouble) / col("height").cast(DoubleType))
+    val emb = array((0 until 8).map { i =>
+      conv(substring(col("content_sha"), 1 + 8 * i, 8), 16, 10)
+        .cast(LongType) % 256 - 128
+    }: _*)
+    base
+      .withColumn("scale", scale)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        floor(col("width").cast(DoubleType) * col("scale")).cast(IntegerType)
+          .as("resized_w"),
+        floor(col("height").cast(DoubleType) * col("scale")).cast(IntegerType)
+          .as("resized_h"),
+        emb.as("embedding"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stride for [[frameSample]] — every k-th frame. Shared with the
+    * oracle SQL and the batch stub. */
+  private[graft] val FrameStride = 2
+
+  /** Deterministic frame sampling over "video" payloads: every
+    * [[FrameStride]]-th frame of each payload's [[multimodalMeta]] frame
+    * count, each sampled frame carrying a per-frame content hash
+    * (sha256 of payload-sha:index — the stand-in for the decoded frame
+    * bytes' digest) and a key-frame flag. Column-expression twin of
+    * [[graft.multimodal.MultimodalStub.frameSampleBatch]], the
+    * mapPartitions shape a real codec's seek-and-decode replaces.
+    *
+    * The frame explosion is a Generate over `sequence(0, n−1, stride)`
+    * — arithmetic, map-only, no shuffle; output grows by the sampled
+    * frame count, never the payload size, and the payload column itself
+    * is dropped before the explode so 100 TB of video bytes never
+    * travels with its frame index stream.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    multimodalMeta(spark, dir)
+      .select(col("doc_id"), col("content_sha"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStride)))
+          .as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast(LongType).as("frame_idx"),
+        sha2(concat(col("content_sha"), lit(":"),
+          col("frame_idx").cast(StringType)), 256).as("frame_sha"),
+        (col("frame_idx") === 0).as("is_key_frame"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // -------------------------------------------- corpus vocabulary profile
   /** Vocabulary profile per corpus slice (source): token volume, distinct
     * vocabulary, hapax legomena (terms seen exactly once — the classic
