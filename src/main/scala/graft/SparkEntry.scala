@@ -269,6 +269,12 @@ object SparkEntry {
     // equi-depth histogram: exact-percentile split points + broadcast
     // bucket assignment — the range-partition balance statistic
     "q_equidepth" -> (ProfileOps.equidepth _),
+    // event-time lateness profile: the watermark-sizing statistic
+    "q_lateness_profile" -> (ProfileOps.latenessProfile _),
+    // one-pass numeric column profile (catalog "describe")
+    "q_column_profile" -> (ProfileOps.columnProfile _),
+    // Gini concentration per priority: exact integer-cents rank sums
+    "q_gini" -> (ProfileOps.gini _),
     // robust outlier profile: element-picked median + MAD per group
     "q_mad_outliers" -> (ProfileOps.madOutliers _),
     // incremental view maintenance: signed delta aggregate merged into a
@@ -1935,6 +1941,55 @@ object SparkEntry {
         |FROM (SELECT price, 1 + $bucketExpr AS bucket FROM l CROSS JOIN b)
         |GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+    // same running-max window over the same arrival order; lateness is
+    // exact integer microseconds, percentiles the q_quantiles contract
+    "q_lateness_profile" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT event_type,
+        |    MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_us AS late_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE late_us > 0) AS n_late,
+        |  quantile_cont(CAST(late_us AS DOUBLE), 0.5) AS p50_late_us,
+        |  quantile_cont(CAST(late_us AS DOUBLE), 0.99) AS p99_late_us,
+        |  MAX(late_us) AS max_late_us,
+        |  CAST(COUNT(*) FILTER (WHERE late_us > 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS late_rate
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // four single-scan profile legs; COUNT(DISTINCT) ignores NULLs in
+    // both engines, min/max cast to DOUBLE after aggregation
+    "q_column_profile" -> {
+      def leg(t: String, c: String) =
+        s"""SELECT '$t.$c' AS column_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+          |  COUNT(DISTINCT $c) AS n_distinct,
+          |  CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val
+          |FROM $t""".stripMargin
+      s"""SELECT * FROM (
+        |${leg("orders", "o_orderkey")}
+        |UNION ALL
+        |${leg("orders", "o_custkey")}
+        |UNION ALL
+        |${leg("orders", "o_totalprice")}
+        |UNION ALL
+        |${leg("events", "value")})
+        |ORDER BY column_name""".stripMargin
+    },
+    // exact integer-cents rank sums (the q1_agg DECIMAL cast), one
+    // fixed-association double expression at the end
+    "q_gini" ->
+      """WITH c AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents, o_orderkey) AS i FROM c),
+        |a AS (SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s,
+        |    CAST(SUM(i * cents) AS BIGINT) AS s1
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, s AS total_cents,
+        |  2.0 * CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     // element-picked lower medians (never interpolated) so every value is
     // a datum and |x-med|, the second pick, and the 3*MAD comparison are
     // single IEEE ops — identical in both engines

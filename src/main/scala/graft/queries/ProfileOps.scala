@@ -204,6 +204,112 @@ object ProfileOps {
       .orderBy(col("bucket"))
   }
 
+  /** Event-time lateness profile per event type — the measurement that
+    * SIZES a streaming watermark: for each event, how far behind the
+    * per-key running-max event time (in arrival order, stood in by the
+    * monotone event_id) did it arrive? `withWatermark("ts", X)` silently
+    * DROPS every event whose lateness exceeds X, so X is chosen from
+    * this distribution's tail — p99/max lateness — not guessed.
+    * ([[graft.streaming.Streams]]' windowed aggregations are the
+    * consumers of exactly this number.)
+    *
+    * One rank-window per user (running max over arrival order — the
+    * per-key holistic pattern winsorize/MAD already pay, partitioned,
+    * never global) and one grouped aggregate with exact lateness
+    * percentiles over integer microseconds. At 100 TB this runs over a
+    * bounded sample window of the stream (the statistic converges fast);
+    * the percentile's approx escape is the standard quantiles trade.
+    */
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("late_us", max(col("ts_us")).over(w) - col("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("late_us") > 0, 1)).as("n_late"),
+        percentile(col("late_us").cast(DoubleType), lit(0.5)).as("p50_late_us"),
+        percentile(col("late_us").cast(DoubleType), lit(0.99)).as("p99_late_us"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("late_rate",
+        col("n_late").cast(DoubleType) / col("n").cast(DoubleType))
+      .orderBy(col("event_type"))
+  }
+
+  /** One-pass column profile ("describe") over the numeric columns a
+    * catalog records first: row/non-null/distinct counts and min/max,
+    * one output row per column. The whole profile of a table is ONE
+    * aggregate — every statistic map-side-combines in the same shuffle —
+    * then a row-per-column explode of the single wide result row; a
+    * 100 TB table is profiled in exactly one scan. (The exact
+    * multi-column COUNT(DISTINCT) pays the Expand the two-phase
+    * rewrite documents; HLL `approx_count_distinct` is the at-scale
+    * swap.) events.value rides a second scan because it lives in a
+    * different table, not a different pass.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c).cast(DoubleType)).as(s"mn_$c"),
+          max(col(c).cast(DoubleType)).as(s"mx_$c"))
+      }
+      val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val entries = cols.map { c =>
+        struct(lit(s"$table.$c").as("column_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+      }
+      wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    }
+    profile(Tables.orders(spark, dir), "orders",
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .unionByName(profile(Tables.events(spark, dir), "events", Seq("value")))
+      .orderBy(col("column_name"))
+  }
+
+  /** Gini coefficient of order-value concentration per priority class —
+    * the inequality statistic a mixture/quota designer reads before
+    * rebalancing (a source where 1% of orders carry 90% of value behaves
+    * very differently under sampling than a flat one). Uses the sorted
+    * form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+    *
+    * Exactness discipline: values become integer CENTS via the exact
+    * DECIMAL(12,2) cast (the q1_agg precedent), so Σx and the
+    * rank-weighted Σ i·xᵢ are exact int64 sums — order-independent under
+    * any partitioning, headroom ~4 orders at sf0.1 — and only the final
+    * closed-form arithmetic runs in doubles with a fixed association
+    * order mirrored in the oracle. The rank window is per-group
+    * (priority), the winsorize holistic trade.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("i") * col("cents")).as("s1"))
+      .withColumn("gini",
+        lit(2.0) * dbl("s1") / (dbl("n") * dbl("s")) -
+          (dbl("n") + lit(1.0)) / dbl("n"))
+      .select(col("o_orderpriority"), col("n"), col("s").as("total_cents"),
+        col("gini"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Robust outlier profile per event type: lower median, median absolute
     * deviation (MAD), and how many readings sit beyond 3·MAD — the
     * outlier gate a feature pipeline applies where mean/stddev would be

@@ -140,4 +140,65 @@ class ProfileOpsSpec extends SparkSpec {
     assert(r.getDouble(2) === med && r.getDouble(3) === mad)
     assert(r.getLong(4) === devs.count(_._1 > 3 * mad).toLong)
   }
+
+  test("lateness profile: counts match a driver-side running-max replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ProfileOps.latenessProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val late = events.groupBy(_._1).values.flatMap { g =>
+      var runMax = Long.MinValue
+      g.sortBy(_._2).map { case (_, _, tpe, us) =>
+        runMax = math.max(runMax, us)
+        (tpe, runMax - us)
+      }
+    }.toSeq
+    for ((tpe, rows) <- late.groupBy(_._1)) {
+      val r = got(tpe)
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getLong(2) === rows.count(_._2 > 0).toLong)
+      assert(r.getLong(5) === rows.map(_._2).max)
+      assert(r.getDouble(3) <= r.getDouble(4)) // p50 <= p99
+      val rate = r.getDouble(6)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("column profile: key columns are dense and unique, counts nest") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ProfileOps.columnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ok = rows("orders.o_orderkey")
+    assert(ok.getLong(1) === ok.getLong(2))       // no nulls in the PK
+    assert(ok.getLong(2) === ok.getLong(3))       // PK distinct == nonnull
+    val v = rows("events.value")
+    assert(v.getLong(2) <= v.getLong(1) && v.getLong(3) <= v.getLong(2))
+    assert(v.getDouble(4) <= v.getDouble(5))
+    assert(rows.size === 4)
+  }
+
+  test("gini: driver-side sorted-form recompute, one priority, bit-exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ProfileOps.gini(spark, sf).collect()
+    for (r <- rows) { // concentration of a positive measure: 0 <= G < 1
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+    val pri = rows(0).getString(0)
+    val cents = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === pri)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(identity)
+    val n = cents.length.toLong
+    val s = cents.map(_._1).sum
+    val s1 = cents.zipWithIndex.map { case ((c, _), i) => (i + 1) * c }.sum
+    val gini = 2.0 * s1.toDouble / (n.toDouble * s.toDouble) -
+      (n.toDouble + 1.0) / n.toDouble
+    assert(rows(0).getLong(1) === n && rows(0).getLong(2) === s)
+    assert(rows(0).getDouble(3) === gini)
+  }
 }
