@@ -285,6 +285,10 @@ object SparkEntry {
     // chi-square independence over the arm x type contingency table,
     // order-pinned fold so even the float statistic hash-matches
     "q_chisq" -> (BehaviorOps.chisq _),
+    // top first-k user-journey paths across gap-sessions
+    "q_session_paths" -> (BehaviorOps.sessionPaths _),
+    // rolling 7-day distinct users via bounded x7 contribution explode
+    "q_rolling_dau" -> (BehaviorOps.rollingDau _),
     // per-user EWMA: the ordered fold a combining aggregate can't express
     "q_ewma" -> (BehaviorOps.ewma _),
     // zone-map skip-ratio audit: clustered vs unclustered column pruning
@@ -2075,6 +2079,44 @@ object SparkEntry {
         |  list_reduce(list(term ORDER BY arm, event_type), (a, b) -> a + b)
         |    > ${graft.queries.BehaviorOps.ChisqCrit} AS significant
         |FROM y""".stripMargin,
+    // same gap-sessionize CTE as q_sessionize, then an ordered
+    // string_agg ≡ Spark's sorted-collect array_join
+    "q_session_paths" -> {
+      val gapUs = graft.streaming.Sessionize.GapMs * 1000L
+      val k = graft.queries.BehaviorOps.PathSteps
+      s"""WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapUs
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) AS step
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY step) AS path
+        |  FROM r WHERE step <= $k GROUP BY user_id, session_seq)
+        |SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
+    },
+    // the same x7 contribution expansion; anchors restricted to ACTIVE
+    // days on both sides
+    "q_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT day + CAST(x.i AS INT) AS g_day, day, user_id
+        |      FROM du CROSS JOIN (SELECT unnest(range(7)) AS i) x),
+        |f AS (SELECT * FROM c WHERE g_day IN (SELECT day FROM du))
+        |SELECT g_day,
+        |  COUNT(DISTINCT CASE WHEN day = g_day THEN user_id END) AS dau_1d,
+        |  COUNT(DISTINCT user_id) AS dau_7d
+        |FROM f GROUP BY g_day ORDER BY g_day""".stripMargin,
     // the identical left fold: first element is the seed in BOTH
     // engines (list_reduce ≡ aggregate-with-first-as-init), and α=1/4
     // makes every coefficient an exact double

@@ -134,6 +134,79 @@ object BehaviorOps {
       .orderBy(col("day"))
   }
 
+  /** Path length for [[sessionPaths]] — first k steps of each session.
+    * Shared with the oracle SQL. */
+  private[graft] val PathSteps = 3
+
+  /** Top user-journey prefixes: the most common first-[[PathSteps]]
+    * event-type sequences across sessions (30-minute-gap sessions, the
+    * same rule as [[graft.streaming.Sessionize]]), with session and
+    * unique-user counts — the path-mining view a product team reads
+    * next to the funnel (funnel fixes the stage order; this DISCOVERS
+    * the orders users actually take).
+    *
+    * Shape: the gap-sessionize windows (one user_id shuffle), a step
+    * rank inside each session, then the path string is an ORDERED
+    * collect of ≤[[PathSteps]] types — bounded arrays, the EWMA
+    * contract — and one path-keyed count aggregate. Path cardinality is
+    * ≤ |types|^k (tiny), so the final aggregate broadcasts nothing and
+    * skews nowhere; everything before it rides the one user shuffle.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
+      .withColumn("new_session",
+        when(col("gap_us").isNull ||
+          col("gap_us") > graft.streaming.Sessionize.GapMs * 1000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(cum))
+      .withColumn("step", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("step") <= PathSteps)
+    stepped
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("step"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  /** Rolling 7-day distinct active users per active day, beside the
+    * 1-day count — the sliding-DISTINCT problem: distinct does not
+    * decompose over sliding windows (you cannot subtract yesterday's
+    * leavers from a running set), so the naive forms are a per-day
+    * range self-join (O(days·window) with a nested-loop shape) or a
+    * 90-day recount. The scale-correct form used here: each distinct
+    * (day, user) row CONTRIBUTES itself to exactly the 7 window
+    * anchors it can serve — a bounded ×7 map-side explode, no range
+    * join, no skew — then one anchor-keyed exact countDistinct.
+    * Fanout = window length, independent of data volume; the
+    * approx swap (per-day HLL sketches unioned over the window) is the
+    * standard trade when even ×7 is too much.
+    */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val anchors = du.select(col("day")).distinct()
+    du
+      .select(col("day"), col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("g_day"))
+      .join(anchors.select(col("day").as("g_day")), Seq("g_day"), "left_semi")
+      .groupBy(col("g_day"))
+      .agg(
+        countDistinct(when(col("day") === col("g_day"), col("user_id")))
+          .as("dau_1d"),
+        countDistinct(col("user_id")).as("dau_7d"))
+      .orderBy(col("g_day"))
+  }
+
   /** |z| threshold for [[abTest]] significance — 95% two-sided. Shared
     * with the oracle SQL. */
   private[graft] val AbZCrit = 1.96

@@ -168,4 +168,54 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 4L)
     assert(r.getBoolean(4) === (chisq > 9.487729036781154))
   }
+
+  test("session paths: full driver-side sessionize + path replay matches") {
+    val sf = "/root/testdata/sf0.001"
+    val got = BehaviorOps.sessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gapUs = graft.streaming.Sessionize.GapMs * 1000L
+    val paths = events.groupBy(_._1).toSeq.flatMap { case (user, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var lastUs = Long.MinValue
+      for ((_, _, us, tpe) <- ordered) {
+        if (lastUs == Long.MinValue || us - lastUs > gapUs)
+          sessions += List(tpe)
+        else if (sessions.last.length < 3)
+          sessions(sessions.length - 1) = sessions.last :+ tpe
+        else () // step > 3: session already has its prefix
+        lastUs = us
+      }
+      sessions.map(p => (user, p.mkString(">")))
+    }
+    val want = paths.groupBy(_._2).map { case (p, rows) =>
+      (p, rows.length.toLong, rows.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(15)
+    assert(got.toSeq === want)
+  }
+
+  test("rolling dau: window recount per active day matches the explode form") {
+    val sf = "/root/testdata/sf0.001"
+    val got = BehaviorOps.rollingDau(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val du = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val want = du.map(_._1).distinct.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      .map { d =>
+        val win = du.filter { case (day, _) =>
+          !day.isAfter(d) && !day.isBefore(d.minusDays(6)) }
+        (d, win.filter(_._1 == d).map(_._2).distinct.length.toLong,
+          win.map(_._2).distinct.length.toLong)
+      }
+    assert(got.toSeq === want.toSeq)
+    // the 7-day window can only see MORE distinct users than one day
+    assert(got.forall(r => r._3 >= r._2))
+  }
 }
