@@ -298,6 +298,17 @@ object SparkEntry {
     // fixed-point PageRank over the customer-supplier trade graph:
     // 3 unrolled BSP iterations, one edge-shuffle each, integer-exact
     "q_pagerank" -> (GraphOps.pagerank _),
+    // HyperLogLog distinct-user estimate, register-level and replayable
+    // by the oracle; daily sketches max-merged into the per-type state
+    "q_hll_distinct" -> (ProfileOps.hllDistinct _),
+    // Shannon entropy of the categorical catalog columns, fixed-point
+    "q_entropy_profile" -> (ProfileOps.entropyProfile _),
+    // market-basket pair co-occurrence with support + lift, cap-guarded
+    "q_basket_pairs" -> (BehaviorOps.basketPairs _),
+    // per-user time-weighted (hold-duration) average via exact moments
+    "q_time_weighted" -> (BehaviorOps.timeWeighted _),
+    // inverted-index build: df + total tf + truncated postings per term
+    "q_inverted_index" -> (TextOps.invertedIndex _),
   )
 
   private val revenueSql =
@@ -2184,6 +2195,107 @@ object SparkEntry {
         |  CAST(pr AS BIGINT) AS pr
         |FROM r$PrIters
         |ORDER BY pr DESC, kind, entity_key LIMIT 20""".stripMargin
+    },
+    // register index + leading-zero rank replayed from the same md5
+    // slices; Σ 2^(33-M_r) is an exact integer sum, and the one float op
+    // (the final division) uses the digit-identical numerator constant
+    "q_hll_distinct" -> {
+      import graft.queries.ProfileOps.{HllEstNum, HllRegisters}
+      val estSql =
+        s"$HllEstNum / CAST(s_present + ($HllRegisters - n_registers) * 8589934592 AS DOUBLE)"
+      s"""WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${h32Sql("CAST(user_id AS VARCHAR)")} % $HllRegisters AS r,
+        |    CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rk
+        |  FROM (SELECT *,
+        |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+        |    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)),
+        |daily AS (SELECT event_type, day, r, MAX(rk) AS m_r FROM e GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, r, MAX(m_r) AS m_r FROM daily GROUP BY 1, 2),
+        |agg AS (SELECT event_type, COUNT(*) AS n_registers,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - m_r AS INT)) AS BIGINT) AS s_present
+        |  FROM merged GROUP BY 1),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_exact, n_registers, $estSql AS hll_est,
+        |  ($estSql - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+        |FROM agg JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+    },
+    // per-value log2 quantized via the identical floor(x·2^20 + 0.5);
+    // the weighted sums are exact (HUGEINT here, DECIMAL(38,0) on the
+    // Spark side), so only the mirrored final division runs in floats
+    "q_entropy_profile" -> {
+      import graft.queries.ProfileOps.EntScale
+      def leg(name: String, tbl: String, c: String): String =
+        s"""SELECT '$name' AS dim, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k,
+          |  CAST(CAST(SUM(cnt) AS HUGEINT)
+          |        * CAST(floor(log2(CAST(SUM(cnt) AS DOUBLE)) * $EntScale.0 + 0.5) AS BIGINT)
+          |      - SUM(CAST(cnt AS HUGEINT) * lc) AS DOUBLE)
+          |    / (CAST(SUM(cnt) AS DOUBLE) * $EntScale.0) AS entropy_bits
+          |FROM (SELECT COUNT(*) AS cnt,
+          |    CAST(floor(log2(CAST(COUNT(*) AS DOUBLE)) * $EntScale.0 + 0.5) AS BIGINT) AS lc
+          |  FROM $tbl WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+      s"""SELECT * FROM (
+        |${leg("events.event_type", "events", "event_type")}
+        |UNION ALL
+        |${leg("documents.lang", "documents", "lang")}
+        |UNION ALL
+        |${leg("documents.source", "documents", "source")})
+        |ORDER BY dim""".stripMargin
+    },
+    // the cap is applied to baskets BEFORE pair formation in both
+    // engines; lift is exact integer products under one division
+    "q_basket_pairs" -> {
+      import graft.queries.BehaviorOps.{BasketTopK, MaxBasketItems}
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (SELECT ok FROM lp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+        |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+        |nb AS (SELECT COUNT(*) AS n_baskets FROM sized),
+        |pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS n_co
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT pk_a, pk_b, n_co, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(nb.n_baskets * n_co AS DOUBLE)
+        |    / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN ic ia ON ia.pk = pairs.pk_a
+        |JOIN ic ib ON ib.pk = pairs.pk_b
+        |CROSS JOIN nb
+        |ORDER BY n_co DESC, pk_a, pk_b LIMIT $BasketTopK""".stripMargin
+    },
+    // identical per-row quantization (floor ·10⁴, integral-div seconds),
+    // exact integer/128-bit sums, one mirrored final division
+    "q_time_weighted" -> {
+      import graft.queries.BehaviorOps.TwScale
+      s"""WITH e AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT user_id,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS delta_us,
+        |    CAST(floor(value * $TwScale.0) AS BIGINT) AS v_scaled
+        |  FROM e),
+        |f AS (SELECT user_id, delta_us // 1000000 AS dur_s, v_scaled
+        |  FROM d WHERE delta_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_spans, CAST(SUM(dur_s) AS BIGINT) AS span_s,
+        |  CAST(SUM(CAST(v_scaled AS HUGEINT) * dur_s) AS DOUBLE)
+        |    / ($TwScale.0 * CAST(nullif(CAST(SUM(dur_s) AS BIGINT), 0) AS DOUBLE)) AS twa
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    // same tokenizer, same per-term rank truncation; postings ordered
+    // numerically then stringified in both engines
+    "q_inverted_index" -> {
+      import graft.queries.TextOps.PostingsCap
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tf)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  string_agg(CASE WHEN rn <= $PostingsCap THEN CAST(doc_id AS VARCHAR) END,
+        |             ',' ORDER BY doc_id) AS postings
+        |FROM r GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
     },
   )
 }

@@ -291,6 +291,121 @@ object BehaviorOps {
       .orderBy(col("user_id"))
   }
 
+  /** Basket-size ceiling for [[basketPairs]] — baskets with more distinct
+    * items are dropped whole before pair formation. Shared with the
+    * oracle SQL. */
+  private[graft] val MaxBasketItems = 12
+  /** Output size of [[basketPairs]]. */
+  private[graft] val BasketTopK = 15
+
+  /** Market-basket co-occurrence: which part pairs appear together in
+    * the same order, with support and lift — the association-mining
+    * primitive behind "frequently bought together" and, in a training-
+    * data pipeline, behind co-occurrence embeddings (a PMI matrix is
+    * this table plus a log). Top-[[BasketTopK]] pairs by co-count.
+    *
+    * Pair formation is the quadratic hazard: a basket of b items emits
+    * C(b,2) pairs, so one pathological 10⁵-item basket (a crawler
+    * artifact, a wholesale account) emits 5·10⁹ rows from a single key.
+    * The [[MaxBasketItems]] cap drops oversized baskets BEFORE the
+    * self-join — the standard market-basket guard (capped analysis is
+    * also statistically cleaner: mega-baskets carry no preference
+    * signal) — bounding per-key fan-out at C(12,2)=66. Unlike the
+    * df-cap's test-SF headroom, this cap BITES at sf0.1 (max real
+    * basket is 17 items): the dropped mass is exercised, not
+    * hypothetical. All pre-pair stages — distinct, size count, size
+    * filter, the pair self-join itself — key on l_orderkey, so they
+    * share ONE exchange; the item-frequency and basket-count frames are
+    * dimension-cardinality and broadcast into the lift computation.
+    * Lift = N·c₁₂/(c₁·c₂) is exact int64 products under one double
+    * division, mirrored in the oracle.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[basketPairs]] over any (ok, pk) membership frame — factored so the
+    * spec can prove the cap mechanism on a constructed mega-basket. */
+  private[graft] def basketPairsFrom(raw: DataFrame): DataFrame = {
+    val lp = raw.distinct()
+    val sized = lp.groupBy(col("ok")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") >= 2 && col("bsize") <= MaxBasketItems)
+      .select(col("ok"))
+    val items = lp.join(sized, Seq("ok"))
+    val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
+    items.select(col("ok"), col("pk").as("pk_a"))
+      .join(items.select(col("ok"), col("pk").as("pk_b")), Seq("ok"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a"), col("pk_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .join(broadcast(itemCnt.select(col("pk").as("pk_a"), col("n_item").as("n_a"))),
+        Seq("pk_a"))
+      .join(broadcast(itemCnt.select(col("pk").as("pk_b"), col("n_item").as("n_b"))),
+        Seq("pk_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"),
+        ((col("n_baskets") * col("n_co")).cast(DoubleType)
+          / (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+      .orderBy(col("n_co").desc, col("pk_a"), col("pk_b"))
+      .limit(BasketTopK)
+  }
+
+  /** Fixed-point scale for [[timeWeighted]] values: 10⁻⁴ units. */
+  private[graft] val TwScale = 10000L
+
+  /** Per-user TIME-weighted average of the event value — the metric that
+    * answers "what level did this signal HOLD", not "what was the mean
+    * reading": each value is weighted by how long it persisted (step
+    * interpolation until the next event), so a sensor that idles at 0
+    * for a month and spikes for a second averages near 0 regardless of
+    * how many spike readings were logged. Per-event means silently
+    * overweight chatty periods; every billing/SLA/utilization metric is
+    * this shape.
+    *
+    * One lead() window per user (partitioned — never global) computes
+    * each reading's hold duration; the integration is then the exact-
+    * moments discipline (olsFit, dsir): value quantized per row to
+    * [[TwScale]]ths via floor (identical both engines), duration in
+    * whole seconds via integral div of the microsecond delta, and
+    * Σ value·duration carried as DECIMAL(38,0) (a year-long hold at
+    * 10⁷ scaled units is ~3·10¹⁴ per row — int64 survives here, but not
+    * under 100 TB per-user event counts, so the sum is decimal by
+    * construction). The average is one final double division. Ties in
+    * ts (zero duration) contribute nothing, identically in both
+    * engines; each user's LAST reading has no successor and is excluded
+    * from the integral (the open-ended hold would need an as-of horizon
+    * — a parameter, not a default).
+    */
+  def timeWeighted(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedFrom(Tables.events(spark, dir))
+
+  /** [[timeWeighted]] over any (user_id, ts, event_id, value) frame —
+    * factored so the spec can pin the integral on a hand-computed
+    * timeline. */
+  private[graft] def timeWeightedFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("delta_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("delta_us").isNotNull)
+      .withColumn("dur_s", expr("delta_us div 1000000"))
+      .withColumn("v_scaled",
+        floor(col("value") * lit(TwScale.toDouble)).cast(LongType))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("dur_s")).as("span_s"),
+        sum(col("v_scaled").cast(DecimalType(38, 0)) * col("dur_s")).as("vsum"))
+      .select(col("user_id"), col("n_spans"), col("span_s"),
+        (col("vsum").cast(DoubleType)
+          / (lit(TwScale.toDouble) * nullif(col("span_s"), lit(0L)).cast(DoubleType)))
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
   /** χ² critical value at p=0.05 for 4 degrees of freedom — the (arms−1)
     * ×(types−1) of this contingency table. Shared with the oracle SQL. */
   private[graft] val ChisqCrit = 9.487729036781154

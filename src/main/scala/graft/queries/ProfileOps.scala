@@ -331,6 +331,143 @@ object ProfileOps {
     * joins of GROUP-CARDINALITY frames; the events table itself never
     * shuffles beyond the rank exchanges.
     */
+  /** HLL register count (m). 64 registers ⇒ ~13% standard error — small
+    * deliberately, so the estimate-vs-exact gap the entry surfaces is
+    * visible, not noise-floor. Shared with the oracle SQL. */
+  private[graft] val HllRegisters = 64L
+
+  /** The full HLL estimate numerator α·m²·2³³ as ONE double constant,
+    * interpolated digit-for-digit into the oracle SQL so both engines
+    * perform a single identical division (`Double.toString` round-trips,
+    * so the parsed literal is bit-identical). α_64 = 0.7213/(1+1.079/m). */
+  private[graft] val HllEstNum: Double =
+    0.7213 / (1.0 + 1.079 / HllRegisters) * HllRegisters * HllRegisters * 8589934592.0
+
+  /** HyperLogLog distinct-user estimate per event type, audited against
+    * the exact COUNT(DISTINCT) — the sketch that REPLACES exact distinct
+    * counting at 100 TB, the way [[heavyHitters]]' CMS replaces exact
+    * frequency. Exact distinct state is O(keys) and its final merge
+    * concentrates per group; the HLL state is [[HllRegisters]] fixed
+    * bytes per group, merges by register-wise MAX (associative,
+    * commutative, idempotent — re-delivered rows are absorbed), and is
+    * what Spark's own `approx_count_distinct` maintains internally. The
+    * entry builds it OPENLY (register index + leading-zero rank from md5
+    * slices) so the DuckDB oracle can replay it bit-for-bit, which a
+    * black-box sketch blob never could.
+    *
+    * Mergeability is demonstrated structurally, not claimed: registers
+    * are built at (event_type, day) grain — the partial a per-partition
+    * or per-ingest-batch build would emit — then max-merged across days
+    * into the per-type sketch. At 100 TB the daily register tables are
+    * the incremental state (64 rows per type-day); re-estimating after
+    * a new day lands is a merge, never a re-scan.
+    *
+    * Exactness discipline: rank = 33 − bitlength(w) over the second
+    * 32-bit md5 slice (pure integer; `bin()` string length in both
+    * engines), the harmonic-mean denominator Σ 2^(33−M_r) is an exact
+    * int64 sum of power-of-two terms (≤ 64·2³³ ≈ 2⁴⁰ — empty registers
+    * contribute 2³³ each), and the only floating-point op is the final
+    * single division by [[HllEstNum]]. No small-range linear-counting
+    * correction (it needs ln(), whose last ulp differs across libm
+    * implementations); the raw estimator is biased low at tiny
+    * cardinalities, identically in both engines — the documented trade
+    * for bit-exact portability.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val daily = hllRegisters(e, col("user_id"),
+      col("event_type"), to_date(col("ts")).as("day"))
+    val merged = daily.groupBy(col("event_type"), col("r"))
+      .agg(max(col("m_r")).as("m_r"))
+    val est = merged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m_r AS INT))")).as("s_present"))
+      .withColumn("denom",
+        col("s_present") + (lit(HllRegisters) - col("n_registers")) * lit(8589934592L))
+      .withColumn("hll_est", lit(HllEstNum) / col("denom").cast(DoubleType))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_registers"), col("hll_est"),
+        ((col("hll_est") - col("n_exact").cast(DoubleType))
+          / col("n_exact").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The HLL register table of `df` keyed by `grain`: one row per
+    * (grain, register index r) with the max leading-zero rank m_r —
+    * the merge-by-MAX partial every sketch consumer shares. Factored so
+    * the spec can assert the merge law (registers at finer grain,
+    * max-merged, equal registers built at the coarser grain directly).
+    */
+  private[graft] def hllRegisters(
+      df: DataFrame, key: Column, grain: Column*): DataFrame = {
+    val h = md5(key.cast(StringType))
+    val w = conv(substring(h, 9, 8), 16, 10).cast(LongType)
+    val sel = df.select((grain :+
+      (conv(substring(h, 1, 8), 16, 10).cast(LongType) % HllRegisters).as("r") :+
+      when(w === 0, lit(33L))
+        .otherwise(lit(33L) - length(bin(w)).cast(LongType)).as("rk")): _*)
+    sel.groupBy(sel.columns.dropRight(1).map(col): _*)
+      .agg(max(col("rk")).as("m_r"))
+  }
+
+  /** Fixed-point scale for [[entropyProfile]]'s per-value log2 terms:
+    * 2²⁰ micro-bits. Shared with the oracle SQL. */
+  private[graft] val EntScale = 1048576L
+
+  /** Shannon entropy (bits) of the categorical columns a corpus catalog
+    * profiles first — events.event_type, documents.lang,
+    * documents.source. Low entropy on a supposedly-diverse dimension is
+    * the classic skew flag (one source swamping a mixture); it is also
+    * the direct predictor of how badly that column skews as a join or
+    * partition key.
+    *
+    * Each dimension is one hash aggregate to value counts (O(distinct)
+    * rows) then one scalar aggregate — two map-side-combinable stages,
+    * no window, no sort, linear at any volume. Exactness discipline:
+    * entropy = log2(n) − (Σ c·log2(c))/n is computed in FIXED-POINT
+    * micro-bits — each log2 is quantized per row via
+    * floor(x·2²⁰ + 0.5) (floor, not round: identical half-up semantics
+    * in both engines), the weighted sum is exact integer/decimal
+    * arithmetic, and only the final division runs in doubles with the
+    * association order mirrored in the oracle. The c·term products are
+    * carried as DECIMAL(38,0) — at 100 TB a group count of 10¹² times a
+    * 4·10⁷ micro-log would overflow int64.
+    */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    entropyDim(Tables.events(spark, dir), "event_type", "events.event_type")
+      .unionByName(entropyDim(d, "lang", "documents.lang"))
+      .unionByName(entropyDim(d, "source", "documents.source"))
+      .orderBy(col("dim"))
+  }
+
+  /** One [[entropyProfile]] row: the fixed-point Shannon entropy of
+    * column `c` of `df`. Factored so the spec can pin exact entropies
+    * on constructed distributions (powers of two make the quantization
+    * exact: uniform over 8 values of count 4 is EXACTLY 3.0 bits). */
+  private[graft] def entropyDim(df: DataFrame, c: String, name: String): DataFrame = {
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lc",
+        floor(log2(col("cnt").cast(DoubleType)) * lit(EntScale.toDouble) + lit(0.5))
+          .cast(LongType))
+    counts.agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("lc")).as("s"))
+      .select(
+        lit(name).as("dim"), col("n"), col("k"),
+        ((col("n").cast(DecimalType(38, 0))
+            * floor(log2(col("n").cast(DoubleType)) * lit(EntScale.toDouble) + lit(0.5))
+              .cast(LongType)
+          - col("s")).cast(DoubleType)
+          / (col("n").cast(DoubleType) * lit(EntScale.toDouble))).as("entropy_bits"))
+  }
+
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir)

@@ -932,4 +932,54 @@ object TextOps {
         col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType) /
           col("sum_sq").cast(DoubleType))
       .orderBy(col("source"))
+
+  // ---------------------------------------------------------- inverted index
+  /** Posting-list truncation for [[invertedIndex]] — first k doc ids kept
+    * per term. Shared with the oracle SQL. */
+  private[graft] val PostingsCap = 8
+
+  /** Inverted-index build: term → document frequency, total term
+    * frequency, and the first [[PostingsCap]] postings (doc ids in
+    * ascending order, comma-joined) — the search-index construction pass,
+    * and the materialized form of the postings table [[dedupContain]]
+    * probes transiently. Top-20 terms by df.
+    *
+    * Scale shape: tokens explode once; (term, doc) tf is a hash groupBy
+    * with map-side combine (never COUNT(DISTINCT) over raw tokens — the
+    * tfidf discipline); the truncated posting list comes from a
+    * row_number window PARTITIONED by term, so no unbounded collect ever
+    * forms — `collect_list` runs over at most [[PostingsCap]] survivors
+    * per term. Stop words are the known hot keys of the term partition:
+    * the window still has to RANK a stop word's full posting set even
+    * though it keeps 8, so at 100 TB the [[StopShingleDfCap]] prefilter
+    * (drop terms once a first-pass df exceeds the cap — they are
+    * stop words by definition and no retrieval consults their postings)
+    * converts the hot-key sort into a dropped key; at test SFs the
+    * window shape is exercised as-is. Postings are sorted NUMERICALLY
+    * then stringified (lexicographic "10"<"9" would silently disagree
+    * with the oracle's ORDER BY doc_id).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexFrom(Tables.documents(spark, dir))
+
+  /** [[invertedIndex]] over any (doc_id, text) frame — factored so the
+    * spec can prove the postings truncation on a term with df >
+    * [[PostingsCap]]. */
+  private[graft] def invertedIndexFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toksAll).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        concat_ws(",",
+          expr(s"transform(sort_array(collect_list(CASE WHEN rn <= $PostingsCap THEN doc_id END)), x -> CAST(x AS STRING))"))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
 }

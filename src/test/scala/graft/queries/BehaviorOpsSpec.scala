@@ -218,4 +218,32 @@ class BehaviorOpsSpec extends SparkSpec {
     // the 7-day window can only see MORE distinct users than one day
     assert(got.forall(r => r._3 >= r._2))
   }
+
+  test("basket pairs: mega-basket dropped whole, singleton ignored, lift exact") {
+    import spark.implicits._
+    // baskets: two identical {1,2}; one 13-item (over the 12 cap, dropped
+    // WHOLE -> parts 100.. contribute nothing); one singleton (no pairs)
+    val lp = (Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 5L)) ++
+      (0 until 13).map(i => (40L, 100L + i))).toDF("ok", "pk")
+    val rows = BehaviorOps.basketPairsFrom(lp).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    // pair (1,2) in both kept baskets; n_baskets=2 (mega + singleton out)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 2L)))
+    assert((r.getLong(3), r.getLong(4)) === ((2L, 2L)))
+    assert(r.getDouble(5) === 1.0) // lift = 2*2/(2*2)
+  }
+
+  test("time-weighted average integrates the step function, excludes the last hold") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(s)}")
+    // v=10 held 10s, v=0 held 30s, final reading open-ended (excluded)
+    val e = Seq(
+      (1L, ts(0), 1L, 10.0), (1L, ts(10), 2L, 0.0), (1L, ts(40), 3L, 99.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = BehaviorOps.timeWeightedFrom(e).collect()(0)
+    assert(r.getLong(1) === 2L)            // two closed spans
+    assert(r.getLong(2) === 40L)           // 10 + 30 seconds
+    assert(r.getDouble(3) === 2.5)         // (10*10 + 0*30) / 40
+  }
 }

@@ -201,4 +201,41 @@ class ProfileOpsSpec extends SparkSpec {
     assert(rows(0).getLong(1) === n && rows(0).getLong(2) === s)
     assert(rows(0).getDouble(3) === gini)
   }
+
+  test("hll: daily registers max-merged equal registers built whole (merge law)") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val fromDaily = ProfileOps
+      .hllRegisters(e, col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("r")).agg(max(col("m_r")).as("m_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = ProfileOps.hllRegisters(e, col("user_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromDaily === whole)
+    assert(whole.nonEmpty)
+  }
+
+  test("hll: estimate lands within the sketch's error envelope at sf0.01") {
+    // m=64 => sigma ~ 1.04/8 = 13%; 4-sigma envelope, minus the known
+    // raw-estimator low bias at small n, is comfortably inside 50%
+    val rows = ProfileOps.hllDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(math.abs(r.getDouble(4)) < 0.5,
+        s"${r.getString(0)}: rel_err ${r.getDouble(4)}")
+    }
+  }
+
+  test("entropy: exact on power-of-two uniform; zero on a constant column") {
+    import spark.implicits._
+    // 8 values x count 4: log2 terms are exact in fixed-point -> 3.0 bits
+    val uniform = (0 until 8).flatMap(v => Seq.fill(4)(s"v$v")).toDF("c")
+    val u = ProfileOps.entropyDim(uniform, "c", "u").collect()(0)
+    assert(u.getLong(1) === 32L && u.getLong(2) === 8L)
+    assert(u.getDouble(3) === 3.0)
+    val const = Seq.fill(10)("same").toDF("c")
+    val k = ProfileOps.entropyDim(const, "c", "k").collect()(0)
+    assert(k.getLong(2) === 1L && k.getDouble(3) === 0.0)
+  }
 }

@@ -286,4 +286,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getLong(3) === counts.count(_ == 1L).toLong)
     assert(out(0).getLong(4) === counts.map(c => c * c).sum)
   }
+
+  test("inverted index: postings truncate at the cap, stats stay full") {
+    import spark.implicits._
+    // 'common' in 10 docs (df over the 8 cap), twice in doc 1;
+    // 'rare' in one doc
+    val docs = ((1L until 11L).map(i =>
+      (i, if (i == 1) "common common" else "common")) :+ (11L, "rare"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.invertedIndexFrom(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // df and total_tf count EVERYTHING; only the posting list truncates
+    assert(rows("common") === ((10L, 11L, "1,2,3,4,5,6,7,8")))
+    assert(rows("rare") === ((1L, 1L, "11")))
+  }
 }
