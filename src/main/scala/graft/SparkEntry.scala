@@ -309,6 +309,14 @@ object SparkEntry {
     "q_time_weighted" -> (BehaviorOps.timeWeighted _),
     // inverted-index build: df + total tf + truncated postings per term
     "q_inverted_index" -> (TextOps.invertedIndex _),
+    // oriented triangle census of the part co-purchase graph
+    "q_triangles" -> (GraphOps.triangles _),
+    // CMS inner-product join-size estimate with exact audit (est >= exact)
+    "q_join_size_est" -> (ProfileOps.joinSizeEst _),
+    // 80% Pareto point per priority: integer cumsum, cross-multiplied test
+    "q_pareto" -> (ProfileOps.pareto _),
+    // (dow, hour) seasonal baseline + 3-sigma anomaly counts per cell
+    "q_seasonal_anomaly" -> (BehaviorOps.seasonalAnomaly _),
   )
 
   private val revenueSql =
@@ -2296,6 +2304,93 @@ object SparkEntry {
         |  string_agg(CASE WHEN rn <= $PostingsCap THEN CAST(doc_id AS VARCHAR) END,
         |             ',' ORDER BY doc_id) AS postings
         |FROM r GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin
+    },
+    // same id-order orientation (u < v, b < c), same basket cap and
+    // support threshold — every count is integer-exact
+    "q_triangles" -> {
+      import graft.queries.BehaviorOps.MaxBasketItems
+      import graft.queries.GraphOps.TriMinSupport
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (SELECT ok FROM lp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+        |edges AS (SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+        |wedges AS (SELECT e1.u, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |tris AS (SELECT * FROM wedges w
+        |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.u = w.b AND e.v = w.c))
+        |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+        |  (SELECT COUNT(*) FROM wedges) AS n_wedges,
+        |  (SELECT COUNT(*) FROM tris) AS n_triangles,
+        |  CAST((SELECT COUNT(*) FROM tris) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM wedges) AS DOUBLE) AS closure_rate""".stripMargin
+    },
+    // same one-digest bucket slices as q_heavy_hitters on BOTH join
+    // sides; inner products exact (HUGEINT / DECIMAL(38,0))
+    "q_join_size_est" -> {
+      def bucketSql(k: String) =
+        s"CAST(concat('0x', substr(md5(CAST($k AS VARCHAR)), 1 + 8 * CAST(depth AS INT), 8)) AS BIGINT) % 64"
+      s"""WITH d AS (SELECT unnest(range(4)) AS depth),
+        |la AS (SELECT depth, ${bucketSql("l_orderkey")} AS bucket, COUNT(*) AS ca
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
+        |ob AS (SELECT depth, ${bucketSql("o_orderkey")} AS bucket, COUNT(*) AS cb
+        |  FROM orders CROSS JOIN d GROUP BY 1, 2),
+        |de AS (SELECT la.depth, SUM(CAST(ca AS HUGEINT) * cb) AS depth_est
+        |  FROM la JOIN ob ON la.depth = ob.depth AND la.bucket = ob.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT CAST(MIN(depth_est) AS BIGINT) AS est FROM de),
+        |ex AS (SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS BIGINT) AS exact FROM
+        |  (SELECT l_orderkey, COUNT(*) AS na FROM lineitem GROUP BY 1) a JOIN
+        |  (SELECT o_orderkey, COUNT(*) AS nb FROM orders GROUP BY 1) b
+        |  ON a.l_orderkey = b.o_orderkey)
+        |SELECT 'lineitem*orders@orderkey' AS join_key, est, exact,
+        |  est - exact AS overestimate
+        |FROM est CROSS JOIN ex""".stripMargin
+    },
+    // exact integer cents, explicit ROWS cumsum frame, integer 5:4
+    // cross-multiplication — float only in the final share
+    "q_pareto" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT pri, cents, o_orderkey,
+        |    row_number() OVER (PARTITION BY pri ORDER BY cents DESC, o_orderkey) AS rk,
+        |    SUM(cents) OVER (PARTITION BY pri ORDER BY cents DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM o),
+        |t AS (SELECT pri, COUNT(*) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents FROM o GROUP BY 1)
+        |SELECT r.pri, t.n_orders, t.total_cents, CAST(MIN(rk) AS BIGINT) AS n_top80,
+        |  CAST(MIN(rk) AS DOUBLE) / CAST(t.n_orders AS DOUBLE) AS top_share
+        |FROM r JOIN t ON r.pri = t.pri
+        |WHERE cum * 5 >= total_cents * 4
+        |GROUP BY r.pri, t.n_orders, t.total_cents ORDER BY r.pri""".stripMargin,
+    // integer calendar dow (neither engine's dayofweek numbering), exact
+    // moments, mirrored mean/σ arithmetic, 3σ flags on identical doubles
+    "q_seasonal_anomaly" -> {
+      import graft.queries.BehaviorOps.TwScale
+      s"""WITH e AS (SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+        |    hour(ts) AS hr,
+        |    CAST(floor(value * $TwScale.0) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT dow, hr, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS svv FROM e GROUP BY 1, 2),
+        |m AS (SELECT dow, hr, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_scaled,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd_scaled
+        |  FROM b)
+        |SELECT e.dow, e.hr, m.n, m.mean_scaled / $TwScale.0 AS mean_value,
+        |  m.sd_scaled / $TwScale.0 AS sd_value,
+        |  COUNT(*) FILTER (WHERE abs(CAST(v AS DOUBLE) - mean_scaled)
+        |                   > 3.0 * sd_scaled) AS n_anomalies
+        |FROM e JOIN m ON e.dow = m.dow AND e.hr = m.hr
+        |GROUP BY e.dow, e.hr, m.n, m.mean_scaled, m.sd_scaled
+        |ORDER BY e.dow, e.hr""".stripMargin
     },
   )
 }

@@ -406,6 +406,60 @@ object BehaviorOps {
       .orderBy(col("user_id"))
   }
 
+  /** Seasonal-baseline anomaly detection: a (day-of-week, hour-of-day)
+    * baseline of the event value — mean and standard deviation per
+    * seasonal cell — with each reading flagged against ITS OWN cell's
+    * 3σ envelope; the output is the 7×24 baseline grid with per-cell
+    * anomaly counts. This is the monitoring shape for any diurnal
+    * signal (traffic, latency, ingest volume): a Tuesday-3am reading is
+    * judged against Tuesday-3am history, not a global mean that diurnal
+    * swing would inflate into uselessness.
+    *
+    * Exactness discipline end to end: day-of-week is integer calendar
+    * arithmetic (days-since-1970-01-01 mod 7 — the two engines number
+    * weekdays differently, so neither's dayofweek() is used), values
+    * quantize to [[TwScale]]ths via floor, and the baseline moments
+    * (n, Σv, Σv²) are exact integer/decimal sums — Σv² rides
+    * DECIMAL(38,0): a 10⁷-scaled reading squares to 10¹⁴ and int64 dies
+    * within a few 10⁴ rows of that at corpus scale. Mean and σ² =
+    * (n·Σv² − (Σv)²)/n² are fixed-association doubles from those exact
+    * integers, σ is one correctly-rounded sqrt, and the 3σ test
+    * compares doubles derived identically in both engines. Scale shape:
+    * one aggregate to a ≤168-row grid, broadcast back onto the scan,
+    * flag+count map-side — the winsorize bounds-join pattern, two scans
+    * total (a production run would fold both into one pass with a
+    * grouping-sets aggregate; two keeps the baseline frame reusable).
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))
+          .cast(LongType).as("dow"),
+        hour(col("ts")).cast(LongType).as("hr"),
+        floor(col("value") * lit(TwScale.toDouble)).cast(LongType).as("v"))
+    val base = e.groupBy(col("dow"), col("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("v")).as("svv"))
+      .withColumn("mean_scaled", dbl("sv") / dbl("n"))
+      .withColumn("var_scaled",
+        (dbl("n") * dbl("svv") - dbl("sv") * dbl("sv")) / (dbl("n") * dbl("n")))
+      .withColumn("sd_scaled", sqrt(col("var_scaled")))
+    e.join(broadcast(base), Seq("dow", "hr"))
+      .groupBy(col("dow"), col("hr"), col("n"), col("mean_scaled"), col("sd_scaled"))
+      .agg(count(when(
+        abs(col("v").cast(DoubleType) - col("mean_scaled"))
+          > lit(3.0) * col("sd_scaled"), 1)).as("n_anomalies"))
+      .select(col("dow"), col("hr"), col("n"),
+        (col("mean_scaled") / lit(TwScale.toDouble)).as("mean_value"),
+        (col("sd_scaled") / lit(TwScale.toDouble)).as("sd_value"),
+        col("n_anomalies"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** χ² critical value at p=0.05 for 4 degrees of freedom — the (arms−1)
     * ×(types−1) of this contingency table. Shared with the oracle SQL. */
   private[graft] val ChisqCrit = 9.487729036781154

@@ -84,6 +84,72 @@ object GraphOps {
     * edge lists or accept that pure sinks receive no row. Returns
     * `(node, deg, pr)`.
     */
+  /** Minimum co-occurrence count for a co-purchase edge in
+    * [[triangles]] — prunes the incidental-pair hairball before any
+    * pair-of-pairs work. Shared with the oracle SQL. */
+  private[graft] val TriMinSupport = 2
+
+  /** Triangle census of the part CO-PURCHASE graph: nodes are parts,
+    * an (undirected) edge joins two parts co-ordered in ≥
+    * [[TriMinSupport]] capped baskets ([[BehaviorOps.basketPairs]]'
+    * edge builder — same [[BehaviorOps.MaxBasketItems]] guard), and the
+    * output is the one-row census (edges, oriented wedges, triangles,
+    * closure rate) — the clustering statistic that separates a
+    * community-structured catalog from random co-purchase noise.
+    *
+    * The scale shape is the canonical ORIENTED triangle count: every
+    * edge is stored once as (u, v) with u < v, wedges come from the
+    * self-join of out-neighbor lists on the shared LOWER endpoint, and
+    * each wedge probes the edge set once — so each triangle is counted
+    * exactly once (a < b < c), never six times, and the join is always
+    * equi-hash, never BNLJ. Work is Σ_a C(outdeg(a), 2): the id-order
+    * orientation bounds it at test scale, and the documented web-scale
+    * refinement is DEGREE-ordered orientation (orient every edge toward
+    * the higher-degree endpoint, which provably caps out-degrees at
+    * O(√edges) and with it the wedge explosion under power-law skew);
+    * id-order keeps the entry deterministic without a degree
+    * precomputation pass. The support threshold is the other knob: it
+    * removes the long tail of singleton co-occurrences — most of a
+    * retail pair distribution — before any quadratic-in-degree stage
+    * runs. Closure rate = triangles/wedges is one final double
+    * division on two exact counts.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[triangles]] over any (ok, pk) membership frame — factored so the
+    * spec can pin the census on a hand-drawn graph. */
+  private[graft] def trianglesFrom(raw: DataFrame): DataFrame = {
+    val lp = raw.distinct()
+    val sized = lp.groupBy(col("ok")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") >= 2 && col("bsize") <= BehaviorOps.MaxBasketItems)
+      .select(col("ok"))
+    val items = lp.join(sized, Seq("ok"))
+    val edges = items.select(col("ok"), col("pk").as("u"))
+      .join(items.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= TriMinSupport)
+      .select(col("u"), col("v"))
+      // consumed by three subtrees (edge census, both wedge legs, the
+      // closing probe) — materialized once, the prRanks topology idiom
+      .persist()
+    val wedges = edges.select(col("u"), col("v").as("b"))
+      .join(edges.select(col("u"), col("v").as("c")), Seq("u"))
+      .filter(col("b") < col("c"))
+      .persist()
+    val tris = wedges.join(edges.select(col("u").as("b"), col("v").as("c")),
+      Seq("b", "c"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_wedges").cast(org.apache.spark.sql.types.DoubleType))
+          .as("closure_rate"))
+  }
+
   private[graft] def prRanks(edges: DataFrame): DataFrame = {
     val e = edges.persist()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).persist()

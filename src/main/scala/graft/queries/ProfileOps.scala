@@ -48,11 +48,16 @@ object ProfileOps {
     * zero extra information. One digest, [[Depths]] buckets; the DuckDB
     * oracle slices the same digest at the same offsets.
     */
+  /** The [[Depths]] CMS bucket coordinates of a key — 4 disjoint 8-hex
+    * slices of ONE md5 digest (see [[cmsAudit]]). Shared by the
+    * frequency audit and the join-size estimator. */
+  private def cmsBuckets(k: Column): Column = array((0 until Depths).map { i =>
+    conv(substring(md5(k.cast(StringType)), 1 + 8 * i, 8), 16, 10)
+      .cast(LongType) % Width
+  }: _*)
+
   private[queries] def cmsAudit(df: DataFrame, key: String): DataFrame = {
-    def buckets(k: Column): Column = array((0 until Depths).map { i =>
-      conv(substring(md5(k.cast(StringType)), 1 + 8 * i, 8), 16, 10)
-        .cast(LongType) % Width
-    }: _*)
+    def buckets(k: Column): Column = cmsBuckets(k)
     // build: one digest per row, posexplode its 4 slices -> <=256 cells
     val cms = df.select(col(key), posexplode(buckets(col(key))).as(Seq("depth", "bucket")))
       .groupBy(col("depth"), col("bucket"))
@@ -308,6 +313,87 @@ object ProfileOps {
       .select(col("o_orderpriority"), col("n"), col("s").as("total_cents"),
         col("gini"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Sketch-based JOIN-SIZE estimation — the statistic a planner wants
+    * BEFORE committing to a join strategy at 100 TB: |A ⋈ B| on a key,
+    * estimated from two [[Depths]]×[[Width]]-cell CMS sketches as the
+    * bucket-wise inner product Σ_b cA_b·cB_b, minimized over the
+    * [[Depths]] independent hash rows, audited against the exact join
+    * cardinality. The sketches are the same fixed-size, merge-
+    * associative state as [[heavyHitters]] — each side is ONE map-side-
+    * combinable pass, the inner product touches 256 cells, and the
+    * estimate is one-sided (collisions only ADD mass, so est ≥ exact —
+    * asserted over the corpus in the spec): a planner reading it gets a
+    * guaranteed upper bound on the join's output.
+    *
+    * The exact audit side aggregates both inputs to per-key counts
+    * first (O(distinct keys) rows into the join, the fkProfile
+    * discipline) and sums the count products — never materializing the
+    * join itself. Integer arithmetic end to end.
+    */
+  def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    def cells(df: DataFrame, key: String, out: String): DataFrame =
+      df.select(posexplode(cmsBuckets(col(key))).as(Seq("depth", "bucket")))
+        .groupBy(col("depth"), col("bucket"))
+        .agg(count(lit(1)).as(out))
+    val la = cells(Tables.lineitem(spark, dir), "l_orderkey", "ca")
+    val ob = cells(Tables.orders(spark, dir), "o_orderkey", "cb")
+    // count products ride DECIMAL(38,0): two 10¹⁰-row cells at 100 TB
+    // multiply past int64
+    val est = la.join(ob, Seq("depth", "bucket"))
+      .groupBy(col("depth"))
+      .agg(sum(col("ca").cast(DecimalType(38, 0)) * col("cb")).as("depth_est"))
+      .agg(min(col("depth_est")).cast(LongType).as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("na"))
+      .join(Tables.orders(spark, dir)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("nb")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("na").cast(DecimalType(38, 0)) * col("nb"))
+        .cast(LongType).as("exact"))
+    est.crossJoin(exact)
+      .select(lit("lineitem*orders@orderkey").as("join_key"),
+        col("est"), col("exact"), (col("est") - col("exact")).as("overestimate"))
+  }
+
+  /** Top-share Pareto point per priority class: the smallest number of
+    * orders (ranked by value) that carries ≥ 80% of the class's total
+    * value — the "how top-heavy is this key" statistic that decides
+    * whether a quota/mixture treats a source as broad or as a few whales
+    * ([[gini]]'s actionable companion: gini says HOW unequal, this says
+    * WHERE the 80% line sits).
+    *
+    * Exactness discipline: values are exact integer cents (the gini
+    * precedent), the running total is an integer window cumsum over a
+    * total order (value desc, key — ROWS frame pinned explicitly both
+    * engines), and the 80% test is the integer cross-multiplication
+    * 5·cum ≥ 4·total — no float enters until the final share division.
+    * Per-group rank window is the winsorize holistic trade; headroom:
+    * cum ≤ 10¹¹ cents at sf0.1, ×5 three orders under int64 at 100×.
+    */
+  def pareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("pri"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val ranked = o
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum(col("cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = o.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+    ranked.join(broadcast(totals), Seq("pri"))
+      .filter(col("cum") * 5 >= col("total_cents") * 4)
+      .groupBy(col("pri"), col("n_orders"), col("total_cents"))
+      .agg(min(col("rk")).as("n_top80"))
+      .select(col("pri"), col("n_orders"), col("total_cents"), col("n_top80"),
+        (col("n_top80").cast(DoubleType) / col("n_orders").cast(DoubleType))
+          .as("top_share"))
+      .orderBy(col("pri"))
   }
 
   /** Robust outlier profile per event type: lower median, median absolute

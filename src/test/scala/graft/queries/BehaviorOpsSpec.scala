@@ -234,6 +234,18 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(5) === 1.0) // lift = 2*2/(2*2)
   }
 
+  test("seasonal anomaly grid: Chebyshev bound holds in every cell") {
+    val rows = BehaviorOps.seasonalAnomaly(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty && rows.length <= 168) // at most 7x24 cells
+    rows.foreach { r =>
+      val (n, anom) = (r.getLong(2), r.getLong(5))
+      // P(|v - mean| > 3σ) <= 1/9 for ANY distribution — a flag count
+      // past n/9 would mean the mean/σ arithmetic is broken
+      assert(9 * anom <= n, s"cell (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getDouble(4) >= 0.0) // σ from exact moments: never negative
+    }
+  }
+
   test("time-weighted average integrates the step function, excludes the last hold") {
     import spark.implicits._
     def ts(s: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:${"%02d".format(s)}")

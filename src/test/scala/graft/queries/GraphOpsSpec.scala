@@ -40,4 +40,24 @@ class GraphOpsSpec extends SparkSpec {
     // the ranking must be supplier-dominated
     assert(rows.take(5).count(_.getString(1) == "supplier") === 5)
   }
+
+  test("triangle census: hand-drawn graph — cap, support, and orientation") {
+    import spark.implicits._
+    // two {1,2,3} baskets -> edges 1-2, 1-3, 2-3 at support 2 (one
+    // triangle); two {2,4} baskets -> edge 2-4; one {5,6} basket ->
+    // support 1, pruned; one 13-item basket -> over cap, dropped whole
+    val lp = (Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (20L, 2L), (20L, 4L), (21L, 2L), (21L, 4L),
+      (30L, 5L), (30L, 6L)) ++
+      (0 until 13).map(i => (40L, 100L + i))).toDF("ok", "pk")
+    val r = GraphOps.trianglesFrom(lp).collect()(0)
+    // edges {1-2, 1-3, 2-3, 2-4}; oriented wedges: u=1 -> (2,3),
+    // u=2 -> (3,4); only (2,3) closes (edge 2-3 exists, 3-4 doesn't)
+    assert(r.getLong(0) === 4L) // n_edges
+    assert(r.getLong(1) === 2L) // n_wedges
+    assert(r.getLong(2) === 1L) // n_triangles
+    assert(r.getDouble(3) === 0.5)
+  }
 }

@@ -227,6 +227,33 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate: one-sided (est >= exact) and depth-min tightens") {
+    val r = ProfileOps.joinSizeEst(spark, "/root/testdata/sf0.001").collect()(0)
+    val (est, exact) = (r.getLong(1), r.getLong(2))
+    assert(exact > 0L)
+    assert(est >= exact)          // collision mass only ADDS
+    assert(r.getLong(3) === est - exact)
+  }
+
+  test("pareto point matches an in-memory reference at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val cents = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ProfileOps.pareto(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((pri, rows) <- cents.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (-r._2, r._3))
+      val total = sorted.map(_._2).sum
+      val cums = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+      val n80 = cums.indexWhere(c => 5 * c >= 4 * total) + 1
+      assert(got(pri) === ((rows.length.toLong, total, n80.toLong)), pri)
+    }
+  }
+
   test("entropy: exact on power-of-two uniform; zero on a constant column") {
     import spark.implicits._
     // 8 values x count 4: log2 terms are exact in fixed-point -> 3.0 bits
