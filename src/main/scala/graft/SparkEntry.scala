@@ -317,6 +317,10 @@ object SparkEntry {
     "q_pareto" -> (ProfileOps.pareto _),
     // (dow, hour) seasonal baseline + 3-sigma anomaly counts per cell
     "q_seasonal_anomaly" -> (BehaviorOps.seasonalAnomaly _),
+    // RFM quartile grid occupancy from exact population quantiles
+    "q_rfm" -> (BehaviorOps.rfm _),
+    // pairwise event-type audience Jaccard (bounded per-user fan-out)
+    "q_audience_overlap" -> (BehaviorOps.audienceOverlap _),
   )
 
   private val revenueSql =
@@ -2392,5 +2396,44 @@ object SparkEntry {
         |GROUP BY e.dow, e.hr, m.n, m.mean_scaled, m.sd_scaled
         |ORDER BY e.dow, e.hr""".stripMargin
     },
+    // identical exact-quantile boundaries (integer inputs, shared
+    // interpolation) and the same >-comparison scoring on both sides
+    "q_rfm" -> {
+      def over(v: String, b: String) =
+        s"(($v > $b[1])::INT + ($v > $b[2])::INT + ($v > $b[3])::INT)"
+      s"""WITH pc AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_od,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(last_od) AS hz FROM pc),
+        |r AS (SELECT pc.*, datediff('day', last_od, hz) AS rec_days
+        |  FROM pc CROSS JOIN h),
+        |b AS (SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rb,
+        |    quantile_cont(f, [0.25, 0.5, 0.75]) AS fb,
+        |    quantile_cont(m, [0.25, 0.5, 0.75]) AS mb FROM r),
+        |s AS (SELECT CAST(4 - ${over("rec_days", "rb")} AS BIGINT) AS r_score,
+        |    CAST(1 + ${over("f", "fb")} AS BIGINT) AS f_score,
+        |    CAST(1 + ${over("m", "mb")} AS BIGINT) AS m_score, m
+        |  FROM r CROSS JOIN b)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(m) AS BIGINT) AS total_cents
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // distinct (type, user) pairs feed both the sizes and the pair
+    // intersection; |A∪B| stays integer until the final division
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE) AS jaccard
+        |FROM p JOIN sz sa ON sa.event_type = p.type_a
+        |JOIN sz sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

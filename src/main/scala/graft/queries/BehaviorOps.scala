@@ -406,6 +406,91 @@ object BehaviorOps {
       .orderBy(col("user_id"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per customer,
+    * Recency (days from last order to the corpus horizon), Frequency
+    * (order count), and Monetary (exact total cents) are each scored
+    * into quartiles against the EXACT population quantiles, and the
+    * output is the occupancy of the (r, f, m) score grid (≤ 64 cells)
+    * with its value mass — the segmentation a retention/quota planner
+    * consumes directly (a mixture sampler reads it the same way:
+    * "whales", "churn-risk", "one-shots" are cells of this grid).
+    *
+    * Scale shape: one O(customers) reduction from the fact table, one
+    * 1-row exact-quantile aggregate broadcast-crossed back (the
+    * equidepth boundary pattern — scores are then THREE map-side
+    * comparisons per metric), one final ≤64-cell aggregate. Horizon =
+    * max order date, a second 1-row broadcast (the decay-score shape) —
+    * a pipeline would pass "today"; deriving it keeps the entry
+    * self-contained. Quartile boundaries are interpolated doubles from
+    * integer inputs — identical interpolation both engines (the
+    * quantiles precedent); scores use > on (long, double), a single
+    * correctly-rounded comparison. Higher score = better: R counts
+    * boundaries the customer is UNDER (recent), F/M boundaries they are
+    * OVER.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("od")).as("last_od"), count(lit(1)).as("f"), sum(col("cents")).as("m"))
+    val horizon = perCust.agg(max(col("last_od")).as("h"))
+    val r = perCust.crossJoin(broadcast(horizon))
+      .withColumn("rec_days", datediff(col("h"), col("last_od")).cast(LongType))
+    val qs = typedLit(Seq(0.25, 0.5, 0.75))
+    val bounds = r.agg(
+      percentile(col("rec_days"), qs).as("rb"),
+      percentile(col("f"), qs).as("fb"),
+      percentile(col("m"), qs).as("mb"))
+    def over(v: String, b: String): Column = (1 to 3)
+      .map(i => (col(v) > element_at(col(b), i)).cast(IntegerType))
+      .reduce(_ + _)
+    r.crossJoin(broadcast(bounds))
+      .select(
+        (lit(4) - over("rec_days", "rb")).cast(LongType).as("r_score"),
+        (lit(1) + over("f", "fb")).cast(LongType).as("f_score"),
+        (lit(1) + over("m", "mb")).cast(LongType).as("m_score"),
+        col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("total_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Audience-overlap matrix: for every pair of event types, the Jaccard
+    * similarity of their USER sets — "do purchasers also click?", the
+    * audience-composition statistic behind both cross-sell analysis and
+    * training-mixture design (two sources whose contributor sets overlap
+    * heavily add less diversity than their row counts suggest).
+    *
+    * The pair-forming join keys on user_id, and per-user fan-out is
+    * C(types-per-user, 2) ≤ C(|types|, 2) — bounded by the SMALL
+    * dimension's cardinality squared, not by data volume, which is what
+    * makes a self-join safe here and fatal on an unbounded key (the
+    * dedup tier's band-bucket discipline, with the type set as a
+    * natural band). Set sizes are group-cardinality and broadcast;
+    * |A∪B| = |A|+|B|−|A∩B| keeps everything integer until one final
+    * division.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Seasonal-baseline anomaly detection: a (day-of-week, hour-of-day)
     * baseline of the event value — mean and standard deviation per
     * seasonal cell — with each reading flagged against ITS OWN cell's

@@ -44,13 +44,16 @@ class PlanGuardSpec extends SparkSpec {
     * chi-square's 1-row grand-total cross onto the arms×types cell
     * frame (the drift-monitor grid shape), basket-pairs' 1-row
     * basket-count cross onto the pair frame (lift denominator),
-    * join-size-est's 1-row×1-row est×exact cross, and the triangle
-    * census's 1-row×1-row×1-row edge/wedge/triangle-count crosses.
+    * join-size-est's 1-row×1-row est×exact cross, the triangle
+    * census's 1-row×1-row×1-row edge/wedge/triangle-count crosses, and
+    * RFM's 1-row horizon + 1-row quartile-boundary crosses (the
+    * decay-score and equi-depth shapes back to back).
     * Everything else must stay equi/hash. */
   private val sanctionedBnlj =
     Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
       "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth",
-      "q_chisq", "q_basket_pairs", "q_join_size_est", "q_triangles")
+      "q_chisq", "q_basket_pairs", "q_join_size_est", "q_triangles",
+      "q_rfm")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

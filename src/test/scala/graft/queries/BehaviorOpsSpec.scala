@@ -234,6 +234,41 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(5) === 1.0) // lift = 2*2/(2*2)
   }
 
+  test("rfm grid: partitions the customer base, scores rank the value mass") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = BehaviorOps.rfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nCust = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._4).sum === nCust)          // every customer in ONE cell
+    assert(rows.forall(r => Seq(r._1, r._2, r._3).forall(s => s >= 1 && s <= 4)))
+    // monetary quartiles actually rank money: mean cents strictly rises
+    // from the bottom to the top m_score band
+    val byM = rows.groupBy(_._3).map { case (m, cs) =>
+      m -> cs.map(_._5).sum.toDouble / cs.map(_._4).sum }
+    assert(byM(4L) > byM(1L))
+  }
+
+  test("audience overlap matches an in-memory Jaccard at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val tu = graft.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = tu.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val got = BehaviorOps.audienceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } {
+      val (na, nb, nBoth, j) = got((a, b))
+      assert((na, nb, nBoth) === ((sets(a).size.toLong, sets(b).size.toLong, inter.toLong)))
+      assert(j === inter.toDouble / (sets(a).size + sets(b).size - inter))
+    }
+  }
+
   test("seasonal anomaly grid: Chebyshev bound holds in every cell") {
     val rows = BehaviorOps.seasonalAnomaly(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty && rows.length <= 168) // at most 7x24 cells
