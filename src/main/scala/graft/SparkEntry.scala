@@ -321,6 +321,11 @@ object SparkEntry {
     "q_rfm" -> (BehaviorOps.rfm _),
     // pairwise event-type audience Jaccard (bounded per-user fan-out)
     "q_audience_overlap" -> (BehaviorOps.audienceOverlap _),
+    // dedup ROI: cluster-size histogram over the CC label frame
+    "q_cluster_profile" -> (TextOps.clusterProfile _),
+    // MinHash accuracy audit: signature estimate vs exact Jaccard per
+    // LSH candidate pair
+    "q_minhash_est" -> (TextOps.minhashEst _),
   )
 
   private val revenueSql =
@@ -2435,5 +2440,64 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.event_type = p.type_a
         |JOIN sz sb ON sb.event_type = p.type_b
         |ORDER BY type_a, type_b""".stripMargin,
+    // the q_dedup_cc label chain, then two aggregates and a scalar total
+    "q_cluster_profile" ->
+      s"""$minhashBandedCtes,
+        |rep AS (
+        |  SELECT band_id, band_key, min(doc_id) AS rep
+        |  FROM banded GROUP BY band_id, band_key),
+        |star AS (
+        |  SELECT DISTINCT r.rep AS src, b.doc_id AS dst
+        |  FROM banded b JOIN rep r USING (band_id, band_key) WHERE r.rep <> b.doc_id),
+        |edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
+        |walk AS (
+        |  WITH RECURSIVE wr(doc_id, reach) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT w.doc_id, e.dst FROM wr w JOIN edges e ON e.src = w.reach)
+        |  SELECT * FROM wr),
+        |lab AS (SELECT doc_id, min(reach) AS component_id FROM walk GROUP BY doc_id),
+        |cs AS (SELECT component_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM lab)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_pct
+        |FROM cs CROSS JOIN tot
+        |GROUP BY cluster_size, n_total ORDER BY cluster_size""".stripMargin,
+    // same signature battery (minhashSigSql) and band buckets; exact
+    // Jaccard over distinct token hashes, pair-restricted
+    "q_minhash_est" -> {
+      val matchSum = (0 until 12)
+        .map(i => s"(sa.sig$i = sb.sig$i)::INT").mkString(" + ")
+      s"""$minhashBandedCtes,
+        |hd AS (SELECT DISTINCT doc_id, unnest(th) AS hh FROM h),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE (a.doc_id + b.doc_id) % ${graft.queries.TextOps.MinhashAuditMod} = 0),
+        |m AS (SELECT p.doc_id_a, p.doc_id_b, $matchSum AS n_match
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.doc_id_a
+        |  JOIN sig sb ON sb.doc_id = p.doc_id_b),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hd GROUP BY 1),
+        |iv AS (SELECT p.doc_id_a, p.doc_id_b, COUNT(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN hd a ON a.doc_id = p.doc_id_a
+        |  JOIN hd b ON b.doc_id = p.doc_id_b AND b.hh = a.hh
+        |  GROUP BY 1, 2)
+        |SELECT m.doc_id_a, m.doc_id_b,
+        |  CAST(n_match AS DOUBLE) / 12.0 AS est_sim,
+        |  CAST(COALESCE(n_inter, 0) AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - COALESCE(n_inter, 0) AS DOUBLE) AS jaccard,
+        |  CAST(n_match AS DOUBLE) / 12.0
+        |    - CAST(COALESCE(n_inter, 0) AS DOUBLE)
+        |      / CAST(sa.sz + sb.sz - COALESCE(n_inter, 0) AS DOUBLE) AS err
+        |FROM m
+        |LEFT JOIN iv ON iv.doc_id_a = m.doc_id_a AND iv.doc_id_b = m.doc_id_b
+        |JOIN sz sa ON sa.doc_id = m.doc_id_a
+        |JOIN sz sb ON sb.doc_id = m.doc_id_b
+        |ORDER BY m.doc_id_a, m.doc_id_b""".stripMargin
+    },
   )
 }

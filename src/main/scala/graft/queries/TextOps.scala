@@ -275,6 +275,112 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup ROI profile: the CLUSTER-SIZE histogram of the connected-
+    * component near-dup clustering — how much of the corpus is
+    * duplicated how many times (size 1 = unique mass; the tail = the
+    * template/mirror pathology). This is the number that decides
+    * whether dedup is worth a pipeline stage at all, and the shape
+    * (head-heavy vs long-tail) picks the strategy: a few giant
+    * clusters reward representative-sampling, many small ones reward
+    * plain drop-non-rep.
+    *
+    * Pure post-processing on [[dedupCC]]'s O(docs) label frame: one
+    * hash aggregate to component sizes, one to the histogram (≤
+    * |distinct sizes| rows), the 1-row corpus total broadcast-crossed
+    * for the share column. At 100 TB the labels are already
+    * materialized by the dedup run itself; this rides them.
+    */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupCC(spark, dir)
+    val sizes = labels.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val total = labels.agg(count(lit(1)).as("n_total"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("doc_pct"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** MinHash ACCURACY audit — the sketch-vs-truth entry for the dedup
+    * family (the CMS has est ≥ exact, the HLL has rel_err, the IVF has
+    * recall; this is MinHash's): for every LSH candidate pair, the
+    * signature-agreement estimate (matching components / 12) beside the
+    * exact hash-set Jaccard and their signed error. The numbers that
+    * justify — or indict — the band/row configuration: E[est] =
+    * J(A,B), so systematic error here means broken hashing, and the
+    * spread is what the 3-row band threshold curve is derived from.
+    *
+    * Candidates come from the SAME band buckets as `q_dedup_minhash`
+    * (never all-pairs — the audit only ever pays Σ bucket²); exact
+    * Jaccard joins the distinct token-hash sets on hash value, pair-
+    * restricted, so the verify cost is Σ|A| over candidates — the
+    * dedupNgram candidate+verify shape. One signature/token pass feeds
+    * sketch AND truth (persisted; production reads the materialized
+    * signature table — the dedup_family_shared seam).
+    */
+  /** [[minhashEst]] audits 1 of every this-many candidate pairs
+    * (deterministic id-sum slice). Shared with the oracle SQL. */
+  private[graft] val MinhashAuditMod = 100L
+
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val hd = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksSet).as("tk"))
+      .select(col("doc_id"), h32(col("tk")).as("h"))
+      .distinct()
+      .persist()
+    val sigAggs = (0 until 12).map { i =>
+      min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP)).as(s"sig$i")
+    }
+    val sigs = hd.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws("_", col(s"sig${3 * j}"), col(s"sig${3 * j + 1}"),
+          col(s"sig${3 * j + 2}")).as("band_key"))
+    }
+    val banded = sigs
+      .withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_key").as("band_key"))
+    // deterministic 1-in-[[MinhashAuditMod]] pair sample: estimator
+    // error is a population statistic — auditing every candidate pair
+    // (8M rows at sf0.1) buys nothing over a fixed hash-slice of them,
+    // and the filter sits BEFORE the signature/verify joins so it cuts
+    // the audit's cost, not just its output
+    val pairs = banded
+      .select(col("band_id"), col("band_key"), col("doc_id").as("doc_id_a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_id_b")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(pmod(col("doc_id_a") + col("doc_id_b"), lit(MinhashAuditMod)) === 0)
+      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+    def side(s: String) = sigs.toDF(
+      sigs.columns.map(c => if (c == "doc_id") s"doc_id_$s" else s"${c}_$s"): _*)
+    val est = pairs.join(side("a"), Seq("doc_id_a")).join(side("b"), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (0 until 12).map(i =>
+          (col(s"sig${i}_a") === col(s"sig${i}_b")).cast(IntegerType))
+          .reduce(_ + _).as("n_match"))
+    val szs = hd.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(hd.select(col("doc_id").as("doc_id_a"), col("h")), Seq("doc_id_a"))
+      .join(hd.select(col("doc_id").as("doc_id_b"), col("h")), Seq("doc_id_b", "h"))
+      .groupBy(col("doc_id_a"), col("doc_id_b")).agg(count(lit(1)).as("n_inter"))
+    val estSim = col("n_match").cast(DoubleType) / lit(12.0)
+    val jac = col("n_inter").cast(DoubleType) /
+      (col("sz_a") + col("sz_b") - col("n_inter")).cast(DoubleType)
+    est.join(inter, Seq("doc_id_a", "doc_id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(szs.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a")), Seq("doc_id_a"))
+      .join(szs.select(col("doc_id").as("doc_id_b"), col("sz").as("sz_b")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        estSim.as("est_sim"), jac.as("jaccard"), (estSim - jac).as("err"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   // ---------------------------------------------------- dedup: n-gram Jaccard
   /** Near-duplicate detection via word-3-gram Jaccard with min-k candidate
     * pruning: each document's 5 smallest distinct shingle hashes (its

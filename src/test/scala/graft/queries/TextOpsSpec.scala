@@ -287,6 +287,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getLong(4) === counts.map(c => c * c).sum)
   }
 
+  test("cluster profile partitions the corpus; sizes agree with the CC labels") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.clusterProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val labels = TextOps.dedupCC(spark, sf).collect()
+      .map(r => r.getLong(1))
+    assert(rows.map(_._3).sum === labels.length.toLong) // every doc in ONE cell
+    val wantHist = labels.groupBy(identity).values.map(_.size)
+      .groupBy(identity).map { case (sz, cs) => (sz.toLong, cs.size.toLong) }
+    assert(rows.map(r => r._1 -> r._2).toMap === wantHist)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+  }
+
+  test("minhash audit: estimates and Jaccard bounded; exact duplicates read 1.0") {
+    val rows = TextOps.minhashEst(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0)
+      assert(err === est - jac)
+      // J=1 means identical hash sets, so every minhash component
+      // agrees: the estimator CANNOT miss an exact duplicate
+      if (jac == 1.0) assert(est === 1.0)
+    }
+    // the sf0.001 corpus contains exact near-dup pairs; the audit slice
+    // must surface at least one high-similarity pair to be useful
+    assert(rows.exists(_._2 == 1.0))
+  }
+
   test("inverted index: postings truncate at the cap, stats stay full") {
     import spark.implicits._
     // 'common' in 10 docs (df over the 8 cap), twice in doc 1;
