@@ -368,4 +368,50 @@ object Streams {
         applyCdcBatch(snapshot, batch, stateDir, batchId)
       }
       .start()
+
+  // -------------------------------------------------- incremental HLL state
+  /** Streaming twin of `q_hll_distinct`: each micro-batch's HLL register
+    * partial ([[graft.queries.ProfileOps.hllRegisters]]) max-merges into
+    * a versioned register state table — the incremental distinct-count
+    * maintenance a 100 TB ingest runs instead of ever re-scanning
+    * history. The register MAX is associative, commutative, and
+    * IDEMPOTENT, so unlike the CDC sink — which needs the strict
+    * (ts, event_id) LWW comparison to survive redelivery — the sketch
+    * absorbs replayed batches with ZERO bookkeeping: at-least-once
+    * delivery is already exactly-correct here. State is ≤ 64 rows per
+    * event type forever; estimates read off any version via the same
+    * arithmetic the batch entry pins against the oracle.
+    */
+  def hllPartial(batch: DataFrame): DataFrame =
+    graft.queries.ProfileOps.hllRegisters(
+      batch.filter(col("user_id").isNotNull && col("ts").isNotNull),
+      col("user_id"), col("event_type"))
+
+  /** Register-wise MAX merge of a state table and a batch partial (both
+    * in (event_type, r, m_r) schema). */
+  def hllMergeState(state: DataFrame, partial: DataFrame): DataFrame =
+    state.unionByName(partial)
+      .groupBy(col("event_type"), col("r")).agg(max(col("m_r")).as("m_r"))
+
+  /** Versioned per-batch state update — [[applyCdcBatch]]'s idempotent
+    * v=batchId contract on the register table. */
+  def applyHllBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = hllPartial(batch)
+    val merged = latestVersionBefore(stateDir, batchId) match {
+      case Some(v) => hllMergeState(spark.read.parquet(s"$stateDir/v=$v"), partial)
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
+  def hllSink(events: DataFrame, stateDir: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHllBatch(batch, stateDir, batchId)
+      }
+      .start()
 }

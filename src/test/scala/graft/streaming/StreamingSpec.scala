@@ -196,6 +196,43 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$root/state/v=1")).collect().toSeq === expected)
   }
 
+  test("streaming HLL registers: micro-batches converge to the batch sketch; replay is free") {
+    val sf = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-hll").toString
+    val ingest = Files.createDirectories(java.nio.file.Paths.get(s"$root/ingest"))
+    // registers depend only on user_id hashes + the ts-non-null filter,
+    // both invariant under the nanos re-encode readEvents expects
+    val raw = graft.Tables.events(spark, sf)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    Seq(0, 1).foreach { par =>
+      val half = Files.createTempDirectory(s"graft-hll-h$par")
+      raw.filter(pmod(col("event_id"), lit(2L)) === par)
+        .coalesce(1).write.mode("overwrite").parquet(half.toString)
+      val part = Option(half.toFile.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, ingest.resolve(s"f$par.parquet"))
+    }
+    val q = Streams.hllSink(Streams.readEvents(spark, ingest.toString),
+      s"$root/state", s"$root/chk")
+    q.awaitTermination()
+    val versions = Option(new java.io.File(s"$root/state").listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(versions === Seq("v=0", "v=1"))
+    def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = regs(graft.queries.ProfileOps.hllRegisters(
+      graft.Tables.events(spark, sf)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull),
+      col("user_id"), col("event_type")))
+    assert(regs(spark.read.parquet(s"$root/state/${versions.last}")) === expected)
+    // redelivery of a whole half much later: MAX is idempotent, so the
+    // sketch needs no LWW bookkeeping — state is bit-identical
+    Streams.applyHllBatch(
+      graft.Tables.events(spark, sf).filter(pmod(col("event_id"), lit(2L)) === 0L),
+      s"$root/state", batchId = 7L)
+    assert(regs(spark.read.parquet(s"$root/state/v=7")) === expected)
+  }
+
   test("CDC merge plan is equivalent to the pure LWW model on seeded random logs") {
     // CdcLwwProps proves the MODEL's convergence over hundreds of random
     // schedules; this case proves the Spark PLAN computes that model —
