@@ -326,6 +326,12 @@ object SparkEntry {
     // MinHash accuracy audit: signature estimate vs exact Jaccard per
     // LSH candidate pair
     "q_minhash_est" -> (TextOps.minhashEst _),
+    // trade-graph degree histogram by node kind (the skew early warning)
+    "q_degree_profile" -> (GraphOps.degreeProfile _),
+    // first-order Markov transition matrix over per-user event sequences
+    "q_markov_next" -> (BehaviorOps.markovNext _),
+    // Kaplan-Meier user-lifetime survival with right-censoring
+    "q_survival" -> (BehaviorOps.survival _),
   )
 
   private val revenueSql =
@@ -2498,6 +2504,54 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = m.doc_id_a
         |JOIN sz sb ON sb.doc_id = m.doc_id_b
         |ORDER BY m.doc_id_a, m.doc_id_b""".stripMargin
+    },
+    "q_degree_profile" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cd AS (SELECT c, COUNT(*) AS deg FROM pairs GROUP BY 1),
+        |sd AS (SELECT s, COUNT(*) AS deg FROM pairs GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS kind, deg, COUNT(*) AS n_nodes FROM cd GROUP BY deg
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, deg, COUNT(*) AS n_nodes FROM sd GROUP BY deg)
+        |ORDER BY kind, deg""".stripMargin,
+    // same lead() sequence (ties on event_id), row totals from the cell
+    // frame itself, one division per cell
+    "q_markov_next" ->
+      """WITH seq AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+        |FROM cells ORDER BY cur, nxt""".stripMargin,
+    // identical left-fold product per prefix: list_reduce seeded by the
+    // first factor ≡ aggregate seeded 1.0 (1.0·f1 is exact)
+    "q_survival" -> {
+      import graft.queries.BehaviorOps.SurvCensorDays
+      s"""WITH pu AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1),
+        |hz AS (SELECT MAX(last_d) AS hz FROM pu),
+        |lv AS (SELECT datediff('day', first_d, last_d) // 7 AS lifetime,
+        |    datediff('day', last_d, hz) < $SurvCensorDays AS censored
+        |  FROM pu CROSS JOIN hz),
+        |dd AS (SELECT lifetime AS week, COUNT(*) AS d FROM lv
+        |  WHERE NOT censored GROUP BY 1),
+        |rk AS (SELECT dd.week, COUNT(*) AS r FROM lv
+        |  JOIN dd ON lv.lifetime >= dd.week GROUP BY 1),
+        |ar AS (SELECT list(struct_pack(week := dd.week, d := dd.d, r := rk.r)
+        |    ORDER BY dd.week) AS arr
+        |  FROM dd JOIN rk USING (week)),
+        |ix AS (SELECT generate_subscripts(arr, 1) AS i, arr FROM ar)
+        |SELECT arr[i].week AS week, CAST(arr[i].d AS BIGINT) AS deaths,
+        |  CAST(arr[i].r AS BIGINT) AS at_risk,
+        |  list_reduce(list_transform(arr[1:i],
+        |    x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.r AS DOUBLE)),
+        |    (a, b) -> a * b) AS survival
+        |FROM ix ORDER BY week""".stripMargin
     },
   )
 }

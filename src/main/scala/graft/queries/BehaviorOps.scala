@@ -491,6 +491,88 @@ object BehaviorOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** First-order Markov transition matrix over the per-user event
+    * sequence: P(next = b | current = a) with counts — the model behind
+    * next-action prediction, and the statistic that turns
+    * [[sessionPaths]]' raw journeys into a generator. Uses the FULL
+    * per-user timeline (ties broken by event_id, the repo-wide total
+    * order); a production variant conditions on session boundaries —
+    * the gap rule is one extra window column away.
+    *
+    * One lead() window per user (partitioned, never global), one hash
+    * aggregate to the ≤|types|² transition cells, and the row totals
+    * come from a window over that tiny cell frame — no second scan.
+    * Counts are exact; the probability is one division per cell.
+    */
+  def markovNext(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy(col("cur"))
+    cells
+      .withColumn("row_total", sum(col("n")).over(rowW))
+      .select(col("cur"), col("nxt"), col("n"),
+        (col("n").cast(DoubleType) / col("row_total").cast(DoubleType)).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** Customers whose last order is within this many days of the corpus
+    * horizon are CENSORED (still alive) in [[survival]]. Shared with
+    * the oracle SQL. */
+  private[graft] val SurvCensorDays = 365
+
+  /** Kaplan–Meier survival curve over CUSTOMER lifetimes (first order →
+    * last order, in weeks, right-censored within a year of the horizon)
+    * — the churn statistic done correctly: simply averaging observed
+    * lifetimes biases toward early churners, because the still-active
+    * customers haven't finished theirs; KM weights each death week by
+    * who was actually still at risk. Output: per death week, the
+    * at-risk count, deaths, and S(t) = Π_{tᵢ≤t} (1 − dᵢ/rᵢ).
+    *
+    * Scale shape: one O(customers) reduction, a 1-row horizon broadcast
+    * (decay-score shape), and an at-risk count via a broadcast
+    * theta-join whose build side is the DISTINCT DEATH WEEKS — bounded
+    * by the calendar window (≤ ~360 over seven years), never by the
+    * customer count. The survival product is an ordered fold — like
+    * EWMA/chi-square, NOT an associative sum — so the week terms
+    * (calendar-bounded) collect into ONE row and each week's S(t) is a
+    * pinned left-fold product over its prefix: Spark `aggregate` seeded
+    * 1.0 and DuckDB `list_reduce` seeded by the first factor run the
+    * identical multiplication chain (1.0·f₁ ≡ f₁ exactly), so even this
+    * float curve hash-matches. The prefix re-folds are O(weeks²) lambda
+    * evaluations in one task — ~10⁵ at the calendar bound, irrelevant
+    * beside any scan.
+    */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val horizon = perCust.agg(max(col("last_d")).as("hz"))
+    val lives = perCust.crossJoin(broadcast(horizon))
+      .withColumn("lifetime_w", expr("datediff(last_d, first_d) div 7"))
+      .select(col("lifetime_w").cast(LongType).as("lifetime"),
+        (datediff(col("hz"), col("last_d")) < SurvCensorDays).as("censored"))
+    val deaths = lives.filter(!col("censored"))
+      .groupBy(col("lifetime").as("week")).agg(count(lit(1)).as("d"))
+    val atRisk = lives
+      .join(broadcast(deaths.select(col("week"))), col("lifetime") >= col("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("r"))
+    deaths.join(atRisk, Seq("week"))
+      .agg(sort_array(collect_list(struct(col("week"), col("d"), col("r")))).as("arr"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("i", "t")))
+      .select(col("t.week").as("week"), col("t.d").as("deaths"), col("t.r").as("at_risk"),
+        expr("""aggregate(
+            transform(slice(arr, 1, i + 1),
+              x -> 1.0d - CAST(x.d AS DOUBLE) / CAST(x.r AS DOUBLE)),
+            1.0d, (acc, f) -> acc * f)""").as("survival"))
+      .orderBy(col("week"))
+  }
+
   /** Seasonal-baseline anomaly detection: a (day-of-week, hour-of-day)
     * baseline of the event value — mean and standard deviation per
     * seasonal cell — with each reading flagged against ITS OWN cell's

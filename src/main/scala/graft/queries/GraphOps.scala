@@ -84,6 +84,32 @@ object GraphOps {
     * edge lists or accept that pure sinks receive no row. Returns
     * `(node, deg, pr)`.
     */
+  /** Degree distribution of the trade graph, split by node kind — the
+    * FIRST statistic a graph pipeline reads, because it prices
+    * everything else: wedge counts (triangles), per-iteration join skew
+    * (PageRank), and whether degree-ordered orientation is needed at
+    * all. A power-law tail here is the early warning that the
+    * id-ordered shapes need their documented skew escapes.
+    *
+    * One distinct-pair reduction (the PageRank edge build), one count
+    * per node, one histogram aggregate — O(edges) with map-side
+    * combine, output bounded by |distinct degrees|.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    def hist(df: DataFrame, kind: String): DataFrame =
+      df.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(kind).as("kind"), col("deg"), col("n_nodes"))
+    hist(pairs.select(col("c").as("node")), "customer")
+      .unionByName(hist(pairs.select(col("s").as("node")), "supplier"))
+      .orderBy(col("kind"), col("deg"))
+  }
+
   /** Minimum co-occurrence count for a co-purchase edge in
     * [[triangles]] — prunes the incidental-pair hairball before any
     * pair-of-pairs work. Shared with the oracle SQL. */

@@ -47,14 +47,16 @@ class PlanGuardSpec extends SparkSpec {
     * join-size-est's 1-row×1-row est×exact cross, the triangle
     * census's 1-row×1-row×1-row edge/wedge/triangle-count crosses, and
     * RFM's 1-row horizon + 1-row quartile-boundary crosses (the
-    * decay-score and equi-depth shapes back to back), and the cluster
-    * profile's 1-row corpus-total cross onto the size histogram.
-    * Everything else must stay equi/hash. */
+    * decay-score and equi-depth shapes back to back), the cluster
+    * profile's 1-row corpus-total cross onto the size histogram, and
+    * the survival curve's horizon cross + calendar-bounded
+    * death-week ≥-probe (the drift-grid build side: weeks, never
+    * customers). Everything else must stay equi/hash. */
   private val sanctionedBnlj =
     Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
       "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth",
       "q_chisq", "q_basket_pairs", "q_join_size_est", "q_triangles",
-      "q_rfm", "q_cluster_profile")
+      "q_rfm", "q_cluster_profile", "q_survival")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -269,6 +269,67 @@ class BehaviorOpsSpec extends SparkSpec {
     }
   }
 
+  test("degree profile: histogram mass equals the distinct edge count on both sides") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphOps.degreeProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nEdges = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    for (kind <- Seq("customer", "supplier")) {
+      val mass = rows.filter(_._1 == kind).map(r => r._2 * r._3).sum
+      assert(mass === nEdges, kind) // Σ deg·n_nodes = |edges|, each side
+    }
+  }
+
+  test("markov transitions: rows are probability distributions, counts exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = BehaviorOps.markovNext(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cur, cs) =>
+      assert(math.abs(cs.map(_._4).sum - 1.0) < 1e-9, cur)
+    }
+    // exact recount of one cell from the raw per-user sequences
+    val seqs = graft.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(e => (e._2.getTime, e._3)).map(_._4).sliding(2).toSeq
+        .collect { case Array(a, b) => (a, b) })
+      .toSeq
+    val want = seqs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === want)
+  }
+
+  test("survival curve matches an in-memory Kaplan-Meier at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val pc = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"), max(to_date(col("o_orderdate"))).as("l"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val hz = pc.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val lives = pc.map { case (f, l) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(f, l) / 7,
+        java.time.temporal.ChronoUnit.DAYS.between(l, hz) < BehaviorOps.SurvCensorDays)
+    }
+    val deathWeeks = lives.filter(!_._2).groupBy(_._1).map { case (w, xs) => w -> xs.size }
+    var surv = 1.0
+    val want = deathWeeks.keys.toSeq.sorted.map { w =>
+      val r = lives.count(_._1 >= w)
+      surv *= 1.0 - deathWeeks(w).toDouble / r
+      (w, deathWeeks(w).toLong, r.toLong, surv)
+    }
+    val got = BehaviorOps.survival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+    // survival is a proper non-increasing curve in (0, 1]
+    assert(got.map(_._4).sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
+
   test("seasonal anomaly grid: Chebyshev bound holds in every cell") {
     val rows = BehaviorOps.seasonalAnomaly(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty && rows.length <= 168) // at most 7x24 cells
