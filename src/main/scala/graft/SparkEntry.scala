@@ -332,6 +332,8 @@ object SparkEntry {
     "q_markov_next" -> (BehaviorOps.markovNext _),
     // Kaplan-Meier user-lifetime survival with right-censoring
     "q_survival" -> (BehaviorOps.survival _),
+    // cohort LTV triangle: integer-cents cumsum per acquisition month
+    "q_cohort_ltv" -> (BehaviorOps.cohortLtv _),
   )
 
   private val revenueSql =
@@ -2553,5 +2555,25 @@ object SparkEntry {
         |    (a, b) -> a * b) AS survival
         |FROM ix ORDER BY week""".stripMargin
     },
+    // integer month index (year*12+month), exact cents, explicit ROWS
+    // cumsum frame, one final division
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m_idx,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |fm AS (SELECT o_custkey, MIN(m_idx) AS cohort_m FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_m, COUNT(*) AS n_customers FROM fm GROUP BY 1),
+        |cells AS (SELECT fm.cohort_m, o.m_idx - fm.cohort_m AS offset_m,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN fm USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cells.cohort_m, offset_m, n_customers, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort_m ORDER BY offset_m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cells.cohort_m ORDER BY offset_m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(n_customers AS DOUBLE) AS ltv_cents
+        |FROM cells JOIN sz ON sz.cohort_m = cells.cohort_m
+        |ORDER BY cells.cohort_m, offset_m""".stripMargin,
   )
 }

@@ -520,6 +520,45 @@ object BehaviorOps {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** Cohort LTV triangle: customers grouped by FIRST-order month, then
+    * each cohort's revenue tracked by month-offset from acquisition —
+    * cumulative cents per cohort member is the lifetime-value curve
+    * that prices acquisition and, in a data pipeline, values a source
+    * over time rather than by its day-one volume. The [[retention]]
+    * shape applied to money instead of presence.
+    *
+    * Month index is pure integer arithmetic (year·12+month — no engine
+    * month-diff semantics), revenue is exact integer cents, the
+    * cumulative column is an integer ROWS-frame cumsum per cohort (the
+    * pareto discipline), and the per-member average is one final
+    * division. Scale shape: one O(customers) first-order reduction
+    * joined back on the shared o_custkey key, then an O(cohorts ×
+    * offsets) aggregate — the output triangle is calendar², tiny at
+    * any volume.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 + month(to_date(col("o_orderdate"))))
+          .cast(LongType).as("m_idx"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("m_idx")).as("cohort_m"))
+    val sizes = firstM.groupBy(col("cohort_m")).agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(firstM, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m_idx") - col("cohort_m")).as("offset_m"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("offset_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), Seq("cohort_m"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_m"), col("offset_m"), col("n_customers"),
+        col("rev_cents"), col("cum_cents"),
+        (col("cum_cents").cast(DoubleType) / col("n_customers").cast(DoubleType))
+          .as("ltv_cents"))
+      .orderBy(col("cohort_m"), col("offset_m"))
+  }
+
   /** Customers whose last order is within this many days of the corpus
     * horizon are CENSORED (still alive) in [[survival]]. Shared with
     * the oracle SQL. */

@@ -330,6 +330,23 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
   }
 
+  test("cohort ltv: triangle accounts for every cent; curves are non-decreasing") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = BehaviorOps.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalCents = graft.Tables.orders(spark, sf)
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_._4).sum === totalCents) // no revenue lost or doubled
+    rows.groupBy(_._1).values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      // cum_cents is the running sum of rev_cents in offset order
+      assert(sorted.map(_._4).scanLeft(0L)(_ + _).tail.toSeq === sorted.map(_._5).toSeq)
+      // offset 0 always exists: the acquisition order itself is revenue
+      assert(sorted.head._2 === 0L)
+    }
+  }
+
   test("seasonal anomaly grid: Chebyshev bound holds in every cell") {
     val rows = BehaviorOps.seasonalAnomaly(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty && rows.length <= 168) // at most 7x24 cells
