@@ -334,6 +334,8 @@ object SparkEntry {
     "q_survival" -> (BehaviorOps.survival _),
     // cohort LTV triangle: integer-cents cumsum per acquisition month
     "q_cohort_ltv" -> (BehaviorOps.cohortLtv _),
+    // k-NN majority-vote classification over the held-out vectors
+    "q_knn_classify" -> (VectorOps.knnClassify _),
   )
 
   private val revenueSql =
@@ -2575,5 +2577,28 @@ object SparkEntry {
         |    / CAST(n_customers AS DOUBLE) AS ltv_cents
         |FROM cells JOIN sz ON sz.cohort_m = cells.cohort_m
         |ORDER BY cells.cohort_m, offset_m""".stripMargin,
+    // same cosine fold, same K, ties to the smaller label in both engines
+    "q_knn_classify" -> {
+      import graft.queries.VectorOps.{KnnHoldoutMod, KnnK}
+      s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n
+        |  FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, label AS true_label,
+        |    embedding AS p_emb, n FROM e WHERE vec_id % $KnnHoldoutMod = 0),
+        |tr AS (SELECT vec_id AS neighbor_id, label AS n_label, embedding, n
+        |  FROM e WHERE vec_id % $KnnHoldoutMod <> 0),
+        |pairs AS (SELECT pr.probe_id, pr.true_label, tr.n_label, tr.neighbor_id,
+        |    ${cosSql("pr.p_emb", "tr.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN tr ON tr.neighbor_id <> pr.probe_id),
+        |tk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs) WHERE rnk <= $KnnK),
+        |v AS (SELECT probe_id, true_label, n_label, COUNT(*) AS n_votes
+        |  FROM tk GROUP BY 1, 2, 3)
+        |SELECT probe_id, true_label, n_label AS pred_label, n_votes,
+        |  n_label = true_label AS is_correct
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY n_votes DESC, n_label) AS vr FROM v)
+        |WHERE vr = 1 ORDER BY probe_id""".stripMargin
+    },
   )
 }

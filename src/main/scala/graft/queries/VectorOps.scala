@@ -68,6 +68,65 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Neighborhood size for [[knnClassify]]. Shared with the oracle SQL. */
+  private[graft] val KnnK = 5
+  /** [[knnClassify]] holds out every this-many-th vector as a probe. */
+  private[graft] val KnnHoldoutMod = 50L
+
+  /** k-NN classification — the similarity tier put to WORK: every
+    * [[KnnHoldoutMod]]-th vector is held out as an "unlabeled" probe and
+    * classified by majority vote of its [[KnnK]] nearest labeled
+    * neighbors (cosine), with the true label beside the prediction —
+    * the label-propagation / weak-supervision primitive a training-data
+    * pipeline uses to extend sparse labels over an embedded corpus, and
+    * the standard embedding-quality probe (k-NN accuracy).
+    *
+    * Shape: the probe set is a fixed fraction and broadcasts against
+    * the labeled corpus exactly like [[simTopk]]'s baseline (at 100 TB
+    * the corpus side stays partitioned and the IVF/LSH bucket pruning
+    * of `q_sim_ivf`/`q_sim_lsh` slots in unchanged — the vote is
+    * downstream of ANY candidate generator). Voting is a ≤K-row
+    * aggregate per probe; the argmax is a (count desc, label) window —
+    * ties resolve to the SMALLER label in both engines, never by hash
+    * order. Dot products ride the native codegen'd expression.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyFrom(Tables.embeddings(spark, dir))
+
+  /** [[knnClassify]] over any (vec_id, label, embedding) frame —
+    * factored so the spec can prove perfect accuracy on a clustered
+    * fixture (the corpus vectors are label-random, so the entry's
+    * honest corpus accuracy sits at chance — the measurement is the
+    * point, same as the LSH recall story). */
+  private[graft] def knnClassifyFrom(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normd(col("embedding")).as("norm"))
+    val probes = e.filter(pmod(col("vec_id"), lit(KnnHoldoutMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val train = e.filter(pmod(col("vec_id"), lit(KnnHoldoutMod)) =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wSim = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val topK = train.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= KnnK)
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    topK.groupBy(col("probe_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("n_votes"),
+        (col("n_label") === col("true_label")).as("is_correct"))
+      .orderBy(col("probe_id"))
+  }
+
   /** The LM-familiarity floor for [[retrievalGated]] — chosen to split the
     * corpus non-trivially at every test SF (84% / 86% / 36% of documents
     * pass at sf0.001 / 0.01 / 0.1); mirrored verbatim in the oracle. */

@@ -56,7 +56,9 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_theta_contains", "q_sim_topk", "q_retrieval_gated", "q_gapfill",
       "q_decay_score", "q_zorder_key", "q_drift_linf", "q_equidepth",
       "q_chisq", "q_basket_pairs", "q_join_size_est", "q_triangles",
-      "q_rfm", "q_cluster_profile", "q_survival")
+      "q_rfm", "q_cluster_profile", "q_survival",
+      // knn shares q_sim_topk's brute-force probe-broadcast baseline
+      "q_knn_classify")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

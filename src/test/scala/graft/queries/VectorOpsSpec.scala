@@ -246,4 +246,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.values.map(_._1).toSet.size > 1, "degenerate single cluster")
   }
+
+  test("knn: perfect accuracy on clustered labels, chance on the random corpus") {
+    import spark.implicits._
+    // two tight clusters; probes sit at the holdout ids (0, 50), one in
+    // each cluster — every one of the 5 votes must agree
+    def v(x: Float, y: Float): Array[Float] = Array(x, y)
+    val rows =
+      Seq((0L, 1, v(1f, 0.1f)), (50L, 2, v(0.1f, 1f))) ++          // probes
+      (1L to 6L).map(i => (i, 1, v(1f, 0.1f + i * 0.01f))) ++       // cluster 1
+      (7L to 12L).map(i => (i, 2, v(0.1f + i * 0.01f, 1f)))         // cluster 2
+    val got = VectorOps.knnClassifyFrom(rows.toDF("vec_id", "label", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got === Map(0L -> ((1, 5L, true)), 50L -> ((2, 5L, true))))
+    // corpus labels are independent of the embedding geometry, so the
+    // honest corpus accuracy sits near chance (1/10 labels) — assert it
+    // stays well below 0.5 so nobody mistakes this for a trained model
+    val corpus = VectorOps.knnClassify(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.count(_.getBoolean(4)).toDouble / corpus.length < 0.5)
+  }
 }
