@@ -336,6 +336,8 @@ object SparkEntry {
     "q_cohort_ltv" -> (BehaviorOps.cohortLtv _),
     // k-NN majority-vote classification over the held-out vectors
     "q_knn_classify" -> (VectorOps.knnClassify _),
+    // per-class precision/recall/F1 of the heuristic language ID
+    "q_langid_eval" -> (TextOps.langIdEval _),
   )
 
   private val revenueSql =
@@ -439,6 +441,28 @@ object SparkEntry {
       |FROM events e JOIN customer c
       |  ON c.c_custkey < 100 AND e.props LIKE '%' || CAST(c.c_custkey AS VARCHAR) || '%'
       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Shared CTE chain computing per-doc language-ID predictions — prefix
+    * of q_lang_id and q_langid_eval, the DuckDB twin of TextOps.langId. */
+  private val langIdCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
+      |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
+      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+      |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, s_en, s_es, s_de, s_fr,
+      |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+      |         WHEN s_fr > 0 THEN 'fr'
+      |         ELSE 'und' END AS pred_lang,
+      |    lang
+      |  FROM s)""".stripMargin
 
   /** Shared CTE chain computing the per-doc MinHash-LSH (band_id, band_key)
     * rows — prefix of q_dedup_minhash and q_dedup_incremental, the DuckDB
@@ -1374,24 +1398,7 @@ object SparkEntry {
         |       THEN 1.0 - stopword_ratio ELSE 0.0 END AS quality_score
         |FROM e ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
-        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
-        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
-        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
-        |  FROM d),
-        |p AS (
-        |  SELECT doc_id, s_en, s_es, s_de, s_fr,
-        |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
-        |         WHEN s_fr > 0 THEN 'fr'
-        |         ELSE 'und' END AS pred_lang,
-        |    lang
-        |  FROM s)
+      s"""$langIdCtes
         |SELECT doc_id, s_en, s_es, s_de, s_fr, pred_lang, lang,
         |  CAST(pred_lang = lang AS INT) AS is_match
         |FROM p ORDER BY doc_id""".stripMargin,
@@ -2599,6 +2606,29 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY probe_id ORDER BY n_votes DESC, n_label) AS vr FROM v)
         |WHERE vr = 1 ORDER BY probe_id""".stripMargin
+    },
+    // the q_lang_id prediction chain, then class-cardinality aggregates
+    // and nullif-guarded ratio arithmetic mirrored term for term
+    "q_langid_eval" -> {
+      val prec = "CAST(COALESCE(tp.tp, 0) AS DOUBLE) / nullif(CAST(COALESCE(pn.n_pred, 0) AS DOUBLE), 0.0)"
+      val rec = "CAST(COALESCE(tp.tp, 0) AS DOUBLE) / nullif(CAST(COALESCE(sup.support, 0) AS DOUBLE), 0.0)"
+      s"""$langIdCtes,
+        |cls AS (SELECT lang AS cls FROM p UNION SELECT pred_lang FROM p),
+        |sup AS (SELECT lang AS cls, COUNT(*) AS support FROM p GROUP BY 1),
+        |pn AS (SELECT pred_lang AS cls, COUNT(*) AS n_pred FROM p GROUP BY 1),
+        |tp AS (SELECT lang AS cls, COUNT(*) AS tp FROM p
+        |  WHERE pred_lang = lang GROUP BY 1)
+        |SELECT cls.cls AS lang_class,
+        |  COALESCE(sup.support, 0) AS support,
+        |  COALESCE(pn.n_pred, 0) AS n_pred,
+        |  COALESCE(tp.tp, 0) AS tp,
+        |  $prec AS prec, $rec AS rec,
+        |  2.0 * ($prec) * ($rec) / nullif(($prec) + ($rec), 0.0) AS f1
+        |FROM cls
+        |LEFT JOIN sup ON sup.cls = cls.cls
+        |LEFT JOIN pn ON pn.cls = cls.cls
+        |LEFT JOIN tp ON tp.cls = cls.cls
+        |ORDER BY lang_class""".stripMargin
     },
   )
 }

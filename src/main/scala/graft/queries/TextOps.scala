@@ -903,6 +903,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier evaluation over [[langId]]'s predictions against the
+    * `lang` truth column — per-class support, prediction count, true
+    * positives, precision, recall, F1: the eval harness a pipeline runs
+    * on EVERY heuristic gate before trusting it at corpus scale (a
+    * stopword language-ID that silently mislabels one language would
+    * poison that language's whole mixture share).
+    *
+    * ONE corpus pass to the ≤|classes|² confusion-cell frame — the
+    * aggregate barrier matters doubly here: support/n_pred/tp all
+    * derive from the tiny cell frame instead of re-scanning documents,
+    * and a naive `filter(pred === lang)` on the raw prediction frame
+    * pushes the HOF-laden prediction CASE down into the scan's Filter —
+    * the exact O(tokens)-per-comparison inlining trap PlanGuardSpec
+    * pins (it caught this op's first draft). Ratio arithmetic runs at
+    * the ≤|classes| output edge (nullif-guarded — 'und' has
+    * predictions but no support).
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val classes = cells.select(col("lang").as("cls"))
+      .union(cells.select(col("pred_lang").as("cls"))).distinct()
+    // tp as a CONDITIONAL aggregate, not a filter: a filter on the two
+    // grouping keys would push straight through the groupBy and inline
+    // the prediction CASE into the scan (the PlanGuard trap, again)
+    val sup = cells.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("support"),
+        coalesce(sum(when(col("pred_lang") === col("lang"), col("n"))), lit(0L))
+          .as("tp"))
+    val pn = cells.groupBy(col("pred_lang").as("cls")).agg(sum(col("n")).as("n_pred"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    val prec = dbl(col("tp")) / nullif(dbl(col("n_pred")), lit(0.0))
+    val rec = dbl(col("tp")) / nullif(dbl(col("support")), lit(0.0))
+    classes
+      .join(sup, Seq("cls"), "left")
+      .join(pn, Seq("cls"), "left")
+      .select(col("cls").as("lang_class"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang_class"), col("support"), col("n_pred"), col("tp"),
+        prec.as("prec"), rec.as("rec"),
+        (lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0))).as("f1"))
+      .orderBy(col("lang_class"))
+  }
+
   // ------------------------------------------------------- multimodal columns
   /** Multimodal-column plumbing: treat content as an opaque binary column
     * with typed, deterministic metadata extraction. The text is encoded to

@@ -316,6 +316,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_._2 == 1.0))
   }
 
+  test("langid eval: counts reconcile with the per-doc predictions") {
+    val sf = "/root/testdata/sf0.001"
+    val p = TextOps.langId(spark, sf).collect()
+      .map(r => (r.getString(6), r.getString(5))) // (lang, pred_lang)
+    val got = TextOps.langIdEval(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val classes = (p.map(_._1) ++ p.map(_._2)).distinct
+    assert(got.keySet === classes.toSet)
+    for (c <- classes) {
+      val (support, nPred, tp) = got(c)
+      assert(support === p.count(_._1 == c).toLong, s"$c support")
+      assert(nPred === p.count(_._2 == c).toLong, s"$c n_pred")
+      assert(tp === p.count(x => x._1 == c && x._2 == c).toLong, s"$c tp")
+      assert(tp <= math.min(support, nPred))
+    }
+    // micro-sums reconcile: Σtp = matches, Σsupport = Σn_pred = docs
+    assert(got.values.map(_._3).sum === p.count(x => x._1 == x._2).toLong)
+    assert(got.values.map(_._1).sum === p.length.toLong)
+    assert(got.values.map(_._2).sum === p.length.toLong)
+  }
+
   test("inverted index: postings truncate at the cap, stats stay full") {
     import spark.implicits._
     // 'common' in 10 docs (df over the 8 cap), twice in doc 1;
