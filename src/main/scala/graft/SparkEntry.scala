@@ -338,6 +338,8 @@ object SparkEntry {
     "q_knn_classify" -> (VectorOps.knnClassify _),
     // per-class precision/recall/F1 of the heuristic language ID
     "q_langid_eval" -> (TextOps.langIdEval _),
+    // deterministic hash-rank exemplars per (lang, source) stratum
+    "q_group_exemplars" -> (CurationOps.groupExemplars _),
   )
 
   private val revenueSql =
@@ -2629,6 +2631,18 @@ object SparkEntry {
         |LEFT JOIN pn ON pn.cls = cls.cls
         |LEFT JOIN tp ON tp.cls = cls.cls
         |ORDER BY lang_class""".stripMargin
+    },
+    // same md5 hash-rank, same (hk, doc_id) tie order
+    "q_group_exemplars" -> {
+      import graft.queries.CurationOps.ExemplarsPerGroup
+      s"""SELECT lang, source, CAST(rn AS BIGINT) AS exemplar_rank, doc_id, preview
+        |FROM (
+        |  SELECT lang, source, doc_id, substr(text, 1, 60) AS preview,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= $ExemplarsPerGroup
+        |ORDER BY lang, source, exemplar_rank""".stripMargin
     },
   )
 }

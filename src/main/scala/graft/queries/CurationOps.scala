@@ -15,6 +15,37 @@ import graft.Tables
   */
 object CurationOps {
 
+  /** Exemplars kept per (lang, source) stratum by [[groupExemplars]]. */
+  private[graft] val ExemplarsPerGroup = 2
+
+  /** Deterministic per-stratum exemplars: for every (lang, source) cell,
+    * the [[ExemplarsPerGroup]] documents with the smallest content-hash
+    * rank — the "show me two examples from every slice" op every corpus
+    * review starts with, and the human-eval sample builder. Hash-rank
+    * selection (md5 of doc_id — the stratifiedSample discipline), not
+    * rand() and not first-by-id: reproducible across runs, engines, and
+    * partitionings, and unbiased by id assignment order.
+    *
+    * One rank window per stratum (partitioned — the per-group top-k
+    * shape) over a projection that carries only ids and a 60-char
+    * preview: the full text column never enters the sort. At 100 TB
+    * group count × k bounds the output; the window's per-stratum sort
+    * is the standard holistic trade.
+    */
+  def groupExemplars(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        substring(col("text"), 1, 60).as("preview"),
+        md5(col("doc_id").cast(StringType)).as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ExemplarsPerGroup)
+      .select(col("lang"), col("source"), col("rn").cast(LongType).as("exemplar_rank"),
+        col("doc_id"), col("preview"))
+      .orderBy(col("lang"), col("source"), col("exemplar_rank"))
+  }
+
   // the tokenizer and the md5-prefix hash are TextOps' — one definition,
   // one cross-engine contract (a tokenizer change may not desynchronize
   // the curation stats from the dedup family)

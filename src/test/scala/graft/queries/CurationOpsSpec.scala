@@ -351,4 +351,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(split.count() === 0)
     comp.unpersist()
   }
+
+  test("group exemplars: k per stratum, hash-rank order, stable across runs") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CurationOps.groupExemplars(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      assert(g.length <= 2 && g.map(_._3).sorted.toSeq === (1L to g.length))
+    }
+    // hash-rank, not id-rank: the chosen exemplars must differ from a
+    // plain lowest-doc_id pick in at least one stratum (else the hash
+    // buys nothing) — deterministic on this corpus, pinned here
+    val byId = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sorted.take(2).toSet).toMap
+    val byHash = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._4).toSet).toMap
+    assert(byId.keySet === byHash.keySet)
+    assert(byId.exists { case (k, ids) => byHash(k) != ids })
+    // stability: a second run returns the identical selection
+    val again = CurationOps.groupExemplars(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
