@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, GraphOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, GraphOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, StatsOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -340,6 +340,16 @@ object SparkEntry {
     "q_langid_eval" -> (TextOps.langIdEval _),
     // deterministic hash-rank exemplars per (lang, source) stratum
     "q_group_exemplars" -> (CurationOps.groupExemplars _),
+    // Pearson correlation matrix from one scan of exact integer moments
+    "q_corr_matrix" -> (StatsOps.corrMatrix _),
+    // daily-series lag-1..7 autocorrelation (the seasonality detector)
+    "q_autocorr" -> (StatsOps.autocorr _),
+    // first-digit Benford conformance audit, quantized integer-log expected
+    "q_benford" -> (StatsOps.benford _),
+    // exact-rational two-sample KS distance via two-level prefix sums
+    "q_ks_test" -> (StatsOps.ksTest _),
+    // per-type max-deviation changepoint over daily volumes
+    "q_changepoint" -> (StatsOps.changepoint _),
   )
 
   private val revenueSql =
@@ -2644,5 +2654,112 @@ object SparkEntry {
         |WHERE rn <= $ExemplarsPerGroup
         |ORDER BY lang, source, exemplar_rank""".stripMargin
     },
+    // same hundredths-scaled integer moments (squares as HUGEINT — the
+    // DECIMAL(38,0) twin), same double combination order per pair
+    "q_corr_matrix" -> {
+      val cols = Seq("quantity", "extendedprice", "discount", "tax")
+      val moments = cols.map(c => s"SUM($c) AS s_$c") ++
+        (for (x <- cols; y <- cols if x <= y)
+          yield s"SUM(CAST($x AS HUGEINT) * $y) AS s_${x}_$y")
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val legs = for (x <- cols; y <- cols if x < y) yield {
+        val num = s"(${dbl("n")} * ${dbl(s"s_${x}_$y")} - ${dbl(s"s_$x")} * ${dbl(s"s_$y")})"
+        val dx  = s"(${dbl("n")} * ${dbl(s"s_${x}_$x")} - ${dbl(s"s_$x")} * ${dbl(s"s_$x")})"
+        val dy  = s"(${dbl("n")} * ${dbl(s"s_${y}_$y")} - ${dbl(s"s_$y")} * ${dbl(s"s_$y")})"
+        s"SELECT '$x' AS x, '$y' AS y, n, $num / nullif(sqrt($dx * $dy), 0.0) AS corr FROM m"
+      }
+      s"""WITH li AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS extendedprice,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS discount,
+        |    CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax
+        |  FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM li)
+        |SELECT * FROM (${legs.mkString(" UNION ALL ")}) ORDER BY x, y""".stripMargin
+    },
+    // same days-sized lagged equi-join, same exact moments per lag
+    "q_autocorr" -> {
+      import graft.queries.StatsOps.AutocorrMaxLag
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      s"""WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT lag, day + lag AS probe_day, cnt AS x
+        |  FROM daily CROSS JOIN (SELECT CAST(unnest(range(1, ${AutocorrMaxLag + 1})) AS BIGINT) AS lag)),
+        |pairs AS (SELECT lag, x, d2.cnt AS y FROM lagged JOIN daily d2 ON probe_day = d2.day),
+        |m AS (SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  (${dbl("n_pairs")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |    / nullif(sqrt((${dbl("n_pairs")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
+        |         * (${dbl("n_pairs")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})), 0.0) AS autocorr
+        |FROM m ORDER BY lag""".stripMargin
+    },
+    // digits from the same exact cents integer; the expected mass is a
+    // difference of quantized integer log10s, so it matches bitwise
+    "q_benford" -> {
+      import graft.queries.StatsOps.LogScale
+      s"""WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit, COUNT(*) AS n
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+        |SELECT digit, n, pct, benford_pct, abs(pct - benford_pct) AS abs_dev
+        |FROM (
+        |  SELECT digit, n,
+        |    CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS pct,
+        |    CAST(CAST(floor(log10(CAST(digit + 1 AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)
+        |       - CAST(floor(log10(CAST(digit AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |      / $LogScale.0 AS benford_pct
+        |  FROM d CROSS JOIN t)
+        |ORDER BY digit""".stripMargin
+    },
+    // the oracle may use the single global cumsum the Spark plan is
+    // banned from (DuckDB has no 100 TB to serialize); D is the same
+    // exact rational max|C1*n2 - C2*n1| / (n1*n2)
+    "q_ks_test" -> {
+      import graft.queries.StatsOps.{KsSourceA, KsSourceB}
+      s"""WITH d AS (SELECT n_chars AS v, source FROM documents
+        |  WHERE source IN ('$KsSourceA', '$KsSourceB')),
+        |pv AS (SELECT v,
+        |    SUM(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END) AS c2
+        |  FROM d GROUP BY v),
+        |cum AS (SELECT v,
+        |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM pv),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+        |dev AS (SELECT v, CAST(abs(f1 * n2 - f2 * n1) AS BIGINT) AS dnum, n1, n2
+        |  FROM cum CROSS JOIN t),
+        |dm AS (SELECT MAX(dnum) AS d_num FROM dev)
+        |SELECT n1, n2, CAST(MIN(v) AS BIGINT) AS at_value, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+        |FROM dev JOIN dm ON dnum = d_num
+        |GROUP BY n1, n2, d_num""".stripMargin
+    },
+    // same (type, day) reduction, same integer deviation, min-day tiebreak
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM daily),
+        |tot AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT c.event_type, day, n_days, total,
+        |    CAST(abs(prefix * n_days - t * total) AS BIGINT) AS dev
+        |  FROM cum c JOIN tot USING (event_type)),
+        |b AS (SELECT event_type, MAX(dev) AS max_dev FROM dev GROUP BY 1)
+        |SELECT event_type, n_days, total, MIN(day) AS best_day,
+        |  CAST(max_dev AS DOUBLE) / CAST(n_days * total AS DOUBLE) AS shift_frac
+        |FROM dev JOIN b USING (event_type)
+        |WHERE dev = max_dev
+        |GROUP BY event_type, n_days, total, max_dev
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Classical-statistics operators over the fact tables — the
+  * distribution-audit battery a pipeline runs beside the profiling tier
+  * (ProfileOps) before trusting a 100 TB corpus: linear dependence
+  * (correlation matrix), temporal dependence (autocorrelation),
+  * digit-law conformance (Benford audit), two-sample distribution
+  * equality (Kolmogorov–Smirnov), and abrupt-shift location
+  * (max-deviation changepoint).
+  *
+  * The arithmetic discipline is the repo-wide one: every statistic is a
+  * closed-form combination of EXACT integer moments (cents-scaled longs,
+  * DECIMAL(38,0) where squares overflow int64), with float operations
+  * confined to a final, identically-ordered expression both engines
+  * evaluate on identical inputs — so even the float outputs hash-match.
+  * Logarithms only ever take INTEGER arguments (the entropyDim
+  * precedent), quantized to [[StatsOps.LogScale]] fixed-point before any
+  * further arithmetic.
+  */
+object StatsOps {
+
+  /** Fixed-point scale for quantized logarithms (2^20, the EntScale
+    * convention). */
+  private[graft] val LogScale = 1L << 20
+
+  /** floor(log10(m)·scale + 0.5) of a strictly-positive integer column —
+    * deterministic across engines because the argument set is integers. */
+  private def l10q(m: Column): Column =
+    floor(log10(m.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5))
+      .cast(LongType)
+
+  // ------------------------------------------------------ correlation matrix
+  /** Pearson correlation matrix over the four lineitem measures
+    * (quantity, extendedprice, discount, tax), emitted as the 6-row
+    * upper triangle. ONE scan computes every sufficient statistic —
+    * n, Σx, Σx², and all six Σxy — as exact integers (hundredths-scaled
+    * longs; the sums of squares as DECIMAL(38,0), since price² ×
+    * 6·10⁵ rows already overflows int64), and each correlation is then
+    * one closed-form double expression over those moments (the olsFit
+    * contract). At 100 TB this is the textbook map-side-combinable
+    * aggregate: 14 partial sums per partition, one 1-row reduce, zero
+    * shuffles of row data — the plan cost is the scan, independent of
+    * how many pairs the triangle holds. The 6 output rows pivot out of
+    * the single aggregate row via one explode, never a second pass.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("quantity", "extendedprice", "discount", "tax")
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast(LongType).as("quantity"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("extendedprice"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100).cast(LongType).as("discount"),
+      (col("l_tax").cast(DecimalType(12, 2)) * 100).cast(LongType).as("tax"))
+    val sums = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for (x <- cols; y <- cols if x <= y) yield
+        sum(col(x).cast(DecimalType(38, 0)) * col(y)).as(s"s_${x}_$y"))
+    val m = li.agg(sums.head, sums.tail: _*)
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val pairs = for (x <- cols; y <- cols if x < y) yield {
+      val num = dbl("n") * dbl(s"s_${x}_$y") - dbl(s"s_$x") * dbl(s"s_$y")
+      val dx  = dbl("n") * dbl(s"s_${x}_$x") - dbl(s"s_$x") * dbl(s"s_$x")
+      val dy  = dbl("n") * dbl(s"s_${y}_$y") - dbl(s"s_$y") * dbl(s"s_$y")
+      // nullif, not bare division: a zero-variance column would make the
+      // ANSI divide raise (and NaN-vs-inf diverge across engines anyway);
+      // NULL is the portable "undefined correlation"
+      struct(lit(x).as("x"), lit(y).as("y"),
+        (num / nullif(sqrt(dx * dy), lit(0.0))).as("corr"))
+    }
+    m.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("n"), col("p.corr").as("corr"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  // --------------------------------------------------------- autocorrelation
+  /** Largest lag examined by [[autocorr]] (calendar days). */
+  private[graft] val AutocorrMaxLag = 7
+
+  /** Lag-1..[[AutocorrMaxLag]] autocorrelation of the daily order-count
+    * series — the seasonality detector (a weekly cycle shows up as a
+    * lag-7 peak). The series is first REDUCED to one row per calendar
+    * day (O(days), bounded by the calendar no matter the data volume),
+    * so the lagged self-join is a days-sized equi-join on `day + lag =
+    * day`, never a window over raw facts; each lag's Pearson r then
+    * comes from exact integer moments over the paired counts (counts
+    * are ≤ |orders|, squares ≤ 10¹¹·days — comfortably int64). Days
+    * missing from the data are absent from both sides (pairs require
+    * both endpoints), which is the standard irregular-series treatment
+    * and keeps the op calendar-free. The 7× explode happens on the
+    * days-sized aggregate, not the fact scan.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val lagged = daily
+      .select(col("day"), col("cnt"),
+        explode(sequence(lit(1L), lit(AutocorrMaxLag.toLong))).as("lag"))
+      .select(col("lag"), (col("day") + col("lag")).as("probe_day"), col("cnt").as("x"))
+    val pairs = lagged.join(
+      broadcast(daily.select(col("day").as("probe_day"), col("cnt").as("y"))),
+      Seq("probe_day"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val num = dbl("n_pairs") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val dx  = dbl("n_pairs") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val dy  = dbl("n_pairs") * dbl("syy") - dbl("sy") * dbl("sy")
+    m.select(col("lag"), col("n_pairs"),
+        (num / nullif(sqrt(dx * dy), lit(0.0))).as("autocorr"))
+      .orderBy(col("lag"))
+  }
+
+  // ----------------------------------------------------------- Benford audit
+  /** First-significant-digit audit of order totals against Benford's law
+    * — the classic fabricated-data screen. Digits come from the exact
+    * cents integer (×100 shifts the decimal point, so the leading digit
+    * is unchanged); the expected Benford mass log10(1+1/d) is computed
+    * as l10q(d+1) − l10q(d) — logs of the integers 1..10 only, quantized
+    * to [[LogScale]] — so the expected column is bit-identical across
+    * engines. One map-side-combinable groupBy to 9 rows; the grand total
+    * joins on as a 1-row broadcast cross (the cluster-profile shape).
+    * The deviation column is |observed − expected| share; the audit
+    * flags a corpus when the max deviation is large (here the synthetic
+    * uniform-ish prices fail Benford loudly, which is the point of
+    * printing both columns).
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType).as("cents"))
+      .select(substring(col("cents").cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    val expectedQ = l10q(col("digit") + 1) - l10q(col("digit"))
+    digits.join(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("n_total").cast(DoubleType)).as("pct"),
+        (expectedQ.cast(DoubleType) / lit(LogScale.toDouble)).as("benford_pct"))
+      .withColumn("abs_dev", abs(col("pct") - col("benford_pct")))
+      .orderBy(col("digit"))
+  }
+
+  // ----------------------------------------------- two-sample KS statistic
+  /** The two compared corpus slices (shared with the oracle SQL). */
+  private[graft] val KsSourceA = "src0"
+  private[graft] val KsSourceB = "src1"
+  /** Width of the value buckets that carry the two-level prefix sum. */
+  private[graft] val KsBucketWidth = 64L
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the document-length
+    * distributions of [[KsSourceA]] and [[KsSourceB]] — the
+    * distribution-shift gate between two corpus slices. D = sup|F₁−F₂|
+    * is EXACT RATIONAL here: with per-value counts c₁,c₂ and cumulative
+    * counts C₁,C₂, D = max|C₁·n₂ − C₂·n₁| / (n₁·n₂), all integers until
+    * the final division.
+    *
+    * The cumulative counts use the scalable two-level prefix-sum shape,
+    * because a single global cumsum window would serialize the whole
+    * distinct-value set through one partition (the PlanGuard ban):
+    * values reduce to one row per distinct length, lengths hash into
+    * fixed-width buckets, the cumsum WITHIN a bucket is a window
+    * partitioned by bucket, and the cross-bucket offsets come from a
+    * triangular probe over the bucket-total aggregate — a table bounded
+    * by value-range/width (9 rows here, O(range) always), which is the
+    * sanctioned tiny-build-side nested-loop shape. At 100 TB the fact
+    * scan reduces to |distinct lengths| rows before any of this runs.
+    * The max row carries the location: `at_value` is the smallest length
+    * attaining D (deterministic tiebreak).
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("n_chars").as("v"), col("source"))
+    val perValue = d.groupBy(col("v")).agg(
+        sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("c2"))
+      .withColumn("bucket", expr(s"v div $KsBucketWidth"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = perValue
+      .withColumn("r1", sum(col("c1")).over(w))
+      .withColumn("r2", sum(col("c2")).over(w))
+    val bucketTotals = perValue.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+    val offsets = bucketTotals.select(col("bucket").as("b"))
+      .join(broadcast(bucketTotals), col("bucket") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("t1")), lit(0L)).as("off1"),
+        coalesce(sum(col("t2")), lit(0L)).as("off2"))
+    val cum = inBucket
+      .join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("v"),
+        (col("off1") + col("r1")).as("f1"),
+        (col("off2") + col("r2")).as("f2"))
+    val totals = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val dev = cum.join(broadcast(totals))
+      .select(col("v"), abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dnum"),
+        col("n1"), col("n2"))
+    val dmax = dev.groupBy(col("n1"), col("n2")).agg(max(col("dnum")).as("d_num"))
+    dev.join(broadcast(dmax.select(col("d_num"))), col("dnum") === col("d_num"))
+      .groupBy(col("n1"), col("n2"), col("d_num"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n1"), col("n2"), col("at_value"), col("d_num"),
+        (col("d_num").cast(DoubleType)
+          / (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"))
+  }
+
+  // ------------------------------------------------- changepoint locator
+  /** Max-deviation changepoint locator over each event type's daily
+    * volume series: the day t* maximizing |prefix(t)·n_days −
+    * t·total| — the CUSUM-family statistic that peaks where the series'
+    * rate shifts (equivalently, the KS distance between event times and
+    * a uniform-in-time null). Scaling the comparison by n_days keeps
+    * everything integer (counts ≤ total, prefix·n_days ≤ total·days —
+    * int64 with orders of headroom); `shift_frac` normalizes once at
+    * the end.
+    *
+    * The 100 TB shape: facts reduce to one row per (type, day) first —
+    * O(types·days), calendar-bounded — the running sum is a window
+    * partitioned BY TYPE (never global), and the argmax day resolves by
+    * joining the per-type max back on the exact deviation value (equi,
+    * aggregate-sized) with a min-day tiebreak, instead of any ordered
+    * collect.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(DateType).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = daily
+      .withColumn("t", row_number().over(w).cast(LongType))
+      .withColumn("prefix", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+    val dev = cum.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_days"), col("total"),
+        abs(col("prefix") * col("n_days") - col("t") * col("total")).as("dev"))
+    val best = dev.groupBy(col("event_type")).agg(max(col("dev")).as("max_dev"))
+    dev.join(broadcast(best), Seq("event_type"))
+      .filter(col("dev") === col("max_dev"))
+      .groupBy(col("event_type"), col("n_days"), col("total"), col("max_dev"))
+      .agg(min(col("day")).as("best_day"))
+      .select(col("event_type"), col("n_days"), col("total"), col("best_day"),
+        (col("max_dev").cast(DoubleType)
+          / (col("n_days") * col("total")).cast(DoubleType)).as("shift_frac"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -58,7 +58,12 @@ class PlanGuardSpec extends SparkSpec {
       "q_chisq", "q_basket_pairs", "q_join_size_est", "q_triangles",
       "q_rfm", "q_cluster_profile", "q_survival",
       // knn shares q_sim_topk's brute-force probe-broadcast baseline
-      "q_knn_classify")
+      "q_knn_classify",
+      // benford's 1-row digit-total cross (the cluster-profile shape)
+      "q_benford",
+      // KS: 1-row n1/n2 cross + the bucket-offset triangular probe, whose
+      // build side is the bucket-total AGGREGATE (≤ value-range/width rows)
+      "q_ks_test")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -1,0 +1,108 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the classical-statistics tier: exact ±1
+  * correlations, an alternating series whose lag-1/lag-2 autocorrelations
+  * are exactly ∓1, a four-order Benford table, a KS fixture that spans
+  * the two-level prefix-sum's bucket boundary, and a changepoint series
+  * with a hand-folded deviation maximum.
+  */
+class StatsOpsSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("corrMatrix: exact +1 / -1 on linear columns, NULL on a constant") {
+    import spark.implicits._
+    val dir = tmp("corr")
+    Seq(
+      (1.0, 10.0, 0.03, 0.05),
+      (2.0, 20.0, 0.02, 0.05),
+      (3.0, 30.0, 0.01, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = StatsOps.corrMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.get(3))).toMap
+    assert(rows(("extendedprice", "quantity")) === Some(1.0))
+    assert(rows(("discount", "quantity")) === Some(-1.0))
+    assert(rows(("discount", "extendedprice")) === Some(-1.0))
+    // tax is constant: zero variance => nullif'd denominator, NULL on
+    // BOTH engines (bare 0/0 would raise under ANSI and NaN-diverge)
+    assert(rows(("quantity", "tax")) === None)
+    assert(rows.size === 6)
+  }
+
+  test("autocorr: alternating daily series gives lag1 = -1, lag2 = +1") {
+    import spark.implicits._
+    val dir = tmp("acf")
+    // counts 1,3,1,3,... on 8 consecutive days: odd days get 3 orders
+    val rows = (0 until 8).flatMap { d =>
+      val n = if (d % 2 == 1) 3 else 1
+      Seq.fill(n)(Timestamp.valueOf(f"1995-01-${d + 1}%02d 00:00:00"))
+    }
+    rows.toDF("o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val acf = StatsOps.autocorr(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(acf(1L) === ((7L, Some(-1.0))))
+    assert(acf(2L) === ((6L, Some(1.0))))
+    // a single pair at the max lag has zero variance: NULL, not a raise
+    assert(acf(7L) === ((1L, None)))
+  }
+
+  test("benford: digits from exact cents, quantized log10 expectations") {
+    import spark.implicits._
+    val dir = tmp("benford")
+    Seq(1.00, 19.99, 9.00, 2.50).toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = StatsOps.benford(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(1L, 2L, 9L))
+    assert(rows(1L)._1 === 2L)
+    assert(rows(1L)._2 === 0.5)
+    assert(math.abs(rows(1L)._3 - math.log10(2.0)) < 1e-5)
+    assert(math.abs(rows(9L)._3 - (math.log10(10.0) - math.log10(9.0))) < 1e-5)
+  }
+
+  test("ksTest: exact rational D across the bucket boundary") {
+    import spark.implicits._
+    val dir = tmp("ks")
+    // src0 lengths {10, 100}, src1 lengths {10, 200}: F agrees at 10,
+    // diverges maximally after 100 (2/2 vs 1/2), re-converges at 200.
+    // 10 lives in bucket 0, 100 in bucket 1, 200 in bucket 3 — the
+    // cross-bucket offset path is exercised, not just the in-bucket
+    // cumsum.
+    Seq((1L, "src0", 10L), (2L, "src0", 100L), (3L, "src1", 10L), (4L, "src1", 200L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = StatsOps.ksTest(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2L)      // n1
+    assert(r(0).getLong(1) === 2L)      // n2
+    assert(r(0).getLong(2) === 100L)    // at_value
+    assert(r(0).getLong(3) === 2L)      // d_num = |2*2 - 1*2|
+    assert(r(0).getDouble(4) === 0.5)   // D = 2 / (2*2)
+  }
+
+  test("changepoint: hand-folded max deviation and min-day tiebreak") {
+    import spark.implicits._
+    val dir = tmp("chg")
+    def ts(day: Int): Long = day * 86400L * 1000000000L // nanos-long fixture
+    val rows =
+      // type a: constant rate -> deviation 0 everywhere, best_day = first
+      (0 until 3).flatMap(d => Seq.fill(2)((ts(d), "a"))) ++
+      // type b: 1,1,1,1,5,5 over six days; dev = |prefix*6 - t*14| peaks
+      // at t=4 (|24-56| = 32), so best_day = day 3, frac = 32/84
+      (0 until 6).flatMap(d => Seq.fill(if (d >= 4) 5 else 1)((ts(d), "b")))
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = StatsOps.changepoint(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDate(3).toString, r.getDouble(4)))).toMap
+    assert(m("a") === ((3L, 6L, "1970-01-01", 0.0)))
+    assert(m("b") === ((6L, 14L, "1970-01-04", 32.0 / 84.0)))
+  }
+}
