@@ -350,6 +350,12 @@ object SparkEntry {
     "q_ks_test" -> (StatsOps.ksTest _),
     // per-type max-deviation changepoint over daily volumes
     "q_changepoint" -> (StatsOps.changepoint _),
+    // BM25 ranking for a fixed query, integer-quantized idf
+    "q_bm25" -> (TextOps.bm25 _),
+    // per-source greedy token-budget allocation report
+    "q_token_budget" -> (CurationOps.tokenBudget _),
+    // top-k per source with at most one doc per near-dup cluster
+    "q_diverse_topk" -> (CurationOps.diverseTopk _),
   )
 
   private val revenueSql =
@@ -2761,5 +2767,76 @@ object SparkEntry {
         |WHERE dev = max_dev
         |GROUP BY event_type, n_days, total, max_dev
         |ORDER BY event_type""".stripMargin,
+    // same integer idf quantization (logs of integers only), same
+    // double normalization order, contribution quantized BEFORE the sum
+    "q_bm25" -> {
+      import graft.queries.TextOps.{BmB, BmK1, BmScale, BmTerms, BmTopK}
+      val terms = BmTerms.map(t => s"'$t'").mkString(", ")
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN ($terms) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(
+        |      CAST(${lnq("2 * n_docs + 2")} - ${lnq("2 * df + 1")} AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0}
+        |         / (CAST(tf AS DOUBLE) + $BmK1 * (${1.0 - BmB}
+        |            + $BmB * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      + 0.5) AS BIGINT) AS contrib_q
+        |  FROM tf JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+        |  CAST(SUM(contrib_q) AS DOUBLE) / $BmScale.0 AS bm25
+        |FROM c GROUP BY doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT $BmTopK""".stripMargin
+    },
+    // same longest-first prefix rule under the same budget constant
+    "q_token_budget" -> {
+      import graft.queries.CurationOps.TokenBudget
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT source, tokens,
+        |    SUM(tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN cum <= $TokenBudget THEN tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  CAST(SUM(CASE WHEN cum <= $TokenBudget THEN tokens ELSE 0 END) AS DOUBLE)
+        |    / $TokenBudget.0 AS fill_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
+    // same min-shingle-hash cluster key (sorted list => element 1), same
+    // singleton fallback for unshingleable docs, same two-window ranks
+    "q_diverse_topk" -> {
+      import graft.queries.CurationOps.DiverseK
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})))[1] AS cluster
+        |  FROM t WHERE len(tk) >= 3),
+        |d AS (SELECT source, documents.doc_id AS doc_id, n_chars,
+        |    COALESCE(s.cluster, -documents.doc_id) AS cluster
+        |  FROM documents LEFT JOIN s ON documents.doc_id = s.doc_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, cluster
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM d),
+        |k AS (SELECT source, doc_id, cluster, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rank_in_source
+        |  FROM r WHERE rn = 1)
+        |SELECT source, rank_in_source, doc_id, cluster, n_chars
+        |FROM k WHERE rank_in_source <= $DiverseK
+        |ORDER BY source, rank_in_source""".stripMargin
+    },
   )
 }

@@ -531,4 +531,80 @@ object CurationOps {
         (col("cum_excl") % PackBudget).as("pack_offset"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  // -------------------------------------------------------- token budgeting
+  /** Per-source token budget for [[tokenBudget]] (shared with the oracle).
+    * Deliberately SF-independent: smaller SFs under-fill, larger SFs
+    * truncate — both are meaningful fill-ratio readings. */
+  private[graft] val TokenBudget = 1500L
+
+  /** Greedy per-source token budgeting — the "how much of each source fits
+    * in the training mix" allocator that runs after quality ranking:
+    * docs are taken in priority order (longest first, doc_id tiebreak —
+    * a stand-in for a model-based quality score) while the running token
+    * total stays within [[TokenBudget]]; the prefix rule (a doc whose
+    * cumsum crosses the line is dropped along with everything after it
+    * in its source) keeps selection a pure window predicate, exactly
+    * reproducible by any engine. Output is the per-source budget report
+    * (kept/total docs and tokens, fill ratio).
+    *
+    * Scale shape: ONE window cumsum partitioned by source (the seqPack
+    * exchange), one aggregate — no joins, no global order. At 100 TB the
+    * per-source ordering is the only sort, and it shards by source.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(toksAll).cast(LongType).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(when(col("cum") <= TokenBudget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= TokenBudget, col("tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("fill_ratio",
+        col("tokens_kept").cast(DoubleType) / lit(TokenBudget.toDouble))
+      .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------- diversity-capped top-k
+  /** Selected docs per source in [[diverseTopk]]. */
+  private[graft] val DiverseK = 5
+
+  /** Diversity-capped top-k selection: the best [[DiverseK]] documents per
+    * source, with AT MOST ONE representative per near-duplicate cluster —
+    * the selection rule that stops a boilerplate family from monopolizing
+    * a source's slots. The cluster key is the document's minimum 3-gram
+    * shingle hash (a 1-permutation MinHash over TextOps.shingleHashes —
+    * already sorted, so element 1 IS the min); docs too short to shingle
+    * fall back to a singleton cluster keyed by −doc_id. Two partitioned
+    * windows: rank-in-cluster picks each cluster's representative
+    * (longest, doc_id tiebreak), rank-in-source takes the top
+    * [[DiverseK]] survivors. Both windows shard by source (the second)
+    * or finer (the first) — no global sort; the shingle pass is the
+    * dedup family's shared signature cost, not a new scan shape.
+    */
+  def diverseTopk(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = TextOps.shingleHashes(spark, dir)
+      .select(col("doc_id"), element_at(col("h"), 1).as("cluster"))
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), -col("doc_id")))
+    val wCluster = Window.partitionBy(col("source"), col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wSource = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(wCluster))
+      .filter(col("rn") === 1)
+      .withColumn("rank_in_source", row_number().over(wSource))
+      .filter(col("rank_in_source") <= DiverseK)
+      .select(col("source"), col("rank_in_source"), col("doc_id"),
+        col("cluster"), col("n_chars"))
+      .orderBy(col("source"), col("rank_in_source"))
+  }
 }

@@ -394,7 +394,7 @@ object TextOps {
     * — shared by [[fingerprint]] (its min-5 prefix IS the fingerprint) and
     * [[dedupNgram]] (sketch buckets + exact Jaccard).
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), toksAll.as("t"))
       .filter(size(col("t")) >= 3)
@@ -1133,5 +1133,72 @@ object TextOps {
           .as("postings"))
       .orderBy(col("df").desc, col("term"))
       .limit(20)
+  }
+
+  // ------------------------------------------------------------ BM25 ranking
+  /** BM25 shape constants (Robertson–Spärck Jones defaults), shared with
+    * the oracle SQL. */
+  private[graft] val BmK1 = 1.2
+  private[graft] val BmB  = 0.75
+  /** The fixed query — three common corpus terms, so every SF produces a
+    * populated ranking. */
+  private[graft] val BmTerms = Seq("hash", "join", "vector")
+  private[graft] val BmTopK  = 20
+  /** Fixed-point scale for the quantized idf (the EntScale convention). */
+  private[graft] val BmScale = 1L << 20
+
+  /** floor(ln(m)·[[BmScale]] + 0.5) of a positive INTEGER column — logs
+    * only ever take integer arguments, so the quantized value is
+    * bit-identical across engines (the entropyDim discipline). */
+  private def lnq(m: Column): Column =
+    floor(log(m.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
+      .cast(LongType)
+
+  /** BM25 top-[[BmTopK]] ranking of the corpus for the fixed query
+    * [[BmTerms]] — the relevance-ranking sibling of [[tfidf]].
+    * idf uses the Lucene variant ln(1 + (N − df + ½)/(df + ½)) =
+    * ln((N + 1)/(df + ½)) — non-negative even for df > N/2, where the
+    * classic RSJ form goes negative and inverts the tf ordering —
+    * rewritten as lnq(2N + 2) − lnq(2df + 1) so both logarithm
+    * arguments are INTEGERS and the quantized difference is
+    * engine-exact; the
+    * tf/length normalization is one identically-ordered double
+    * expression over exact integer inputs (tf, dl, and the single
+    * shared avgdl division), quantized per (doc, term) BEFORE the
+    * per-doc sum so the final score is an exact integer sum.
+    *
+    * The 100 TB shape: term postings reduce to (doc, term, tf) for the
+    * QUERY TERMS ONLY (the filter sits directly on the exploded term
+    * stream, so the full vocabulary never aggregates), df is a
+    * terms-sized aggregate that BROADCASTS back onto the postings, and
+    * the corpus-wide (N, Σdl) statistics are a 1-row broadcast cross —
+    * the decay-score shape. Final top-k is a TakeOrdered, never a
+    * global sort.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksAll).cast(LongType).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("term"))
+      .filter(col("term").isin(BmTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfQ = lnq(lit(2L) * col("n_docs") + lit(2L)) -
+      lnq(lit(2L) * col("df") + lit(1L))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val tfn = tfd * lit(BmK1 + 1.0) /
+      (tfd + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl").cast(DoubleType) / avgdl))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("contrib_q", floor(idfQ.cast(DoubleType) * tfn + lit(0.5)).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_q")).as("score_q"))
+      .select(col("doc_id"), col("n_terms"), col("score_q"),
+        (col("score_q").cast(DoubleType) / lit(BmScale.toDouble)).as("bm25"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(BmTopK)
   }
 }

@@ -63,7 +63,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_benford",
       // KS: 1-row n1/n2 cross + the bucket-offset triangular probe, whose
       // build side is the bucket-total AGGREGATE (≤ value-range/width rows)
-      "q_ks_test")
+      "q_ks_test",
+      // BM25's 1-row (N, Σdl) corpus-stats cross (the decay-score shape)
+      "q_bm25")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -377,4 +377,43 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("tokenBudget: prefix rule — crossing doc drops the rest of the source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    // priority order is n_chars DESC: 800 + 600 fit (cum 1400 <= 1500);
+    // the 300-token doc crosses (1700) and the 50-token doc AFTER it
+    // would fit a knapsack but not the prefix rule
+    Seq(
+      (1L, "s", 400L, words(800)),
+      (2L, "s", 300L, words(600)),
+      (3L, "s", 200L, words(300)),
+      (4L, "s", 100L, words(50)))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.tokenBudget(spark, dir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4)) ===
+      ((4L, 1750L, 2L, 1400L)))
+    assert(r(0).getDouble(5) === 1400.0 / CurationOps.TokenBudget)
+  }
+
+  test("diverseTopk: one representative per cluster, short docs stay singletons") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-diverse").toString
+    Seq(
+      // identical texts => identical min shingle hash => one cluster
+      (1L, "s", 100L, "alpha beta gamma delta"),
+      (2L, "s", 90L,  "alpha beta gamma delta"),
+      (3L, "s", 80L,  "completely different words here"),
+      // sub-3-token doc: unshingleable, falls back to its own cluster
+      (4L, "s", 10L,  "one two"))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.diverseTopk(spark, dir).collect()
+      .map(r => r.getInt(1) -> r.getLong(2))
+    // doc 2 (the duplicate) is collapsed; ranks re-pack 1..3
+    assert(rows.toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 4L))
+  }
 }

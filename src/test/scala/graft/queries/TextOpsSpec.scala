@@ -352,4 +352,35 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("common") === ((10L, 11L, "1,2,3,4,5,6,7,8")))
     assert(rows("rare") === ((1L, 1L, "11")))
   }
+
+  test("bm25: tf, length norm, and idf order the ranking; arithmetic pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    // 'hash' appears in 3 docs (common), 'vector' in 1 (rare); docs 1 and 2
+    // have the same length, docs 2 and 3 the same tf
+    Seq(
+      (1L, "hash x x x"),                  // tf=1, dl=4
+      (2L, "hash hash x x"),               // tf=2, dl=4 — beats doc 1 on tf
+      (3L, "hash hash x x x x x x"),       // tf=2, dl=8 — loses to 2 on length
+      (4L, "vector x x x"),                // rare term, tf=1, dl=4 — beats 1 on idf
+      (5L, "none of these words"))         // unmatched: absent from the ranking
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(5L))
+    val score = out.view.mapValues(_._2).toMap
+    assert(score(2L) > score(1L), "higher tf must win at equal length")
+    assert(score(2L) > score(3L), "longer doc must lose at equal tf")
+    assert(score(4L) > score(1L), "rarer term must win at equal tf and length")
+    // pin the exact integer arithmetic of doc 1 against a scalar replica
+    val (n, sumDl) = (5L, 24L)
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * TextOps.BmScale + 0.5).toLong
+    val idfQ = lnq(2 * n + 2) - lnq(2 * 3 + 1) // Lucene idf, df('hash') = 3
+    val avgdl = sumDl.toDouble / n.toDouble
+    val tfn = 1.0 * (TextOps.BmK1 + 1.0) /
+      (1.0 + TextOps.BmK1 * (1.0 - TextOps.BmB + TextOps.BmB * 4.0 / avgdl))
+    assert(score(1L) === math.floor(idfQ.toDouble * tfn + 0.5).toLong)
+  }
 }
