@@ -356,6 +356,14 @@ object SparkEntry {
     "q_token_budget" -> (CurationOps.tokenBudget _),
     // top-k per source with at most one doc per near-dup cluster
     "q_diverse_topk" -> (CurationOps.diverseTopk _),
+    // open-wedge common-neighbor / Adamic-Adar link prediction
+    "q_common_neighbors" -> (GraphOps.commonNeighbors _),
+    // item-item cosine neighbors over capped baskets ("also bought")
+    "q_item_cf" -> (BehaviorOps.itemCf _),
+    // last-touch conversion attribution with day-resolution lookback
+    "q_attribution" -> (BehaviorOps.attribution _),
+    // 2-D Pareto frontier via the two-level prefix-max sweep
+    "q_skyline" -> (OlapOps.skyline _),
   )
 
   private val revenueSql =
@@ -2838,5 +2846,96 @@ object SparkEntry {
         |FROM k WHERE rank_in_source <= $DiverseK
         |ORDER BY source, rank_in_source""".stripMargin
     },
+    // same capped edge build as q_triangles, same integer Adamic-Adar
+    // quantization (// is DuckDB's integer division, Spark's div)
+    "q_common_neighbors" -> {
+      import graft.queries.BehaviorOps.MaxBasketItems
+      import graft.queries.GraphOps.{AaScale, CnTopK, TriMinSupport}
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (SELECT ok FROM lp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+        |edges AS (SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+        |adj AS (SELECT u AS w, v AS n FROM edges
+        |  UNION ALL SELECT v AS w, u AS n FROM edges),
+        |deg AS (SELECT w,
+        |    ${AaScale * AaScale} // CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * $AaScale.0 + 0.5) AS BIGINT) AS aa_w
+        |  FROM adj GROUP BY w HAVING COUNT(*) >= 2),
+        |pairs AS (SELECT x.w, x.n AS a, y.n AS b
+        |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n),
+        |open AS (SELECT * FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = p.a AND e.v = p.b)),
+        |s AS (SELECT a, b, COUNT(*) AS cn, CAST(SUM(aa_w) AS BIGINT) AS aa_q
+        |  FROM open JOIN deg USING (w) GROUP BY 1, 2)
+        |SELECT a, b, cn, aa_q, CAST(aa_q AS DOUBLE) / $AaScale.0 AS adamic_adar
+        |FROM s ORDER BY cn DESC, aa_q DESC, a, b LIMIT $CnTopK""".stripMargin
+    },
+    // same basket cap before pair formation, same quantized cosine (every
+    // input integer-exact, one sqrt + one division per pair)
+    "q_item_cf" -> {
+      import graft.queries.BehaviorOps.{CfNeighbors, CfScale, CfTopItems, MaxBasketItems}
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (SELECT ok FROM lp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+        |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+        |co AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS n_co
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |sym AS (SELECT pk_a AS item, pk_b AS nbr, n_co FROM co
+        |  UNION ALL SELECT pk_b AS item, pk_a AS nbr, n_co FROM co),
+        |top AS (SELECT pk AS item FROM ic ORDER BY n_item DESC, pk LIMIT $CfTopItems),
+        |scored AS (SELECT item, nbr, n_co,
+        |    CAST(floor(CAST(n_co * $CfScale AS DOUBLE)
+        |      / sqrt(CAST(i.n_item * n.n_item AS DOUBLE)) + 0.5) AS BIGINT) AS cos_q
+        |  FROM sym
+        |  JOIN top USING (item)
+        |  JOIN ic i ON i.pk = item
+        |  JOIN ic n ON n.pk = nbr),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY cos_q DESC, n_co DESC, nbr) AS INT) AS cf_rank FROM scored)
+        |SELECT item, cf_rank, nbr, n_co, cos_q FROM r
+        |WHERE cf_rank <= $CfNeighbors ORDER BY item, cf_rank""".stripMargin
+    },
+    // same (rank, day, code) int64 encoding under the same running MAX,
+    // same day-resolution lookback, integer-cents revenue
+    "q_attribution" -> {
+      import graft.queries.BehaviorOps.{AttrConvType, AttrLookbackDays, AttrTouch}
+      val codeCase = AttrTouch.map { case (t, c) =>
+        s"WHEN event_type = '$t' THEN rn * ${1L << 21} + day * 8 + $c"
+      }.mkString(" ")
+      val decode = AttrTouch.map { case (t, c) => s"WHEN $c THEN '$t'" }.mkString(" ")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, ts, value,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS rn FROM e),
+        |x AS (SELECT *, MAX(CASE $codeCase END) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+        |  FROM r),
+        |c AS (SELECT
+        |    CASE WHEN last_touch IS NULL
+        |           OR day - ((last_touch // 8) % ${1L << 18}) > $AttrLookbackDays THEN 'none'
+        |         ELSE CASE (last_touch % 8) $decode END END AS channel,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM x WHERE event_type = '$AttrConvType')
+        |SELECT channel, COUNT(*) AS n_conversions, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+    },
+    // the oracle may take the single global cummax the Spark plan is
+    // banned from; dominance rule and tie handling are identical
+    "q_skyline" ->
+      """WITH p AS (SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |g AS (SELECT cents, size, COUNT(*) AS n_parts FROM p GROUP BY 1, 2),
+        |best AS (SELECT cents, size, n_parts FROM (
+        |    SELECT *, MAX(size) OVER (PARTITION BY cents) AS ms FROM g)
+        |  WHERE size = ms),
+        |c AS (SELECT *, MAX(size) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt FROM best)
+        |SELECT cents AS price_cents, size AS max_size, n_parts
+        |FROM c WHERE mlt IS NULL OR size > mlt
+        |ORDER BY price_cents""".stripMargin,
   )
 }

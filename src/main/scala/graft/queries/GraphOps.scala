@@ -144,23 +144,31 @@ object GraphOps {
     trianglesFrom(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
 
-  /** [[triangles]] over any (ok, pk) membership frame — factored so the
-    * spec can pin the census on a hand-drawn graph. */
-  private[graft] def trianglesFrom(raw: DataFrame): DataFrame = {
+  /** The thresholded co-purchase edge list shared by [[trianglesFrom]] and
+    * [[commonNeighborsFrom]]: one (u, v) row per u < v pair co-ordered in
+    * ≥ [[TriMinSupport]] capped baskets, PERSISTED because every consumer
+    * references it from several subtrees (the prRanks topology idiom). */
+  private[graft] def coEdges(raw: DataFrame): DataFrame = {
     val lp = raw.distinct()
     val sized = lp.groupBy(col("ok")).agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") >= 2 && col("bsize") <= BehaviorOps.MaxBasketItems)
       .select(col("ok"))
     val items = lp.join(sized, Seq("ok"))
-    val edges = items.select(col("ok"), col("pk").as("u"))
+    items.select(col("ok"), col("pk").as("u"))
       .join(items.select(col("ok"), col("pk").as("v")), Seq("ok"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= TriMinSupport)
       .select(col("u"), col("v"))
-      // consumed by three subtrees (edge census, both wedge legs, the
-      // closing probe) — materialized once, the prRanks topology idiom
       .persist()
+  }
+
+  /** [[triangles]] over any (ok, pk) membership frame — factored so the
+    * spec can pin the census on a hand-drawn graph. */
+  private[graft] def trianglesFrom(raw: DataFrame): DataFrame = {
+    // consumed by three subtrees (edge census, both wedge legs, the
+    // closing probe) — materialized once via coEdges
+    val edges = coEdges(raw)
     val wedges = edges.select(col("u"), col("v").as("b"))
       .join(edges.select(col("u"), col("v").as("c")), Seq("u"))
       .filter(col("b") < col("c"))
@@ -174,6 +182,62 @@ object GraphOps {
         (col("n_triangles").cast(org.apache.spark.sql.types.DoubleType)
           / col("n_wedges").cast(org.apache.spark.sql.types.DoubleType))
           .as("closure_rate"))
+  }
+
+  /** Fixed-point scale for the quantized 1/ln(deg) Adamic–Adar weights. */
+  private[graft] val AaScale = 1L << 20
+  private[graft] val CnTopK  = 20
+
+  /** Common-neighbor / Adamic–Adar link prediction over the part
+    * co-purchase graph: for every NON-adjacent pair (a, b) sharing at
+    * least one neighbor, the shared-neighbor count and the Adamic–Adar
+    * score Σ_w 1/ln(deg(w)) — the "parts that should co-sell but don't
+    * yet" recommender. Top-[[CnTopK]] by (cn, aa) with id tiebreaks.
+    *
+    * Shape: the [[coEdges]] build (support-thresholded, basket-capped),
+    * symmetrized adjacency, wedge pairs through the shared endpoint
+    * (equi-join on w — the triangle census's candidate generator), an
+    * ANTI equi-join against the edge set to keep only open wedges, and
+    * a node-scale degree table broadcast onto the wedge stream. The
+    * Adamic–Adar weight is integer fixed-point: AaScale² div
+    * lnq(deg(w)) — ln only ever sees the integer degree (≥ 2 for any
+    * shared neighbor, so the quantized log is never 0), and per-pair
+    * sums are exact integer addition. Work is Σ_w deg(w)² like the
+    * wedge census; the support threshold prunes the hairball first and
+    * degree-ordered orientation is the documented power-law escape.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame =
+    commonNeighborsFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[commonNeighbors]] over any (ok, pk) membership frame — factored so
+    * the spec can pin scores on a hand-drawn graph. */
+  private[graft] def commonNeighborsFrom(raw: DataFrame): DataFrame = {
+    val edges = coEdges(raw)
+    val adj = edges.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val pairs = adj.select(col("w"), col("n").as("a"))
+      .join(adj.select(col("w"), col("n").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val open = pairs.join(edges.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    val lnqDeg = floor(log(col("deg").cast(org.apache.spark.sql.types.DoubleType))
+      * lit(AaScale.toDouble) + lit(0.5))
+      .cast(org.apache.spark.sql.types.LongType)
+    // deg = 1 ⇒ lnq = 0: those nodes have a single neighbor and can never
+    // be a SHARED one, so dropping them is semantically free — and keeps
+    // the fixed-point division total (ANSI raises on div-by-zero)
+    val degW = deg.filter(col("deg") >= 2).withColumn("lnq_deg", lnqDeg)
+      .select(col("w"), expr(s"${AaScale * AaScale}L div lnq_deg").as("aa_w"))
+    open.join(broadcast(degW), Seq("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa_w")).as("aa_q"))
+      .select(col("a"), col("b"), col("cn"), col("aa_q"),
+        (col("aa_q").cast(org.apache.spark.sql.types.DoubleType)
+          / lit(AaScale.toDouble)).as("adamic_adar"))
+      .orderBy(col("cn").desc, col("aa_q").desc, col("a"), col("b"))
+      .limit(CnTopK)
   }
 
   private[graft] def prRanks(edges: DataFrame): DataFrame = {

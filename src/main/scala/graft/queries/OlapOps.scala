@@ -306,4 +306,52 @@ object OlapOps {
           .cast(DoubleType).as("running_spend"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  // ------------------------------------------------------------- skyline
+  /** Price-band width (cents) carrying the two-level prefix max. */
+  private[graft] val SkyBandCents = 1000L
+
+  /** 2-D skyline (Pareto frontier) over the part catalog: the set of
+    * (price, size) points not DOMINATED by any other part — q dominates p
+    * when q is no more expensive, no smaller, and strictly better on one
+    * axis. The classic dominance query relational engines lack as a
+    * primitive; with two criteria it reduces to a prefix-max sweep:
+    * p survives iff its size exceeds the best size at any strictly
+    * lower price (and it is its own price group's best).
+    *
+    * The sweep uses the ksTest two-level shape — PlanGuard bans the
+    * single global cummax window a one-box engine would reach for:
+    * parts reduce to one row per distinct price (each price's max size
+    * + how many parts sit at that point), prices hash into fixed-width
+    * bands, the strictly-preceding prefix max WITHIN a band is a window
+    * partitioned by band, and cross-band offsets come from a triangular
+    * probe over the band-max aggregate (≤ price-range/width rows,
+    * sanctioned tiny build side). Output is the frontier sorted by
+    * price — O(distinct prices) rows, each carrying its population.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.part(spark, dir)
+      .select((col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType).as("cents"), col("p_size").cast(LongType).as("size"))
+      .groupBy(col("cents"), col("size")).agg(count(lit(1)).as("n_parts"))
+    val best = g
+      .withColumn("ms", max(col("size")).over(Window.partitionBy(col("cents"))))
+      .filter(col("size") === col("ms"))
+      .select(col("cents"), col("size"), col("n_parts"))
+      .withColumn("band", expr(s"cents div $SkyBandCents"))
+    val wBand = Window.partitionBy(col("band")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBand = best.withColumn("prev_in", max(col("size")).over(wBand))
+    val bandMax = best.groupBy(col("band")).agg(max(col("size")).as("bmax"))
+    val offsets = bandMax.select(col("band").as("b"))
+      .join(broadcast(bandMax), col("band") < col("b"), "left")
+      .groupBy(col("b")).agg(max(col("bmax")).as("off"))
+    inBand.join(broadcast(offsets), col("band") === col("b"))
+      .withColumn("mlt",
+        greatest(coalesce(col("off"), lit(-1L)), coalesce(col("prev_in"), lit(-1L))))
+      .filter(col("size") > col("mlt"))
+      .select(col("cents").as("price_cents"), col("size").as("max_size"),
+        col("n_parts"))
+      .orderBy(col("price_cents"))
+  }
 }

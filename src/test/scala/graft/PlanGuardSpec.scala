@@ -65,7 +65,10 @@ class PlanGuardSpec extends SparkSpec {
       // build side is the bucket-total AGGREGATE (≤ value-range/width rows)
       "q_ks_test",
       // BM25's 1-row (N, Σdl) corpus-stats cross (the decay-score shape)
-      "q_bm25")
+      "q_bm25",
+      // skyline's band-offset triangular probe (the q_ks_test shape:
+      // build side is the band-max AGGREGATE, ≤ price-range/width rows)
+      "q_skyline")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -42,6 +42,62 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(rows(3) === ((1L, Some(120e6))))             // user 1 only, 2 min
   }
 
+  test("itemCf: quantized cosine ordering from hand-drawn baskets") {
+    import spark.implicits._
+    // items 10 and 20 each in 4 baskets, 30 in 2; co(10,20)=3, co(10,30)=1
+    // cos(10,20) = 3/sqrt(16) = 0.75 beats cos(10,30) = 1/sqrt(8) ~ 0.354
+    val raw = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L),
+      (5L, 30L), (5L, 20L))
+      .toDF("ok", "pk")
+    val rows = BehaviorOps.itemCfFrom(raw).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def cosQ(co: Long, na: Long, nb: Long): Long =
+      math.floor(co * BehaviorOps.CfScale
+        / math.sqrt((na * nb).toDouble) + 0.5).toLong
+    assert(rows((10L, 1)) === ((20L, 3L, cosQ(3, 4, 4))))
+    assert(rows((10L, 2)) === ((30L, 1L, cosQ(1, 4, 2))))
+    assert(rows((20L, 1)) === ((10L, 3L, cosQ(3, 4, 4))))
+    // every item has at most CfNeighbors ranked rows
+    assert(rows.keySet.forall(_._2 <= BehaviorOps.CfNeighbors))
+  }
+
+  test("attribution: last touch wins, lookback expires, encoding breaks ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    Seq(
+      // user 1: click 2 days before purchase -> click
+      (1L, ts(0, 0), 1L, "click", null.asInstanceOf[java.lang.Double]),
+      (2L, ts(2, 0), 1L, "purchase", java.lang.Double.valueOf(10.0)),
+      // user 2: view 10 days before purchase -> lookback expired, none
+      (3L, ts(0, 0), 2L, "view", null.asInstanceOf[java.lang.Double]),
+      (4L, ts(10, 0), 2L, "purchase", java.lang.Double.valueOf(5.5)),
+      // user 3: naked purchase -> none
+      (5L, ts(1, 0), 3L, "purchase", java.lang.Double.valueOf(2.0)),
+      // user 4: click then view then purchase -> the LAST touch (view)
+      (6L, ts(0, 0), 4L, "click", null.asInstanceOf[java.lang.Double]),
+      (7L, ts(0, 5), 4L, "view", null.asInstanceOf[java.lang.Double]),
+      (8L, ts(0, 9), 4L, "purchase", java.lang.Double.valueOf(1.0)),
+      // user 5: signup at the SAME ts as the purchase, earlier event_id:
+      // the rank encoding must still see it as preceding
+      (9L, ts(3, 0), 5L, "signup", null.asInstanceOf[java.lang.Double]),
+      (10L, ts(3, 0), 5L, "purchase", java.lang.Double.valueOf(4.25)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === Map(
+      "click" -> ((1L, 1000L)),
+      "none" -> ((2L, 750L)),
+      "view" -> ((1L, 100L)),
+      "signup" -> ((1L, 425L))))
+  }
+
   test("retention: cohort week and offsets from hand-placed activity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString

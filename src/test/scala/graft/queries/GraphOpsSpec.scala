@@ -60,4 +60,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 1L) // n_triangles
     assert(r.getDouble(3) === 0.5)
   }
+
+  test("commonNeighbors: open wedges only, integer Adamic-Adar pinned") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus chord 1-3 (each pair co-ordered twice to
+    // clear the support threshold). Only (2,4) is non-adjacent with
+    // shared neighbors: via 1 (deg 3) and via 3 (deg 3). The wedge pairs
+    // through 2 and 4 — (1,3) — are closed by the chord and must be
+    // anti-joined away.
+    val baskets = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val raw = baskets.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2 + 0L, u), (i * 2 + 0L, v), (i * 2 + 1L, u), (i * 2 + 1L, v))
+    }.map { case (ok, pk) => (ok + 100, pk) } // distinct basket ids
+      .toDF("ok", "pk")
+    val rows = GraphOps.commonNeighborsFrom(raw).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 4L, 2L)))
+    // both shared neighbors have degree 3: aa_q = 2 * (AaScale^2 div lnq(3))
+    val lnq3 = math.floor(math.log(3.0) * GraphOps.AaScale + 0.5).toLong
+    assert(r.getLong(3) === 2L * (GraphOps.AaScale * GraphOps.AaScale / lnq3))
+  }
 }

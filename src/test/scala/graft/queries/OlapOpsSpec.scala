@@ -25,4 +25,22 @@ class OlapOpsSpec extends SparkSpec {
     assert(out.filter(col("n_events") === 0).count() > 0)
     out.unpersist()
   }
+
+  test("skyline: dominance with ties, across the band boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sky").toString
+    Seq(
+      (8.00, 2),            // frontier: nothing cheaper
+      (9.00, 5), (9.00, 3), // 5 is the price group's best; 3 dominated in-group
+      (10.00, 7), (10.00, 7), // frontier point with population 2
+      (11.00, 6),           // dominated: (10.00, 7) is cheaper and bigger
+      (12.00, 7))           // dominated: equal size at a HIGHER price
+      .toDF("p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // prices span two 1000-cent bands (800/900 vs 1000/1100/1200), so the
+    // cross-band offset probe is exercised, not just the in-band window
+    val rows = OlapOps.skyline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((800L, 2L, 1L), (900L, 5L, 1L), (1000L, 7L, 2L)))
+  }
 }
