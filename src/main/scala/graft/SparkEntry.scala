@@ -364,6 +364,14 @@ object SparkEntry {
     "q_attribution" -> (BehaviorOps.attribution _),
     // 2-D Pareto frontier via the two-level prefix-max sweep
     "q_skyline" -> (OlapOps.skyline _),
+    // rank-based Mann-Whitney U with exact doubled-midrank arithmetic
+    "q_mann_whitney" -> (StatsOps.mannWhitney _),
+    // Welch's unequal-variance t-test from one conditional-moment scan
+    "q_ttest_welch" -> (StatsOps.welchTtest _),
+    // one-way ANOVA F with order-pinned cross-group float folds
+    "q_anova" -> (StatsOps.anova _),
+    // pairwise source shingle-Jaccard contamination matrix
+    "q_source_overlap" -> (TextOps.sourceOverlap _),
   )
 
   private val revenueSql =
@@ -2937,5 +2945,98 @@ object SparkEntry {
         |SELECT cents AS price_cents, size AS max_size, n_parts
         |FROM c WHERE mlt IS NULL OR size > mlt
         |ORDER BY price_cents""".stripMargin,
+    // same doubled-midrank integers over the same per-value counts; the
+    // oracle's global cumsum is the banned-in-Spark shortcut
+    "q_mann_whitney" -> {
+      import graft.queries.StatsOps.{KsSourceA, KsSourceB}
+      s"""WITH d AS (SELECT n_chars AS v, source FROM documents
+        |  WHERE source IN ('$KsSourceA', '$KsSourceB')),
+        |pv AS (SELECT v,
+        |    SUM(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END) AS c2
+        |  FROM d GROUP BY v),
+        |cum AS (SELECT v, c1, c2,
+        |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM pv),
+        |m AS (SELECT CAST(MAX(f1) AS BIGINT) AS n1, CAST(MAX(f2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * (f1 + f2 - c1 - c2) + c1 + c2 + 1)) AS BIGINT) AS r1_2
+        |  FROM cum)
+        |SELECT n1, n2,
+        |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  CAST(2 * n1 * n2 - (r1_2 - n1 * (n1 + 1)) AS DOUBLE) / 2.0 AS u2,
+        |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+        |FROM m""".stripMargin
+    },
+    // same six conditional moments, same closed-form t and Welch df
+    "q_ttest_welch" -> {
+      import graft.queries.StatsOps.{TtSegA, TtSegB}
+      def mom(seg: String, t: String) =
+        s"""SUM(CASE WHEN c_mktsegment = '$seg' THEN 1 ELSE 0 END) AS n$t,
+          |    CAST(SUM(CASE WHEN c_mktsegment = '$seg' THEN cents ELSE 0 END) AS BIGINT) AS s$t,
+          |    SUM(CASE WHEN c_mktsegment = '$seg' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss$t""".stripMargin
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def mean(t: String) = s"(${dbl(s"s$t")} / ${dbl(s"n$t")})"
+      def varv(t: String) =
+        s"((${dbl(s"ss$t")} - ${dbl(s"s$t")} * ${dbl(s"s$t")} / ${dbl(s"n$t")}) / (${dbl(s"n$t")} - 1.0))"
+      val se1 = s"(${varv("1")} / ${dbl("n1")})"
+      val se2 = s"(${varv("2")} / ${dbl("n2")})"
+      s"""WITH c AS (SELECT c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (SELECT ${mom(TtSegA, "1")},
+        |    ${mom(TtSegB, "2")}
+        |  FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  ${mean("1")} AS mean1, ${mean("2")} AS mean2,
+        |  (${mean("1")} - ${mean("2")}) / sqrt($se1 + $se2) AS t_stat,
+        |  (($se1 + $se2) * ($se1 + $se2))
+        |    / ($se1 * $se1 / (${dbl("n1")} - 1.0) + $se2 * $se2 / (${dbl("n2")} - 1.0)) AS welch_df
+        |FROM m""".stripMargin
+    },
+    // same exact group moments; the cross-group float sums ride the same
+    // sorted-list left fold as q_ewma/q_chisq so the order is pinned
+    "q_anova" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT grp, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS ss_g
+        |  FROM o GROUP BY grp),
+        |t AS (SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS grand,
+        |    list_reduce(list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |        ORDER BY grp), (x, y) -> x + y) AS sum_sq_n,
+        |    list_reduce(list(CAST(ss_g AS DOUBLE) ORDER BY grp), (x, y) -> x + y) AS sum_ss
+        |  FROM g),
+        |s AS (SELECT k, n,
+        |    sum_sq_n - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    sum_ss - sum_sq_n AS ssw
+        |  FROM t)
+        |SELECT k, n, ssb, ssw,
+        |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
+        |  ssb / (ssb + ssw) AS eta_sq
+        |FROM s""".stripMargin,
+    // same distinct (source, shingle) reduction, bounded per-shingle
+    // fan-out, |A|+|B|-|A∩B| union arithmetic
+    "q_source_overlap" -> {
+      import graft.queries.TextOps.OverlapTopK
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(tk) - 2),
+        |    i -> ${h32Sql("concat(tk[i+1], ' ', tk[i+2], ' ', tk[i+3])")})) AS h
+        |  FROM t WHERE len(tk) >= 3),
+        |ss AS (SELECT DISTINCT source, sh2 AS sh
+        |  FROM (SELECT d.source, unnest(s.h) AS sh2
+        |        FROM sh s JOIN documents d USING (doc_id))),
+        |c AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |FROM p JOIN c ca ON ca.source = p.source_a JOIN c cb ON cb.source = p.source_b
+        |ORDER BY jaccard DESC, source_a, source_b LIMIT $OverlapTopK""".stripMargin
+    },
   )
 }

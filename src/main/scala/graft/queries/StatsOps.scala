@@ -180,7 +180,14 @@ object StatsOps {
     * The max row carries the location: `at_value` is the smallest length
     * attaining D (deterministic tiebreak).
     */
-  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared two-sample cumulative table: one row per distinct value of
+    * documents.n_chars present in either [[KsSourceA]] or [[KsSourceB]],
+    * with per-value counts (c1, c2) and INCLUSIVE cumulative counts
+    * (f1, f2) — built with the two-level prefix-sum shape (in-bucket
+    * partitioned window + triangular offset probe over the bucket-total
+    * aggregate) because the PlanGuard bans a global cumsum window.
+    * Consumed by [[ksTest]] and [[mannWhitney]]. */
+  private def twoSampleCum(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .filter(col("source").isin(KsSourceA, KsSourceB))
       .select(col("n_chars").as("v"), col("source"))
@@ -200,12 +207,17 @@ object StatsOps {
       .groupBy(col("b"))
       .agg(coalesce(sum(col("t1")), lit(0L)).as("off1"),
         coalesce(sum(col("t2")), lit(0L)).as("off2"))
-    val cum = inBucket
+    inBucket
       .join(broadcast(offsets), col("bucket") === col("b"))
-      .select(col("v"),
+      .select(col("v"), col("c1"), col("c2"),
         (col("off1") + col("r1")).as("f1"),
         (col("off2") + col("r2")).as("f2"))
-    val totals = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+  }
+
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val cum = twoSampleCum(spark, dir).select(col("v"), col("f1"), col("f2"))
+    // the final cumulative IS the total — no second pass over the raw side
+    val totals = cum.agg(max(col("f1")).as("n1"), max(col("f2")).as("n2"))
     val dev = cum.join(broadcast(totals))
       .select(col("v"), abs(col("f1") * col("n2") - col("f2") * col("n1")).as("dnum"),
         col("n1"), col("n2"))
@@ -216,6 +228,116 @@ object StatsOps {
       .select(col("n1"), col("n2"), col("at_value"), col("d_num"),
         (col("d_num").cast(DoubleType)
           / (col("n1") * col("n2")).cast(DoubleType)).as("d_stat"))
+  }
+
+  // -------------------------------------------------- Mann–Whitney U test
+  /** Mann–Whitney U between the same two corpus slices as [[ksTest]] —
+    * the rank-based location test that complements KS's shape test. All
+    * rank arithmetic is EXACT INTEGER via doubled midranks: with
+    * combined per-value counts c = c₁+c₂ and exclusive cumulative
+    * counts F_excl, the (tie-averaged) midrank of value v is
+    * (2·F_excl + c + 1)/2 — so 2·R₁ = Σ c₁·(2·F_excl + c + 1) is an
+    * integer, and 2·U₁ = 2·R₁ − n₁(n₁+1) stays one. The op reuses
+    * [[twoSampleCum]] (two-level prefix sums, no global window) and
+    * finishes with one aggregate; `auc` = U₁/(n₁·n₂) is the
+    * probability-of-superiority effect size, the only division.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val cum = twoSampleCum(spark, dir)
+      .select(col("v"), col("c1"), col("c2"), col("f1"), col("f2"),
+        // doubled midrank: exclusive combined cum ×2, plus own count +1
+        (lit(2L) * (col("f1") + col("f2") - col("c1") - col("c2"))
+          + col("c1") + col("c2") + lit(1L)).as("rank2"))
+    cum.agg(
+        max(col("f1")).as("n1"), max(col("f2")).as("n2"),
+        sum(col("c1") * col("rank2")).as("r1_2"))
+      .select(col("n1"), col("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u1_2"))
+      .select(col("n1"), col("n2"),
+        (col("u1_2").cast(DoubleType) / lit(2.0)).as("u1"),
+        ((lit(2L) * col("n1") * col("n2") - col("u1_2")).cast(DoubleType)
+          / lit(2.0)).as("u2"),
+        (col("u1_2").cast(DoubleType)
+          / (lit(2L) * col("n1") * col("n2")).cast(DoubleType)).as("auc"))
+  }
+
+  // ------------------------------------------------------- Welch's t-test
+  /** The two compared customer segments (shared with the oracle SQL). */
+  private[graft] val TtSegA = "AUTOMOBILE"
+  private[graft] val TtSegB = "BUILDING"
+
+  /** Welch's unequal-variance t-test between the account-balance
+    * distributions of two market segments. ONE conditional-moment scan —
+    * no join at all: six exact integer sums (counts, cents, squared
+    * cents as DECIMAL(38,0)) reduce map-side to a single row, and the
+    * t statistic and Welch–Satterthwaite df are one closed-form double
+    * expression each over those moments, written identically in both
+    * engines. The 100 TB cost is the scan, full stop.
+    */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    def side(seg: String, tag: String) = Seq(
+      sum(when(col("c_mktsegment") === seg, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(col("c_mktsegment") === seg, col("cents")).otherwise(0L)).as(s"s$tag"),
+      sum(when(col("c_mktsegment") === seg,
+        col("cents").cast(DecimalType(38, 0)) * col("cents")).otherwise(lit(0L)))
+        .as(s"ss$tag"))
+    val sums = side(TtSegA, "1") ++ side(TtSegB, "2")
+    val m = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .agg(sums.head, sums.tail: _*)
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    def meanv(t: String): Column = dbl(s"s$t") / dbl(s"n$t")
+    def varv(t: String): Column =
+      (dbl(s"ss$t") - dbl(s"s$t") * dbl(s"s$t") / dbl(s"n$t")) / (dbl(s"n$t") - lit(1.0))
+    val se1 = varv("1") / dbl("n1")
+    val se2 = varv("2") / dbl("n2")
+    m.select(col("n1"), col("n2"),
+      meanv("1").as("mean1"), meanv("2").as("mean2"),
+      ((meanv("1") - meanv("2")) / sqrt(se1 + se2)).as("t_stat"),
+      (((se1 + se2) * (se1 + se2))
+        / (se1 * se1 / (dbl("n1") - lit(1.0)) + se2 * se2 / (dbl("n2") - lit(1.0))))
+        .as("welch_df"))
+  }
+
+  // --------------------------------------------------------- one-way ANOVA
+  /** One-way ANOVA of order totals across the five order priorities.
+    * Group moments are exact integers (cents, squares as DECIMAL(38,0));
+    * the cross-group reduction of the per-group double terms s²/n uses
+    * the chisq precedent — an ORDER-PINNED fold over the sorted group
+    * list (groups are a bounded dimension) — so even the float F
+    * statistic is identical in both engines, where a hash-aggregate sum
+    * of doubles would be order-nondeterministic. SSB/SSW come from the
+    * standard decomposition; eta² is the effect size.
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss_g"))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("grand"),
+        // order-pinned folds: Σ s²/n and Σ ss as doubles, group order
+        sort_array(collect_list(struct(col("grp"),
+          (col("s_g").cast(DoubleType) * col("s_g").cast(DoubleType)
+            / col("n_g").cast(DoubleType)).as("t1"),
+          col("ss_g").cast(DoubleType).as("t2")))).as("terms"))
+      .select(col("k"), col("n"),
+        aggregate(col("terms"), lit(0.0), (acc, s) => acc + s.getField("t1")).as("sum_sq_n"),
+        aggregate(col("terms"), lit(0.0), (acc, s) => acc + s.getField("t2")).as("sum_ss"),
+        (col("grand").cast(DoubleType) * col("grand").cast(DoubleType)
+          / col("n").cast(DoubleType)).as("cf"))
+      .select(col("k"), col("n"),
+        (col("sum_sq_n") - col("cf")).as("ssb"),
+        (col("sum_ss") - col("sum_sq_n")).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - lit(1L)).cast(DoubleType))
+          / (col("ssw") / (col("n") - col("k")).cast(DoubleType))).as("f_stat"),
+        (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
   }
 
   // ------------------------------------------------- changepoint locator

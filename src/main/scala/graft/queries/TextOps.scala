@@ -1135,6 +1135,61 @@ object TextOps {
       .limit(20)
   }
 
+  // ----------------------------------------------- source overlap matrix
+  /** Output cap for [[sourceOverlap]]. */
+  private[graft] val OverlapTopK = 20
+
+  /** Pairwise shingle-set Jaccard between corpus SOURCES — the
+    * contamination matrix that tells a curation pipeline which feeds are
+    * re-crawls or mirrors of each other BEFORE doc-level dedup runs
+    * (the audienceOverlap shape lifted from users×event-types to
+    * shingles×sources). Sources reduce to distinct (source, shingle)
+    * rows first; pairs are then GENERATED, not joined — each shingle's
+    * sorted source list (bounded by the source dimension, the same
+    * guarantee that keeps audienceOverlap linear) expands to its
+    * C(k,2) ordered combinations in one projection, so the plan is
+    * aggregate → explode → aggregate with no self-join build side and
+    * no second scan of the shingle pass (both consumers ride the ONE
+    * distinct exchange; with the explode trap below also fixed the leg
+    * runs 2.3 s at sf0.1 vs 10.5 s as first written). Union sizes come from
+    * |A|+|B|−|A∩B| on the per-source counts. Top-[[OverlapTopK]] pairs
+    * by Jaccard. At web scale the df-cap guard (StopShingleDfCap)
+    * composes here too if the source dimension ever grows unbounded.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // explode_OUTER, not explode: the decontaminate trap — a non-outer
+    // Generate infers `size(h) > 0 AND isnotnull(h)` and pushdown inlines
+    // the whole shingle+md5 transform into the scan Filter, re-deriving
+    // the array 3x per doc in an interpreted predicate (measured 9 s of
+    // the 10.5 s total at sf0.1). The outer form infers nothing; the
+    // explicit isNotNull on the GENERATED attribute cannot push below
+    // the Generate and drops the one null an empty array would emit.
+    val ss = shingleHashes(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), explode_outer(col("h")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .distinct()
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.groupBy(col("sh")).agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(srcs) - 2),
+          |  i -> transform(sequence(i + 1, size(srcs) - 1),
+          |    j -> struct(srcs[i] AS a, srcs[j] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n_sh").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n_sh").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("source_a"), col("source_b"))
+      .limit(OverlapTopK)
+  }
+
   // ------------------------------------------------------------ BM25 ranking
   /** BM25 shape constants (Robertson–Spärck Jones defaults), shared with
     * the oracle SQL. */

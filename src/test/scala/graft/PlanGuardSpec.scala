@@ -68,7 +68,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_bm25",
       // skyline's band-offset triangular probe (the q_ks_test shape:
       // build side is the band-max AGGREGATE, ≤ price-range/width rows)
-      "q_skyline")
+      "q_skyline",
+      // Mann-Whitney rides the same twoSampleCum bucket-offset probe
+      "q_mann_whitney")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

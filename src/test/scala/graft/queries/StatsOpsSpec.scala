@@ -87,6 +87,61 @@ class StatsOpsSpec extends SparkSpec {
     assert(r(0).getDouble(4) === 0.5)   // D = 2 / (2*2)
   }
 
+  test("mannWhitney: cross-sample tie takes the exact midrank") {
+    import spark.implicits._
+    val dir = tmp("mw")
+    // combined sorted: 10 (rank 1), 20,20 (midrank 2.5 each), 40 (rank 4)
+    // R1 = 1 + 2.5 = 3.5 -> U1 = 3.5 - 3 = 0.5, auc = 0.5/4
+    Seq((1L, "src0", 10L), (2L, "src0", 20L), (3L, "src1", 20L), (4L, "src1", 40L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = StatsOps.mannWhitney(spark, dir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1)) === ((2L, 2L)))
+    assert(r(0).getDouble(2) === 0.5)   // u1
+    assert(r(0).getDouble(3) === 3.5)   // u2 = n1*n2 - u1
+    assert(r(0).getDouble(4) === 0.125) // auc
+  }
+
+  test("welchTtest: moments and closed forms against a scalar replica") {
+    import spark.implicits._
+    val dir = tmp("welch")
+    Seq(("AUTOMOBILE", 1.00), ("AUTOMOBILE", 2.00), ("AUTOMOBILE", 3.00),
+        ("BUILDING", 2.00), ("BUILDING", 4.00), ("MACHINERY", 99.0))
+      .toDF("c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = StatsOps.welchTtest(spark, dir).collect().head
+    // replica in cents, same operation order as the op/oracle
+    val (n1, s1, ss1) = (3.0, 600.0, 140000.0)
+    val (n2, s2, ss2) = (2.0, 600.0, 200000.0)
+    val (v1, v2) = ((ss1 - s1 * s1 / n1) / (n1 - 1.0), (ss2 - s2 * s2 / n2) / (n2 - 1.0))
+    val (e1, e2) = (v1 / n1, v2 / n2)
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 200.0) // mean1 (cents)
+    assert(r.getDouble(3) === 300.0)
+    assert(r.getDouble(4) === (s1 / n1 - s2 / n2) / math.sqrt(e1 + e2))
+    assert(r.getDouble(5) ===
+      (e1 + e2) * (e1 + e2) / (e1 * e1 / (n1 - 1.0) + e2 * e2 / (n2 - 1.0)))
+  }
+
+  test("anova: F from exact group moments, pinned cross-group fold") {
+    import spark.implicits._
+    val dir = tmp("anova")
+    Seq(("1-URGENT", 1.00), ("1-URGENT", 2.00), ("1-URGENT", 3.00),
+        ("2-HIGH", 4.00), ("2-HIGH", 5.00), ("2-HIGH", 6.00))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.anova(spark, dir).collect().head
+    // cents: groups {100,200,300} and {400,500,600}; grand = 2100, n = 6
+    // SSB = (600^2/3 + 1500^2/3) - 2100^2/6 = 870000 - 735000 = 135000
+    // SSW = (140000 + 770000) - 870000 = 40000
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 6L)))
+    assert(r.getDouble(2) === 135000.0)
+    assert(r.getDouble(3) === 40000.0)
+    assert(r.getDouble(4) === (135000.0 / 1.0) / (40000.0 / 4.0))
+    assert(r.getDouble(5) === 135000.0 / 175000.0)
+  }
+
   test("changepoint: hand-folded max deviation and min-day tiebreak") {
     import spark.implicits._
     val dir = tmp("chg")

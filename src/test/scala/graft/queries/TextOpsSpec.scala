@@ -353,6 +353,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("rare") === ((1L, 1L, "11")))
   }
 
+  test("sourceOverlap: shingle-set Jaccard, within-source duplicates collapse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    Seq(
+      (1L, "s1", "a b c d"),  // shingles {abc, bcd}
+      (2L, "s1", "a b c d"),  // duplicate doc: source set must NOT grow
+      (3L, "s2", "a b c e"),  // shingles {abc, bce} -> inter with s1 = 1
+      (4L, "s3", "x y z"))    // disjoint: no pair row at all
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(rows.keySet === Set(("s1", "s2")))
+    assert(rows(("s1", "s2"))  === ((1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
   test("bm25: tf, length norm, and idf order the ranking; arithmetic pinned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
