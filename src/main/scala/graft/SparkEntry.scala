@@ -372,6 +372,10 @@ object SparkEntry {
     "q_anova" -> (StatsOps.anova _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
+    // semi-supervised majority-vote label spread over near-dup components
+    "q_label_spread" -> (TextOps.labelSpread _),
+    // HITS hubs/authorities, max-normalized fixed-point BSP rounds
+    "q_hits" -> (GraphOps.hits _),
   )
 
   private val revenueSql =
@@ -521,6 +525,27 @@ object SparkEntry {
   /** One oracle for BOTH decontamination plans (broadcast-exact
     * q_decontaminate and the bloom-prefiltered q_decontaminate_bloom) —
     * shared so the "same oracle, both plans" claim cannot drift. */
+  /** The connected-component CTE chain behind q_dedup_cc, terminal CTE
+    * `comp(doc_id, component_id)` — shared with q_label_spread, whose
+    * propagation rides the same near-dup components. */
+  private def ccComponentCtes: String =
+    s"""$minhashBandedCtes,
+      |rep AS (
+      |  SELECT band_id, band_key, min(doc_id) AS rep
+      |  FROM banded GROUP BY band_id, band_key),
+      |star AS (
+      |  SELECT DISTINCT r.rep AS src, b.doc_id AS dst
+      |  FROM banded b JOIN rep r USING (band_id, band_key) WHERE r.rep <> b.doc_id),
+      |edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
+      |walk AS (
+      |  WITH RECURSIVE wr(doc_id, reach) AS (
+      |    SELECT doc_id, doc_id FROM documents
+      |    UNION
+      |    SELECT w.doc_id, e.dst FROM wr w JOIN edges e ON e.src = w.reach)
+      |  SELECT * FROM wr),
+      |comp AS (
+      |  SELECT doc_id, min(reach) AS component_id FROM walk GROUP BY doc_id)""".stripMargin
+
   private val decontaminateSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
@@ -1106,23 +1131,10 @@ object SparkEntry {
         |GROUP BY nb.doc_id
         |ORDER BY nb.doc_id""".stripMargin,
     "q_dedup_cc" ->
-      s"""$minhashBandedCtes,
-        |rep AS (
-        |  SELECT band_id, band_key, min(doc_id) AS rep
-        |  FROM banded GROUP BY band_id, band_key),
-        |star AS (
-        |  SELECT DISTINCT r.rep AS src, b.doc_id AS dst
-        |  FROM banded b JOIN rep r USING (band_id, band_key) WHERE r.rep <> b.doc_id),
-        |edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
-        |walk AS (
-        |  WITH RECURSIVE wr(doc_id, reach) AS (
-        |    SELECT doc_id, doc_id FROM documents
-        |    UNION
-        |    SELECT w.doc_id, e.dst FROM wr w JOIN edges e ON e.src = w.reach)
-        |  SELECT * FROM wr)
-        |SELECT doc_id, min(reach) AS component_id,
-        |  CAST(doc_id <> min(reach) AS INT) AS is_dup
-        |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$ccComponentCtes
+        |SELECT doc_id, component_id,
+        |  CAST(doc_id <> component_id AS INT) AS is_dup
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
@@ -3037,6 +3049,51 @@ object SparkEntry {
         |  CAST(n_inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
         |FROM p JOIN c ca ON ca.source = p.source_a JOIN c cb ON cb.source = p.source_b
         |ORDER BY jaccard DESC, source_a, source_b LIMIT $OverlapTopK""".stripMargin
+    },
+    // same components (shared CTE), same majority vote + tiebreak, same
+    // held-out accuracy arithmetic
+    "q_label_spread" -> {
+      import graft.queries.TextOps.SpreadSeedMod
+      s"""$ccComponentCtes,
+        |seeds AS (SELECT c.component_id, d.lang
+        |  FROM comp c JOIN documents d USING (doc_id)
+        |  WHERE c.doc_id % $SpreadSeedMod = 0),
+        |votes AS (SELECT component_id, lang, COUNT(*) AS v FROM seeds GROUP BY 1, 2),
+        |best AS (SELECT component_id, lang AS prop_lang FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+        |      ORDER BY v DESC, lang) AS rn FROM votes)
+        |  WHERE rn = 1),
+        |asg AS (SELECT b.prop_lang, d.lang
+        |  FROM comp c JOIN best b USING (component_id)
+        |  JOIN documents d USING (doc_id)
+        |  WHERE c.doc_id % $SpreadSeedMod <> 0)
+        |SELECT prop_lang, COUNT(*) AS n_assigned,
+        |  CAST(SUM(CASE WHEN prop_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN prop_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        |FROM asg GROUP BY prop_lang ORDER BY prop_lang""".stripMargin
+    },
+    // same unrolled half-rounds, same integral max-normalization
+    "q_hits" -> {
+      import graft.queries.GraphOps.{HitsScale, HitsTopK}
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT c, CAST($HitsScale AS BIGINT) AS h FROM (SELECT DISTINCT c FROM pairs)),
+        |a1r AS (SELECT s, CAST(SUM(h) AS BIGINT) AS ar FROM pairs JOIN h0 USING (c) GROUP BY s),
+        |a1 AS (SELECT s, (ar * $HitsScale) // (SELECT MAX(ar) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS hr FROM pairs JOIN a1 USING (s) GROUP BY c),
+        |h1 AS (SELECT c, (hr * $HitsScale) // (SELECT MAX(hr) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT s, CAST(SUM(h) AS BIGINT) AS ar FROM pairs JOIN h1 USING (c) GROUP BY s),
+        |a2 AS (SELECT s, (ar * $HitsScale) // (SELECT MAX(ar) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS hr FROM pairs JOIN a2 USING (s) GROUP BY c),
+        |h2 AS (SELECT c, (hr * $HitsScale) // (SELECT MAX(hr) FROM h2r) AS h FROM h2r)
+        |SELECT * FROM (
+        |  (SELECT 'hub' AS kind, c AS entity_key, h AS score FROM h2
+        |   ORDER BY score DESC, entity_key LIMIT $HitsTopK)
+        |  UNION ALL
+        |  (SELECT 'authority' AS kind, s AS entity_key, a AS score FROM a2
+        |   ORDER BY score DESC, entity_key LIMIT $HitsTopK))
+        |ORDER BY kind, score DESC, entity_key""".stripMargin
     },
   )
 }

@@ -1135,6 +1135,52 @@ object TextOps {
       .limit(20)
   }
 
+  // ------------------------------------------------- label propagation
+  /** Seed rule for [[labelSpread]]: doc_id ≡ 0 (mod this) docs are the
+    * trusted-label set. */
+  private[graft] val SpreadSeedMod = 4L
+
+  /** Semi-supervised label propagation over the near-dup components: a
+    * quarter of the corpus ([[SpreadSeedMod]]-stride) is treated as
+    * trusted-labeled, every component takes the majority vote of its
+    * seeds (count desc, label asc tiebreak), and the vote is assigned
+    * to the component's UNLABELED members — the cheap label-densifier a
+    * pipeline runs before training a classifier, exploiting that
+    * near-duplicates share labels. Because the held-out docs' true
+    * labels exist, the output is the per-label assignment/accuracy
+    * report (the langIdEval shape), which is what makes the op
+    * gradeable.
+    *
+    * Cost rides the dedup run: components are [[dedupCC]]'s O(docs)
+    * label frame (already materialized wherever dedup ran); votes are
+    * one hash aggregate over the SEED quarter, the argmax is a window
+    * over component-vote groups (partitioned by component), and the
+    * assignment join is broadcast-size only if the vote table is — here
+    * it's |components with seeds|, corpus-scale, so it stays a hash
+    * join on component_id. No new scan shapes at 100 TB.
+    */
+  def labelSpread(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupCC(spark, dir).select(col("doc_id"), col("component_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val votes = comp.filter(col("doc_id") % SpreadSeedMod === 0)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("component_id"), col("lang")).agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("v").desc, col("lang"))
+    val best = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component_id"), col("lang").as("prop_lang"))
+    comp.filter(col("doc_id") % SpreadSeedMod =!= 0)
+      .join(best, Seq("component_id"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("prop_lang"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("prop_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast(DoubleType) / col("n_assigned").cast(DoubleType))
+      .orderBy(col("prop_lang"))
+  }
+
   // ----------------------------------------------- source overlap matrix
   /** Output cap for [[sourceOverlap]]. */
   private[graft] val OverlapTopK = 20

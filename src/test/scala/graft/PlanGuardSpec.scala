@@ -70,7 +70,9 @@ class PlanGuardSpec extends SparkSpec {
       // build side is the band-max AGGREGATE, ≤ price-range/width rows)
       "q_skyline",
       // Mann-Whitney rides the same twoSampleCum bucket-offset probe
-      "q_mann_whitney")
+      "q_mann_whitney",
+      // HITS' four 1-row max-normalizer crosses (the decay-score shape)
+      "q_hits")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

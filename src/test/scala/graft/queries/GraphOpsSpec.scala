@@ -81,4 +81,22 @@ class GraphOpsSpec extends SparkSpec {
     val lnq3 = math.floor(math.log(3.0) * GraphOps.AaScale + 0.5).toLong
     assert(r.getLong(3) === 2L * (GraphOps.AaScale * GraphOps.AaScale / lnq3))
   }
+
+  test("hits: two hand-folded rounds with integral max-normalization") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits").toString
+    // c1 -> {s10, s20}, c2 -> {s10}
+    Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // round 1: a(10)=2e6, a(20)=1e6 -> norm (1e6, 5e5); h(1)=1.5e6,
+    // h(2)=1e6 -> norm (1e6, 666666). round 2: a(10)=1666666, a(20)=1e6
+    // -> (1e6, 600000); h(1)=1.6e6, h(2)=1e6 -> (1e6, 625000)
+    val rows = GraphOps.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      ("hub", 1L) -> 1000000L, ("hub", 2L) -> 625000L,
+      ("authority", 10L) -> 1000000L, ("authority", 20L) -> 600000L))
+  }
 }

@@ -353,6 +353,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("rare") === ((1L, 1L, "11")))
   }
 
+  test("labelSpread: majority vote inside components, held-out accuracy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    Seq(
+      // component {4, 5}: seed 4 says 'en'; 5 (true 'de') gets 'en' -> wrong
+      (4L, "alpha beta gamma delta epsilon", "en"),
+      (5L, "alpha beta gamma delta epsilon", "de"),
+      // component {8, 9}: seed 8 says 'fr'; 9 (true 'fr') -> correct
+      (8L, "uno dos tres cuatro cinco", "fr"),
+      (9L, "uno dos tres cuatro cinco", "fr"),
+      // unlabeled singleton: no seed in its component -> never assigned
+      (3L, "completely unrelated words entirely", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.labelSpread(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows === Map(
+      "en" -> ((1L, 0L, 0.0)),
+      "fr" -> ((1L, 1L, 1.0))))
+  }
+
   test("sourceOverlap: shingle-set Jaccard, within-source duplicates collapse") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
