@@ -376,6 +376,10 @@ object SparkEntry {
     "q_label_spread" -> (TextOps.labelSpread _),
     // HITS hubs/authorities, max-normalized fixed-point BSP rounds
     "q_hits" -> (GraphOps.hits _),
+    // delete-one-bucket jackknife CI for the mean (deterministic resampling)
+    "q_jackknife" -> (StatsOps.jackknife _),
+    // Hill power-law tail index of the trade-graph degree distribution
+    "q_tail_index" -> (GraphOps.tailIndex _),
   )
 
   private val revenueSql =
@@ -3094,6 +3098,53 @@ object SparkEntry {
         |  (SELECT 'authority' AS kind, s AS entity_key, a AS score FROM a2
         |   ORDER BY score DESC, entity_key LIMIT $HitsTopK))
         |ORDER BY kind, score DESC, entity_key""".stripMargin
+    },
+    // same md5 buckets, same exact bucket sums, same pinned float folds
+    "q_jackknife" -> {
+      import graft.queries.StatsOps.JkBuckets
+      val bucket = h32Sql("CAST(o_orderkey AS VARCHAR)") + s" % $JkBuckets"
+      s"""WITH o AS (SELECT $bucket AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT bucket, COUNT(*) AS n_b, CAST(SUM(cents) AS BIGINT) AS s_b
+        |  FROM o GROUP BY bucket),
+        |t0 AS (SELECT COUNT(*) AS n_buckets, CAST(SUM(n_b) AS BIGINT) AS n,
+        |    CAST(SUM(s_b) AS BIGINT) AS s
+        |  FROM b),
+        |t AS (SELECT n_buckets, n, s,
+        |    list((CAST(s AS DOUBLE) - CAST(s_b AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST(n_b AS DOUBLE)) ORDER BY bucket) AS loo
+        |  FROM t0 CROSS JOIN b GROUP BY 1, 2, 3),
+        |m AS (SELECT *, list_reduce(loo, (a, x) -> a + x) / CAST(n_buckets AS DOUBLE) AS m_bar
+        |  FROM t),
+        |v AS (SELECT *,
+        |    list_reduce(list_transform(loo, x -> (x - m_bar) * (x - m_bar)),
+        |      (a, x) -> a + x)
+        |      * CAST(n_buckets - 1 AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS jk_var
+        |  FROM m)
+        |SELECT n, n_buckets,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+        |  sqrt(jk_var) AS se_cents,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 1.96 * sqrt(jk_var) AS ci_lo,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 1.96 * sqrt(jk_var) AS ci_hi
+        |FROM v""".stripMargin
+    },
+    // same quantized integer log sum over the same tail slice
+    "q_tail_index" -> {
+      import graft.queries.GraphOps.{AaScale, TailMinDeg}
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $AaScale.0 + 0.5) AS BIGINT)"
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT 'customer' AS kind, COUNT(*) AS deg FROM pairs GROUP BY c
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, COUNT(*) AS deg FROM pairs GROUP BY s)
+        |SELECT kind, CAST($TailMinDeg AS BIGINT) AS d_min, COUNT(*) AS k,
+        |  1.0 + CAST(COUNT(*) * $AaScale AS DOUBLE)
+        |    / CAST(nullif(SUM(${lnq("deg")} - ${lnq(TailMinDeg.toString)}), 0) AS DOUBLE) AS alpha
+        |FROM deg WHERE deg >= $TailMinDeg
+        |GROUP BY kind ORDER BY kind""".stripMargin
     },
   )
 }

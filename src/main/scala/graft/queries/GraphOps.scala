@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -238,6 +238,46 @@ object GraphOps {
           / lit(AaScale.toDouble)).as("adamic_adar"))
       .orderBy(col("cn").desc, col("aa_q").desc, col("a"), col("b"))
       .limit(CnTopK)
+  }
+
+  // ------------------------------------------------------------ tail index
+  /** Degree threshold for the Hill estimator's tail slice. */
+  private[graft] val TailMinDeg = 5L
+
+  /** Hill power-law tail-index estimate of the trade-graph degree
+    * distribution, per node kind — the NUMBER behind [[degreeProfile]]'s
+    * early warning: α ≈ 2 means heavy skew (degree-ordered orientation
+    * and salting become mandatory), α > 3 means the id-ordered shapes
+    * are safe. α = 1 + k / Σ ln(d/d_min) over the tail d ≥
+    * [[TailMinDeg]]; the log sum is quantized-integer (ln of integer
+    * degrees at [[AaScale]] fixed point, the Adamic–Adar discipline),
+    * so the estimate is one exact-int division cast at the end. Cost:
+    * the degree reduction [[degreeProfile]] already pays, plus a 2-row
+    * aggregate.
+    */
+  def tailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    def lnq(c: Column): Column =
+      floor(log(c.cast(org.apache.spark.sql.types.DoubleType))
+        * lit(AaScale.toDouble) + lit(0.5))
+        .cast(org.apache.spark.sql.types.LongType)
+    def kindDeg(n: String, kind: String): DataFrame =
+      pairs.groupBy(col(n).as("node")).agg(count(lit(1)).as("deg"))
+        .select(lit(kind).as("kind"), col("deg"))
+    kindDeg("c", "customer").unionByName(kindDeg("s", "supplier"))
+      .filter(col("deg") >= TailMinDeg)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("k"),
+        sum(lnq(col("deg")) - lnq(lit(TailMinDeg))).as("sum_lnq"))
+      .select(col("kind"), lit(TailMinDeg).as("d_min"), col("k"),
+        (lit(1.0) + (col("k") * AaScale).cast(org.apache.spark.sql.types.DoubleType)
+          / nullif(col("sum_lnq"), lit(0L))
+            .cast(org.apache.spark.sql.types.DoubleType)).as("alpha"))
+      .orderBy(col("kind"))
   }
 
   // ------------------------------------------------------------------ HITS

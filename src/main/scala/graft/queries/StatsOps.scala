@@ -340,6 +340,59 @@ object StatsOps {
         (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
   }
 
+  // -------------------------------------------- jackknife (bucketed CI)
+  /** Number of leave-one-out buckets for [[jackknife]]. */
+  private[graft] val JkBuckets = 20L
+
+  /** Delete-one-bucket jackknife confidence interval for the mean order
+    * total — the deterministic resampling method a 100 TB pipeline uses
+    * where bootstrap's per-row randomness would break reproducibility
+    * (and per-row resampling would shuffle the world): rows hash into
+    * [[JkBuckets]] fixed buckets (md5 of the key — append-stable),
+    * leave-one-out means come from the bucket-sum table by subtraction,
+    * and the jackknife variance is (B−1)/B · Σ(m_i − m̄)². Everything
+    * up to the 20-element statistics is exact integer (bucket sums of
+    * cents); the float folds over the B bucket rows are ORDER-PINNED
+    * sorted-list folds (the chisq/anova precedent). One scan, one
+    * B-row aggregate, zero joins.
+    */
+  def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .select(
+        expr(s"CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % $JkBuckets")
+          .as("bucket"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("s_b"))
+    val t = b.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("n_b")).as("n"),
+      sum(col("s_b")).as("s"),
+      sort_array(collect_list(struct(col("bucket"), col("n_b"), col("s_b")))).as("bs"))
+    // leave-one-out means (exact-int inputs, one division each), then two
+    // pinned folds: their sum (for the jackknife mean) and the squared
+    // deviations from it
+    val loo = expr(
+      """transform(bs, x ->
+        |  (CAST(s AS DOUBLE) - CAST(x.s_b AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST(x.n_b AS DOUBLE)))""".stripMargin)
+    t.withColumn("loo", loo)
+      .withColumn("m_bar",
+        expr("aggregate(loo, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / col("n_buckets").cast(DoubleType))
+      .withColumn("jk_var",
+        expr("aggregate(loo, CAST(0.0 AS DOUBLE), (a, x) -> a + (x - m_bar) * (x - m_bar))")
+          * (col("n_buckets") - 1).cast(DoubleType) / col("n_buckets").cast(DoubleType))
+      .select(
+        col("n"), col("n_buckets"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("mean_cents"),
+        sqrt(col("jk_var")).as("se_cents"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)
+          - lit(1.96) * sqrt(col("jk_var"))).as("ci_lo"),
+        (col("s").cast(DoubleType) / col("n").cast(DoubleType)
+          + lit(1.96) * sqrt(col("jk_var"))).as("ci_hi"))
+  }
+
   // ------------------------------------------------- changepoint locator
   /** Max-deviation changepoint locator over each event type's daily
     * volume series: the day t* maximizing |prefix(t)·n_days −

@@ -82,6 +82,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 2L * (GraphOps.AaScale * GraphOps.AaScale / lnq3))
   }
 
+  test("tailIndex: Hill estimate over the tail slice, empty kinds vanish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tail").toString
+    // supplier degrees: s1 = 6, s2 = 5 (both in the tail); every customer
+    // degree <= 2, so the customer kind produces NO row at all
+    val pairs = (1L to 6L).map(c => (c, 10L)) ++ (1L to 5L).map(c => (c, 20L))
+    val orders = pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+    val items = pairs.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }
+    orders.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    items.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = GraphOps.tailIndex(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    def lnq(d: Long): Long =
+      math.floor(math.log(d.toDouble) * GraphOps.AaScale + 0.5).toLong
+    val sum = (lnq(6) - lnq(5)) + (lnq(5) - lnq(5))
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("supplier", 5L, 2L)))
+    assert(r.getDouble(3) === 1.0 + (2L * GraphOps.AaScale).toDouble / sum.toDouble)
+  }
+
   test("hits: two hand-folded rounds with integral max-normalization") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hits").toString

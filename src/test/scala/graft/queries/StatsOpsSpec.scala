@@ -142,6 +142,29 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(5) === 135000.0 / 175000.0)
   }
 
+  test("jackknife: exact mean; zero variance when every row is identical") {
+    import spark.implicits._
+    val dir = tmp("jk")
+    (1L to 10L).map(k => (k, 5.00)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.jackknife(spark, dir).collect().head
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) <= StatsOps.JkBuckets)
+    // identical rows: every leave-one-out mean equals the mean -> se 0,
+    // CI collapses to the exact point
+    assert(r.getDouble(2) === 500.0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 500.0)
+    assert(r.getDouble(5) === 500.0)
+    // heterogeneous values: strictly positive spread, CI brackets the mean
+    val dir2 = tmp("jk2")
+    (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val r2 = StatsOps.jackknife(spark, dir2).collect().head
+    assert(r2.getDouble(3) > 0.0)
+    assert(r2.getDouble(4) < r2.getDouble(2) && r2.getDouble(2) < r2.getDouble(5))
+  }
+
   test("changepoint: hand-folded max deviation and min-day tiebreak") {
     import spark.implicits._
     val dir = tmp("chg")
