@@ -380,6 +380,8 @@ object SparkEntry {
     "q_jackknife" -> (StatsOps.jackknife _),
     // Hill power-law tail index of the trade-graph degree distribution
     "q_tail_index" -> (GraphOps.tailIndex _),
+    // top word pairs by quantized pointwise mutual information
+    "q_collocations" -> (TextOps.collocations _),
   )
 
   private val revenueSql =
@@ -3145,6 +3147,27 @@ object SparkEntry {
         |    / CAST(nullif(SUM(${lnq("deg")} - ${lnq(TailMinDeg.toString)}), 0) AS DOUBLE) AS alpha
         |FROM deg WHERE deg >= $TailMinDeg
         |GROUP BY kind ORDER BY kind""".stripMargin
+    },
+    // same integer-count quantized logs, same support floor and tie order
+    "q_collocations" -> {
+      import graft.queries.TextOps.{BmScale, PmiMinCount, PmiTopK}
+      def lq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      s"""WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_uni FROM uni),
+        |bgl AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS p FROM t),
+        |bc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_xy FROM bgl
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinCount),
+        |s AS (SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+        |    ${lq("c_xy")} + ${lq("n_uni")} - ${lq("u1.c")} - ${lq("u2.c")} AS pmi_q
+        |  FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+        |  CROSS JOIN n)
+        |SELECT w1, w2, c_xy, c_x, c_y, pmi_q,
+        |  CAST(pmi_q AS DOUBLE) / $BmScale.0 AS pmi
+        |FROM s ORDER BY pmi_q DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
     },
   )
 }

@@ -1135,6 +1135,56 @@ object TextOps {
       .limit(20)
   }
 
+  // --------------------------------------------------- PMI collocations
+  /** Minimum pair count / output size for [[collocations]]. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK    = 20
+
+  /** Collocation mining: the top word PAIRS by pointwise mutual
+    * information — association strength, where topNgrams is mere
+    * frequency (frequent-but-independent pairs rank low here, rare-but-
+    * always-together idioms rank high). The score is fully quantized:
+    * pmi_q = lnq(c_xy) + lnq(N) − lnq(c_x) − lnq(c_y), each log taking
+    * an INTEGER count (the entropy discipline), so ranking and output
+    * are engine-exact; the [[PmiMinCount]] support floor is the
+    * standard guard against the 1/c_xy noise blowup.
+    *
+    * Shape: adjacent-pair generation is a projection + explode_OUTER
+    * (the non-outer form would inline the transform lambda into the
+    * scan Filter — the sourceOverlap trap); unigram counts are a
+    * vocab-scale aggregate BROADCAST onto the pair counts twice; the
+    * corpus token total is a 1-row cross. Top-k is a TakeOrdered on
+    * the integer score.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(toksAll.as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(count(lit(1)).as("n_uni"))
+    val pairExpr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2"))))
+    val bc = toks.select(explode_outer(pairExpr).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    def lq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
+        .cast(LongType)
+    bc.join(broadcast(uc.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .join(broadcast(total))
+      .withColumn("pmi_q",
+        lq(col("c_xy")) + lq(col("n_uni")) - lq(col("c_x")) - lq(col("c_y")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi_q"),
+        (col("pmi_q").cast(DoubleType) / lit(BmScale.toDouble)).as("pmi"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   // ------------------------------------------------- label propagation
   /** Seed rule for [[labelSpread]]: doc_id ≡ 0 (mod this) docs are the
     * trusted-label set. */

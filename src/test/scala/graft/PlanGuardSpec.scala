@@ -72,7 +72,9 @@ class PlanGuardSpec extends SparkSpec {
       // Mann-Whitney rides the same twoSampleCum bucket-offset probe
       "q_mann_whitney",
       // HITS' four 1-row max-normalizer crosses (the decay-score shape)
-      "q_hits")
+      "q_hits",
+      // collocations' 1-row corpus-token-total cross
+      "q_collocations")
 
   test("BroadcastNestedLoopJoin only in sanctioned tiny-build-side joins") {
     for ((name, plan) <- plans if !sanctionedBnlj(name)) {

@@ -353,6 +353,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("rare") === ((1L, 1L, "11")))
   }
 
+  test("collocations: PMI ranks association above frequency, ties by pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // (strong, coffee): 5/5/5 — perfect association. (a, c) and (d, b):
+    // frequent (10) but with busier unigrams. (a, b): 5 co-occurrences of
+    // two popular words — the lowest score despite equal pair count.
+    val docs = Seq.fill(5)("strong coffee") ++ Seq.fill(5)("a b") ++
+      Seq.fill(10)("a c") ++ Seq.fill(10)("d b")
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    def lq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * TextOps.BmScale + 0.5).toLong
+    // N = 60 tokens; replica of the quantized score
+    def pmi(cxy: Long, cx: Long, cy: Long): Long =
+      lq(cxy) + lq(60) - lq(cx) - lq(cy)
+    assert(rows.toSeq === Seq(
+      ("strong", "coffee", pmi(5, 5, 5)),
+      ("a", "c", pmi(10, 15, 10)),
+      ("d", "b", pmi(10, 10, 15)),
+      ("a", "b", pmi(5, 15, 15))))
+  }
+
   test("labelSpread: majority vote inside components, held-out accuracy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
