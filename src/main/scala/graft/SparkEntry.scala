@@ -382,6 +382,8 @@ object SparkEntry {
     "q_tail_index" -> (GraphOps.tailIndex _),
     // top word pairs by quantized pointwise mutual information
     "q_collocations" -> (TextOps.collocations _),
+    // seasonal-naive vs naive-1 backtest with skill score
+    "q_forecast_eval" -> (StatsOps.forecastEval _),
   )
 
   private val revenueSql =
@@ -3169,5 +3171,24 @@ object SparkEntry {
         |  CAST(pmi_q AS DOUBLE) / $BmScale.0 AS pmi
         |FROM s ORDER BY pmi_q DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
     },
+    // same O(days) reduction, same exact-cents absolute errors
+    "q_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT d.day, d.x, d1.x AS x1, d7.x AS x7
+        |  FROM daily d
+        |  JOIN daily d1 ON d1.day = d.day - 1
+        |  JOIN daily d7 ON d7.day = d.day - 7),
+        |m AS (SELECT COUNT(*) AS n_eval,
+        |    CAST(SUM(abs(x - x1)) AS BIGINT) AS ae1,
+        |    CAST(SUM(abs(x - x7)) AS BIGINT) AS ae7
+        |  FROM e)
+        |SELECT n_eval,
+        |  CAST(ae1 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae1_cents,
+        |  CAST(ae7 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae7_cents,
+        |  1.0 - CAST(ae7 AS DOUBLE) / CAST(nullif(ae1, 0) AS DOUBLE) AS skill
+        |FROM m""".stripMargin,
   )
 }

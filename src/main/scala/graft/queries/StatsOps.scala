@@ -340,6 +340,43 @@ object StatsOps {
         (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
   }
 
+  // ------------------------------------------------ forecast backtest
+  /** Seasonal-naive forecast backtest over the daily revenue series: for
+    * every day with both a yesterday and a same-weekday-last-week
+    * predecessor, compare the naive-1 forecast (x_{t−1}) and the
+    * seasonal-naive-7 forecast (x_{t−7}) against the actual, and report
+    * both MAEs plus the skill score 1 − MAE₇/MAE₁ — the first number a
+    * forecasting pipeline computes, because it prices whether weekly
+    * seasonality is worth modeling at all. Errors are exact integer
+    * cents summed exactly; the two divisions and the skill ratio are
+    * the only floats. The series reduces to O(days) BEFORE any join
+    * (the autocorr shape), and both predecessor lookups are one
+    * days-sized equi-join each against broadcast probe sides — no
+    * window, no sequential recurrence, nothing fact-scale after the
+    * first aggregate.
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("day"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    val eval = daily
+      .join(broadcast(daily.select((col("day") + 1).as("day"), col("x").as("x1"))),
+        Seq("day"))
+      .join(broadcast(daily.select((col("day") + 7).as("day"), col("x").as("x7"))),
+        Seq("day"))
+    eval.agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("x1"))).as("ae1"),
+        sum(abs(col("x") - col("x7"))).as("ae7"))
+      .select(col("n_eval"),
+        (col("ae1").cast(DoubleType) / col("n_eval").cast(DoubleType)).as("mae1_cents"),
+        (col("ae7").cast(DoubleType) / col("n_eval").cast(DoubleType)).as("mae7_cents"),
+        (lit(1.0) - col("ae7").cast(DoubleType)
+          / nullif(col("ae1"), lit(0L)).cast(DoubleType)).as("skill"))
+  }
+
   // -------------------------------------------- jackknife (bucketed CI)
   /** Number of leave-one-out buckets for [[jackknife]]. */
   private[graft] val JkBuckets = 20L

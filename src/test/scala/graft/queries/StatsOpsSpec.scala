@@ -142,6 +142,35 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(5) === 135000.0 / 175000.0)
   }
 
+  test("forecastEval: exact MAEs on a weekly-periodic series with one shock") {
+    import spark.implicits._
+    val dir = tmp("fc")
+    // 21 days of a perfect weekly cycle (value = dow+1 dollars), except
+    // day 15 is shocked +10. Eval days 7..20 (need t-1 and t-7).
+    val rows = (0 until 21).map { d =>
+      val v = (d % 7 + 1).toDouble + (if (d == 15) 10.0 else 0.0)
+      (Timestamp.valueOf(f"1995-01-${d + 1}%02d 00:00:00"), v)
+    }
+    rows.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.forecastEval(spark, dir).collect().head
+    assert(r.getLong(0) === 14L)
+    // naive-1 errors: |x_t - x_{t-1}| = 100 cents except at the weekly
+    // wrap (600) and around the shock; seasonal-naive errors are 0
+    // except days 15 (1000) and 22>20 — only 15. Hand-folded sums:
+    // ae1: 12 normal transitions of 100 + wraps at t=7,14 of 600 each
+    //      -> replaced at t=15: |12+10-1|*? compute directly below
+    val series = (0 until 21).map(d => ((d % 7 + 1) * 100L) + (if (d == 15) 1000L else 0L))
+    val evalDays = 7 until 21
+    val ae1 = evalDays.map(t => math.abs(series(t) - series(t - 1))).sum
+    val ae7 = evalDays.map(t => math.abs(series(t) - series(t - 7))).sum
+    assert(r.getDouble(1) === ae1.toDouble / 14.0)
+    assert(r.getDouble(2) === ae7.toDouble / 14.0)
+    assert(r.getDouble(3) === 1.0 - ae7.toDouble / ae1.toDouble)
+    // the weekly model must beat naive-1 on a weekly series
+    assert(r.getDouble(3) > 0.5)
+  }
+
   test("jackknife: exact mean; zero variance when every row is identical") {
     import spark.implicits._
     val dir = tmp("jk")
