@@ -2697,13 +2697,18 @@ object SparkEntry {
         |ORDER BY lang, source, exemplar_rank""".stripMargin
     },
     // same hundredths-scaled integer moments (squares as HUGEINT — the
-    // DECIMAL(38,0) twin), same double combination order per pair
+    // DECIMAL(38,0) twin), same double combination order per pair.
+    // The double cast routes through VARCHAR: DuckDB's direct
+    // HUGEINT→DOUBLE cast is NOT correctly rounded above 2^63 (measured
+    // 4096 off on the price² moment at sf0.1), while string→double is —
+    // and Spark's Decimal→Double is correctly rounded, so the detour is
+    // what makes the two engines agree bitwise.
     "q_corr_matrix" -> {
       val cols = Seq("quantity", "extendedprice", "discount", "tax")
       val moments = cols.map(c => s"SUM($c) AS s_$c") ++
         (for (x <- cols; y <- cols if x <= y)
           yield s"SUM(CAST($x AS HUGEINT) * $y) AS s_${x}_$y")
-      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def dbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       val legs = for (x <- cols; y <- cols if x < y) yield {
         val num = s"(${dbl("n")} * ${dbl(s"s_${x}_$y")} - ${dbl(s"s_$x")} * ${dbl(s"s_$y")})"
         val dx  = s"(${dbl("n")} * ${dbl(s"s_${x}_$x")} - ${dbl(s"s_$x")} * ${dbl(s"s_$x")})"
@@ -3027,7 +3032,8 @@ object SparkEntry {
         |    CAST(SUM(s_g) AS BIGINT) AS grand,
         |    list_reduce(list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
         |        ORDER BY grp), (x, y) -> x + y) AS sum_sq_n,
-        |    list_reduce(list(CAST(ss_g AS DOUBLE) ORDER BY grp), (x, y) -> x + y) AS sum_ss
+        |    list_reduce(list(CAST(CAST(ss_g AS VARCHAR) AS DOUBLE) ORDER BY grp),
+        |      (x, y) -> x + y) AS sum_ss
         |  FROM g),
         |s AS (SELECT k, n,
         |    sum_sq_n - CAST(grand AS DOUBLE) * CAST(grand AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
