@@ -25,6 +25,14 @@ can choose between cheap flagging and full adjudication.
 Round 7 context: the driver's box was busy, four legs read 3-21x wrong, and
 two headline wins appeared inverted — each needed a hand re-run to refute.
 This script is that ritual, mechanized (VERDICT r7 next-round #7).
+
+Box-factor normalization (round 8): when BOTH artifacts carry a calibration
+block, the ratio of their quiet-phase calibration medians (min of start/mid —
+`end` can sit in a degraded tail) measures how much slower the current box
+epoch is, independent of any code change. Leg ratios are judged against
+prev × box_factor, so a uniformly 1.2x-slower host (measured: 0.106 vs 0.088
+between two round-8 runs) doesn't push every short leg over the flag
+threshold and bury a real regression in 26 false alarms.
 """
 import argparse
 import json
@@ -40,6 +48,15 @@ def load_queries(path):
     if "queries" not in doc:
         sys.exit(f"{path}: no 'queries' map — not a bench artifact")
     return doc
+
+
+def quiet_cal(doc):
+    """The artifact's quiet-phase calibration median: min of start/mid (the
+    end checkpoint can sit in a degraded post-query tail)."""
+    cal = doc.get("calibration") or {}
+    vals = [cal.get(k, {}).get("median") for k in ("start", "mid")]
+    vals = [v for v in vals if v]
+    return min(vals) if vals else None
 
 
 def classify(name, cur, prev, cur_min, threshold, cal_spread):
@@ -95,6 +112,19 @@ def main():
     cal = cur_doc.get("calibration", {})
     cal_spread = cal.get("spread")
 
+    # box-factor: how much slower THIS box epoch runs the fixed calibration
+    # workload than the previous artifact's — a code-independent scale
+    cur_cal, prev_cal = quiet_cal(cur_doc), quiet_cal(prev_doc)
+    box_factor = 1.0
+    if cur_cal and prev_cal:
+        box_factor = cur_cal / prev_cal
+        print(f"[benchgate] box factor {box_factor:.3f} "
+              f"(quiet calibration {cur_cal} vs prev {prev_cal}) — "
+              f"leg ratios judged against prev x factor")
+    # never let a FASTER current box mask a code regression
+    box_factor = max(box_factor, 1.0)
+    prev = {k: v * box_factor for k, v in prev.items()}
+
     if cal_spread is not None:
         tag = "QUIET" if cal_spread <= 1.3 else "CONTAMINATED?"
         print(f"[benchgate] calibration spread {cal_spread} -> {tag} "
@@ -107,7 +137,7 @@ def main():
     for name in common:
         verdict = classify(name, cur.get(name), prev.get(name),
                            cur_min.get(name), args.threshold, cal_spread)
-        rows.append({"leg": name, "prev": prev[name], "cur": cur[name],
+        rows.append({"leg": name, "prev": round(prev[name], 3), "cur": cur[name],
                      "cur_min": cur_min.get(name),
                      "ratio": round(cur[name] / prev[name], 2)
                      if prev[name] and prev[name] > 0 and cur[name] >= 0 else None,
@@ -141,7 +171,8 @@ def main():
     report = {"common": len(common), "ok": n_ok, "flagged": rows and
               [r for r in rows if r["verdict"] != "ok"] or [],
               "new_legs": new_legs, "gone_legs": gone_legs,
-              "cal_spread": cal_spread, "confirmed": confirmed}
+              "cal_spread": cal_spread, "box_factor": round(box_factor, 3),
+              "confirmed": confirmed}
     out_path = os.environ.get("BENCHGATE_OUT", "/tmp/benchgate_report.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
