@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g: at 185 bench legs the accumulated driver-side state
+  // (broadcasts, codegen classes, cached-plan debris) tips an 8g heap
+  // into GC thrash by the post-query tail — the bench's own calibration
+  // leg measured end-of-run 2x degradation (spread 2.03) that vanishes
+  // at 16g (spread 1.13, end==mid). Box has 128 GiB; override with
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
