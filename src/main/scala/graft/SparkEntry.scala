@@ -1607,8 +1607,9 @@ object SparkEntry {
         |SELECT doc_id, width, height,
         |  CAST(floor(CAST(width AS DOUBLE) * scale) AS INT) AS resized_w,
         |  CAST(floor(CAST(height AS DOUBLE) * scale) AS INT) AS resized_h,
-        |  list_transform(range(0, 8), i ->
-        |    CAST(concat('0x', substr(sha, CAST(1 + 8 * i AS INT), 8)) AS BIGINT) % 256 - 128)
+        |  array_to_string(list_transform(range(0, 8), i ->
+        |    CAST(CAST(concat('0x', substr(sha, CAST(1 + 8 * i AS INT), 8)) AS BIGINT) % 256 - 128
+        |      AS VARCHAR)), ' ')
         |    AS embedding
         |FROM s ORDER BY doc_id""".stripMargin
     },
@@ -2397,15 +2398,23 @@ object SparkEntry {
         |edges AS (SELECT a.pk AS u, b.pk AS v
         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
-        |wedges AS (SELECT e1.u, e1.v AS b, e2.v AS c
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+        |  GROUP BY node),
+        |-- n_wedges is the orientation-invariant path-of-length-2 count
+        |-- straight off the degree table (the Spark twin's definition);
+        |-- the id-ordered candidate join below only finds triangles,
+        |-- which ARE invariant under any total-order orientation
+        |cand AS (SELECT e1.u, e1.v AS b, e2.v AS c
         |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v),
-        |tris AS (SELECT * FROM wedges w
+        |tris AS (SELECT * FROM cand w
         |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.u = w.b AND e.v = w.c))
         |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
-        |  (SELECT COUNT(*) FROM wedges) AS n_wedges,
+        |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
         |  (SELECT COUNT(*) FROM tris) AS n_triangles,
-        |  CAST((SELECT COUNT(*) FROM tris) AS DOUBLE)
-        |    / CAST((SELECT COUNT(*) FROM wedges) AS DOUBLE) AS closure_rate""".stripMargin
+        |  CAST(3 * (SELECT COUNT(*) FROM tris) AS DOUBLE)
+        |    / CAST((SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS DOUBLE)
+        |    AS closure_rate""".stripMargin
     },
     // same one-digest bucket slices as q_heavy_hitters on BOTH join
     // sides; inner products exact (HUGEINT / DECIMAL(38,0))
@@ -2728,6 +2737,8 @@ object SparkEntry {
     "q_autocorr" -> {
       import graft.queries.StatsOps.AutocorrMaxLag
       def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      // VARCHAR detour for the HUGEINT cross-moments (see q_ttest_welch)
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       s"""WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
         |    COUNT(*) AS cnt
@@ -2740,9 +2751,9 @@ object SparkEntry {
         |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT lag, n_pairs,
-        |  (${dbl("n_pairs")} * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
-        |    / nullif(sqrt((${dbl("n_pairs")} * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
-        |         * (${dbl("n_pairs")} * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")})), 0.0) AS autocorr
+        |  (${dbl("n_pairs")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |    / nullif(sqrt((${dbl("n_pairs")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
+        |         * (${dbl("n_pairs")} * ${hdbl("syy")} - ${dbl("sy")} * ${dbl("sy")})), 0.0) AS autocorr
         |FROM m ORDER BY lag""".stripMargin
     },
     // digits from the same exact cents integer; the expected mass is a
@@ -3001,9 +3012,13 @@ object SparkEntry {
           |    CAST(SUM(CASE WHEN c_mktsegment = '$seg' THEN cents ELSE 0 END) AS BIGINT) AS s$t,
           |    SUM(CASE WHEN c_mktsegment = '$seg' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss$t""".stripMargin
       def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      // HUGEINT->DOUBLE is not correctly rounded above 2^63 (the
+      // q_corr_matrix finding); route the squared-cents moments through
+      // VARCHAR like q_corr_matrix/q_anova do
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       def mean(t: String) = s"(${dbl(s"s$t")} / ${dbl(s"n$t")})"
       def varv(t: String) =
-        s"((${dbl(s"ss$t")} - ${dbl(s"s$t")} * ${dbl(s"s$t")} / ${dbl(s"n$t")}) / (${dbl(s"n$t")} - 1.0))"
+        s"((${hdbl(s"ss$t")} - ${dbl(s"s$t")} * ${dbl(s"s$t")} / ${dbl(s"n$t")}) / (${dbl(s"n$t")} - 1.0))"
       val se1 = s"(${varv("1")} / ${dbl("n1")})"
       val se2 = s"(${varv("2")} / ${dbl("n2")})"
       s"""WITH c AS (SELECT c_mktsegment,

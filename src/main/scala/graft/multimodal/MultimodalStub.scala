@@ -54,10 +54,10 @@ object MultimodalStub {
     StructField("height", IntegerType, nullable = false),
     StructField("resized_w", IntegerType, nullable = false),
     StructField("resized_h", IntegerType, nullable = false),
-    // containsNull=true matches the column twin (Spark's array() of
-    // nullable arithmetic marks elements nullable even when none are)
-    StructField("embedding", ArrayType(LongType, containsNull = true),
-      nullable = false)))
+    // space-joined string, matching the column twin's array_join
+    // serialization (the collectTypes discipline — raw arrays can't
+    // survive a cross-engine row-sorted hash compare)
+    StructField("embedding", StringType, nullable = false)))
 
   /** STUB feature extraction: a real vision/audio encoder replaces this
     * body (and would emit float embeddings instead of sha-slice ints);
@@ -73,7 +73,8 @@ object MultimodalStub {
     val emb = (0 until 8).map { i =>
       java.lang.Long.parseLong(sha.substring(8 * i, 8 * i + 8), 16) % 256 - 128
     }
-    Row(docId, w, h, math.floor(w * scale).toInt, math.floor(h * scale).toInt, emb)
+    Row(docId, w, h, math.floor(w * scale).toInt, math.floor(h * scale).toInt,
+      emb.mkString(" "))
   }
 
   /** Batch feature-extract over (doc_id, bin) — same mapPartitions shape

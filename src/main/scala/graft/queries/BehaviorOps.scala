@@ -803,6 +803,12 @@ object BehaviorOps {
     * sessionization, with the final aggregate map-side combinable to
     * |channels|+1 rows. Revenue sums are integer cents (the repo-wide
     * exact-decimal discipline).
+    *
+    * Encode domain: the packed day field is 18 bits relative to
+    * 1970-01-01, i.e. ts in [1970-01-01, 2687-08-08). A timestamp
+    * outside that range would silently corrupt both the running-max
+    * ordering and the day decode, so the encode asserts the domain
+    * per row (`assert_true`) and fails the job loudly instead.
     */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val code = AttrTouch.tail.foldLeft(
@@ -811,8 +817,19 @@ object BehaviorOps {
     }
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("day"),
+        (datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType)
+          // the +coalesce(assert_true...) rider keeps the domain check
+          // inside the day expression so column pruning can't drop it;
+          // it contributes exactly 0 on every in-domain row
+          + coalesce(
+            assert_true(
+              datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+                .between(0, (1L << 18) - 1),
+              concat(lit("attribution: ts outside the 18-bit epoch-day "
+                + "encode domain [1970-01-01, 2687-08-08): "), col("ts").cast(StringType)))
+              .cast(LongType),
+            lit(0L))).as("day"),
         col("value"))
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val enc = e

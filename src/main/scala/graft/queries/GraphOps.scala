@@ -21,6 +21,49 @@ import graft.Tables
   */
 object GraphOps {
 
+  /** Tracks the DataFrames an entry persists so they can be released
+    * through `df.unpersist()` — which also drops the CacheManager's
+    * plan-keyed entry. Releasing at the RDD level alone leaves that entry
+    * stale: a later identical plan (e.g. the next graph entry's coEdges)
+    * would silently reuse a dead InMemoryRelation that recomputes per
+    * subtree instead of caching.
+    */
+  private[graft] final class CacheScope {
+    private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { tracked += df; df.persist() }
+    def releaseAll(): Unit = tracked.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The `Pipeline.cleanup` pattern for the iterative entries (VERDICT r8
+    * #5): materialize the BOUNDED result (top-k / one-row census — the only
+    * collects in this file, ≤ 2·[[HitsTopK]] rows by construction), then
+    * release everything the entry pinned — scope-tracked `.persist()`s via
+    * `df.unpersist` (so the CacheManager entry goes too) AND the loop
+    * `localCheckpoint`s via an RDD-snapshot sweep — before handing back a
+    * local frame, so no cached topology outlives the entry in a long-lived
+    * session. The since-snapshot sweep is correct because entries execute
+    * one at a time (Verify's loop, bench legs, forked sequential tests); a
+    * concurrent session sharing the SparkContext would need explicit
+    * handles for the checkpoint pins as well.
+    */
+  private def releasingCaches(spark: SparkSession)(build: CacheScope => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    try {
+      val result = build(scope)
+      val rows = java.util.Arrays.asList(result.collect(): _*)
+      spark.createDataFrame(rows, result.schema)
+    } finally {
+      scope.releaseAll()
+      // localCheckpoint pins live at the RDD level, not in the
+      // CacheManager — sweep whatever the scope release didn't cover
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
+  }
+
   /** Fixed-point scale: rank 1.0 == 1e6 units. */
   private[graft] val PrScale = 1000000L
   /** Damping 0.85 expressed in [[PrScale]] units. */
@@ -68,13 +111,15 @@ object GraphOps {
         struct(col("c").as("src"), col("s").as("dst")),
         struct(col("s").as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    prRanks(edges)
-      .select(
-        expr("node div 2").as("entity_key"),
-        when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer")).as("kind"),
-        col("pr"))
-      .orderBy(col("pr").desc, col("kind"), col("entity_key"))
-      .limit(20)
+    releasingCaches(spark) { scope =>
+      prRanks(edges, scope)
+        .select(
+          expr("node div 2").as("entity_key"),
+          when(col("node") % 2 === 1, lit("supplier")).otherwise(lit("customer")).as("kind"),
+          col("pr"))
+        .orderBy(col("pr").desc, col("kind"), col("entity_key"))
+        .limit(20)
+    }
   }
 
   /** The [[PrIters]]-step fixed-point iteration over an arbitrary directed
@@ -123,22 +168,28 @@ object GraphOps {
     * closure rate) — the clustering statistic that separates a
     * community-structured catalog from random co-purchase noise.
     *
-    * The scale shape is the canonical ORIENTED triangle count: every
-    * edge is stored once as (u, v) with u < v, wedges come from the
-    * self-join of out-neighbor lists on the shared LOWER endpoint, and
-    * each wedge probes the edge set once — so each triangle is counted
-    * exactly once (a < b < c), never six times, and the join is always
-    * equi-hash, never BNLJ. Work is Σ_a C(outdeg(a), 2): the id-order
-    * orientation bounds it at test scale, and the documented web-scale
-    * refinement is DEGREE-ordered orientation (orient every edge toward
-    * the higher-degree endpoint, which provably caps out-degrees at
-    * O(√edges) and with it the wedge explosion under power-law skew);
-    * id-order keeps the entry deterministic without a degree
-    * precomputation pass. The support threshold is the other knob: it
-    * removes the long tail of singleton co-occurrences — most of a
-    * retail pair distribution — before any quadratic-in-degree stage
-    * runs. Closure rate = triangles/wedges is one final double
-    * division on two exact counts.
+    * The scale shape is the canonical oriented triangle count under
+    * DEGREE-ordered orientation: every undirected edge is directed
+    * toward its higher-degree endpoint (id tiebreak), candidate pairs
+    * come from the self-join of OUT-neighbor lists on the shared source,
+    * and each candidate probes the edge set once — so each triangle is
+    * counted exactly once (it has exactly one vertex with two out-edges
+    * under any total-order orientation), the join is always equi-hash,
+    * and candidate work Σ_a C(outdeg(a), 2) is capped by the O(√edges)
+    * out-degree bound degree-ordering provides even under power-law
+    * skew, where id-ordering is quadratic in the hot node's degree
+    * (GraphOpsSpec pins a star fixture: 0 candidates vs C(n,2)). The
+    * support threshold is the other knob: it removes the long tail of
+    * singleton co-occurrences — most of a retail pair distribution —
+    * before any quadratic-in-degree stage runs.
+    *
+    * `n_wedges` is the ORIENTATION-INVARIANT path-of-length-2 count
+    * Σ_v C(deg(v), 2), read straight off the node-scale degree table
+    * (the oriented candidate count is NOT invariant — a path b—a—c has
+    * one id-ordered candidate but zero degree-ordered ones — so it
+    * would leak the execution strategy into the result). Closure rate
+    * is the standard global clustering coefficient 3·triangles/wedges:
+    * one final double division on two exact integers.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesFrom(Tables.lineitem(spark, dir)
@@ -148,41 +199,69 @@ object GraphOps {
     * [[commonNeighborsFrom]]: one (u, v) row per u < v pair co-ordered in
     * ≥ [[TriMinSupport]] capped baskets, PERSISTED because every consumer
     * references it from several subtrees (the prRanks topology idiom). */
-  private[graft] def coEdges(raw: DataFrame): DataFrame = {
+  private[graft] def coEdges(raw: DataFrame, scope: CacheScope): DataFrame = {
     val lp = raw.distinct()
     val sized = lp.groupBy(col("ok")).agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") >= 2 && col("bsize") <= BehaviorOps.MaxBasketItems)
       .select(col("ok"))
     val items = lp.join(sized, Seq("ok"))
-    items.select(col("ok"), col("pk").as("u"))
+    scope.cache(items.select(col("ok"), col("pk").as("u"))
       .join(items.select(col("ok"), col("pk").as("v")), Seq("ok"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= TriMinSupport)
-      .select(col("u"), col("v"))
-      .persist()
+      .select(col("u"), col("v")))
+  }
+
+  /** Undirected degree table of a (u, v) u<v edge list — node-scale. */
+  private[graft] def edgeDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Candidate pairs `(b, c)` (b < c by id) of OUT-neighbors of a shared
+    * source under DEGREE-ordered orientation: each undirected edge points
+    * at its higher-(deg, id) endpoint, which provably caps every
+    * out-degree at O(√edges) — the power-law escape for wedge
+    * enumeration. The degree table is node-scale (broadcast here; a
+    * web-scale graph lets it fall back to a hash join on the same key).
+    * Factored so the skew spec can count candidates directly.
+    */
+  private[graft] def orientedWedges(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val srcIsU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
+      .select(when(srcIsU, col("u")).otherwise(col("v")).as("src"),
+        when(srcIsU, col("v")).otherwise(col("u")).as("dst"))
+    oriented.select(col("src"), col("dst").as("b"))
+      .join(oriented.select(col("src"), col("dst").as("c")), Seq("src"))
+      .filter(col("b") < col("c"))
+      .select(col("b"), col("c"))
   }
 
   /** [[triangles]] over any (ok, pk) membership frame — factored so the
-    * spec can pin the census on a hand-drawn graph. */
-  private[graft] def trianglesFrom(raw: DataFrame): DataFrame = {
-    // consumed by three subtrees (edge census, both wedge legs, the
-    // closing probe) — materialized once via coEdges
-    val edges = coEdges(raw)
-    val wedges = edges.select(col("u"), col("v").as("b"))
-      .join(edges.select(col("u"), col("v").as("c")), Seq("u"))
-      .filter(col("b") < col("c"))
-      .persist()
-    val tris = wedges.join(edges.select(col("u").as("b"), col("v").as("c")),
-      Seq("b", "c"), "left_semi")
-    edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
-      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        (col("n_triangles").cast(org.apache.spark.sql.types.DoubleType)
-          / col("n_wedges").cast(org.apache.spark.sql.types.DoubleType))
-          .as("closure_rate"))
-  }
+    * spec can pin the census on a hand-drawn graph. Executes eagerly and
+    * releases its cached topology (see [[releasingCaches]]). */
+  private[graft] def trianglesFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      val edges = coEdges(raw, scope)
+      val deg = edgeDegrees(edges)
+      // candidate generation is referenced once (the closing probe);
+      // the invariant wedge count reads off the degree table instead
+      val tris = orientedWedges(edges, deg)
+        .join(edges.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+        .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          ((col("n_triangles") * 3).cast(org.apache.spark.sql.types.DoubleType)
+            / col("n_wedges").cast(org.apache.spark.sql.types.DoubleType))
+            .as("closure_rate"))
+    }
 
   /** Fixed-point scale for the quantized 1/ln(deg) Adamic–Adar weights. */
   private[graft] val AaScale = 1L << 20
@@ -202,9 +281,14 @@ object GraphOps {
     * Adamic–Adar weight is integer fixed-point: AaScale² div
     * lnq(deg(w)) — ln only ever sees the integer degree (≥ 2 for any
     * shared neighbor, so the quantized log is never 0), and per-pair
-    * sums are exact integer addition. Work is Σ_w deg(w)² like the
-    * wedge census; the support threshold prunes the hairball first and
-    * degree-ordered orientation is the documented power-law escape.
+    * sums are exact integer addition. Work is Σ_w C(deg(w), 2), and —
+    * unlike the triangle census — orientation CANNOT reduce it: every
+    * (pair, shared-neighbor) incidence must be generated to count cn
+    * exactly, so the power-law escapes here are the support threshold
+    * (prunes the hairball first) and, at web scale, a hub-degree cap on
+    * w (drop/sample centers above O(√edges) neighbors, which perturbs
+    * only scores through super-hubs — the least informative neighbors
+    * by the Adamic–Adar weight itself).
     */
   def commonNeighbors(spark: SparkSession, dir: String): DataFrame =
     commonNeighborsFrom(Tables.lineitem(spark, dir)
@@ -212,8 +296,14 @@ object GraphOps {
 
   /** [[commonNeighbors]] over any (ok, pk) membership frame — factored so
     * the spec can pin scores on a hand-drawn graph. */
-  private[graft] def commonNeighborsFrom(raw: DataFrame): DataFrame = {
-    val edges = coEdges(raw)
+  private[graft] def commonNeighborsFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      commonNeighborsPlan(coEdges(raw, scope))
+    }
+
+  /** The lazy scoring plan over a prebuilt (u, v) edge list — factored so
+    * PlanGuardSpec can audit the shape without executing it. */
+  private[graft] def commonNeighborsPlan(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("u").as("w"), col("v").as("n"))
       .unionByName(edges.select(col("v").as("w"), col("u").as("n")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
@@ -305,13 +395,13 @@ object GraphOps {
     * int64 headroom; a web-scale run re-scales to DECIMAL(38,0), same
     * plan.
     */
-  def hits(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .persist()
+  def hits(spark: SparkSession, dir: String): DataFrame = releasingCaches(spark) { scope =>
+    val edges = scope.cache(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct())
     var hubs = edges.select(col("c")).distinct().withColumn("h", lit(HitsScale))
     var auths = edges.select(col("s")).distinct().withColumn("a", lit(HitsScale))
     for (_ <- 1 to HitsIters) {
@@ -341,9 +431,11 @@ object GraphOps {
       .orderBy(col("kind"), col("score").desc, col("entity_key"))
   }
 
-  private[graft] def prRanks(edges: DataFrame): DataFrame = {
-    val e = edges.persist()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).persist()
+  private[graft] def prRanks(edges: DataFrame,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    val e = scope.cache(edges)
+    val deg = scope.cache(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     // "pr", not "rank": `rank` is a window-function keyword in both SQL
     // dialects and must not appear as a bare identifier in expr()/oracle
     // The rank/contribution frames are NODE-cardinality — dimension-

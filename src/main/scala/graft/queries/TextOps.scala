@@ -994,6 +994,10 @@ object TextOps {
     * decoded dims, and the embedding is integer slicing, so the whole
     * op rides the scan at 100 TB. The resize SCALE factor is a single
     * double division and min — correctly-rounded IEEE both engines.
+    *
+    * The embedding is emitted space-joined as a STRING, not a raw array:
+    * the collectTypes discipline ([[graft.queries.OlapOps]]) — array
+    * columns can't survive a cross-engine row-sorted hash compare.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val base = multimodalMeta(spark, dir)
@@ -1012,7 +1016,7 @@ object TextOps {
           .as("resized_w"),
         floor(col("height").cast(DoubleType) * col("scale")).cast(IntegerType)
           .as("resized_h"),
-        emb.as("embedding"))
+        array_join(emb.cast("array<string>"), " ").as("embedding"))
       .orderBy(col("doc_id"))
   }
 

@@ -21,10 +21,11 @@ class PlanGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sf) }
+
   private lazy val plans: Map[String, SparkPlan] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.sparkPlan
-    }
+    dfs.map { case (name, df) => name -> df.queryExecution.sparkPlan }
 
   /** Tables that scale with the data — a raw (unreduced) broadcast of any
     * of these is an OOM at 100 TB. */
@@ -83,6 +84,21 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(plans("q_theta_contains")
       .collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
+  test("no raw array/map/struct column in any registry output schema") {
+    // The driver's correctness gate lexsorts result rows in pandas before
+    // hashing; a raw ArrayType column crashes that sort (round 8's
+    // q_media_features: "unhashable type: numpy.ndarray"). Nested results
+    // must be serialized — array_join/to_json, the collectTypes discipline.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((name, df) <- dfs; f <- df.schema.fields) {
+      val nested = f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType]
+      assert(!nested,
+        s"$name emits ${f.name}: ${f.dataType.simpleString} — the driver's " +
+          "row-sorted compare cannot hash it; serialize it (array_join)")
+    }
   }
 
   test("no CartesianProduct in any query plan") {

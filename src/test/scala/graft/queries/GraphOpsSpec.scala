@@ -53,12 +53,51 @@ class GraphOpsSpec extends SparkSpec {
       (30L, 5L), (30L, 6L)) ++
       (0 until 13).map(i => (40L, 100L + i))).toDF("ok", "pk")
     val r = GraphOps.trianglesFrom(lp).collect()(0)
-    // edges {1-2, 1-3, 2-3, 2-4}; oriented wedges: u=1 -> (2,3),
-    // u=2 -> (3,4); only (2,3) closes (edge 2-3 exists, 3-4 doesn't)
+    // edges {1-2, 1-3, 2-3, 2-4}; degrees 1->2, 2->3, 3->2, 4->1, so the
+    // invariant path-2 count is C(2,2)+C(3,2)+C(2,2)+C(1,2) = 1+3+1+0 = 5;
+    // one triangle {1,2,3}; closure = 3*1/5
     assert(r.getLong(0) === 4L) // n_edges
-    assert(r.getLong(1) === 2L) // n_wedges
+    assert(r.getLong(1) === 5L) // n_wedges (undirected paths of length 2)
     assert(r.getLong(2) === 1L) // n_triangles
-    assert(r.getDouble(3) === 0.5)
+    assert(r.getDouble(3) === 0.6)
+  }
+
+  test("degree-ordered orientation bounds star-graph candidates where id-order explodes") {
+    import spark.implicits._
+    // star K(1,30): hub id 1 (the SMALLEST id, the id-order worst case)
+    // joined to leaves 100..129. Id-order orients every edge hub->leaf,
+    // so the hub's out-list alone yields C(30,2) = 435 candidate pairs;
+    // degree-order points every edge AT the hub (deg 30 vs 1), leaving
+    // all out-degrees <= 1 — zero candidates, and the same 0 triangles.
+    val edges = (0 until 30).map(i => (1L, 100L + i)).toDF("u", "v")
+    val deg = GraphOps.edgeDegrees(edges)
+    assert(GraphOps.orientedWedges(edges, deg).count() === 0L)
+    val idOrderCands = edges.select(col("u"), col("v").as("b"))
+      .join(edges.select(col("u"), col("v").as("c")), Seq("u"))
+      .filter(col("b") < col("c")).count()
+    assert(idOrderCands === 435L)
+    // and the census over the star stays correct: 30 edges, C(30,2)
+    // centered paths, no triangle
+    val lp = (0 until 30).flatMap { i =>
+      Seq((2L * i, 1L), (2L * i, 100L + i), (2L * i + 1, 1L), (2L * i + 1, 100L + i))
+    }.map { case (ok, pk) => (ok + 1000L, pk) }.toDF("ok", "pk")
+    val c = GraphOps.trianglesFrom(lp).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) === ((30L, 435L, 0L)))
+  }
+
+  test("iterative entries leave no pinned RDDs behind (topology released)") {
+    val sf = "/root/testdata/sf0.001"
+    val entries: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => GraphOps.pagerank(spark, sf),
+      () => GraphOps.hits(spark, sf),
+      () => GraphOps.triangles(spark, sf),
+      () => GraphOps.commonNeighbors(spark, sf))
+    for (fn <- entries) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      assert(fn().count() > 0)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"entry pinned RDDs $leaked after completion")
+    }
   }
 
   test("commonNeighbors: open wedges only, integer Adamic-Adar pinned") {

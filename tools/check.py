@@ -8,6 +8,15 @@ oracle SQL (from <verifyOutDir>/oracle_sql.json) in DuckDB over the same
 testdata parquet files, and compares values exactly (columns sorted by name,
 rows in emitted order). Exact match here implies the driver's hash compare
 passes regardless of its hashing details.
+
+Strictly harsher than the driver's gate: before comparing, both frames are
+run through the driver's own normalization — sort columns by name, then
+pandas-lexsort the rows by ALL columns — and any dtype that lexsort cannot
+handle (e.g. a raw array/list column, which raised
+"unhashable type: numpy.ndarray" in the driver on round 8's
+q_media_features) is a hard FAIL even if the values happen to agree in
+emitted order. The value compare itself stays in emitted order, which is
+stronger than the driver's sorted-hash compare.
 """
 import json
 import sys
@@ -24,8 +33,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_lexsort(df: pd.DataFrame) -> Exception | None:
+    """Reproduce the driver's row normalization (sort_values over every
+    column); returns the exception a driver run would hit, else None."""
+    try:
+        d = df[sorted(df.columns)]
+        if len(d.columns):
+            d.sort_values(by=list(d.columns), kind="mergesort")
+        return None
+    except Exception as e:
+        return e
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    for side, df in (("spark", spark_df), ("duck", duck_df)):
+        err = driver_lexsort(df)
+        if err is not None:
+            problems.append(
+                f"{side} result would crash the driver's row lexsort: {err!r}"
+                " (serialize array/map/struct columns, e.g. array_join)")
+    if problems:
+        return problems
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
         return problems
