@@ -21,9 +21,14 @@ import org.apache.spark.sql.SparkSession
   * each OTHER, but nothing in-JVM can protect against a busy BOX (the
   * r7 driver run read 4 legs 3-21x wrong). So the artifact now carries
   * its own contamination evidence: a constant calibration workload timed
-  * at start/mid/end ("calibration" key, spread ~1.0 when quiet), and
+  * at start/post_etl/mid/end ("calibration" key, spread ~1.0 when quiet),
   * per-leg min-of-3 alongside the median ("queries_min") — external
-  * contention only ever ADDS time, so median >> min flags the leg.
+  * contention only ever ADDS time, so median >> min flags the leg — and
+  * per-leg wall-clock spans ("queries_span") so a contaminated window is
+  * attributable to the exact legs inside it (VERDICT r8 #3). The heavy
+  * legs (etl + dedup/kmeans families + layout) run FIRST, etl bracketed
+  * by its own checkpoint, instead of at the 185-leg tail where three
+  * consecutive driver artifacts read it 3-6x inflated (VERDICT r8 #7).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,16 +75,26 @@ object Bench {
     // external contention (a busy neighbor can only ever ADD time), so a
     // leg whose median is several-fold above its min is itself evidence
     // the box was busy during that leg.
-    case class Timing(median: Double, min: Double)
+    // Every leg also records its wall-clock window as [start, end] offsets
+    // (seconds since the run epoch): the r8 driver artifact was 5.9x
+    // inflated on etl_pipeline while all three calibration checkpoints read
+    // quiet — the contamination window fell BETWEEN checkpoints and could
+    // not be attributed to specific legs. With per-leg spans, benchgate can
+    // intersect a suspect wall-clock window with exactly the legs inside it.
+    val runEpoch = System.nanoTime()
+    def nowOff(): Double = (System.nanoTime() - runEpoch) / 1e9
+    case class Timing(median: Double, min: Double, t0: Double, t1: Double)
     def timed3(run: () => Boolean, warmup: Boolean = true): Timing = {
+      val t0 = nowOff()
       quiesce()
       if (warmup) run() // untimed — JIT/codegen + page cache
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        if (run()) (System.nanoTime() - t0) / 1e9 else -1.0
+        val s = System.nanoTime()
+        if (run()) (System.nanoTime() - s) / 1e9 else -1.0
       }
-      if (times.exists(_ < 0)) Timing(-1.0, -1.0)
-      else Timing(times.sorted.apply(1), times.min)
+      val t1 = nowOff()
+      if (times.exists(_ < 0)) Timing(-1.0, -1.0, t0, t1)
+      else Timing(times.sorted.apply(1), times.min, t0, t1)
     }
     // Contention calibration (VERDICT r7 next-round #1): a CONSTANT
     // workload — fixed 200M-row in-memory aggregate (~0.5 s, long enough to amortize scheduling noise), zero disk, zero
@@ -117,12 +132,6 @@ object Bench {
     // calibration in a cold JVM reads ~2x the end value from JIT alone,
     // which would false-flag every clean run as contaminated
     val calStart = calibrate()
-    val results = names.map { name =>
-      // per-leg warmup already done by the pass above; timed3's own warmup
-      // re-materializes once more so each leg's 3 timed runs start hot even
-      // when an earlier leg evicted shared state
-      name -> timed3(() => materialize(name), warmup = false)
-    }
     // EP1+EP2 end-to-end (VERDICT r3 next-round #1): CSV ingest → validate/
     // quarantine → OLTP → star dims → 3 fact builds over a generated
     // DOPI-shaped fixture. Row count is FIXED (not sf-scaled) so the number
@@ -170,10 +179,14 @@ object Bench {
         // from a failed run cannot poison the next iteration's timings
         graft.etl.Pipeline.cleanup(spark)
       }
-    val calMid = calibrate()
-    val allResults = if (!runEtlLeg) results else {
-      results :+ ("etl_pipeline" -> timed3(runEtl _))
-    }
+    // Heavy, variance-prone legs run FIRST (VERDICT r8 #7): the etl leg
+    // sat at the tail of a 185-leg run and read 3-6x inflated in three
+    // consecutive driver artifacts; running it immediately after calStart
+    // with its own bracketing checkpoint (post_etl) pins its wall-clock
+    // window between two calibration readings.
+    val etlResults = if (!runEtlLeg) Seq.empty[(String, Timing)]
+      else Seq("etl_pipeline" -> timed3(runEtl _))
+    val calPostEtl = calibrate()
     // Dedup signature-table reuse (VERDICT r6 #3): the family's dominant
     // cost at 100 TB is the MinHash signature pass, and the three
     // per-entry legs above each pay it in full. `_recompute` times exactly
@@ -267,7 +280,16 @@ object Bench {
             spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
-    val finalResults = allResults ++ dedupResults ++ kmeansResults ++ layoutResults
+    val calMid = calibrate()
+    // Per-query sweep AFTER the heavy block: each leg's 3 timed runs skip
+    // timed3's warmup because the global pass above already materialized
+    // every query once (JIT + page cache), and the heavy legs touch the
+    // same input files so the OS cache stays warm.
+    val results = names.map { name =>
+      name -> timed3(() => materialize(name), warmup = false)
+    }
+    val finalResults =
+      etlResults ++ dedupResults ++ kmeansResults ++ layoutResults ++ results
     val calEnd = calibrate()
     // "queries" stays median (the shape every prior round's artifact used,
     // and what the driver parses); "queries_min" is the contention-robust
@@ -279,17 +301,24 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = finalResults.map { case (k, t) => "\"" + k + "\":" + round3(t.min) }
       .mkString("{", ",", "}")
-    val cals = Seq("start" -> calStart, "mid" -> calMid, "end" -> calEnd)
+    // per-leg [start, end] wall-clock offsets (sec since run epoch) so a
+    // contaminated window is attributable to exactly the legs inside it
+    val qsSpan = finalResults.map { case (k, t) =>
+      "\"" + k + "\":[" + round3(t.t0) + "," + round3(t.t1) + "]"
+    }.mkString("{", ",", "}")
+    val cals = Seq("start" -> calStart, "post_etl" -> calPostEtl,
+      "mid" -> calMid, "end" -> calEnd)
     val calMeds = cals.map(_._2.median).filter(_ >= 0)
     val calSpread =
       if (calMeds.isEmpty || calMeds.min <= 0) -1.0 else calMeds.max / calMeds.min
     val calJson = cals.map { case (k, t) =>
-      "\"" + k + "\":{\"median\":" + round3(t.median) + ",\"min\":" + round3(t.min) + "}"
+      "\"" + k + "\":{\"median\":" + round3(t.median) + ",\"min\":" + round3(t.min) +
+        ",\"span\":[" + round3(t.t0) + "," + round3(t.t1) + "]}"
     }.mkString("{", ",", s""","spread":${round3(calSpread)}}""")
     val total = finalResults.map(_._2.median).filter(_ >= 0).sum
     val failed = finalResults.count(_._2.median < 0)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"calibration":$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

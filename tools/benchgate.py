@@ -33,6 +33,18 @@ epoch is, independent of any code change. Leg ratios are judged against
 prev × box_factor, so a uniformly 1.2x-slower host (measured: 0.106 vs 0.088
 between two round-8 runs) doesn't push every short leg over the flag
 threshold and bury a real regression in 26 false alarms.
+
+Timestamp attribution (round 9): artifacts now carry per-leg wall-clock
+spans ("queries_span") and per-checkpoint spans inside "calibration". Each
+flagged leg is annotated with its span and the gap to the nearest
+calibration checkpoint; a contaminated checkpoint (median well above the
+run's quiet minimum) adjacent to the leg's window downgrades the flag to
+contention-suspect, while a large gap is recorded so the adjudicator knows
+the calibration never witnessed that window (the r8 failure mode: spread
+read 1.25 while etl sat 5.9x inflated BETWEEN checkpoints). Report rows
+carry both prev_raw (the previous artifact's recorded median) and
+prev_scaled (after box-factor) for provenance, and --rerun records the
+calibration measured at re-run time next to each adjudication.
 """
 import argparse
 import json
@@ -59,7 +71,7 @@ def quiet_cal(doc):
     return min(vals) if vals else None
 
 
-def classify(name, cur, prev, cur_min, threshold, cal_spread):
+def classify(name, cur, prev, cur_min, threshold, cal_spread, cal_near_bad):
     if prev is None or prev <= 0 or cur is None or cur < 0:
         return "incomparable"
     ratio = cur / prev
@@ -70,7 +82,32 @@ def classify(name, cur, prev, cur_min, threshold, cal_spread):
         return "contention-suspect"
     if cal_spread is not None and cal_spread > 1.3:
         return "contention-suspect"
+    # a contaminated calibration checkpoint adjacent to this leg's window
+    # acquits it even when the run-wide spread looks quiet
+    if cal_near_bad:
+        return "contention-suspect"
     return "regression?"
+
+
+def cal_points(doc):
+    """Calibration checkpoints with spans: [{name, median, span}, ...]."""
+    cal = doc.get("calibration") or {}
+    return [{"name": k, "median": v["median"], "span": v["span"]}
+            for k, v in cal.items()
+            if isinstance(v, dict) and v.get("median", 0) > 0 and v.get("span")]
+
+
+def span_gap(a, b):
+    """Seconds between two [t0, t1] windows (0 when they overlap)."""
+    return max(0.0, max(a[0], b[0]) - min(a[1], b[1]))
+
+
+def nearest_cal(leg_span, pts):
+    """(checkpoint, gap_sec) of the calibration nearest the leg's window."""
+    if not leg_span or not pts:
+        return None, None
+    best = min(pts, key=lambda p: span_gap(leg_span, p["span"]))
+    return best, round(span_gap(leg_span, best["span"]), 1)
 
 
 def isolated_rerun(names, sf_dir):
@@ -91,7 +128,8 @@ def isolated_rerun(names, sf_dir):
         print(proc.stderr[-2000:])
         sys.exit("[benchgate] isolated re-run failed")
     doc = json.load(open(out))
-    return doc.get("queries", {}), doc.get("queries_min", {})
+    return (doc.get("queries", {}), doc.get("queries_min", {}),
+            quiet_cal(doc))
 
 
 def main():
@@ -107,10 +145,13 @@ def main():
 
     cur_doc = load_queries(args.current)
     prev_doc = load_queries(args.previous)
-    cur, prev = cur_doc["queries"], prev_doc["queries"]
+    cur, prev_raw = cur_doc["queries"], prev_doc["queries"]
     cur_min = cur_doc.get("queries_min", {})
+    cur_span = cur_doc.get("queries_span", {})
     cal = cur_doc.get("calibration", {})
     cal_spread = cal.get("spread")
+    cal_pts = cal_points(cur_doc)
+    cal_quiet_min = min((p["median"] for p in cal_pts), default=None)
 
     # box-factor: how much slower THIS box epoch runs the fixed calibration
     # workload than the previous artifact's — a code-independent scale
@@ -123,7 +164,7 @@ def main():
               f"leg ratios judged against prev x factor")
     # never let a FASTER current box mask a code regression
     box_factor = max(box_factor, 1.0)
-    prev = {k: v * box_factor for k, v in prev.items()}
+    prev = {k: v * box_factor for k, v in prev_raw.items()}
 
     if cal_spread is not None:
         tag = "QUIET" if cal_spread <= 1.3 else "CONTAMINATED?"
@@ -135,10 +176,21 @@ def main():
     common = sorted(set(cur) & set(prev))
     rows = []
     for name in common:
+        leg_span = cur_span.get(name)
+        near, gap = nearest_cal(leg_span, cal_pts)
+        # adjacent (<= 30 s) checkpoint reading >= 1.2x the run's quiet
+        # minimum: the contamination window demonstrably covered this leg
+        cal_near_bad = bool(
+            near and gap is not None and gap <= 30.0 and cal_quiet_min
+            and near["median"] >= 1.2 * cal_quiet_min)
         verdict = classify(name, cur.get(name), prev.get(name),
-                           cur_min.get(name), args.threshold, cal_spread)
-        rows.append({"leg": name, "prev": round(prev[name], 3), "cur": cur[name],
+                           cur_min.get(name), args.threshold, cal_spread,
+                           cal_near_bad)
+        rows.append({"leg": name, "prev_raw": prev_raw.get(name),
+                     "prev_scaled": round(prev[name], 3), "cur": cur[name],
                      "cur_min": cur_min.get(name),
+                     "span": leg_span,
+                     "nearest_cal": near and near["name"], "cal_gap": gap,
                      "ratio": round(cur[name] / prev[name], 2)
                      if prev[name] and prev[name] > 0 and cur[name] >= 0 else None,
                      "verdict": verdict})
@@ -146,8 +198,14 @@ def main():
     flagged = [r for r in rows if r["verdict"] in ("regression?", "contention-suspect")]
     confirmed = []
     if args.rerun and flagged:
-        fresh, fresh_min = isolated_rerun([r["leg"] for r in flagged], args.sf_dir)
+        fresh, fresh_min, rerun_cal = isolated_rerun(
+            [r["leg"] for r in flagged], args.sf_dir)
+        if rerun_cal and cal_quiet_min:
+            print(f"[benchgate] re-run epoch calibration {rerun_cal} vs "
+                  f"current artifact quiet {cal_quiet_min} — adjudications "
+                  "below are judged in the re-run's own epoch")
         for r in flagged:
+            r["rerun_cal"] = rerun_cal
             iso = fresh.get(r["leg"])
             r["isolated"] = iso
             if iso is None or iso < 0:
@@ -163,8 +221,9 @@ def main():
 
     for r in rows:
         if r["verdict"] != "ok":
-            print("  {leg:36s} prev={prev:>8} cur={cur:>8} min={cur_min} "
-                  "ratio={ratio} -> {verdict}".format(**r))
+            print("  {leg:36s} prev={prev_scaled:>8} cur={cur:>8} min={cur_min} "
+                  "ratio={ratio} span={span} cal_gap={cal_gap} -> {verdict}"
+                  .format(**r))
     n_ok = sum(1 for r in rows if r["verdict"] == "ok")
     print(f"[benchgate] {len(common)} common legs: {n_ok} ok, "
           f"{len(flagged)} flagged; +{len(new_legs)} new, -{len(gone_legs)} gone")
