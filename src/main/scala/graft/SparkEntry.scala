@@ -384,6 +384,16 @@ object SparkEntry {
     "q_collocations" -> (TextOps.collocations _),
     // seasonal-naive vs naive-1 backtest with skill score
     "q_forecast_eval" -> (StatsOps.forecastEval _),
+    // reliability bins + order-pinned expected calibration error
+    "q_calibration" -> (StatsOps.calibration _),
+    // population stability index, smoothed integer-log bins
+    "q_psi" -> (StatsOps.psi _),
+    // categorical mutual information, exact integer PMI contributions
+    "q_mutual_info" -> (StatsOps.mutualInfo _),
+    // CUPED variance-reduced A/B comparison from one moment scan
+    "q_cuped" -> (StatsOps.cuped _),
+    // deterministic integer-weight bootstrap CI, rank-based bounds
+    "q_bootstrap_ci" -> (StatsOps.bootstrapCi _),
   )
 
   private val revenueSql =
@@ -3211,5 +3221,144 @@ object SparkEntry {
         |  CAST(ae7 AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae7_cents,
         |  1.0 - CAST(ae7 AS DOUBLE) / CAST(nullif(ae1, 0) AS DOUBLE) AS skill
         |FROM m""".stripMargin,
+    // same md5-derived pseudo-score, same 10-bin integer moments; the ECE
+    // fold rides list(... ORDER BY bin) ≡ sort_array, 0.0-seed-equivalent
+    "q_calibration" -> {
+      import graft.queries.StatsOps.CalBins
+      val milli = h32Sql("CAST(event_id AS VARCHAR)") + " % 1000"
+      s"""WITH e AS (SELECT $milli AS milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT milli * $CalBins // 1000 AS bin, COUNT(*) AS n,
+        |    CAST(SUM(milli) AS BIGINT) AS sm, CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1),
+        |b2 AS (SELECT bin, n, n_pos,
+        |    CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0) AS mean_conf,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+        |  FROM b),
+        |b3 AS (SELECT *, abs(frac_pos - mean_conf) AS abs_gap FROM b2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    list(CAST(n AS DOUBLE) * abs_gap ORDER BY bin) AS ws FROM b3),
+        |tt AS (SELECT list_reduce(ws, (a, x) -> a + x)
+        |    / CAST(n_total AS DOUBLE) AS ece FROM t)
+        |SELECT bin, n, n_pos, mean_conf, frac_pos, abs_gap, ece
+        |FROM b3 CROSS JOIN tt ORDER BY bin""".stripMargin
+    },
+    // same literal bin spine, same +1/+bins smoothing, same quantized
+    // integer-argument logs; total PSI folds in bin order on both sides
+    "q_psi" -> {
+      import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH e AS (SELECT
+        |    least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
+        |      ${PsiBins - 1}) AS bin,
+        |    CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END AS in_a
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        |  FROM e GROUP BY bin),
+        |s AS (SELECT r.range AS bin, COALESCE(ca, 0) + 1 AS sa, COALESCE(cb, 0) + 1 AS sb
+        |  FROM range($PsiBins) r LEFT JOIN c ON c.bin = r.range),
+        |t AS (SELECT CAST(SUM(sa) AS BIGINT) AS na, CAST(SUM(sb) AS BIGINT) AS nb FROM s),
+        |x AS (SELECT bin, sa, sb, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS share_a,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS share_b
+        |  FROM s CROSS JOIN t),
+        |x2 AS (SELECT *, (share_a - share_b)
+        |    * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE)
+        |    / $LogScale.0 AS psi_term
+        |  FROM x),
+        |tot AS (SELECT list_reduce(list(psi_term ORDER BY bin), (a, x) -> a + x) AS psi
+        |  FROM x2)
+        |SELECT bin, sa - 1 AS n_a, sb - 1 AS n_b, share_a, share_b, psi_term, psi
+        |FROM x2 CROSS JOIN tot ORDER BY bin""".stripMargin
+    },
+    // same cell/margin counts, same integer PMI quantization; MI total is
+    // an exact integer sum — no float fold at all
+    "q_mutual_info" -> {
+      import graft.queries.StatsOps.LogScale
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH cells AS (SELECT o_orderpriority AS x_val, o_orderstatus AS y_val,
+        |    COUNT(*) AS n_xy FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x_val, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |my AS (SELECT y_val, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+        |s AS (SELECT x_val, y_val, n_xy, n_x, n_y, n,
+        |    ${lnq("n_xy * n")} - ${lnq("n_x * n_y")} AS pmi_q
+        |  FROM cells JOIN mx USING (x_val) JOIN my USING (y_val) CROSS JOIN nn),
+        |mi AS (SELECT CAST(SUM(n_xy * pmi_q) AS BIGINT) AS mi_num, MAX(n) AS nn2 FROM s)
+        |SELECT x_val, y_val, n_xy, n_x, n_y,
+        |  CAST(pmi_q AS DOUBLE) / $LogScale.0 AS pmi,
+        |  CAST(mi_num AS DOUBLE) / (CAST(nn2 AS DOUBLE) * $LogScale.0) AS mi
+        |FROM s CROSS JOIN mi ORDER BY x_val, y_val""".stripMargin
+    },
+    // same user-level conditional sums, same exact covariance moments
+    // (HUGEINT products through the VARCHAR detour), same closed forms
+    "q_cuped" -> {
+      val arm = h32Sql("CAST(user_id AS VARCHAR)") + " % 2"
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+        |    CASE WHEN $arm = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |g AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM u),
+        |gg AS (SELECT n, sx,
+        |    (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      / nullif(${dbl("n")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}, 0.0) AS theta,
+        |    (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      * (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      / nullif((${dbl("n")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
+        |        * (${dbl("n")} * ${hdbl("syy")} - ${dbl("sy")} * ${dbl("sy")}), 0.0) AS var_reduction
+        |  FROM g),
+        |a AS (SELECT arm, COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS sx_a,
+        |    CAST(SUM(y) AS BIGINT) AS sy_a
+        |  FROM u GROUP BY arm)
+        |SELECT arm, n_users,
+        |  ${dbl("sy_a")} / ${dbl("n_users")} AS mean_post_cents,
+        |  ${dbl("sx_a")} / ${dbl("n_users")} AS mean_pre_cents,
+        |  ${dbl("sy_a")} / ${dbl("n_users")}
+        |    - theta * (${dbl("sx_a")} / ${dbl("n_users")} - ${dbl("sx")} / ${dbl("n")}) AS adj_mean_cents,
+        |  theta, var_reduction
+        |FROM a CROSS JOIN gg ORDER BY arm""".stripMargin
+    },
+    // same md5(key:rep) integer weights, same rank-based bounds over the
+    // value-sorted replicate means, same order-pinned SE fold
+    "q_bootstrap_ci" -> {
+      import graft.queries.StatsOps.{BootReps, BootWMod}
+      val w = h32Sql("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r.range AS VARCHAR))") +
+        s" % $BootWMod"
+      s"""WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |reps AS (SELECT r.range AS rep, $w AS w, cents
+        |  FROM o CROSS JOIN range($BootReps) r),
+        |rm AS (SELECT rep,
+        |    CAST(SUM(w * cents) AS DOUBLE) / CAST(nullif(SUM(w), 0) AS DOUBLE) AS rep_mean
+        |  FROM reps GROUP BY rep),
+        |p AS (SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS s FROM o),
+        |st0 AS (SELECT COUNT(*) AS n_reps, list(rep_mean ORDER BY rep_mean) AS means FROM rm),
+        |st1 AS (SELECT n_reps, means,
+        |    list_reduce(means, (a, x) -> a + x) / CAST(n_reps AS DOUBLE) AS m_bar
+        |  FROM st0),
+        |st AS (SELECT n_reps, means[2] AS ci_lo, means[${BootReps - 1}] AS ci_hi,
+        |    sqrt(list_reduce(list_transform(means, x -> (x - m_bar) * (x - m_bar)),
+        |      (a, x) -> a + x) / CAST(n_reps - 1 AS DOUBLE)) AS boot_se
+        |  FROM st1)
+        |SELECT n_rows, n_reps, CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS point_mean_cents,
+        |  boot_se, ci_lo, ci_hi
+        |FROM p CROSS JOIN st""".stripMargin
+    },
   )
 }

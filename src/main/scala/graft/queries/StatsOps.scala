@@ -471,4 +471,248 @@ object StatsOps {
           / (col("n_days") * col("total")).cast(DoubleType)).as("shift_frac"))
       .orderBy(col("event_type"))
   }
+
+  // ------------------------------------------------ calibration (ECE bins)
+  /** Number of equal-width confidence bins for [[calibration]]. */
+  private[graft] val CalBins = 10L
+
+  /** Reliability-diagram bins + expected calibration error for a
+    * classifier score against a binary outcome — the audit an
+    * ML-data pipeline runs on every model whose scores gate a filter
+    * (quality classifiers, toxicity, langid). The "model" here is a
+    * deterministic md5-derived pseudo-score in [0,1) (the stratified-
+    * sample discipline — a real model's score column drops in
+    * unchanged); the outcome is `event_type = 'purchase'`.
+    *
+    * Per bin, the exact integer moments (n, Σmilli-confidence, n_pos)
+    * produce mean-confidence and positive-rate as single divisions;
+    * ECE = Σ_b n_b·|gap_b| / N is a float sum across the
+    * [[CalBins]]-row aggregate, ORDER-PINNED by bin (the anova fold).
+    * One fact scan, one 10-row groupBy with map-side combine, a 1-row
+    * broadcast cross for the total — O(bins) state at any data size.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(
+        (TextOps.h32(col("event_id").cast(StringType)) % 1000L).as("milli"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .select(expr(s"milli * $CalBins div 1000").as("bin"), col("milli"), col("pos"))
+    val bins = e.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("milli")).as("sm"), sum(col("pos")).as("n_pos"))
+      .withColumn("mean_conf",
+        col("sm").cast(DoubleType) / (col("n").cast(DoubleType) * lit(1000.0)))
+      .withColumn("frac_pos", col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("abs_gap", abs(col("frac_pos") - col("mean_conf")))
+    val tot = bins.agg(
+        sum(col("n")).as("n_total"),
+        sort_array(collect_list(struct(col("bin"),
+          (col("n").cast(DoubleType) * col("abs_gap")).as("w")))).as("terms"))
+      .select(
+        (aggregate(col("terms"), lit(0.0), (a, s) => a + s.getField("w"))
+          / col("n_total").cast(DoubleType)).as("ece"))
+    bins.join(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("mean_conf"), col("frac_pos"), col("abs_gap"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  // --------------------------------------- population stability index (PSI)
+  /** Number of fixed-width value bins for [[psi]]. */
+  private[graft] val PsiBins = 8L
+  /** Width of one PSI bin in cents. */
+  private[graft] val PsiBinCents = 4000L
+
+  /** Population stability index between the first- and second-half-of-
+    * month event-value distributions — the standard drift gate between
+    * a model's training window and its serving window (complementing
+    * `q_drift_linf`'s sup-norm with the log-weighted mass shift).
+    * Counts are Laplace-smoothed (+1 per bin, +[[PsiBins]] per period)
+    * so empty bins stay defined, and every logarithm takes an INTEGER
+    * argument — ln(s_a·n_b) − ln(s_b·n_a) quantized to [[LogScale]] —
+    * so the per-bin term is bit-stable across engines. The bin spine is
+    * a literal [[PsiBins]]-row range (bins missing from the data still
+    * contribute their smoothed mass), the fact scan reduces to ≤ 2·bins
+    * conditional counts with map-side combine, and the total PSI is an
+    * order-pinned fold over the bin rows.
+    */
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val counts = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(
+        least((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+          .divide(lit(PsiBinCents)).cast(LongType), lit(PsiBins - 1)).as("bin"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("in_a")).as("ca"), sum(lit(1L) - col("in_a")).as("cb"))
+    val spine = spark.range(PsiBins).select(col("id").as("bin"))
+    val smoothed = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (coalesce(col("ca"), lit(0L)) + 1L).as("sa"),
+        (coalesce(col("cb"), lit(0L)) + 1L).as("sb"))
+    val tot = smoothed.agg(sum(col("sa")).as("na"), sum(col("sb")).as("nb"))
+    val terms = smoothed.join(broadcast(tot))
+      .withColumn("share_a", col("sa").cast(DoubleType) / col("na").cast(DoubleType))
+      .withColumn("share_b", col("sb").cast(DoubleType) / col("nb").cast(DoubleType))
+      .withColumn("psi_term",
+        (col("share_a") - col("share_b"))
+          * (lnq(col("sa") * col("nb")) - lnq(col("sb") * col("na"))).cast(DoubleType)
+          / lit(LogScale.toDouble))
+    val total = terms.agg(
+        sort_array(collect_list(struct(col("bin"), col("psi_term").as("t")))).as("ts"))
+      .select(aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("t")).as("psi"))
+    terms.join(broadcast(total))
+      .select(col("bin"), (col("sa") - 1L).as("n_a"), (col("sb") - 1L).as("n_b"),
+        col("share_a"), col("share_b"), col("psi_term"), col("psi"))
+      .orderBy(col("bin"))
+  }
+
+  // ------------------------------------------- categorical mutual information
+  /** Mutual information between order priority and order status — the
+    * feature-dependence screen (feature selection, leakage detection:
+    * a high-MI pair flags a column that encodes the label). EXACT up to
+    * one final division: with cell counts c_xy and margins c_x, c_y over
+    * N rows, MI = Σ c_xy·[lnq(c_xy·N) − lnq(c_x·c_y)] / (N·[[LogScale]])
+    * — every log takes an integer argument (the collocations/PMI
+    * discipline), each cell's contribution c_xy·pmi_q is an exact int64
+    * product, and their SUM is integer too, so the total needs no
+    * float-fold pinning at all. Shape: one groupBy to |X|·|Y| cells,
+    * margins re-aggregated from the cell table (never a second fact
+    * scan), broadcast-joined back — O(cells) everywhere past the scan.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("x_val"), col("o_orderstatus").as("y_val"))
+      .groupBy(col("x_val"), col("y_val")).agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x_val")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y_val")).agg(sum(col("n_xy")).as("n_y"))
+    val n = cells.agg(sum(col("n_xy")).as("n"))
+    val scored = cells
+      .join(broadcast(mx), Seq("x_val"))
+      .join(broadcast(my), Seq("y_val"))
+      .join(broadcast(n))
+      .withColumn("pmi_q", lnq(col("n_xy") * col("n")) - lnq(col("n_x") * col("n_y")))
+    val mi = scored.agg(sum(col("n_xy") * col("pmi_q")).as("mi_num"),
+        max(col("n")).as("nn"))
+      .select((col("mi_num").cast(DoubleType)
+        / (col("nn").cast(DoubleType) * lit(LogScale.toDouble))).as("mi"))
+    scored.join(broadcast(mi))
+      .select(col("x_val"), col("y_val"), col("n_xy"), col("n_x"), col("n_y"),
+        (col("pmi_q").cast(DoubleType) / lit(LogScale.toDouble)).as("pmi"),
+        col("mi"))
+      .orderBy(col("x_val"), col("y_val"))
+  }
+
+  // ------------------------------------------------------ CUPED adjustment
+  /** CUPED variance-reduced A/B comparison over per-user event value:
+    * pre-period value (days 1–15) is the covariate X, post-period value
+    * (days 16+) the metric Y, arms assigned by md5 parity of user_id
+    * (append-stable, the dataSplit discipline). θ = cov(X,Y)/var(X)
+    * comes from ONE user-level moment aggregate — n, ΣX, ΣY, ΣXY, ΣX²,
+    * ΣY² as exact cents integers (DECIMAL(38,0) where products overflow
+    * int64) — and each arm's adjusted mean is the closed form
+    * ȳ_a − θ·(x̄_a − x̄). `var_reduction` is the squared X–Y correlation —
+    * the fraction of metric variance CUPED removes.
+    *
+    * Scale shape: one fact scan → user-level conditional sums (hash agg
+    * on user_id, map-side combinable), then a 1-row global moment
+    * aggregate and a 2-row arm aggregate over the SAME user table,
+    * cross-joined broadcast. No window, no self-join; users missing a
+    * period contribute zero to that side naturally.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("in_pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("in_pre")).as("x"),
+        sum(col("cents") * (lit(1L) - col("in_pre"))).as("y"))
+      .withColumn("arm",
+        when(TextOps.h32(col("user_id").cast(StringType)) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+    val g = users.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val covN  = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varXN = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varYN = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    val gg = g.select(col("n"), col("sx"),
+      (covN / nullif(varXN, lit(0.0))).as("theta"),
+      (covN * covN / nullif(varXN * varYN, lit(0.0))).as("var_reduction"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx_a"), sum(col("y")).as("sy_a"))
+    arms.join(broadcast(gg))
+      .select(col("arm"), col("n_users"),
+        (dbl("sy_a") / dbl("n_users")).as("mean_post_cents"),
+        (dbl("sx_a") / dbl("n_users")).as("mean_pre_cents"),
+        (dbl("sy_a") / dbl("n_users")
+          - col("theta") * (dbl("sx_a") / dbl("n_users") - dbl("sx") / dbl("n")))
+          .as("adj_mean_cents"),
+        col("theta"), col("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  // ------------------------------------- deterministic bootstrap CI
+  /** Number of bootstrap replicates for [[bootstrapCi]]. */
+  private[graft] val BootReps = 32L
+  /** Modulus of the integer replicate weights (w ∈ 0..3, mean 1.5). */
+  private[graft] val BootWMod = 4L
+
+  /** Deterministic integer-weight bootstrap CI for the mean order total —
+    * the replicate-based companion to [[jackknife]] where per-replicate
+    * WEIGHTS replace per-row sampling: replicate r weights each row by
+    * md5(key:r) mod [[BootWMod]] (mean 1.5 — scale-free, since each
+    * replicate mean is Σw·cents / Σw), which is reproducible and
+    * append-stable where true multinomial resampling is neither. The CI
+    * is rank-based: the [[BootReps]] replicate means sort ascending and
+    * the 2nd-smallest / 2nd-largest bound a ~94% interval — exact order
+    * statistics, no float quantile interpolation to diverge across
+    * engines; the bootstrap SE is an order-pinned fold over the sorted
+    * means.
+    *
+    * Scale shape: the replicate explode multiplies MAP work by
+    * [[BootReps]] but partial aggregation collapses each partition to
+    * [[BootReps]] rows before the (tiny) shuffle — state is O(reps)
+    * regardless of data size, the fact is scanned once.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast(StringType).as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    val reps = o
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(0L), lit(BootReps - 1))).as("rep"))
+      .withColumn("w",
+        TextOps.h32(concat(col("k"), lit(":"), col("rep").cast(StringType))) % BootWMod)
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+      .select(col("rep"),
+        (col("swc").cast(DoubleType) / nullif(col("sw"), lit(0L)).cast(DoubleType))
+          .as("rep_mean"))
+    val point = o.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("s"))
+    val stats = reps.agg(
+        count(lit(1)).as("n_reps"),
+        sort_array(collect_list(col("rep_mean"))).as("means"))
+      .withColumn("m_bar",
+        expr("aggregate(means, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / col("n_reps").cast(DoubleType))
+      .select(col("n_reps"),
+        element_at(col("means"), 2).as("ci_lo"),
+        element_at(col("means"), (BootReps - 1).toInt).as("ci_hi"),
+        sqrt(expr("aggregate(means, CAST(0.0 AS DOUBLE), (a, x) -> a + (x - m_bar) * (x - m_bar))")
+          / (col("n_reps") - 1).cast(DoubleType)).as("boot_se"))
+    point.join(broadcast(stats))
+      .select(col("n_rows"), col("n_reps"),
+        (col("s").cast(DoubleType) / col("n_rows").cast(DoubleType))
+          .as("point_mean_cents"),
+        col("boot_se"), col("ci_lo"), col("ci_hi"))
+  }
 }

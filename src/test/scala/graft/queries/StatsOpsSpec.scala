@@ -212,4 +212,152 @@ class StatsOpsSpec extends SparkSpec {
     assert(m("a") === ((3L, 6L, "1970-01-01", 0.0)))
     assert(m("b") === ((6L, 14L, "1970-01-04", 32.0 / 84.0)))
   }
+
+  /** Scala replica of TextOps.h32 / the oracle's h32Sql — first 8 md5 hex
+    * digits as a long — so score-dependent fixtures can be hand-folded. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 8), 16)
+  }
+
+  test("calibration: bins and ECE match a scalar md5 replica") {
+    import spark.implicits._
+    val dir = tmp("cal")
+    val n = 200
+    val rows = (0 until n).map { i =>
+      (i.toLong, if (i % 4 == 0) "purchase" else "click",
+        Timestamp.valueOf("2024-01-05 00:00:00"))
+    }
+    rows.toDF("event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // scalar replica, same operation order
+    val per = (0 until n).map { i =>
+      val milli = h32(i.toString) % 1000L
+      (milli * StatsOps.CalBins / 1000L, milli, if (i % 4 == 0) 1L else 0L)
+    }
+    val exp = per.groupBy(_._1).map { case (bin, xs) =>
+      val nn = xs.size.toLong
+      val sm = xs.map(_._2).sum
+      val np = xs.map(_._3).sum
+      val mc = sm.toDouble / (nn.toDouble * 1000.0)
+      val fp = np.toDouble / nn.toDouble
+      bin -> ((nn, np, mc, fp, math.abs(fp - mc)))
+    }
+    val ece = exp.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (a, (_, (nn, _, _, _, g))) => a + nn.toDouble * g } / n.toDouble
+    val got = StatsOps.calibration(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === exp.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (nn, np, mc, fp, g) = exp(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) === ((nn, np)))
+      assert(r.getDouble(3) === mc && r.getDouble(4) === fp && r.getDouble(5) === g)
+      assert(r.getDouble(6) === ece)
+    }
+  }
+
+  test("psi: zero on identical halves, positive on a full bin shift") {
+    import spark.implicits._
+    val dir = tmp("psi")
+    // every value appears once in days 1-15 and once in days 16+ -> every
+    // smoothed count pair is equal -> each term and the total are 0.0 EXACTLY
+    val vals = Seq(1.0, 45.0, 90.0, 130.0, 300.0)
+    val rows = vals.flatMap(v => Seq(
+      (Timestamp.valueOf("2024-01-03 00:00:00"), v),
+      (Timestamp.valueOf("2024-01-20 00:00:00"), v)))
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsOps.psi(spark, dir).collect()
+    assert(r.length === StatsOps.PsiBins.toInt) // literal spine: all 8 bins
+    r.foreach { row =>
+      assert(row.getDouble(5) === 0.0)
+      assert(row.getDouble(6) === 0.0)
+    }
+    // period a all in bin 0, period b all in bin 7 -> strictly positive PSI
+    val dir2 = tmp("psi2")
+    val rows2 = (1 to 6).map(i =>
+      (Timestamp.valueOf("2024-01-03 00:00:00"), 1.0 + i * 0.01)) ++
+      (1 to 6).map(i => (Timestamp.valueOf("2024-01-20 00:00:00"), 310.0 + i))
+    rows2.toDF("ts", "value").write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = StatsOps.psi(spark, dir2).collect()
+    assert(r2.head.getDouble(6) > 0.5)
+    // PSI terms are (p-q)ln(p/q): non-negative everywhere, strictly
+    // positive exactly where mass moved
+    val byBin = r2.map(row => row.getLong(0) -> row.getDouble(5)).toMap
+    assert(byBin(0L) > 0.0 && byBin(7L) > 0.0)
+    assert(byBin.values.forall(_ >= 0.0))
+  }
+
+  test("mutualInfo: exactly 0 under independence, ln 2 under identity") {
+    import spark.implicits._
+    val dir = tmp("mi")
+    // 2x2 uniform: c_xy*N == c_x*c_y for every cell -> every pmi_q is the
+    // quantized log of a ratio of EQUAL integers -> 0 exactly
+    Seq(("a", "X"), ("a", "Y"), ("b", "X"), ("b", "Y"))
+      .toDF("o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.mutualInfo(spark, dir).collect()
+    assert(r.length === 4)
+    r.foreach { row =>
+      assert(row.getDouble(5) === 0.0)
+      assert(row.getDouble(6) === 0.0)
+    }
+    // X == Y with two symbols: MI = ln 2 (up to the 2^-20 quantization)
+    val dir2 = tmp("mi2")
+    Seq(("a", "X"), ("a", "X"), ("b", "Y"), ("b", "Y"))
+      .toDF("o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val r2 = StatsOps.mutualInfo(spark, dir2).collect()
+    assert(r2.length === 2)
+    val q = math.floor(math.log(8.0) * StatsOps.LogScale + 0.5).toLong -
+      math.floor(math.log(4.0) * StatsOps.LogScale + 0.5).toLong
+    val expMi = (4L * q).toDouble / (4.0 * StatsOps.LogScale)
+    r2.foreach(row => assert(row.getDouble(6) === expMi))
+    assert(math.abs(expMi - math.log(2.0)) < 1e-5)
+  }
+
+  test("cuped: y = 2x gives theta 2, var_reduction 1, equal adjusted means") {
+    import spark.implicits._
+    val dir = tmp("cuped")
+    // per user: pre-period value v (day 3), post-period value 2v (day 20)
+    val rows = (1 to 12).flatMap { u =>
+      val v = u.toDouble
+      Seq((u.toLong, Timestamp.valueOf("2024-01-03 00:00:00"), v),
+        (u.toLong, Timestamp.valueOf("2024-01-20 00:00:00"), 2.0 * v))
+    }
+    rows.toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsOps.cuped(spark, dir).collect()
+    assert(r.length === 2)
+    assert(r.map(_.getString(0)).toSet === Set("control", "treatment"))
+    val grandPre = (1 to 12).map(_ * 100L).sum.toDouble / 12.0
+    r.foreach { row =>
+      // covN = 2·varXN and covN² = varXN·varYN EXACTLY (all moments are
+      // int-valued doubles < 2^53), so theta and var_reduction are exact
+      assert(row.getDouble(5) === 2.0)
+      assert(row.getDouble(6) === 1.0)
+      // adjusted mean = 2·x̄ up to one rounding of the arm-mean subtraction
+      assert(math.abs(row.getDouble(4) - 2.0 * grandPre) < 1e-9)
+      // post = 2·pre exactly: (2a)/b ≡ 2·(a/b) in IEEE
+      assert(row.getDouble(2) === 2.0 * row.getDouble(3))
+    }
+  }
+
+  test("bootstrapCi: degenerate corpus collapses the interval to the point") {
+    import spark.implicits._
+    val dir = tmp("boot")
+    (1L to 10L).map(k => (k, 5.00)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.bootstrapCi(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((10L, StatsOps.BootReps)))
+    assert(r.getDouble(2) === 500.0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 500.0 && r.getDouble(5) === 500.0)
+    // heterogeneous corpus: positive SE, ordered bounds bracketing the point
+    val dir2 = tmp("boot2")
+    (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val r2 = StatsOps.bootstrapCi(spark, dir2).collect().head
+    assert(r2.getDouble(3) > 0.0)
+    assert(r2.getDouble(4) < r2.getDouble(2) && r2.getDouble(2) < r2.getDouble(5))
+  }
 }
