@@ -394,6 +394,14 @@ object SparkEntry {
     "q_cuped" -> (StatsOps.cuped _),
     // deterministic integer-weight bootstrap CI, rank-based bounds
     "q_bootstrap_ci" -> (StatsOps.bootstrapCi _),
+    // Gopher quality-rule battery, per-rule violation counts by source
+    "q_gopher_rules" -> (TextOps.gopherRules _),
+    // content-defined chunking + chunk-level storage dedup (FastCDC shape)
+    "q_content_chunks" -> (TextOps.contentChunks _),
+    // CCNet head/middle/tail LM-familiarity buckets per language
+    "q_ccnet_buckets" -> (CurationOps.ccnetBuckets _),
+    // per-domain resampling weights to a uniform token mixture
+    "q_domain_weights" -> (CurationOps.domainWeights _),
   )
 
   private val revenueSql =
@@ -3359,6 +3367,98 @@ object SparkEntry {
         |SELECT n_rows, n_reps, CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS point_mean_cents,
         |  boot_se, ci_lo, ci_hi
         |FROM p CROSS JOIN st""".stripMargin
+    },
+    // same exact-integer rule comparisons (cross-multiplied ratios), same
+    // stopword list; the mode rides the one (doc, token) aggregate
+    "q_gopher_rules" -> {
+      import graft.queries.TextOps.{GopherMinTokens, GopherMaxTokens, GopherMinStops}
+      val stops = graft.queries.TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |b AS (SELECT doc_id, source,
+        |    CAST(len(tk) AS BIGINT) AS n,
+        |    CAST(list_reduce(list_transform(tk, x -> length(x)), (a, v) -> a + v) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(tk, x -> x IN ($stops))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+        |  FROM t),
+        |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM uc GROUP BY 1),
+        |f AS (SELECT b.source,
+        |    CASE WHEN n < $GopherMinTokens OR n > $GopherMaxTokens THEN 1 ELSE 0 END AS f_wc,
+        |    CASE WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 1 ELSE 0 END AS f_awl,
+        |    CASE WHEN n_stop < $GopherMinStops THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN top_cnt * 5 > n THEN 1 ELSE 0 END AS f_rep,
+        |    CASE WHEN n_alpha * 5 < n * 4 THEN 1 ELSE 0 END AS f_alpha
+        |  FROM b JOIN m USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+        |  CAST(SUM(f_awl) AS BIGINT) AS n_fail_avglen,
+        |  CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopword,
+        |  CAST(SUM(f_rep) AS BIGINT) AS n_fail_repetition,
+        |  CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+        |  CAST(SUM(CASE WHEN f_wc + f_awl + f_stop + f_rep + f_alpha = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN f_wc + f_awl + f_stop + f_rep + f_alpha = 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
+    // same content-decided boundaries (h32(token) mod CdcMod), same
+    // doc-partitioned exclusive prefix sum, same min()-pinned dedup
+    "q_content_chunks" -> {
+      import graft.queries.TextOps.CdcMod
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+        |    i -> struct_pack(idx := i, tok := tk[i+1]))) AS p FROM t),
+        |f AS (SELECT doc_id, p.idx AS idx, p.tok AS tok,
+        |    CASE WHEN ${h32Sql("p.tok")} % $CdcMod = 0 THEN 1 ELSE 0 END AS b FROM x),
+        |c AS (SELECT doc_id, idx, tok,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM f),
+        |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+        |    string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+        |  FROM c GROUP BY 1, 2),
+        |h AS (SELECT doc_id, CAST(n_toks AS BIGINT) AS n_chunk_tokens,
+        |    ${h32Sql("chunk_text")} AS chunk_hash FROM ch),
+        |g AS (SELECT chunk_hash,
+        |    CAST(MIN(n_chunk_tokens) AS BIGINT) AS n_chunk_tokens,
+        |    COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
+        |    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        |  FROM h GROUP BY 1)
+        |SELECT chunk_hash, n_chunk_tokens, n_occurrences, n_docs, keep_doc_id,
+        |  (n_occurrences - 1) * n_chunk_tokens AS tokens_saved
+        |FROM g WHERE n_occurrences > 1 ORDER BY chunk_hash""".stripMargin
+    },
+    // same familiarity core, same NTILE fill and (score DESC, doc_id) tiebreak
+    "q_ccnet_buckets" ->
+      s"""WITH fam AS ($lmFamiliarityCore),
+        |s AS (SELECT fam.*, d.lang FROM fam JOIN documents d USING (doc_id)),
+        |b AS (SELECT lang, n_bigrams, familiarity,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY familiarity DESC, doc_id) AS bn FROM s)
+        |SELECT lang,
+        |  CASE bn WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+        |  MIN(familiarity) AS min_familiarity, MAX(familiarity) AS max_familiarity
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    // same map-only token counts, same single-division ratios and cap
+    "q_domain_weights" -> {
+      import graft.queries.CurationOps.WeightCap
+      s"""WITH t AS (SELECT source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |p AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS n_sources, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) AS weight,
+        |  least(CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE),
+        |    $WeightCap) AS weight_capped
+        |FROM p CROSS JOIN g ORDER BY source""".stripMargin
     },
   )
 }

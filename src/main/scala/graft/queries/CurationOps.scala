@@ -607,4 +607,72 @@ object CurationOps {
         col("cluster"), col("n_chars"))
       .orderBy(col("source"), col("rank_in_source"))
   }
+
+  // --------------------------------------------- CCNet quality buckets
+  /** CCNet's head/middle/tail split (Wenzek et al. 2019): per language,
+    * documents rank by LM familiarity ([[lmFamiliarity]]'s exact
+    * ratio-of-sums score — in CCNet proper, wiki-LM perplexity) and cut
+    * into three equal-count buckets; training mixes draw mostly from
+    * `head`, and `tail` is the review queue. NTILE over (score DESC,
+    * doc_id) is deterministic in both engines — same totals-first fill,
+    * same tiebreak — and the window partitions BY LANGUAGE, never
+    * globally. Bucket stats are exact integers plus min/max familiarity
+    * (order statistics of identical doubles, no float folding). Cost
+    * rides the lmFamiliarity bigram passes; the bucketing itself is one
+    * lang-partitioned window over O(docs) score rows.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmFamiliarity(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("familiarity").desc, col("doc_id"))
+    scored
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("b") === 1, lit("head"))
+          .when(col("b") === 2, lit("middle")).otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("familiarity")).as("min_familiarity"),
+        max(col("familiarity")).as("max_familiarity"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  // ------------------------------------------------- domain mixture weights
+  /** Per-source resampling-weight cap for [[domainWeights]] (standard
+    * guard against a tiny domain exploding its epoch count). */
+  private[graft] val WeightCap = 5.0
+
+  /** Per-domain sampling weights that rebalance the corpus token mass to a
+    * UNIFORM target mixture — the knob a training run turns when one
+    * source dominates the crawl: weight_s = target_share / actual_share
+    * = total / (n_sources · tokens_s), reported uncapped and capped at
+    * [[WeightCap]]. The paired op to [[mixtureSample]] (which APPLIES a
+    * fixed rate): this one COMPUTES the rates from the corpus itself.
+    * Token counts are map-only `size(split(...))` — no explode — reduced
+    * by one per-source combining aggregate; the total is a 1-row
+    * broadcast cross; every ratio is a single division of exact int64
+    * products. O(sources) output at any corpus size.
+    */
+  def domainWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(toksAll).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = perSource.agg(
+      count(lit(1)).as("n_sources"), sum(col("n_tokens")).as("total_tokens"))
+    perSource.join(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+      .withColumn("weight",
+        col("total_tokens").cast(DoubleType)
+          / (col("n_sources") * col("n_tokens")).cast(DoubleType))
+      .withColumn("weight_capped", least(col("weight"), lit(WeightCap)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share"), col("weight"), col("weight_capped"))
+      .orderBy(col("source"))
+  }
 }

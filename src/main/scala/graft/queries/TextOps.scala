@@ -735,7 +735,7 @@ object TextOps {
   }
 
   // ------------------------------------------------------------- text stats
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Per-document quality statistics: char/token/distinct-token counts, a
     * BPE-ish regex token count, average token length, stopword ratio, and
@@ -1355,5 +1355,119 @@ object TextOps {
         (col("score_q").cast(DoubleType) / lit(BmScale.toDouble)).as("bm25"))
       .orderBy(col("score_q").desc, col("doc_id"))
       .limit(BmTopK)
+  }
+
+  // ------------------------------------------------- Gopher-style rule audit
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1 shapes, constants shared
+    * with the oracle SQL). Every rule is an EXACT INTEGER comparison —
+    * ratio bounds are cross-multiplied (5·top ≤ n instead of top/n ≤ 0.2)
+    * so no float ever gates a document. */
+  private[graft] val GopherMinTokens = 10L
+  private[graft] val GopherMaxTokens = 1000L
+  private[graft] val GopherMinStops  = 2L
+
+  /** Per-source audit of the Gopher quality-rule battery — the first
+    * hard-filter pass of an LLM corpus pipeline, reported as per-rule
+    * violation counts so a corpus owner sees WHICH rule bites before
+    * any document is dropped:
+    *   wordcount  — [[GopherMinTokens]] ≤ n ≤ [[GopherMaxTokens]]
+    *   avglen     — mean token length in [3, 10]  (3n ≤ Σlen ≤ 10n)
+    *   stopwords  — ≥ [[GopherMinStops]] stopword instances
+    *   repetition — top token ≤ 20% of tokens      (5·top ≤ n)
+    *   alpha      — ≥ 80% tokens contain a letter  (5·alpha ≥ 4n)
+    *
+    * Scale shape: the scalar metrics (counts, length sums, stopword and
+    * alpha counts) are map-only HOFs over the one token array; only the
+    * top-token frequency needs the (doc, token) explode — one combining
+    * aggregate keyed by (doc_id, token), re-reduced to O(docs), joined
+    * back on doc_id. The report is a per-source combining aggregate —
+    * O(sources) output, one fact pass plus the mode pass.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", toksAll)
+      .select(
+        col("doc_id"), col("source"),
+        size(col("toks")).cast(LongType).as("n"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, v) => a + v).cast(LongType).as("sum_len"),
+        size(filter(col("toks"), t => t.isin(Stopwords: _*)))
+          .cast(LongType).as("n_stop"),
+        size(filter(col("toks"), t => t.rlike("[a-z]")))
+          .cast(LongType).as("n_alpha"))
+    val mode = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    val flags = base.join(mode, Seq("doc_id"))
+      .withColumn("f_wc",
+        when(col("n") < GopherMinTokens || col("n") > GopherMaxTokens, 1L).otherwise(0L))
+      .withColumn("f_awl",
+        when(col("sum_len") < col("n") * 3L || col("sum_len") > col("n") * 10L, 1L)
+          .otherwise(0L))
+      .withColumn("f_stop", when(col("n_stop") < GopherMinStops, 1L).otherwise(0L))
+      .withColumn("f_rep", when(col("top_cnt") * 5L > col("n"), 1L).otherwise(0L))
+      .withColumn("f_alpha", when(col("n_alpha") * 5L < col("n") * 4L, 1L).otherwise(0L))
+    flags.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_wc")).as("n_fail_wordcount"),
+        sum(col("f_awl")).as("n_fail_avglen"),
+        sum(col("f_stop")).as("n_fail_stopword"),
+        sum(col("f_rep")).as("n_fail_repetition"),
+        sum(col("f_alpha")).as("n_fail_alpha"),
+        sum(when(col("f_wc") + col("f_awl") + col("f_stop")
+          + col("f_rep") + col("f_alpha") === 0L, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .orderBy(col("source"))
+  }
+
+  // --------------------------------------- content-defined chunk dedup (CDC)
+  /** Boundary modulus for [[contentChunks]]: a token closes a chunk when
+    * its 32-bit hash ≡ 0 (mod this), so chunks average CdcMod tokens. */
+  private[graft] val CdcMod = 8L
+
+  /** Content-defined chunking + chunk-level storage dedup — the
+    * FastCDC/rsync idea applied to the token stream: chunk boundaries are
+    * decided by token CONTENT (h32(token) mod [[CdcMod]] == 0 closes a
+    * chunk), not by fixed offsets, so an insertion near a document's head
+    * shifts only the chunk it lands in — every later chunk re-aligns and
+    * still dedups, which [[docChunks]]' fixed-stride windows cannot do.
+    * The complement of [[chunkDedup]]: that one catches boilerplate at
+    * training-window granularity; this one is the content-addressed-store
+    * shape a 100 TB multimodal corpus uses for payload storage.
+    *
+    * Scale shape: one posexplode over the token array (O(total tokens),
+    * map-side); the chunk id is an EXCLUSIVE prefix sum of boundary flags
+    * in a window partitioned BY DOCUMENT (never global); chunk re-assembly
+    * is a per-(doc, chunk) combining aggregate whose state is bounded by
+    * the longest document; the dedup itself is [[chunkDedup]]'s hash
+    * groupBy. Ties/collisions pin by min() on both engines.
+    */
+  def contentChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toksAll).as(Seq("idx", "tok")))
+      .withColumn("b", when(h32(col("tok")) % CdcMod === 0L, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("tok")))).as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n_chunk_tokens"),
+        h32(concat_ws(" ",
+          transform(col("arr"), s => s.getField("tok")))).as("chunk_hash"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(
+        min(col("n_chunk_tokens")).as("n_chunk_tokens"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_occurrences") > 1)
+      .withColumn("tokens_saved",
+        (col("n_occurrences") - 1L) * col("n_chunk_tokens"))
+      .orderBy(col("chunk_hash"))
   }
 }

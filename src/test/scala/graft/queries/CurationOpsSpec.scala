@@ -416,4 +416,46 @@ class CurationOpsSpec extends SparkSpec {
     // doc 2 (the duplicate) is collapsed; ranks re-pack 1..3
     assert(rows.toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 4L))
   }
+
+  test("ccnetBuckets: balanced NTILE fill and head>=middle>=tail ordering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccnet").toString
+    // 7 scorable docs in 'en' (ntile sizes 3,2,2), 2 in 'fr' (1,1,0 -> the
+    // fr tail bucket is absent, which the spec asserts too)
+    val en = (1 to 7).map(i => (i.toLong, "en", s"alpha beta w$i gamma delta w${i + 1}"))
+    val fr = Seq((8L, "fr", "le chat noir"), (9L, "fr", "le chien blanc"))
+    (en ++ fr).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.ccnetBuckets(spark, dir).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        ((row.getLong(2), row.getDouble(4), row.getDouble(5)))).toMap
+    assert(r(("en", "head"))._1 === 3L)
+    assert(r(("en", "middle"))._1 === 2L)
+    assert(r(("en", "tail"))._1 === 2L)
+    assert(r(("fr", "head"))._1 === 1L)
+    assert(r(("fr", "middle"))._1 === 1L)
+    assert(!r.contains(("fr", "tail")))
+    // DESC score order: head's min familiarity >= middle's max >= tail's max
+    assert(r(("en", "head"))._2 >= r(("en", "middle"))._3)
+    assert(r(("en", "middle"))._2 >= r(("en", "tail"))._3)
+  }
+
+  test("domainWeights: exact uniform-target ratios and the cap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-domw").toString
+    Seq(
+      ("a", "t1 t2 t3"), ("a", "t4 t5 t6"),          // 6 tokens
+      ("b", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"), // 12 tokens
+      ("c", "solo"))                                  // 1 token
+      .toDF("source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.domainWeights(spark, dir).collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getDouble(3),
+          row.getDouble(4), row.getDouble(5)))).toMap
+    assert(r("a") === ((2L, 6L, 6.0 / 19.0, 19.0 / 18.0, 19.0 / 18.0)))
+    assert(r("b") === ((1L, 12L, 12.0 / 19.0, 19.0 / 36.0, 19.0 / 36.0)))
+    // c's raw weight 19/3 exceeds the cap
+    assert(r("c") === ((1L, 1L, 1.0 / 19.0, 19.0 / 3.0, CurationOps.WeightCap)))
+  }
 }

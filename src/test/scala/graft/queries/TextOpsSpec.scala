@@ -448,4 +448,62 @@ class TextOpsSpec extends SparkSpec {
       (1.0 + TextOps.BmK1 * (1.0 - TextOps.BmB + TextOps.BmB * 4.0 / avgdl))
     assert(score(1L) === math.floor(idfQ.toDouble * tfn + 0.5).toLong)
   }
+
+  test("gopherRules: each rule trips on exactly its designed violator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    Seq(
+      // A: 5 tokens -> fails wordcount; 0 stopwords -> fails stopword
+      (1L, "s1", "one two three four five"),
+      // B: 12 tokens, 4 stopword instances, no dominant token -> passes all
+      (2L, "s1", "the cat sat upon and mat with the dog near and tree"),
+      // C: 'spam' is 5/12 tokens (5*5 > 12) -> fails repetition only
+      (3L, "s1", "spam spam spam spam spam and the cat sat mat dog tree"),
+      // D: 10/12 tokens digit-only (5*2 < 4*12) -> fails alpha only
+      (4L, "s1", "111 222 333 444 555 666 777 888 999 000 the and"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.gopherRules(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "s1")
+    assert(row.getLong(1) === 4L)       // n_docs
+    assert(row.getLong(2) === 1L)       // wordcount: A
+    assert(row.getLong(3) === 0L)       // avglen: none (D sits exactly on 3n)
+    assert(row.getLong(4) === 1L)       // stopword: A
+    assert(row.getLong(5) === 1L)       // repetition: C
+    assert(row.getLong(6) === 1L)       // alpha: D
+    assert(row.getLong(7) === 1L)       // pass: B only
+    assert(row.getDouble(8) === 0.25)
+  }
+
+  test("contentChunks: chunks re-align across an insertion; fixed stride cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // 40 shared tokens; doc 2 prepends one token. Content-decided
+    // boundaries re-align after the first boundary past the insertion,
+    // so the shared suffix dedups; docChunks' fixed 50-token windows see
+    // two different strings and find nothing.
+    val shared = (1 to 40).map(i => s"w${i * 7 % 13}tok$i").mkString(" ")
+    Seq((1L, shared), (2L, s"zzz $shared"), (3L, shared))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = TextOps.contentChunks(spark, dir).collect()
+    // identical docs 1 and 3 guarantee shared groups; the insertion pair
+    // must ALSO share at least one re-aligned chunk
+    val multiDoc = groups.filter(_.getLong(3) >= 2)
+    assert(multiDoc.nonEmpty)
+    val tripled = groups.filter(_.getLong(2) >= 3) // chunk in docs 1, 2 AND 3
+    assert(tripled.nonEmpty, "no chunk re-aligned across the insertion")
+    groups.foreach { g =>
+      assert(g.getLong(5) === (g.getLong(2) - 1L) * g.getLong(1)) // tokens_saved
+      assert(g.getLong(4) === 1L) // keep_doc_id: min doc wins
+    }
+    // the fixed-stride twin finds no cross-doc duplicate for the pair
+    val fixedDir = java.nio.file.Files.createTempDirectory("graft-cdc2").toString
+    Seq((1L, shared), (2L, s"zzz $shared"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixedDir/documents.parquet")
+    assert(TextOps.chunkDedup(spark, fixedDir).count() === 0L)
+  }
 }
