@@ -402,6 +402,10 @@ object SparkEntry {
     "q_ccnet_buckets" -> (CurationOps.ccnetBuckets _),
     // per-domain resampling weights to a uniform token mixture
     "q_domain_weights" -> (CurationOps.domainWeights _),
+    // k-core peel trace over the co-purchase graph, fixed synchronous rounds
+    "q_kcore" -> (GraphOps.kcore _),
+    // multi-source min-hop BFS reach counts over the trade graph
+    "q_bfs_reach" -> (GraphOps.bfsReach _),
   )
 
   private val revenueSql =
@@ -3459,6 +3463,67 @@ object SparkEntry {
         |  least(CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE),
         |    $WeightCap) AS weight_capped
         |FROM p CROSS JOIN g ORDER BY source""".stripMargin
+    },
+    // same capped co-edge build as q_triangles; the peel rounds unroll to
+    // exactly KcoreIters chained CTEs — synchronous peeling on both sides
+    "q_kcore" -> {
+      import graft.queries.BehaviorOps.MaxBasketItems
+      import graft.queries.GraphOps.{TriMinSupport, KcoreK, KcoreIters}
+      // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, so the chained rounds + 2 scalar subqueries per stat
+      // row would re-execute the whole peel prefix (and re-open the
+      // parquet) exponentially many times
+      val rounds = (1 to KcoreIters).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${i - 1}
+          |    UNION ALL SELECT v AS node FROM e${i - 1})
+          |  GROUP BY node HAVING COUNT(*) >= $KcoreK),
+          |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+          |  WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      val stats = (0 to KcoreIters).map { i =>
+        s"""SELECT CAST($i AS INT) AS iteration,
+          |  (SELECT COUNT(*) FROM (SELECT u AS n FROM e$i UNION SELECT v AS n FROM e$i)) AS n_nodes,
+          |  (SELECT COUNT(*) FROM e$i) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS MATERIALIZED (SELECT ok FROM lp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |items AS MATERIALIZED (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+        |$rounds
+        |SELECT * FROM ($stats) ORDER BY iteration""".stripMargin
+    },
+    // same symmetric trade edges and seed rule; depths unroll with
+    // NOT-IN exclusion of every earlier level — min-hop on both sides
+    "q_bfs_reach" -> {
+      import graft.queries.GraphOps.{BfsSeedMod, BfsMaxDepth}
+      val levels = (1 to BfsMaxDepth).map { d =>
+        val excl = (0 until d).map {
+          case 0 => "node NOT IN (SELECT node FROM v0)"
+          case j => s"node NOT IN (SELECT node FROM f$j)"
+        }.mkString(" AND ")
+        val prev = if (d == 1) "v0" else s"f${d - 1}"
+        s"""f$d AS (SELECT node FROM (
+          |    SELECT DISTINCT e.dst AS node FROM e JOIN $prev p ON e.src = p.node)
+          |  WHERE $excl)""".stripMargin
+      }.mkString(",\n")
+      val union = (s"SELECT CAST(0 AS INT) AS depth, node FROM v0" +:
+        (1 to BfsMaxDepth).map(d =>
+          s"SELECT CAST($d AS INT) AS depth, node FROM f$d")).mkString("\nUNION ALL\n")
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |v0 AS (SELECT DISTINCT src AS node FROM e
+        |  WHERE src % 2 = 0 AND (src // 2) % $BfsSeedMod = 1),
+        |$levels,
+        |a AS ($union)
+        |SELECT depth,
+        |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+        |FROM a GROUP BY depth ORDER BY depth""".stripMargin
     },
   )
 }

@@ -460,4 +460,111 @@ object GraphOps {
     }
     ranks
   }
+
+  // ------------------------------------------------------- k-core peeling
+  /** Minimum degree a node needs to survive a [[kcore]] peel round. */
+  private[graft] val KcoreK = 3L
+  /** Fixed number of synchronous peel rounds (shared with the oracle —
+    * both engines unroll exactly this many). */
+  private[graft] val KcoreIters = 5
+
+  /** K-core decomposition progress over the co-purchase graph: peel all
+    * nodes of degree < [[KcoreK]] SIMULTANEOUSLY, [[KcoreIters]] rounds,
+    * reporting (n_nodes, n_edges) after each — the density-core extractor
+    * a graph pipeline runs to find the engaged subgraph (and the
+    * convergence trace tells an operator whether the round budget
+    * sufficed). Synchronous peeling is deterministic, so the unrolled
+    * oracle matches row for row.
+    *
+    * Scale shape per round: one node-scale degree aggregate and two
+    * LEFT-SEMI joins of the edge list against the (aggregate-reduced)
+    * survivor set — O(edges) work, no pairs, no window. The edge list is
+    * `localCheckpoint`ed each round (the hits/dedupCC idiom: a lazy loop
+    * re-executes every earlier round per branch — the stat rows each
+    * reference their round's table); all pins are swept by
+    * [[releasingCaches]] on exit. At web scale the survivor set joins
+    * hash instead of broadcast; the round structure is unchanged.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[kcore]] over any (ok, pk) membership frame — factored so the spec
+    * can pin the peel trace on a hand-drawn graph. */
+  private[graft] def kcoreFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      def stat(it: Int, e: DataFrame): DataFrame =
+        e.select(explode(array(col("u"), col("v"))).as("node"))
+          .agg(countDistinct(col("node")).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(it).as("iteration"), col("n_nodes"), col("n_edges"))
+      var e = coEdges(raw, scope).select(col("u"), col("v")).localCheckpoint()
+      val stats = scala.collection.mutable.ArrayBuffer(stat(0, e))
+      for (it <- 1 to KcoreIters) {
+        val keep = edgeDegrees(e).filter(col("deg") >= KcoreK).select(col("node"))
+        e = e
+          .join(broadcast(keep.select(col("node").as("u"))), Seq("u"), "left_semi")
+          .join(broadcast(keep.select(col("node").as("v"))), Seq("v"), "left_semi")
+          .localCheckpoint()
+        stats += stat(it, e)
+      }
+      stats.reduce(_ unionByName _).orderBy(col("iteration"))
+    }
+
+  // ------------------------------------------------- multi-source BFS reach
+  /** Seed rule for [[bfsReach]]: customer nodes whose key ≡ 1 (mod this). */
+  private[graft] val BfsSeedMod = 50L
+  /** Maximum hop depth explored (shared with the unrolled oracle). */
+  private[graft] val BfsMaxDepth = 3
+
+  /** Multi-source BFS over the customer–supplier trade graph: min-hop
+    * depth ≤ [[BfsMaxDepth]] from the deterministic seed set (customers
+    * with key ≡ 1 mod [[BfsSeedMod]] — append-stable, SF-proportional),
+    * reported as per-depth reach counts by node kind. The reachability
+    * primitive behind influence/contagion audits and join-locality
+    * diagnostics (how many hops until the graph saturates).
+    *
+    * Scale shape: the textbook frontier BSP — each round joins the edge
+    * list to the (node-scale, broadcast) frontier, dedups the
+    * destinations, and anti-joins the (node-scale, broadcast) visited
+    * set; rounds `localCheckpoint` so the lazy DAG never re-runs earlier
+    * rounds, and [[releasingCaches]] sweeps the pins. Per round: one
+    * edge-sized join, one node-scale distinct, one anti join — O(depth ·
+    * edges) total, the same bound as the sequential algorithm. A
+    * web-scale graph swaps the broadcasts for hash joins pre-partitioned
+    * on node id (the prRanks note).
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = releasingCaches(spark) { scope =>
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = scope.cache(pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val seeds = edges
+      .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $BfsSeedMod") === 1)
+      .select(col("src").as("node")).distinct()
+    var visited = seeds.withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to BfsMaxDepth) {
+      val next = edges
+        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    visited.groupBy(col("depth"))
+      .agg(
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy(col("depth"))
+  }
 }

@@ -91,7 +91,9 @@ class GraphOpsSpec extends SparkSpec {
       () => GraphOps.pagerank(spark, sf),
       () => GraphOps.hits(spark, sf),
       () => GraphOps.triangles(spark, sf),
-      () => GraphOps.commonNeighbors(spark, sf))
+      () => GraphOps.commonNeighbors(spark, sf),
+      () => GraphOps.kcore(spark, sf),
+      () => GraphOps.bfsReach(spark, sf))
     for (fn <- entries) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       assert(fn().count() > 0)
@@ -159,5 +161,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows === Map(
       ("hub", 1L) -> 1000000L, ("hub", 2L) -> 625000L,
       ("authority", 10L) -> 1000000L, ("authority", 20L) -> 600000L))
+  }
+
+  test("kcore: hand-drawn clique+tail — one peel round strips the tail") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus tail 4–5–6. Degrees 3,3,3,4,2,1: the
+    // simultaneous k=3 peel removes 5 and 6 in round 1, the clique is
+    // stable ever after. Each edge is encoded as TWO 2-item baskets so
+    // it clears the n_co >= TriMinSupport threshold.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val membership = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }
+    val raw = membership.toDF("ok", "pk")
+    val out = GraphOps.kcoreFrom(raw).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0) === ((6L, 8L)))
+    (1 to GraphOps.KcoreIters).foreach(i => assert(out(i) === ((4L, 6L))))
+  }
+
+  test("bfsReach: min-hop levels on a hand-drawn chain with an island") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    // seeds: customers with key % 50 == 1 -> c1 and c51.
+    // chain c1–s1–c2–s2 (depths 0..3 from c1); c51–s9 (depths 0,1);
+    // island c3–s3 never reached.
+    Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 51L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 9L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.bfsReach(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0 -> ((2L, 0L)),   // c1, c51
+      1 -> ((0L, 2L)),   // s1, s9
+      2 -> ((1L, 0L)),   // c2 (min-hop: NOT re-counted at depth 2 via s9)
+      3 -> ((0L, 1L))))  // s2
   }
 }
