@@ -406,6 +406,10 @@ object SparkEntry {
     "q_kcore" -> (GraphOps.kcore _),
     // multi-source min-hop BFS reach counts over the trade graph
     "q_bfs_reach" -> (GraphOps.bfsReach _),
+    // BPE merge learning over the frequency-weighted word vocabulary
+    "q_bpe_train" -> (TextOps.bpeTrain _),
+    // product quantization: per-subspace codebooks + occupancy/distortion
+    "q_pq_quant" -> (VectorOps.pqQuantize _),
   )
 
   private val revenueSql =
@@ -3345,13 +3349,13 @@ object SparkEntry {
         |  theta, var_reduction
         |FROM a CROSS JOIN gg ORDER BY arm""".stripMargin
     },
-    // same md5(key:rep) integer weights, same rank-based bounds over the
-    // value-sorted replicate means, same order-pinned SE fold
+    // same one-digest hex-digit weights (the CMS slicing discipline),
+    // same rank-based bounds over the value-sorted replicate means,
+    // same order-pinned SE fold
     "q_bootstrap_ci" -> {
       import graft.queries.StatsOps.{BootReps, BootWMod}
-      val w = h32Sql("concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r.range AS VARCHAR))") +
-        s" % $BootWMod"
-      s"""WITH o AS (SELECT o_orderkey,
+      val w = s"CAST(concat('0x', substr(d, CAST(r.range + 1 AS INT), 1)) AS BIGINT) % $BootWMod"
+      s"""WITH o AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS d,
         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
         |  FROM orders),
         |reps AS (SELECT r.range AS rep, $w AS w, cents
@@ -3524,6 +3528,76 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
         |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
         |FROM a GROUP BY depth ORDER BY depth""".stripMargin
+    },
+    // same vocabulary-weighted pair counts, same leading-delimiter greedy
+    // replace, same (cnt DESC, l, r) winner rule; rounds unroll MATERIALIZED
+    "q_bpe_train" -> {
+      import graft.queries.TextOps.BpeIters
+      val rounds = (1 to BpeIters).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),
+          |      x -> struct_pack(l := tk[x], r := tk[x+1]))) AS p
+          |    FROM (SELECT string_split(repr[2:], '|') AS tk, freq FROM v${i - 1})
+          |    WHERE len(tk) >= 2)
+          |  GROUP BY 1, 2),
+          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+          |v$i AS MATERIALIZED (SELECT replace(repr,
+          |    '|' || (SELECT l FROM m$i) || '|' || (SELECT r FROM m$i),
+          |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i)) AS repr, freq FROM v${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeIters).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS MATERIALIZED (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+        |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM u GROUP BY w),
+        |v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS repr, freq FROM vocab),
+        |$rounds
+        |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+    },
+    // same lowest-id seeds, one integer Lloyd update and argmin encode per
+    // subspace (the kmeansCte recipe sliced); HUGEINT distortions through
+    // the VARCHAR detour
+    "q_pq_quant" -> {
+      import graft.queries.VectorOps.{PqM, PqSubDim, PqK}
+      def distSql(sv: String, c: String) =
+        s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), " +
+          s"i -> ($sv[i]-$c[i])*($sv[i]-$c[i])), (a,b) -> a+b)"
+      val chains = (0 until PqM).map { m =>
+        val lo = m * PqSubDim
+        s"""s$m AS MATERIALIZED (SELECT vec_id, v[${lo + 1}:${lo + PqSubDim}] AS sv FROM q),
+          |c0_$m AS MATERIALIZED (SELECT vec_id AS cid, sv AS c FROM s$m WHERE vec_id < $PqK),
+          |d1_$m AS MATERIALIZED (SELECT s.vec_id, s.sv, c.cid,
+          |    ${distSql("s.sv", "c.c")} AS dist
+          |  FROM s$m s CROSS JOIN c0_$m c),
+          |a1_$m AS MATERIALIZED (SELECT vec_id, sv, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d1_$m) WHERE rn = 1),
+          |m1_$m AS MATERIALIZED (
+          |  SELECT cid, i, CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+          |  FROM a1_$m CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) t
+          |  GROUP BY cid, i),
+          |c1_$m AS MATERIALIZED (SELECT cid, list(cm ORDER BY i) AS c FROM m1_$m GROUP BY cid),
+          |d2_$m AS MATERIALIZED (SELECT s.vec_id, c.cid,
+          |    ${distSql("s.sv", "c.c")} AS dist
+          |  FROM s$m s CROSS JOIN c1_$m c),
+          |a2_$m AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d2_$m) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val stats = (0 until PqM).map { m =>
+        s"""SELECT CAST($m AS INT) AS subspace, CAST(cid AS INT) AS code,
+          |  COUNT(*) AS n_vectors,
+          |  CAST(CAST(SUM(dist) AS VARCHAR) AS DOUBLE) AS distortion_sum,
+          |  CAST(CAST(SUM(dist) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_distortion
+          |FROM a2_$m GROUP BY cid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |$chains
+        |SELECT * FROM ($stats) ORDER BY subspace, code""".stripMargin
     },
   )
 }

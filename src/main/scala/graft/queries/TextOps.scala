@@ -1470,4 +1470,59 @@ object TextOps {
         (col("n_occurrences") - 1L) * col("n_chunk_tokens"))
       .orderBy(col("chunk_hash"))
   }
+
+  // ------------------------------------------------------- BPE merge training
+  /** Number of merge rounds [[bpeTrain]] learns (shared with the oracle's
+    * unrolled CTE chain). */
+  private[graft] val BpeIters = 6
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    * tokenizer-training step of an LLM pipeline, on Spark: count symbol
+    * pairs over the word VOCABULARY (weighted by word frequency), merge
+    * the most frequent pair everywhere, repeat [[BpeIters]] times. The
+    * corpus is touched ONCE (the vocabulary aggregate); every round after
+    * that works on the vocabulary-bounded (word, freq) table — the
+    * standard trick that makes BPE training corpus-size-independent.
+    *
+    * Symbol sequences are encoded as LEADING-DELIMITER strings
+    * (`|h|e|l|l|o`): every symbol starts with `|`, so the literal
+    * replace of `|l|r` → `|lr` can only match at a symbol boundary
+    * (a trailing-pair substring like `b|c` inside `|ab|c` never starts
+    * with `|` after a boundary), and non-overlapping left-to-right
+    * replacement in both engines IS greedy BPE application — e.g.
+    * `|a|a|a` under (a,a) becomes `|aa|a`, never `|a|aa`. The winning
+    * pair per round is a global top-1 (count DESC, then (l, r) — NOT
+    * the concatenated pattern string, whose '|' would order prefixes
+    * differently) collected to the driver: O(1) rows per round, the
+    * model-artifact class of collect (the Lloyd-centroid precedent).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(toksAll).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1").as("repr"), col("freq"))
+      .localCheckpoint() // corpus pass paid once; rounds are vocab-bounded
+    var repr = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to BpeIters) {
+      val top = repr
+        .select(col("freq"), split(expr("substring(repr, 2)"), "[|]").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS l, tk[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((it, l, r, l + r, cnt))
+        repr = repr.withColumn("repr",
+          replace(col("repr"), lit(s"|$l|$r"), lit(s"|$l$r")))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
 }

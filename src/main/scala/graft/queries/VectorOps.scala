@@ -557,4 +557,83 @@ object VectorOps {
         element_at(col("codes"), -1).as("code_last"),
         col("mean_abs_err"))
       .orderBy(col("vec_id"))
+
+  // ------------------------------------------------ product quantization
+  /** Subspaces a vector splits into for [[pqQuantize]]. */
+  private[graft] val PqM = 4
+  /** Dimensions per subspace (PqM · PqSubDim = the embedding dim). */
+  private[graft] val PqSubDim = 16
+  /** Codewords per subspace codebook. */
+  private[graft] val PqK = 4
+
+  /** Product quantization (Jégou et al. 2011 — the PQ half of FAISS'
+    * IVF-PQ, whose IVF half is `q_sim_ivf`): each vector splits into
+    * [[PqM]] subvectors, each subspace trains its own [[PqK]]-codeword
+    * codebook (the [[lloydCentroids]] recipe: lowest-id seeds, one
+    * integer Lloyd update), and a vector encodes as PqM small codes —
+    * 64 floats compress to 4 2-bit codes here. The report is the
+    * codebook census: per (subspace, code) occupancy and exact integer
+    * distortion, the numbers that tell an ANN operator whether the
+    * codebooks need more words or more training.
+    *
+    * Scale shape: ALL subspaces train in one pass — the 4 sub-argmins are
+    * 4 independent codegen'd projections of one scan, and the update
+    * aggregate keys on (subspace, cluster, dim) with subspace = dim div
+    * [[PqSubDim]], so the whole Lloyd update is a single combining
+    * aggregate (O(M·K·d) state) + one O(M·K·d) ≈ 256-row centroid
+    * collect (the model-artifact class). The encode pass is map-only.
+    * Distortion sums accumulate as DECIMAL(38,0): a per-vector subspace
+    * distortion reaches ~1.6e13 at the 1e-6 quantization, so int64
+    * would overflow past ~5e5 vectors per cell.
+    */
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizedEmbedding.as("qv"))
+    val seedRows = q.filter(col("vec_id") < PqK).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
+    def subSeeds(m: Int): Seq[(Int, Array[Long])] =
+      seedRows.map { case (cid, v) =>
+        (cid, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) }
+    def subCol(m: Int): Column = expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)")
+    // round-1 assignment: every subspace's argmin in ONE projection
+    val a1 = q.select(Seq(col("vec_id"), col("qv")) ++
+      (0 until PqM).map(m =>
+        assignStruct(subCol(m), subSeeds(m)).getField("cid").as(s"c$m")): _*)
+    // ONE (subspace, cluster, dim) update aggregate for all codebooks
+    val upd = a1
+      .select(array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"),
+        posexplode(col("qv")).as(Seq("dim", "comp")))
+      .select(expr(s"dim div $PqSubDim").as("m"),
+        element_at(col("codes"),
+          (expr(s"dim div $PqSubDim") + 1).cast(IntegerType)).as("cluster"),
+        col("dim"), col("comp"))
+      .groupBy(col("m"), col("cluster"), col("dim"))
+      .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("cluster"), col("dim"),
+        floor(col("s").cast(DoubleType) / col("n")).cast(LongType).as("cm"))
+      .collect()
+    val c1: Map[Int, Seq[(Int, Array[Long])]] = upd
+      .groupBy(r => (r.getLong(0).toInt, r.getInt(1)))
+      .map { case ((m, cid), rows) =>
+        ((m, cid), rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray) }
+      .groupBy(_._1._1)
+      .map { case (m, cells) =>
+        (m, cells.map { case ((_, cid), arr) => (cid, arr) }.toSeq.sortBy(_._1)) }
+    // encode against the trained codebooks; census per (subspace, code)
+    q.select(col("vec_id"), explode(array((0 until PqM).map { m =>
+        val a = assignStruct(subCol(m), c1(m))
+        struct(lit(m).as("subspace"), a.getField("cid").as("code"),
+          a.getField("dist").as("dist"))
+      }: _*)).as("e"))
+      .select(col("e.subspace").as("subspace"), col("e.code").as("code"),
+        col("e.dist").as("dist"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist").cast(DecimalType(38, 0))).as("ds"))
+      .select(col("subspace"), col("code"), col("n_vectors"),
+        col("ds").cast(DoubleType).as("distortion_sum"))
+      .withColumn("mean_distortion",
+        col("distortion_sum") / col("n_vectors").cast(DoubleType))
+      .orderBy(col("subspace"), col("code"))
+  }
 }

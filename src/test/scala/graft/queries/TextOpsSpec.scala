@@ -506,4 +506,23 @@ class TextOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$fixedDir/documents.parquet")
     assert(TextOps.chunkDedup(spark, fixedDir).count() === 0L)
   }
+
+  test("bpeTrain: hand-folded merges on the classic aaab/ab vocabulary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // vocab: aaab x3, ab x2.
+    // round 1: (a,a) = 2*3 = 6 beats (a,b) = 3+2 = 5 -> merge aa;
+    //   greedy left-to-right: |a|a|a|b -> |aa|a|b (never |a|aa|b)
+    // round 2: (a,b) = 3+2 = 5 beats (aa,a) = 3 -> merge ab
+    // round 3: (aa,ab) = 3 is the only pair left -> merge aaab
+    Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
 }

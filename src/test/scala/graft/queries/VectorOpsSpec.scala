@@ -268,4 +268,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(corpus.nonEmpty)
     assert(corpus.count(_.getBoolean(4)).toDouble / corpus.length < 0.5)
   }
+
+  test("pqQuantize: duplicated seeds give zero distortion; corpus census is complete") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    // 4 distinct constant vectors (the seeds) + an exact twin of each:
+    // every subspace codebook lands exactly on the pairs, so every cell
+    // has occupancy 2 and EXACTLY zero distortion
+    val consts = Seq(-0.3f, -0.1f, 0.1f, 0.3f)
+    val rows = (0 until 8).map { i =>
+      (i.toLong, Array.fill(64)(consts(i % 4)))
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fixture = VectorOps.pqQuantize(spark, dir).collect()
+    assert(fixture.length === VectorOps.PqM * VectorOps.PqK)
+    fixture.foreach { r =>
+      assert(r.getLong(2) === 2L)         // n_vectors per cell
+      assert(r.getDouble(3) === 0.0)      // distortion_sum
+      assert(r.getDouble(4) === 0.0)
+    }
+    // corpus invariants: every vector encodes in every subspace, codes
+    // stay inside the codebook, distortion is non-negative
+    val corpus = VectorOps.pqQuantize(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    (0 until VectorOps.PqM).foreach { m =>
+      val cells = corpus.filter(_.getInt(0) == m)
+      assert(cells.map(_.getLong(2)).sum === n)
+      assert(cells.forall(r => r.getInt(1) >= 0 && r.getInt(1) < VectorOps.PqK))
+      assert(cells.forall(_.getDouble(3) >= 0.0))
+    }
+  }
 }
