@@ -410,6 +410,10 @@ object SparkEntry {
     "q_bpe_train" -> (TextOps.bpeTrain _),
     // product quantization: per-subspace codebooks + occupancy/distortion
     "q_pq_quant" -> (VectorOps.pqQuantize _),
+    // Holt level+trend smoothing backtest, struct-accumulator ordered fold
+    "q_holt" -> (StatsOps.holt _),
+    // exact radius nearest-neighbor join via 3x3 grid-cell pruning
+    "q_radius_nn" -> (VectorOps.radiusNn _),
   )
 
   private val revenueSql =
@@ -3598,6 +3602,59 @@ object SparkEntry {
         |  FROM embeddings),
         |$chains
         |SELECT * FROM ($stats) ORDER BY subspace, code""".stripMargin
+    },
+    // same calendar-reduced series, same first-element-seeded ARRAY fold.
+    // Two DuckDB traps pinned here: a bare 0.5 is DECIMAL (the recursion
+    // would run in decimal arithmetic), and a STRUCT accumulator is
+    // mutated field-by-field by list_reduce — the t field's `a.l` reads
+    // the already-updated level (probed: [10,20,40] gave t=4.6875, not
+    // the IEEE-correct 8.125) — so the state rides a 2-element list
+    "q_holt" -> {
+      import graft.queries.StatsOps.HoltHorizon
+      val half = "CAST(0.5 AS DOUBLE)"
+      s"""WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT MAX(day) - $HoltHorizon AS cutoff FROM daily),
+        |arr AS (SELECT cutoff,
+        |    list([CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)] ORDER BY day) AS ss
+        |  FROM daily CROSS JOIN cut WHERE day <= cutoff GROUP BY cutoff),
+        |fit AS (SELECT cutoff,
+        |    list_reduce(ss, (a, e) -> [
+        |      $half * e[1] + $half * (a[1] + a[2]),
+        |      $half * ($half * e[1] + $half * (a[1] + a[2]) - a[1]) + $half * a[2]]) AS st
+        |  FROM arr),
+        |f AS (SELECT h.range + 1 AS h, cutoff + h.range + 1 AS day,
+        |    st[1] + CAST(h.range + 1 AS DOUBLE) * st[2] AS forecast_cents
+        |  FROM fit CROSS JOIN range($HoltHorizon) h)
+        |SELECT CAST(f.h AS INT) AS h, f.day, d.x AS actual_cents, f.forecast_cents,
+        |  abs(CAST(d.x AS DOUBLE) - f.forecast_cents) AS abs_err
+        |FROM f JOIN daily d ON d.day = f.day
+        |ORDER BY h""".stripMargin
+    },
+    // same shifted integer grid (cell = radius), same 9-offset candidate
+    // join, same (dist2, id) argmin
+    "q_radius_nn" -> {
+      import graft.queries.VectorOps.{NnRadius, NnShift}
+      s"""WITH p AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) + $NnShift AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) + $NnShift AS y
+        |  FROM embeddings),
+        |b AS (SELECT vec_id AS nn_id, x AS xb, y AS yb,
+        |    x // $NnRadius AS cx, y // $NnRadius AS cy FROM p),
+        |o AS (SELECT i // 3 - 1 AS dx, i % 3 - 1 AS dy
+        |  FROM (SELECT unnest(range(9)) AS i)),
+        |pr AS (SELECT vec_id, x, y, x // $NnRadius + dx AS cx, y // $NnRadius + dy AS cy
+        |  FROM p CROSS JOIN o),
+        |c AS (SELECT pr.vec_id, b.nn_id,
+        |    (pr.x - b.xb) * (pr.x - b.xb) + (pr.y - b.yb) * (pr.y - b.yb) AS dist2
+        |  FROM pr JOIN b ON pr.cx = b.cx AND pr.cy = b.cy
+        |  WHERE pr.vec_id <> b.nn_id),
+        |g AS (SELECT vec_id, nn_id, dist2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, nn_id) AS rn
+        |  FROM c WHERE dist2 <= ${NnRadius * NnRadius})
+        |SELECT vec_id, nn_id, dist2 FROM g WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
   )
 }

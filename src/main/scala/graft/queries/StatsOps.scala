@@ -686,6 +686,62 @@ object StatsOps {
     * [[BootReps]] rows before the (tiny) shuffle — state is O(reps)
     * regardless of data size, the fact is scanned once.
     */
+  // ---------------------------------------------- Holt linear-trend backtest
+  /** Holdout horizon (days) for [[holt]]'s backtest. */
+  private[graft] val HoltHorizon = 7L
+
+  /** Holt double-exponential smoothing (level + trend, α=β=1/2) backtested
+    * on the daily order-total series: fit on everything up to max(day)−
+    * [[HoltHorizon]], forecast l̂+h·b̂, score against the held-out days —
+    * the trend-aware upgrade of `q_forecast_eval`'s naive baselines. The
+    * recursion l′=αx+(1−α)(l+b), b′=β(l′−l)+(1−β)b is an ORDERED fold a
+    * combining aggregate cannot express (the EWMA precedent), so the
+    * calendar-bounded daily series collects into ONE sorted list and
+    * folds once with a STRUCT accumulator; both engines seed with the
+    * first element and run the identical float expression tree, so the
+    * final state hash-matches. α=β=1/2 keeps every coefficient an exact
+    * binary double.
+    *
+    * Scale shape: facts reduce to O(days) rows FIRST (the autocorr
+    * argument — the collect_list is calendar-bounded, never data-
+    * bounded); the cutoff is a 1-row broadcast cross; the holdout join
+    * is days-sized.
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("day"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    val cut = daily.agg((max(col("day")) - HoltHorizon).as("cutoff"))
+    // the (level, trend) state is a 2-element ARRAY, not a struct: DuckDB's
+    // list_reduce mutates a struct accumulator FIELD BY FIELD, so a later
+    // field's `a.l` reads the already-updated level (probed and pinned in
+    // the oracle comment) — array-typed state folds correctly
+    val fit = daily.join(broadcast(cut))
+      .filter(col("day") <= col("cutoff"))
+      .groupBy(col("cutoff"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .withColumn("ss", expr(
+        "transform(s, e -> array(CAST(e.x AS DOUBLE), CAST(0.0 AS DOUBLE)))"))
+      .withColumn("st", expr(
+        """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (a, e) -> array(
+          |  0.5D * e[0] + 0.5D * (a[0] + a[1]),
+          |  0.5D * (0.5D * e[0] + 0.5D * (a[0] + a[1]) - a[0]) + 0.5D * a[1]))""".stripMargin))
+      .select(col("cutoff"),
+        expr("st[0]").as("level"), expr("st[1]").as("trend"))
+    val forecasts = fit
+      .select(col("cutoff"), col("level"), col("trend"),
+        explode(sequence(lit(1L), lit(HoltHorizon))).as("h"))
+      .select(col("h"), (col("cutoff") + col("h")).as("day"),
+        (col("level") + col("h").cast(DoubleType) * col("trend")).as("forecast_cents"))
+    forecasts.join(daily.select(col("day"), col("x").as("actual_cents")), Seq("day"))
+      .select(col("h").cast(IntegerType).as("h"), col("day"),
+        col("actual_cents"), col("forecast_cents"),
+        abs(col("actual_cents").cast(DoubleType) - col("forecast_cents")).as("abs_err"))
+      .orderBy(col("h"))
+  }
+
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     require(BootReps <= 32, "one md5 digest supplies at most 32 hex-digit weights")
     val o = Tables.orders(spark, dir)

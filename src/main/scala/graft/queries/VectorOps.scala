@@ -558,6 +558,60 @@ object VectorOps {
         col("mean_abs_err"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------- grid-exact radius NN join
+  /** Search radius for [[radiusNn]], in 1e-6 embedding units (0.02). */
+  private[graft] val NnRadius = 20000L
+  /** Coordinate shift making grid cells non-negative: embedding
+    * components are unit-norm-bounded (|x| ≤ 1 ⇒ |quantized| ≤ 1e6), and
+    * truncating integer division double-widens the cell at 0, so both
+    * engines shift into [0, 2²¹) before the cell division. */
+  private[graft] val NnShift = 1L << 21
+
+  /** EXACT nearest-neighbor-within-radius join on the first two embedding
+    * dimensions — the spatial-grid join pattern (geohash/H3 bucketing)
+    * that complements the APPROXIMATE ANN tier: LSH/IVF trade recall for
+    * speed, while a grid with cell size = radius guarantees every true
+    * neighbor sits within the 3×3 cell neighborhood, so the candidate
+    * join is provably complete. One side explodes ×9 onto its neighbor
+    * cells; the join is a plain equi-hash on the cell key (partition-
+    * prunable, co-locatable by bucketing at scale); the argmin resolves
+    * as min(struct(dist², id)) — a combining aggregate, no window.
+    * Candidate count is n · (9-cell occupancy): density-bounded, never
+    * the n² a naive quadratic join pays (spec proves equality with that
+    * twin on the corpus).
+    */
+  def radiusNn(spark: SparkSession, dir: String): DataFrame =
+    radiusNnFrom(Tables.embeddings(spark, dir))
+
+  private[graft] def radiusNnFrom(emb: DataFrame): DataFrame = {
+    val pts = emb.select(col("vec_id"),
+      (expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000) AS BIGINT)")
+        + NnShift).as("x"),
+      (expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)")
+        + NnShift).as("y"))
+    val build = pts.select(col("vec_id").as("nn_id"),
+      col("x").as("xb"), col("y").as("yb"),
+      expr(s"x div $NnRadius").as("cx"), expr(s"y div $NnRadius").as("cy"))
+    val probes = pts
+      .select(col("vec_id"), col("x"), col("y"),
+        explode(expr(
+          "transform(sequence(0, 8), i -> named_struct('dx', i div 3 - 1, 'dy', i % 3 - 1))"))
+          .as("o"))
+      .select(col("vec_id"), col("x"), col("y"),
+        (expr(s"x div $NnRadius") + col("o.dx")).as("cx"),
+        (expr(s"y div $NnRadius") + col("o.dy")).as("cy"))
+    probes.join(build, Seq("cx", "cy"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("dist2",
+        (col("x") - col("xb")) * (col("x") - col("xb"))
+          + (col("y") - col("yb")) * (col("y") - col("yb")))
+      .filter(col("dist2") <= NnRadius * NnRadius)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("nn_id"))).as("m"))
+      .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.dist2").as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------ product quantization
   /** Subspaces a vector splits into for [[pqQuantize]]. */
   private[graft] val PqM = 4

@@ -342,6 +342,34 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("holt: hand-folded level/trend and forecasts on a linear ramp") {
+    import spark.implicits._
+    val dir = tmp("holt")
+    // days 0..9, daily total (d+1)*100 cents; horizon 7 -> train days 0..2
+    val rows = (0 until 10).map { d =>
+      (Timestamp.valueOf(f"1995-01-${d + 1}%02d 00:00:00"), (d + 1) * 1.00)
+    }
+    rows.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // replica: seed (100, 0); x=200 -> (150, 25); x=300 -> (237.5, 56.25)
+    var (l, t) = (100.0, 0.0)
+    for (x <- Seq(200.0, 300.0)) {
+      val lp = 0.5 * x + 0.5 * (l + t)
+      val tp = 0.5 * (0.5 * x + 0.5 * (l + t) - l) + 0.5 * t
+      l = lp; t = tp
+    }
+    assert((l, t) === ((237.5, 56.25)))
+    val got = StatsOps.holt(spark, dir).collect()
+    assert(got.length === 7)
+    got.foreach { r =>
+      val h = r.getInt(0)
+      assert(r.getLong(1) === 2L + h)                    // day = cutoff + h
+      assert(r.getLong(2) === (3 + h) * 100L)            // actual
+      assert(r.getDouble(3) === l + h.toDouble * t)      // forecast, exact binary
+      assert(r.getDouble(4) === math.abs((3 + h) * 100.0 - (l + h.toDouble * t)))
+    }
+  }
+
   test("bootstrapCi: degenerate corpus collapses the interval to the point") {
     import spark.implicits._
     val dir = tmp("boot")

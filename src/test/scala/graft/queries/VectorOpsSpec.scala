@@ -269,6 +269,44 @@ class VectorOpsSpec extends SparkSpec {
     assert(corpus.count(_.getBoolean(4)).toDouble / corpus.length < 0.5)
   }
 
+  test("radiusNn: equals the naive quadratic join; finds neighbors across cell walls") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // fixture: p1/p2 straddle the 0.02 cell boundary 2e-7 apart -> must
+    // pair up even though their grid cells differ; p3 is isolated
+    val dir = java.nio.file.Files.createTempDirectory("graft-rnn").toString
+    Seq(
+      (1L, Array(0.0199999f, 0.0f)),
+      (2L, Array(0.0200001f, 0.0f)),
+      (3L, Array(0.4f, 0.4f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fx = VectorOps.radiusNn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fx === Map(1L -> 2L, 2L -> 1L)) // p3 has no neighbor in radius
+    // corpus: grid-pruned result == the naive quadratic twin, row for row
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pts = emb.select(col("vec_id"),
+      expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000) AS BIGINT)").as("x"),
+      expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)").as("y"))
+    val naive = pts.as("a").crossJoin(pts.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x"))
+          + (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("dist2"))
+      .filter(col("dist2") <= VectorOps.NnRadius * VectorOps.NnRadius)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("nn_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), col("dist2"))
+    val got = VectorOps.radiusNn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = naive.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("pqQuantize: duplicated seeds give zero distortion; corpus census is complete") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
