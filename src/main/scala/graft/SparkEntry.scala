@@ -414,6 +414,14 @@ object SparkEntry {
     "q_holt" -> (StatsOps.holt _),
     // exact radius nearest-neighbor join via 3x3 grid-cell pruning
     "q_radius_nn" -> (VectorOps.radiusNn _),
+    // winnowing fingerprints (MOSS): windowed rightmost-min 3-gram hashes
+    "q_winnow" -> (TextOps.winnow _),
+    // per-source distinctive vocabulary by smoothed quantized log-odds
+    "q_topic_words" -> (TextOps.topicWords _),
+    // marginal bigram-novelty curve over append-order id buckets
+    "q_novelty_curve" -> (TextOps.noveltyCurve _),
+    // QQ decile table between two corpus slices (the KS companion)
+    "q_qq_deciles" -> (StatsOps.qqDeciles _),
   )
 
   private val revenueSql =
@@ -3655,6 +3663,90 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, nn_id) AS rn
         |  FROM c WHERE dist2 <= ${NnRadius * NnRadius})
         |SELECT vec_id, nn_id, dist2 FROM g WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // same packed (hash, rightmost-pos) integer window-min over the same
+    // positional 3-gram hashes, full windows only
+    "q_winnow" -> {
+      import graft.queries.TextOps.{WinnowW, WinnowP}
+      val gh = h32Sql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+        |    i -> struct_pack(pos := i, gh := $gh))) AS p
+        |  FROM d WHERE len(t) >= 3),
+        |f AS (SELECT doc_id, p.pos AS pos, p.gh AS gh FROM g),
+        |w AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+        |    MIN(gh * $WinnowP + ($WinnowP - 1 - pos)) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
+        |  FROM f),
+        |s AS (SELECT DISTINCT doc_id, n_grams, key // $WinnowP AS fp_hash,
+        |    $WinnowP - 1 - (key % $WinnowP) AS fp_pos
+        |  FROM w WHERE pos <= n_grams - $WinnowW)
+        |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_fingerprints, COUNT(DISTINCT fp_hash) AS n_distinct_hashes,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_grams) - ${WinnowW - 1} AS DOUBLE) AS density
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // same margins off the one (source, term) aggregate, same +1-smoothed
+    // quantized integer-log cross-products, same (lor DESC, term) top-k
+    "q_topic_words" -> {
+      import graft.queries.TextOps.{BmScale, TopicK}
+      def lq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      s"""WITH tm AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents),
+        |csw AS (SELECT source, term, COUNT(*) AS c_sw FROM tm GROUP BY 1, 2),
+        |cs AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM csw GROUP BY 1),
+        |cw AS (SELECT term, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM cs),
+        |sc AS (SELECT csw.source, csw.term, c_sw, c_w - c_sw AS c_rest, n_s, n,
+        |    ${lq("(c_sw + 1) * (n - n_s - (c_w - c_sw) + 1)")}
+        |      - ${lq("(c_w - c_sw + 1) * (n_s - c_sw + 1)")} AS lor_q
+        |  FROM csw JOIN cs USING (source) JOIN cw USING (term) CROSS JOIN nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lor_q DESC, term) AS rnk FROM sc)
+        |SELECT source, CAST(rnk AS INT) AS rank, term, c_sw AS n_in_source,
+        |  c_rest AS n_elsewhere, CAST(lor_q AS DOUBLE) / $BmScale.0 AS log_odds
+        |FROM r WHERE rnk <= $TopicK ORDER BY source, rank""".stripMargin
+    },
+    // same arithmetic id buckets off the 1-row max, same min-doc first-seen
+    "q_novelty_curve" -> {
+      import graft.queries.TextOps.NoveltyBuckets
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+        |  FROM documents),
+        |bgs AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+        |  FROM d WHERE len(tk) >= 2),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |inst AS (SELECT doc_id * $NoveltyBuckets // (mx + 1) AS bucket,
+        |    COUNT(*) AS n_instances FROM bgs CROSS JOIN mx GROUP BY 1),
+        |fst AS (SELECT bg, MIN(doc_id) AS first_doc FROM bgs GROUP BY 1),
+        |nw AS (SELECT first_doc * $NoveltyBuckets // (mx + 1) AS bucket,
+        |    COUNT(*) AS n_new_bigrams FROM fst CROSS JOIN mx GROUP BY 1),
+        |dc AS (SELECT doc_id * $NoveltyBuckets // (mx + 1) AS bucket,
+        |    COUNT(*) AS n_docs FROM documents CROSS JOIN mx GROUP BY 1)
+        |SELECT dc.bucket, n_docs,
+        |  COALESCE(n_instances, 0) AS n_instances,
+        |  COALESCE(n_new_bigrams, 0) AS n_new_bigrams,
+        |  CAST(COALESCE(n_new_bigrams, 0) AS DOUBLE)
+        |    / CAST(nullif(COALESCE(n_instances, 0), 0) AS DOUBLE) AS novelty_rate
+        |FROM dc LEFT JOIN inst USING (bucket) LEFT JOIN nw USING (bucket)
+        |ORDER BY bucket""".stripMargin
+    },
+    // same exact-order-statistic interpolation (quantile_cont == percentile,
+    // the equidepth contract) at the same 9 deciles
+    "q_qq_deciles" -> {
+      import graft.queries.StatsOps.{KsSourceA, KsSourceB}
+      val probs = (1 until 10).map(i => (i.toDouble / 10).toString).mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), $probs) AS qa
+        |  FROM documents WHERE source = '$KsSourceA'),
+        |b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), $probs) AS qb
+        |  FROM documents WHERE source = '$KsSourceB'),
+        |x AS (SELECT i.range + 1 AS i, qa, qb FROM a CROSS JOIN b CROSS JOIN range(9) i)
+        |SELECT CAST(i * 10 AS INT) AS decile, qa[i] AS q_a, qb[i] AS q_b,
+        |  qb[i] - qa[i] AS diff, qb[i] / nullif(qa[i], 0.0) AS ratio
+        |FROM x ORDER BY decile""".stripMargin
     },
   )
 }

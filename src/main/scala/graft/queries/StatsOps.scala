@@ -686,6 +686,33 @@ object StatsOps {
     * [[BootReps]] rows before the (tiny) shuffle — state is O(reps)
     * regardless of data size, the fact is scanned once.
     */
+  // --------------------------------------------------- QQ decile comparison
+  /** Quantile–quantile comparison of the [[KsSourceA]]/[[KsSourceB]]
+    * document-length distributions at the 9 deciles — the LOCATION-wise
+    * companion to [[ksTest]]'s sup-norm: KS says WHETHER the slices
+    * differ, the QQ table says WHERE (which quantile band drifted). Both
+    * engines interpolate the same exact order statistics (`percentile` ↔
+    * `quantile_cont`, the equidepth contract), so the doubles hash-match.
+    * Shape: two 1-row exact-percentile aggregates over the pre-reduced
+    * slices, a broadcast cross, and a 9-row explode — O(1) output.
+    */
+  def qqDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val probs = (1 until 10).map(_.toDouble / 10)
+    def side(s: String, out: String): DataFrame =
+      Tables.documents(spark, dir)
+        .filter(col("source") === s)
+        .select(col("n_chars").cast(DoubleType).as("v"))
+        .agg(percentile(col("v"), typedLit(probs)).as(out))
+    side(KsSourceA, "qa").join(broadcast(side(KsSourceB, "qb")))
+      .select(explode(sequence(lit(1), lit(9))).as("i"), col("qa"), col("qb"))
+      .select((col("i") * 10).cast(IntegerType).as("decile"),
+        element_at(col("qa"), col("i")).as("q_a"),
+        element_at(col("qb"), col("i")).as("q_b"))
+      .withColumn("diff", col("q_b") - col("q_a"))
+      .withColumn("ratio", col("q_b") / nullif(col("q_a"), lit(0.0)))
+      .orderBy(col("decile"))
+  }
+
   // ---------------------------------------------- Holt linear-trend backtest
   /** Holdout horizon (days) for [[holt]]'s backtest. */
   private[graft] val HoltHorizon = 7L

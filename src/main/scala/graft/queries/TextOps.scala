@@ -1471,6 +1471,157 @@ object TextOps {
       .orderBy(col("chunk_hash"))
   }
 
+  // ----------------------------------------------- winnowing fingerprints
+  /** Winnowing window (hashes per selection window). */
+  private[graft] val WinnowW = 4
+  /** Position-packing base for the (hash, rightmost-position) argmin:
+    * positions must stay below this (1M grams per document — beyond it,
+    * chunk the document first, the docChunks path). */
+  private[graft] val WinnowP = 1L << 20
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    * algorithm): slide a window of [[WinnowW]] consecutive 3-gram hashes
+    * and keep each window's minimum, rightmost on ties — the
+    * position-robust fingerprinting that guarantees any shared run of
+    * ≥ w+k−1 tokens yields a shared fingerprint, unlike [[fingerprint]]'s
+    * global bottom-k (which an adversary dodges by editing the k smallest
+    * grams). Per-document output: gram count, selected fingerprints, and
+    * density (theory: 2/(w+1)).
+    *
+    * The (min-hash, rightmost-position) argmin packs into ONE int64 —
+    * gh·[[WinnowP]] + (P−1−pos), so an integer window-MIN both engines
+    * share replaces a struct-ordered min (hash < 2³², positions <
+    * [[WinnowP]] by the documented bound). Scale shape: one gram explode,
+    * one forward-frame window partitioned BY DOCUMENT, one distinct +
+    * per-doc aggregate — no joins, no pairs.
+    */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    // posexplode_OUTER, then drop the null rows: a plain posexplode
+    // infers `size(hs) > 0` and inlines the md5 transform into the scan
+    // Filter — the decontaminate explode_outer fix, machine-caught again
+    // by PlanGuard's no-HOF-in-Filter audit on this op's first draft
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("hs",
+        expr("""CASE WHEN size(t) >= 3
+               |  THEN transform(sequence(0, size(t)-3),
+               |    i -> CAST(conv(substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8), 16, 10) AS BIGINT))
+               |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "gh")))
+      .filter(col("pos").isNotNull)
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val sel = grams
+      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .withColumn("key",
+        min(col("gh") * WinnowP + (lit(WinnowP - 1) - col("pos"))).over(wSel))
+      .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
+      .select(col("doc_id"), col("n_grams"),
+        expr(s"key div $WinnowP").as("fp_hash"),
+        expr(s"$WinnowP - 1 - (key % $WinnowP)").as("fp_pos"))
+      .distinct()
+    sel.groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fingerprints"),
+        countDistinct(col("fp_hash")).as("n_distinct_hashes"))
+      .withColumn("density",
+        col("n_fingerprints").cast(DoubleType)
+          / (col("n_grams") - (WinnowW - 1)).cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------- log-odds topic words
+  /** Terms reported per source by [[topicWords]]. */
+  private[graft] val TopicK = 3
+
+  /** Per-source distinctive vocabulary by smoothed log-odds ratio
+    * (the Monroe et al. 2008 "fightin' words" shape with +1 smoothing):
+    * lor(w, s) = ln[(c_sw+1)/(n_s−c_sw+1)] − ln[(c_rest+1)/(n_rest−c_rest+1)],
+    * computed as a DIFFERENCE OF QUANTIZED INTEGER-ARGUMENT LOGS of the
+    * two cross-products — the collocations/PMI discipline, so the score
+    * is bit-stable. The corpus-level profile a curator reads to see what
+    * each domain is actually about (and the leakage screen for a
+    * domain-classifier feature that merely memorizes source markers).
+    *
+    * Shape: one (source, term) combining aggregate; margins re-aggregate
+    * from it (source margin broadcast, term margin a vocabulary-scale
+    * equi-join — broadcasting the full vocabulary would ship fact-scale
+    * state, the tfidf note); top-[[TopicK]] via a source-partitioned
+    * window over vocabulary-sized rows.
+    */
+  def topicWords(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5)).cast(LongType)
+    val csw = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksAll).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_sw"))
+    val cs = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val cw = csw.groupBy(col("term")).agg(sum(col("c_sw")).as("c_w"))
+    val n = cs.agg(sum(col("n_s")).as("n"))
+    val scored = csw
+      .join(broadcast(cs), Seq("source"))
+      .join(cw, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("c_rest", col("c_w") - col("c_sw"))
+      .withColumn("n_rest", col("n") - col("n_s"))
+      .withColumn("lor_q",
+        lq((col("c_sw") + 1) * (col("n_rest") - col("c_rest") + 1))
+          - lq((col("c_rest") + 1) * (col("n_s") - col("c_sw") + 1)))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lor_q").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopicK)
+      .select(col("source"), col("rnk").as("rank"), col("term"),
+        col("c_sw").as("n_in_source"), col("c_rest").as("n_elsewhere"),
+        (col("lor_q").cast(DoubleType) / lit(BmScale.toDouble)).as("log_odds"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  // --------------------------------------------- marginal novelty curve
+  /** Id-range buckets of the novelty curve. */
+  private[graft] val NoveltyBuckets = 10L
+
+  /** Diminishing-returns curve of corpus growth: bucket documents into
+    * [[NoveltyBuckets]] id ranges (append order) and report, per bucket,
+    * how many bigram TYPES appear for the first time vs the bigram
+    * instances scanned — the statistic that tells a data-collection
+    * effort when the marginal crawl stops adding vocabulary. The bucket
+    * id is pure arithmetic off a 1-row max (never a global NTILE window);
+    * first-seen is min(doc_id) per bigram — one vocabulary-scale
+    * combining aggregate; the three 10-row per-bucket frames join
+    * broadcast. One corpus pass for instances + one for the type table.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")).as("bg"))
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    def bucket(name: String): Column =
+      expr(s"$name * $NoveltyBuckets div (mx + 1)")
+    val inst = bg.join(broadcast(mx))
+      .groupBy(bucket("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_instances"))
+    val first = bg.groupBy(col("bg")).agg(min(col("doc_id")).as("first_doc"))
+      .join(broadcast(mx))
+      .groupBy(bucket("first_doc").as("bucket"))
+      .agg(count(lit(1)).as("n_new_bigrams"))
+    val docs = Tables.documents(spark, dir).join(broadcast(mx))
+      .groupBy(bucket("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(inst, Seq("bucket"), "left").join(first, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_instances"), lit(0L)).as("n_instances"),
+        coalesce(col("n_new_bigrams"), lit(0L)).as("n_new_bigrams"))
+      .withColumn("novelty_rate",
+        col("n_new_bigrams").cast(DoubleType)
+          / nullif(col("n_instances"), lit(0L)).cast(DoubleType))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------- BPE merge training
   /** Number of merge rounds [[bpeTrain]] learns (shared with the oracle's
     * unrolled CTE chain). */

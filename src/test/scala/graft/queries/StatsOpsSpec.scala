@@ -342,6 +342,25 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("qqDeciles: doubled distribution reads ratio exactly 2 at every decile") {
+    import spark.implicits._
+    val dir = tmp("qq")
+    val a = (1 to 10).map(i => (i.toLong, StatsOps.KsSourceA, i * 10L))
+    val b = (11 to 20).map(i => (i.toLong, StatsOps.KsSourceB, (i - 10) * 20L))
+    (a ++ b).toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = StatsOps.qqDeciles(spark, dir).collect()
+    assert(r.length === 9)
+    r.foreach { row =>
+      val (qa, qb) = (row.getDouble(1), row.getDouble(2))
+      assert(qb === 2.0 * qa)                   // scaling by 2 is exact
+      assert(row.getDouble(3) === qb - qa)
+      assert(row.getDouble(4) === 2.0)
+    }
+    // spot the 50th percentile: interpolated midpoint of 50 and 60
+    assert(r.find(_.getInt(0) == 50).get.getDouble(1) === 55.0)
+  }
+
   test("holt: hand-folded level/trend and forecasts on a linear ramp") {
     import spark.implicits._
     val dir = tmp("holt")

@@ -507,6 +507,82 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.chunkDedup(spark, fixedDir).count() === 0L)
   }
 
+  test("winnow: per-doc selection matches a scalar winnowing replica") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val texts = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "x y z"))   // 1 gram < W: no full window, absent from output
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    def replica(text: String): Option[(Long, Long, Long, Double)] = {
+      val t = text.split(" ")
+      val ghs = (0 to t.length - 3).map(i => h32(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+      val n = ghs.length
+      if (n < TextOps.WinnowW) None else {
+        val picks = (0 to n - TextOps.WinnowW).map { p =>
+          val win = (p until p + TextOps.WinnowW).map(i => (ghs(i), i))
+          win.minBy { case (h, i) => (h, -i) } // rightmost min
+        }.distinct
+        Some((n.toLong, picks.size.toLong, picks.map(_._1).distinct.size.toLong,
+          picks.size.toDouble / (n - (TextOps.WinnowW - 1)).toDouble))
+      }
+    }
+    val got = TextOps.winnow(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(!got.contains(3L))
+    for (id <- Seq(1L, 2L)) {
+      val Some(exp) = replica(texts.find(_._1 == id).get._2)
+      assert(got(id) === exp)
+    }
+  }
+
+  test("topicWords: designed distinctive terms win their sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topic").toString
+    Seq(
+      (1L, "a", "apple apple apple common common"),
+      (2L, "b", "banana banana banana common common"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.topicWords(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", 1))._1 === "apple")
+    assert(got(("b", 1))._1 === "banana")
+    // replica of the quantized log-odds for apple in a: c_sw=3, c_rest=0,
+    // n_s=5, n_rest=5
+    def lq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * TextOps.BmScale + 0.5).toLong
+    val expQ = lq((3 + 1) * (5 - 0 + 1)) - lq((0 + 1) * (5 - 3 + 1))
+    assert(got(("a", 1))._4 === expQ.toDouble / TextOps.BmScale)
+    assert(got(("a", 1))._4 > 0.0)
+    // the shared term never outranks the distinctive one
+    assert(got(("a", 1))._2 === 3L && got(("a", 1))._3 === 0L)
+  }
+
+  test("noveltyCurve: new bigram types land in their first bucket only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    // ids 0..9 -> bucket == id; every doc repeats 'a b' except doc 5
+    val rows = (0L to 9L).map(i => (i, if (i == 5) "c d" else "a b"))
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.noveltyCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === (0L to 9L).toSet)
+    assert(got(0L) === ((1L, 1L, 1L)))   // 'a b' first seen
+    assert(got(5L) === ((1L, 1L, 1L)))   // 'c d' first seen
+    (1L to 9L).filter(_ != 5L).foreach(b => assert(got(b) === ((1L, 1L, 0L))))
+  }
+
   test("bpeTrain: hand-folded merges on the classic aaab/ab vocabulary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
