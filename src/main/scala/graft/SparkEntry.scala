@@ -422,6 +422,12 @@ object SparkEntry {
     "q_novelty_curve" -> (TextOps.noveltyCurve _),
     // QQ decile table between two corpus slices (the KS companion)
     "q_qq_deciles" -> (StatsOps.qqDeciles _),
+    // Kimball drill-across: two facts pre-aggregated to the conformed month
+    "q_drill_across" -> (OlapOps.drillAcross _),
+    // signup->purchase time-to-convert latency percentiles
+    "q_funnel_time" -> (BehaviorOps.funnelTime _),
+    // Zipf exponent: weighted log-log OLS, midrank ranks, no global window
+    "q_zipf_fit" -> (TextOps.zipfFit _),
   )
 
   private val revenueSql =
@@ -3747,6 +3753,75 @@ object SparkEntry {
         |SELECT CAST(i * 10 AS INT) AS decile, qa[i] AS q_a, qb[i] AS q_b,
         |  qb[i] - qa[i] AS diff, qb[i] / nullif(qa[i], 0.0) AS ratio
         |FROM x ORDER BY decile""".stripMargin
+    },
+    // same conformed-month pre-aggregation per fact, same full-outer merge
+    "q_drill_across" ->
+      """WITH rev AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month_key,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1),
+        |act AS (SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS month_key,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS event_value_cents
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT COALESCE(rev.month_key, act.month_key) AS month_key,
+        |  COALESCE(n_orders, 0) AS n_orders, revenue_cents,
+        |  COALESCE(n_events, 0) AS n_events, event_value_cents
+        |FROM rev FULL OUTER JOIN act ON rev.month_key = act.month_key
+        |ORDER BY month_key""".stripMargin,
+    // same first-signup / first-qualifying-purchase reduction, same exact
+    // microsecond deltas, quantile_cont == percentile (equidepth contract)
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |su AS (SELECT user_id, CAST(MIN(us) AS BIGINT) AS s_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, s_us, CAST(MIN(us) AS BIGINT) AS p_us
+        |  FROM e JOIN su USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= s_us GROUP BY 1, 2),
+        |d AS (SELECT p_us - s_us AS delta_us FROM conv),
+        |st AS (SELECT COUNT(*) AS n_converted,
+        |    quantile_cont(CAST(delta_us AS DOUBLE), [0.5, 0.9]) AS ps FROM d),
+        |ns AS (SELECT COUNT(*) AS n_signups FROM su)
+        |SELECT n_signups, n_converted,
+        |  CAST(n_converted AS DOUBLE) / CAST(n_signups AS DOUBLE) AS conv_rate,
+        |  ps[1] / CAST(1000000 AS DOUBLE) AS p50_secs,
+        |  ps[2] / CAST(1000000 AS DOUBLE) AS p90_secs
+        |FROM ns CROSS JOIN st""".stripMargin,
+    // same two-level prefix sum for higher-frequency counts, same doubled
+    // midranks and quantized integer logs, HUGEINT moments on the VARCHAR
+    // detour
+    "q_zipf_fit" -> {
+      import graft.queries.TextOps.{BmScale, ZipfBucketW}
+      def lq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val varN = s"CAST(n_terms AS DOUBLE)"
+      val slope = s"($varN * ${hdbl("sxy")} - ${hdbl("sx")} * ${hdbl("sy")})" +
+        s" / nullif($varN * ${hdbl("sxx")} - ${hdbl("sx")} * ${hdbl("sx")}, 0.0)"
+      s"""WITH vc AS (SELECT term, COUNT(*) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |    FROM documents) GROUP BY 1),
+        |pf AS (SELECT f, COUNT(*) AS m, f // $ZipfBucketW AS bucket FROM vc GROUP BY 1),
+        |ib AS (SELECT f, m, bucket,
+        |    CAST(SUM(m) OVER (PARTITION BY bucket ORDER BY f DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rcum
+        |  FROM pf),
+        |bt AS (SELECT bucket, CAST(SUM(m) AS BIGINT) AS tm FROM pf GROUP BY 1),
+        |boff AS (SELECT a.bucket AS b,
+        |    CAST(COALESCE(SUM(bt.tm), 0) AS BIGINT) AS off
+        |  FROM bt a LEFT JOIN bt ON bt.bucket > a.bucket GROUP BY 1),
+        |pts AS (SELECT f, m, off + rcum - m AS r_excl
+        |  FROM ib JOIN boff ON ib.bucket = boff.b),
+        |p2 AS (SELECT m, ${lq("r_excl * 2 + m + 1")} AS x, ${lq("f * 2")} AS y FROM pts),
+        |mo AS (SELECT CAST(SUM(m) AS BIGINT) AS n_terms,
+        |    SUM(CAST(m AS HUGEINT) * x) AS sx, SUM(CAST(m AS HUGEINT) * y) AS sy,
+        |    SUM(CAST(m AS HUGEINT) * x * y) AS sxy,
+        |    SUM(CAST(m AS HUGEINT) * x * x) AS sxx
+        |  FROM p2)
+        |SELECT n_terms, $slope AS slope, -($slope) AS zipf_alpha,
+        |  ((${hdbl("sy")} - ($slope) * ${hdbl("sx")}) / $varN) / $BmScale.0 AS intercept_ln
+        |FROM mo""".stripMargin
     },
   )
 }

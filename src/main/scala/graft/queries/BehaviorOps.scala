@@ -852,4 +852,38 @@ object BehaviorOps {
       .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("revenue_cents"))
       .orderBy(col("channel"))
   }
+
+  // ------------------------------------------------- funnel time-to-convert
+  /** Time-to-convert distribution for the signup→purchase funnel edge:
+    * per user, first signup and the first purchase AT OR AFTER it, then
+    * the latency percentiles a growth team actually reads (`q_funnel`
+    * reports only whether each stage was reached). Deltas are exact
+    * integer microseconds; the p50/p90 interpolation is the
+    * percentile ↔ quantile_cont contract (equidepth). Shape: two
+    * user-keyed combining aggregates, one broadcast join of the
+    * user-scale signup table into the purchase stream, a 1-row output —
+    * no window, no self-join of raw events.
+    */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(broadcast(su), Seq("user_id"))
+      .filter(col("us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us")).agg(min(col("us")).as("p_us"))
+      .select(((col("p_us") - col("s_us"))).as("delta_us"))
+    val nSign = su.agg(count(lit(1)).as("n_signups"))
+    val stats = conv.agg(
+      count(lit(1)).as("n_converted"),
+      percentile(col("delta_us").cast(DoubleType), typedLit(Seq(0.5, 0.9))).as("ps"))
+    nSign.join(broadcast(stats))
+      .select(col("n_signups"), col("n_converted"),
+        (col("n_converted").cast(DoubleType) / col("n_signups").cast(DoubleType))
+          .as("conv_rate"),
+        (element_at(col("ps"), 1) / lit(1000000.0)).as("p50_secs"),
+        (element_at(col("ps"), 2) / lit(1000000.0)).as("p90_secs"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -353,5 +353,41 @@ object OlapOps {
       .select(col("cents").as("price_cents"), col("size").as("max_size"),
         col("n_parts"))
       .orderBy(col("price_cents"))
+  }
+
+  // ----------------------------------------------------------- drill-across
+  /** Kimball drill-across: two fact tables at different grains (order
+    * revenue, event activity) each aggregate to the CONFORMED calendar
+    * month and FULL-OUTER merge on it — the multi-fact report pattern
+    * that must never join fact-to-fact at row grain (a fan-out trap:
+    * joining facts before aggregating double-counts both measures).
+    * Each fact reduces to O(months) rows first with map-side combine;
+    * the merge is a months-sized full outer join; counts coalesce to 0,
+    * measures stay NULL where a fact has no rows for the month (the two
+    * testdata facts cover disjoint year ranges, so both null sides are
+    * exercised). At 100 TB the pre-aggregation IS the operator: the
+    * join input is calendar-bounded no matter the fact volume.
+    */
+  def drillAcross(spark: SparkSession, dir: String): DataFrame = {
+    def monthKey(c: Column): Column =
+      (year(c) * 100 + month(c)).cast(LongType)
+    val rev = Tables.orders(spark, dir)
+      .groupBy(monthKey(col("o_orderdate")).as("month_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType))
+          .as("revenue_cents"))
+    val act = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(monthKey(col("ts")).as("month_key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType))
+          .as("event_value_cents"))
+    rev.join(act, Seq("month_key"), "full_outer")
+      .select(col("month_key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("revenue_cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("event_value_cents"))
+      .orderBy(col("month_key"))
   }
 }

@@ -1622,6 +1622,61 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  // ------------------------------------------------------------- Zipf fit
+  /** Frequency-bucket width of the Zipf rank prefix sum. */
+  private[graft] val ZipfBucketW = 8192L
+
+  /** Zipf's-law fit of the term rank–frequency curve: weighted log–log
+    * OLS of ln(freq) on ln(rank), whose negative slope is the Zipf
+    * exponent (≈1 for natural language — a corpus audit that flags
+    * machine-generated or template text when it drifts). NO GLOBAL RANK
+    * WINDOW: terms reduce to one row per DISTINCT FREQUENCY, the
+    * count-of-higher-frequency-terms comes from the two-level prefix-sum
+    * builder (in-bucket window partitioned by freq-bucket + triangular
+    * offset probe over the bucket-total aggregate — the KS/MWU shape),
+    * and tied terms take the DOUBLED MIDRANK 2R+m+1 (the Mann–Whitney
+    * discipline) so ranks stay integer. Both logs take integer arguments
+    * (rank2, 2·freq — the doubling cancels in the slope) quantized at
+    * [[BmScale]]; the OLS moments are exact integers (DECIMAL(38,0)
+    * products) and the slope/intercept are closed-form doubles — the
+    * olsFit contract.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5)).cast(LongType)
+    val pf = Tables.documents(spark, dir)
+      .select(explode(toksAll).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("m"))
+      .withColumn("bucket", expr(s"f div $ZipfBucketW"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pf.withColumn("rcum", sum(col("m")).over(w))
+    val bucketTotals = pf.groupBy(col("bucket")).agg(sum(col("m")).as("tm"))
+    val offsets = bucketTotals.select(col("bucket").as("b"))
+      .join(broadcast(bucketTotals), col("bucket") > col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("tm")), lit(0L)).as("off"))
+    val pts = inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .withColumn("r_excl", col("off") + col("rcum") - col("m"))
+      .withColumn("x", lq(col("r_excl") * 2 + col("m") + 1)) // doubled midrank
+      .withColumn("y", lq(col("f") * 2))
+    val mo = pts.agg(
+      sum(col("m")).as("n_terms"),
+      sum(col("m").cast(DecimalType(38, 0)) * col("x")).as("sx"),
+      sum(col("m").cast(DecimalType(38, 0)) * col("y")).as("sy"),
+      sum(col("m").cast(DecimalType(38, 0)) * col("x") * col("y")).as("sxy"),
+      sum(col("m").cast(DecimalType(38, 0)) * col("x") * col("x")).as("sxx"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val slope = (dbl("n_terms") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      nullif(dbl("n_terms") * dbl("sxx") - dbl("sx") * dbl("sx"), lit(0.0))
+    // ONE projection over the 1-row moment aggregate — referencing `mo`
+    // twice would re-plan the corpus explode per consumer (the DSIR trap)
+    mo.select(col("n_terms"), slope.as("slope"), (-slope).as("zipf_alpha"),
+      (((dbl("sy") - slope * dbl("sx")) / dbl("n_terms"))
+        / lit(BmScale.toDouble)).as("intercept_ln"))
+  }
+
   // ------------------------------------------------------- BPE merge training
   /** Number of merge rounds [[bpeTrain]] learns (shared with the oracle's
     * unrolled CTE chain). */

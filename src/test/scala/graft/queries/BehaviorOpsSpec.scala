@@ -427,4 +427,25 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 40L)           // 10 + 30 seconds
     assert(r.getDouble(3) === 2.5)         // (10*10 + 0*30) / 40
   }
+
+  test("funnelTime: pre-signup purchases never convert; exact latency deciles") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-ftime").toString
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val rows = Seq(
+      (1L, "signup", ts(0)), (1L, "purchase", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "purchase", ts(5)), (2L, "signup", ts(30)),   // purchase BEFORE signup
+      (3L, "signup", ts(0)),                             // never purchases
+      (4L, "signup", ts(0)), (4L, "purchase", ts(30)),
+      (9L, "purchase", ts(1)))                           // purchase, no signup
+    rows.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = BehaviorOps.funnelTime(spark, dir).collect().head
+    assert(r.getLong(0) === 4L)        // signups: u1..u4
+    assert(r.getLong(1) === 2L)        // converted: u1 (10s), u4 (30s)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 20.0)    // median of {10, 30}
+    assert(r.getDouble(4) === 28.0)    // p90 interpolation 10 + 0.9*20
+  }
 }

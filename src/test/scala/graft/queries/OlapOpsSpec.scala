@@ -43,4 +43,29 @@ class OlapOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === Seq((800L, 2L, 1L), (900L, 5L, 1L), (1000L, 7L, 2L)))
   }
+
+  test("drillAcross: fact-only months keep NULL measures, shared months merge") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-drill").toString
+    Seq(
+      (Timestamp.valueOf("1995-01-03 00:00:00"), 10.00),
+      (Timestamp.valueOf("1995-01-20 00:00:00"), 20.00),
+      (Timestamp.valueOf("2024-01-07 00:00:00"), 5.00))
+      .toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (Timestamp.valueOf("2024-01-05 00:00:00"), 1.00),
+      (Timestamp.valueOf("2024-01-06 00:00:00"), 2.00))
+      .toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = OlapOps.drillAcross(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getLong(3), Option(r.get(4))))).toMap
+    // orders-only month: activity measures NULL, count 0
+    assert(got(199501L) === ((2L, Some(3000L), 0L, None)))
+    // shared month: both facts contribute at their own grain
+    assert(got(202401L) === ((1L, Some(500L), 2L, Some(300L))))
+    assert(got.size === 2)
+  }
 }

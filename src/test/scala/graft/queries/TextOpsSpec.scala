@@ -583,6 +583,32 @@ class TextOpsSpec extends SparkSpec {
     (1L to 9L).filter(_ != 5L).foreach(b => assert(got(b) === ((1L, 1L, 0L))))
   }
 
+  test("zipfFit: exact replica on distinct frequencies; slope -1 on 1/rank") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // freqs 24/rank: 24, 12, 8, 6 — an exact Zipf(1) profile
+    val text = Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")
+    Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.zipfFit(spark, dir).collect().head
+    assert(r.getLong(0) === 4L)
+    // scalar replica of the quantized log-log OLS (m = 1 per freq)
+    def lq(m: Long): Double =
+      math.floor(math.log(m.toDouble) * TextOps.BmScale + 0.5)
+    val pts = Seq(24L, 12L, 8L, 6L).zipWithIndex.map { case (f, i) =>
+      (lq(2L * i + 2L), lq(2L * f)) // doubled midrank 2R+m+1 = 2i+2
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(1) === slope)
+    assert(r.getDouble(2) === -slope)
+    assert(math.abs(slope + 1.0) < 1e-4) // Zipf exponent ~ 1
+  }
+
   test("bpeTrain: hand-folded merges on the classic aaab/ab vocabulary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
