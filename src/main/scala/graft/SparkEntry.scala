@@ -428,6 +428,12 @@ object SparkEntry {
     "q_funnel_time" -> (BehaviorOps.funnelTime _),
     // Zipf exponent: weighted log-log OLS, midrank ranks, no global window
     "q_zipf_fit" -> (TextOps.zipfFit _),
+    // per-type interarrival gap profile (cadence / session-gap sizing)
+    "q_interarrival" -> (BehaviorOps.interarrival _),
+    // period-over-period churn headline from one conditional aggregate
+    "q_churn" -> (BehaviorOps.churn _),
+    // Heaps'-law vocabulary-growth exponent over append-order buckets
+    "q_heaps_fit" -> (TextOps.heapsFit _),
   )
 
   private val revenueSql =
@@ -3821,6 +3827,68 @@ object SparkEntry {
         |  FROM p2)
         |SELECT n_terms, $slope AS slope, -($slope) AS zipf_alpha,
         |  ((${hdbl("sy")} - ($slope) * ${hdbl("sx")}) / $varN) / $BmScale.0 AS intercept_ln
+        |FROM mo""".stripMargin
+    },
+    // same user-partitioned lag gaps (ts, event_id tiebreak), exact
+    // microsecond sums, quantile_cont == percentile interpolation
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e),
+        |f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS mean_secs,
+        |  quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / CAST(1000000 AS DOUBLE) AS p50_secs,
+        |  quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / CAST(1000000 AS DOUBLE) AS p90_secs
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same per-user any-flags, same 1-row conditional reduce
+    "q_churn" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
+        |SELECT CAST(SUM(a) AS BIGINT) AS n_active_first,
+        |  CAST(SUM(b) AS BIGINT) AS n_active_second,
+        |  CAST(SUM(a * b) AS BIGINT) AS n_retained,
+        |  CAST(SUM(a * (1 - b)) AS BIGINT) AS n_churned,
+        |  CAST(SUM((1 - a) * b) AS BIGINT) AS n_new,
+        |  CAST(SUM(a * (1 - b)) AS DOUBLE)
+        |    / CAST(nullif(SUM(a), 0) AS DOUBLE) AS churn_rate
+        |FROM u""".stripMargin,
+    // same bucket spine and first-seen types as q_novelty_curve (unigrams),
+    // same triangular cumulative, same quantized-log OLS closed forms
+    "q_heaps_fit" -> {
+      import graft.queries.TextOps.{BmScale, NoveltyBuckets}
+      def lq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val n = "CAST(n_points AS DOUBLE)"
+      val beta = s"($n * ${hdbl("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        s" / nullif($n * ${hdbl("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
+      s"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |inst AS (SELECT doc_id * $NoveltyBuckets // (mx + 1) AS bucket,
+        |    COUNT(*) AS n_inst FROM t CROSS JOIN mx GROUP BY 1),
+        |fst AS (SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY 1),
+        |nw AS (SELECT first_doc * $NoveltyBuckets // (mx + 1) AS bucket,
+        |    COUNT(*) AS n_new FROM fst CROSS JOIN mx GROUP BY 1),
+        |pb AS (SELECT inst.bucket, n_inst, COALESCE(n_new, 0) AS n_new
+        |  FROM inst LEFT JOIN nw USING (bucket)),
+        |cum AS (SELECT a.bucket AS b, CAST(SUM(pb.n_inst) AS BIGINT) AS nb,
+        |    CAST(SUM(pb.n_new) AS BIGINT) AS vb
+        |  FROM pb a JOIN pb ON pb.bucket <= a.bucket GROUP BY 1),
+        |pts AS (SELECT ${lq("nb")} AS x, ${lq("vb")} AS y FROM cum
+        |  WHERE nb > 0 AND vb > 0),
+        |mo AS (SELECT COUNT(*) AS n_points, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pts)
+        |SELECT n_points, $beta AS heaps_beta,
+        |  ((CAST(sy AS DOUBLE) - ($beta) * CAST(sx AS DOUBLE)) / $n) / $BmScale.0 AS ln_k
         |FROM mo""".stripMargin
     },
   )

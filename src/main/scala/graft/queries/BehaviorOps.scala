@@ -853,6 +853,62 @@ object BehaviorOps {
       .orderBy(col("channel"))
   }
 
+  // ---------------------------------------------------- interarrival profile
+  /** Per-event-type interarrival profile: the gap from each event to the
+    * SAME USER's previous event (any type), summarized per type of the
+    * later event — the cadence statistic behind session-gap sizing
+    * (complementing `q_lateness_profile`'s watermark view and
+    * `q_sessionize`'s fixed threshold). Gaps are exact integer
+    * microseconds off ONE user-partitioned lag window (never global);
+    * the mean is an exact sum/count division and p50/p90 ride the
+    * percentile ↔ quantile_cont contract.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        percentile(col("gap_us").cast(DoubleType), typedLit(Seq(0.5, 0.9))).as("ps"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("sum_gap_us").cast(DoubleType)
+          / (col("n_gaps").cast(DoubleType) * lit(1000000.0))).as("mean_secs"),
+        (element_at(col("ps"), 1) / lit(1000000.0)).as("p50_secs"),
+        (element_at(col("ps"), 2) / lit(1000000.0)).as("p90_secs"))
+      .orderBy(col("event_type"))
+  }
+
+  // ----------------------------------------------------------- churn summary
+  /** Period-over-period churn: users active in the first half of the
+    * month vs the second — retained / churned / new counts and the churn
+    * rate, the single number above every retention matrix
+    * (`q_retention` gives the full triangle; this is its headline).
+    * ONE user-level conditional aggregate — per user two any-flags, then
+    * a 1-row reduce; no join, no window, no distinct over raw events.
+    */
+  def churn(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("in_a"))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_a")).as("a"), max(lit(1L) - col("in_a")).as("b"))
+    users.agg(
+        sum(col("a")).as("n_active_first"),
+        sum(col("b")).as("n_active_second"),
+        sum(col("a") * col("b")).as("n_retained"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n_churned"),
+        sum((lit(1L) - col("a")) * col("b")).as("n_new"))
+      .withColumn("churn_rate",
+        col("n_churned").cast(DoubleType)
+          / nullif(col("n_active_first"), lit(0L)).cast(DoubleType))
+  }
+
   // ------------------------------------------------- funnel time-to-convert
   /** Time-to-convert distribution for the signup→purchase funnel edge:
     * per user, first signup and the first purchase AT OR AFTER it, then

@@ -1622,6 +1622,54 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  // ------------------------------------------------------------ Heaps fit
+  /** Heaps'-law fit V(N) = k·N^β of vocabulary growth — Zipf's companion
+    * (`q_zipf_fit` audits the frequency law, this audits the GROWTH law;
+    * β drifting from ~0.4–0.6 flags template or exhausted-source text).
+    * Points are the [[NoveltyBuckets]] append-order id buckets: N_b =
+    * cumulative token instances, V_b = cumulative first-seen TERM types
+    * (the noveltyCurve machinery, unigrams instead of bigrams);
+    * cumulatives ride a triangular self-join over the 10-row bucket
+    * aggregate (sanctioned tiny build side — never a global window), and
+    * the log–log OLS takes quantized INTEGER-argument logs with exact
+    * DECIMAL(38,0) moments (the zipfFit/olsFit contract). One corpus
+    * pass for instances + one vocabulary aggregate.
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5)).cast(LongType)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("term"))
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    def bucket(name: String): Column =
+      expr(s"$name * $NoveltyBuckets div (mx + 1)")
+    val inst = toks.join(broadcast(mx))
+      .groupBy(bucket("doc_id").as("bucket")).agg(count(lit(1)).as("n_inst"))
+    val newTypes = toks.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .join(broadcast(mx))
+      .groupBy(bucket("first_doc").as("bucket")).agg(count(lit(1)).as("n_new"))
+    val perBucket = inst.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_inst"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+    // cumulative N_b, V_b via the triangular probe over the tiny frame
+    val cum = perBucket.select(col("bucket").as("b"))
+      .join(broadcast(perBucket), col("bucket") <= col("b"))
+      .groupBy(col("b"))
+      .agg(sum(col("n_inst")).as("nb"), sum(col("n_new")).as("vb"))
+      .filter(col("nb") > 0 && col("vb") > 0)
+      .select(lq(col("nb")).as("x"), lq(col("vb")).as("y"))
+    val mo = cum.agg(
+      count(lit(1)).as("n_points"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val beta = (dbl("n_points") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      nullif(dbl("n_points") * dbl("sxx") - dbl("sx") * dbl("sx"), lit(0.0))
+    mo.select(col("n_points"), beta.as("heaps_beta"),
+      (((dbl("sy") - beta * dbl("sx")) / dbl("n_points"))
+        / lit(BmScale.toDouble)).as("ln_k"))
+  }
+
   // ------------------------------------------------------------- Zipf fit
   /** Frequency-bucket width of the Zipf rank prefix sum. */
   private[graft] val ZipfBucketW = 8192L

@@ -428,6 +428,43 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 2.5)         // (10*10 + 0*30) / 40
   }
 
+  test("interarrival: gaps to the previous same-user event, typed by the later one") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-iat").toString
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(10)), (1L, 3L, "click", ts(30)),
+      (2L, 4L, "view", ts(0)), (2L, 5L, "view", ts(100)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = BehaviorOps.interarrival(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // click gaps: 10 s (u1 t10-t0) and 20 s (u1 t30-t10)
+    assert(got("click") === ((2L, 15.0, 15.0, 19.0)))
+    // view gaps: only u2's 100 s (first events have no predecessor)
+    assert(got("view") === ((1L, 100.0, 100.0, 100.0)))
+  }
+
+  test("churn: retained/churned/new partition the user base exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-churn").toString
+    val a = Timestamp.valueOf("2024-01-05 00:00:00")
+    val b = Timestamp.valueOf("2024-01-25 00:00:00")
+    Seq((1L, a), (1L, b), (2L, a), (3L, b), (4L, a))
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = BehaviorOps.churn(spark, dir).collect().head
+    assert(r.getLong(0) === 3L)          // first half: u1, u2, u4
+    assert(r.getLong(1) === 2L)          // second half: u1, u3
+    assert(r.getLong(2) === 1L)          // retained: u1
+    assert(r.getLong(3) === 2L)          // churned: u2, u4
+    assert(r.getLong(4) === 1L)          // new: u3
+    assert(r.getDouble(5) === 2.0 / 3.0)
+  }
+
   test("funnelTime: pre-signup purchases never convert; exact latency deciles") {
     import spark.implicits._
     import java.sql.Timestamp

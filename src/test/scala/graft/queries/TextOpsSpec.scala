@@ -609,6 +609,28 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(slope + 1.0) < 1e-4) // Zipf exponent ~ 1
   }
 
+  test("heapsFit: exact replica of the cumulative log-log fit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    // doc i = "t{i} base": each bucket adds exactly one new type;
+    // N_b = 2(b+1), V_b = b+2
+    val rows = (0L to 9L).map(i => (i, s"t$i base"))
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.heapsFit(spark, dir).collect().head
+    assert(r.getLong(0) === 10L)
+    def lq(m: Long): Double =
+      math.floor(math.log(m.toDouble) * TextOps.BmScale + 0.5)
+    val pts = (0 to 9).map(b => (lq(2L * (b + 1)), lq(b + 2L)))
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(1) === beta)
+    assert(beta > 0.0 && beta < 1.0) // sub-linear vocabulary growth
+    assert(r.getDouble(2) === ((sy - beta * sx) / n) / TextOps.BmScale)
+  }
+
   test("bpeTrain: hand-folded merges on the classic aaab/ab vocabulary") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
