@@ -3285,14 +3285,16 @@ object SparkEntry {
         |FROM b3 CROSS JOIN tt ORDER BY bin""".stripMargin
     },
     // same literal bin spine, same +1/+bins smoothing, same quantized
-    // integer-argument logs; total PSI folds in bin order on both sides
+    // integer-argument logs; total PSI folds in bin order on both sides;
+    // same two-sided bin clamp (greatest 0 collapses negative values onto
+    // bin 0 in both engines, absorbing the trunc-vs-floor divide gap)
     "q_psi" -> {
       import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
       def lnq(m: String) =
         s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
       s"""WITH e AS (SELECT
-        |    least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
-        |      ${PsiBins - 1}) AS bin,
+        |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
+        |      ${PsiBins - 1}), 0) AS bin,
         |    CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END AS in_a
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |c AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS ca,
@@ -3554,7 +3556,8 @@ object SparkEntry {
         |FROM a GROUP BY depth ORDER BY depth""".stripMargin
     },
     // same vocabulary-weighted pair counts, same leading-delimiter greedy
-    // replace, same (cnt DESC, l, r) winner rule; rounds unroll MATERIALIZED
+    // replace, same (cnt DESC, l, r) winner rule; rounds unroll MATERIALIZED;
+    // same exclusion of delimiter-bearing ('|') tokens from the vocabulary
     "q_bpe_train" -> {
       import graft.queries.TextOps.BpeIters
       val rounds = (1 to BpeIters).map { i =>
@@ -3574,7 +3577,8 @@ object SparkEntry {
         .mkString("\nUNION ALL\n")
       s"""WITH u AS MATERIALIZED (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
-        |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM u GROUP BY w),
+        |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM u
+        |  WHERE w NOT LIKE '%|%' GROUP BY w),
         |v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS repr, freq FROM vocab),
         |$rounds
         |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
@@ -3677,7 +3681,8 @@ object SparkEntry {
         |SELECT vec_id, nn_id, dist2 FROM g WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
     // same packed (hash, rightmost-pos) integer window-min over the same
-    // positional 3-gram hashes, full windows only
+    // positional 3-gram hashes, full windows only; same n_grams < P
+    // packing-bound exclusion of oversized docs
     "q_winnow" -> {
       import graft.queries.TextOps.{WinnowW, WinnowP}
       val gh = h32Sql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")
@@ -3694,7 +3699,7 @@ object SparkEntry {
         |  FROM f),
         |s AS (SELECT DISTINCT doc_id, n_grams, key // $WinnowP AS fp_hash,
         |    $WinnowP - 1 - (key % $WinnowP) AS fp_pos
-        |  FROM w WHERE pos <= n_grams - $WinnowW)
+        |  FROM w WHERE pos <= n_grams - $WinnowW AND n_grams < $WinnowP)
         |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
         |  COUNT(*) AS n_fingerprints, COUNT(DISTINCT fp_hash) AS n_distinct_hashes,
         |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_grams) - ${WinnowW - 1} AS DOUBLE) AS density

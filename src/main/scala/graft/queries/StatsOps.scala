@@ -541,8 +541,13 @@ object StatsOps {
     val counts = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(
-        least((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
-          .divide(lit(PsiBinCents)).cast(LongType), lit(PsiBins - 1)).as("bin"),
+        // clamped on BOTH ends: without greatest(_, 0) a negative value
+        // would land on a negative bin that silently falls off the 0..7
+        // spine, and negative-cents division truncates (Spark) vs floors
+        // (DuckDB //) — the clamp collapses every negative to bin 0 in
+        // both engines, so the domain assumption is enforced, not implicit
+        greatest(least((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+          .divide(lit(PsiBinCents)).cast(LongType), lit(PsiBins - 1)), lit(0L)).as("bin"),
         when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("in_a"))
       .groupBy(col("bin"))
       .agg(sum(col("in_a")).as("ca"), sum(lit(1L) - col("in_a")).as("cb"))

@@ -1491,7 +1491,8 @@ object TextOps {
     * The (min-hash, rightmost-position) argmin packs into ONE int64 —
     * gh·[[WinnowP]] + (P−1−pos), so an integer window-MIN both engines
     * share replaces a struct-ordered min (hash < 2³², positions <
-    * [[WinnowP]] by the documented bound). Scale shape: one gram explode,
+    * [[WinnowP]] ENFORCED by a filter — oversized docs are excluded,
+    * never silently corrupted). Scale shape: one gram explode,
     * one forward-frame window partitioned BY DOCUMENT, one distinct +
     * per-doc aggregate — no joins, no pairs.
     */
@@ -1517,7 +1518,13 @@ object TextOps {
       .withColumn("n_grams", count(lit(1)).over(wDoc))
       .withColumn("key",
         min(col("gh") * WinnowP + (lit(WinnowP - 1) - col("pos"))).over(wSel))
-      .filter(col("pos") <= col("n_grams") - WinnowW) // full windows only
+      // full windows only; n_grams < WinnowP ENFORCES the packing bound
+      // (a ≥ 2^20-gram doc would bleed position bits into the hash field
+      // identically in both engines — silently wrong, oracle-invisible),
+      // so oversized docs are excluded rather than corrupted; chunk them
+      // first (docChunks) if they must be fingerprinted
+      .filter(col("pos") <= col("n_grams") - WinnowW &&
+        col("n_grams") < WinnowP)
       .select(col("doc_id"), col("n_grams"),
         expr(s"key div $WinnowP").as("fp_hash"),
         expr(s"$WinnowP - 1 - (key % $WinnowP)").as("fp_pos"))
@@ -1727,7 +1734,10 @@ object TextOps {
 
   // ------------------------------------------------------- BPE merge training
   /** Number of merge rounds [[bpeTrain]] learns (shared with the oracle's
-    * unrolled CTE chain). */
+    * unrolled CTE chain). RESTRICTION: tokens containing the '|' symbol
+    * delimiter are filtered out of the vocabulary before training — a
+    * token like `a|b` would encode ambiguously (`|a|||b`, empty symbols),
+    * silently corrupting pair counts and merges in BOTH engines. */
   private[graft] val BpeIters = 6
 
   /** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
@@ -1753,6 +1763,8 @@ object TextOps {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(toksAll).as("w"))
+      .filter(!col("w").contains("|")) // delimiter-bearing tokens encode
+      // ambiguously (see BpeIters note) — excluded, not silently corrupted
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("w"), "(.)", "|$1").as("repr"), col("freq"))
       .localCheckpoint() // corpus pass paid once; rounds are vocab-bounded
