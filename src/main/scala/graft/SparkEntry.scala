@@ -434,6 +434,16 @@ object SparkEntry {
     "q_churn" -> (BehaviorOps.churn _),
     // Heaps'-law vocabulary-growth exponent over append-order buckets
     "q_heaps_fit" -> (TextOps.heapsFit _),
+    // first-touch conversion attribution via one range-frame window
+    "q_first_touch" -> (BehaviorOps.firstTouch _),
+    // CUPED with per-stratum theta over pre-period activity tiers
+    "q_cuped_strat" -> (StatsOps.cupedStratified _),
+    // per-day PSI drift series against the all-period baseline
+    "q_psi_daily" -> (StatsOps.psiDaily _),
+    // cross-document plagiarism candidates off shared winnow fingerprints
+    "q_plagiarism_pairs" -> (TextOps.plagiarismPairs _),
+    // PQ asymmetric-distance ANN top-k via broadcast probe LUTs
+    "q_pq_ann" -> (VectorOps.pqAnn _),
   )
 
   private val revenueSql =
@@ -442,6 +452,68 @@ object SparkEntry {
   /** DuckDB spelling of TextOps.h32: first 8 hex digits of md5 as BIGINT. */
   private def h32Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** The winnowing-selection CTE chain shared by q_winnow and
+    * q_plagiarism_pairs — ends at `s` = one DISTINCT (doc_id, n_grams,
+    * fp_hash, fp_pos) row per selected fingerprint (TextOps.winnowSel). */
+  private lazy val winnowSelSql: String = {
+    import graft.queries.TextOps.{WinnowW, WinnowP}
+    val gh = h32Sql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")
+    s"""d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+      |    i -> struct_pack(pos := i, gh := $gh))) AS p
+      |  FROM d WHERE len(t) >= 3),
+      |f AS (SELECT doc_id, p.pos AS pos, p.gh AS gh FROM g),
+      |w AS (SELECT doc_id, pos,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+      |    MIN(gh * $WinnowP + ($WinnowP - 1 - pos)) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
+      |  FROM f),
+      |s AS (SELECT DISTINCT doc_id, n_grams, key // $WinnowP AS fp_hash,
+      |    $WinnowP - 1 - (key % $WinnowP) AS fp_pos
+      |  FROM w WHERE pos <= n_grams - $WinnowW AND n_grams < $WinnowP)""".stripMargin
+  }
+
+  /** DuckDB exact integer squared distance between two BIGINT lists. */
+  private def pqDistSql(sv: String, c: String): String =
+    s"list_reduce(list_transform(range(1, ${graft.queries.VectorOps.PqSubDim + 1}), " +
+      s"i -> ($sv[i]-$c[i])*($sv[i]-$c[i])), (a,b) -> a+b)"
+
+  /** The PQ codebook-training CTE chain shared by q_pq_quant and
+    * q_pq_ann (VectorOps.pqCodebooks): quantized vectors `q`, per-
+    * subspace slices s$m, seed/assign/update rounds, trained codebooks
+    * c1_$m, and the final assignment a2_$m (vec_id, cid, dist). */
+  private lazy val pqChainSql: String = {
+    import graft.queries.VectorOps.{PqM, PqSubDim, PqK}
+    val chains = (0 until PqM).map { m =>
+      val lo = m * PqSubDim
+      s"""s$m AS MATERIALIZED (SELECT vec_id, v[${lo + 1}:${lo + PqSubDim}] AS sv FROM q),
+        |c0_$m AS MATERIALIZED (SELECT vec_id AS cid, sv AS c FROM s$m WHERE vec_id < $PqK),
+        |d1_$m AS MATERIALIZED (SELECT s.vec_id, s.sv, c.cid,
+        |    ${pqDistSql("s.sv", "c.c")} AS dist
+        |  FROM s$m s CROSS JOIN c0_$m c),
+        |a1_$m AS MATERIALIZED (SELECT vec_id, sv, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1_$m) WHERE rn = 1),
+        |m1_$m AS MATERIALIZED (
+        |  SELECT cid, i, CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+        |  FROM a1_$m CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) t
+        |  GROUP BY cid, i),
+        |c1_$m AS MATERIALIZED (SELECT cid, list(cm ORDER BY i) AS c FROM m1_$m GROUP BY cid),
+        |d2_$m AS MATERIALIZED (SELECT s.vec_id, c.cid,
+        |    ${pqDistSql("s.sv", "c.c")} AS dist
+        |  FROM s$m s CROSS JOIN c1_$m c),
+        |a2_$m AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2_$m) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |$chains""".stripMargin
+  }
 
   /** DuckDB 12-signature MinHash battery over a BIGINT list column `th`,
     * generated from the same (a, b, P) constants as the Spark side. */
@@ -3587,32 +3659,7 @@ object SparkEntry {
     // subspace (the kmeansCte recipe sliced); HUGEINT distortions through
     // the VARCHAR detour
     "q_pq_quant" -> {
-      import graft.queries.VectorOps.{PqM, PqSubDim, PqK}
-      def distSql(sv: String, c: String) =
-        s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), " +
-          s"i -> ($sv[i]-$c[i])*($sv[i]-$c[i])), (a,b) -> a+b)"
-      val chains = (0 until PqM).map { m =>
-        val lo = m * PqSubDim
-        s"""s$m AS MATERIALIZED (SELECT vec_id, v[${lo + 1}:${lo + PqSubDim}] AS sv FROM q),
-          |c0_$m AS MATERIALIZED (SELECT vec_id AS cid, sv AS c FROM s$m WHERE vec_id < $PqK),
-          |d1_$m AS MATERIALIZED (SELECT s.vec_id, s.sv, c.cid,
-          |    ${distSql("s.sv", "c.c")} AS dist
-          |  FROM s$m s CROSS JOIN c0_$m c),
-          |a1_$m AS MATERIALIZED (SELECT vec_id, sv, cid FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |    FROM d1_$m) WHERE rn = 1),
-          |m1_$m AS MATERIALIZED (
-          |  SELECT cid, i, CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-          |  FROM a1_$m CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) t
-          |  GROUP BY cid, i),
-          |c1_$m AS MATERIALIZED (SELECT cid, list(cm ORDER BY i) AS c FROM m1_$m GROUP BY cid),
-          |d2_$m AS MATERIALIZED (SELECT s.vec_id, c.cid,
-          |    ${distSql("s.sv", "c.c")} AS dist
-          |  FROM s$m s CROSS JOIN c1_$m c),
-          |a2_$m AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |    FROM d2_$m) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+      import graft.queries.VectorOps.PqM
       val stats = (0 until PqM).map { m =>
         s"""SELECT CAST($m AS INT) AS subspace, CAST(cid AS INT) AS code,
           |  COUNT(*) AS n_vectors,
@@ -3620,12 +3667,32 @@ object SparkEntry {
           |  CAST(CAST(SUM(dist) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_distortion
           |FROM a2_$m GROUP BY cid""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH q AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |$chains
+      s"""WITH $pqChainSql
         |SELECT * FROM ($stats) ORDER BY subspace, code""".stripMargin
+    },
+    // same trained codebooks (the shared chain), same exact integer
+    // subspace LUT distances, same (adc, id) rank rule
+    "q_pq_ann" -> {
+      import graft.queries.VectorOps.{PqM, PqProbes, PqTopK}
+      val luts = (0 until PqM).map { m =>
+        s"""l_$m AS MATERIALIZED (SELECT p.vec_id AS probe_id, c.cid,
+          |    ${pqDistSql("p.sv", "c.c")} AS d
+          |  FROM (SELECT vec_id, sv FROM s$m WHERE vec_id < $PqProbes) p
+          |  CROSS JOIN c1_$m c),
+          |t_$m AS MATERIALIZED (SELECT l.probe_id, e.vec_id, l.d
+          |  FROM a2_$m e JOIN l_$m l ON e.cid = l.cid)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until PqM).map(m => s"SELECT * FROM t_$m").mkString(" UNION ALL ")
+      s"""WITH $pqChainSql,
+        |$luts,
+        |adc AS (SELECT probe_id, vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+        |  FROM ($union) GROUP BY 1, 2),
+        |r AS (SELECT probe_id, vec_id AS neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc_dist, vec_id) AS INT) AS rank
+        |  FROM adc WHERE vec_id <> probe_id)
+        |SELECT probe_id, rank, neighbor_id, adc_dist
+        |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
     },
     // same calendar-reduced series, same first-element-seeded ARRAY fold.
     // Two DuckDB traps pinned here: a bare 0.5 is DECIMAL (the recursion
@@ -3683,27 +3750,29 @@ object SparkEntry {
     // same packed (hash, rightmost-pos) integer window-min over the same
     // positional 3-gram hashes, full windows only; same n_grams < P
     // packing-bound exclusion of oversized docs
-    "q_winnow" -> {
-      import graft.queries.TextOps.{WinnowW, WinnowP}
-      val gh = h32Sql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")
-      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
-        |    i -> struct_pack(pos := i, gh := $gh))) AS p
-        |  FROM d WHERE len(t) >= 3),
-        |f AS (SELECT doc_id, p.pos AS pos, p.gh AS gh FROM g),
-        |w AS (SELECT doc_id, pos,
-        |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
-        |    MIN(gh * $WinnowP + ($WinnowP - 1 - pos)) OVER (PARTITION BY doc_id
-        |      ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
-        |  FROM f),
-        |s AS (SELECT DISTINCT doc_id, n_grams, key // $WinnowP AS fp_hash,
-        |    $WinnowP - 1 - (key % $WinnowP) AS fp_pos
-        |  FROM w WHERE pos <= n_grams - $WinnowW AND n_grams < $WinnowP)
+    "q_winnow" ->
+      s"""WITH $winnowSelSql
         |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
         |  COUNT(*) AS n_fingerprints, COUNT(DISTINCT fp_hash) AS n_distinct_hashes,
-        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_grams) - ${WinnowW - 1} AS DOUBLE) AS density
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_grams) - ${graft.queries.TextOps.WinnowW - 1} AS DOUBLE) AS density
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same winnow selection chain, same df-capped fp_hash equi-join, same
+    // shared-count threshold and min-side containment
+    "q_plagiarism_pairs" -> {
+      import graft.queries.TextOps.{PlagMaxDf, PlagMinShared}
+      s"""WITH $winnowSelSql,
+        |fps AS (SELECT DISTINCT doc_id, fp_hash FROM s),
+        |nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+        |rare AS (SELECT fp_hash FROM fps GROUP BY 1
+        |  HAVING COUNT(*) BETWEEN 2 AND $PlagMaxDf),
+        |capped AS (SELECT fps.doc_id, fps.fp_hash FROM fps JOIN rare USING (fp_hash)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= $PlagMinShared)
+        |SELECT doc_a, doc_b, n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE) AS containment
+        |FROM pairs JOIN nfp ca ON doc_a = ca.doc_id JOIN nfp cb ON doc_b = cb.doc_id
+        |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin
     },
     // same margins off the one (source, term) aggregate, same +1-smoothed
     // quantized integer-log cross-products, same (lor DESC, term) top-k
@@ -3895,6 +3964,103 @@ object SparkEntry {
         |SELECT n_points, $beta AS heaps_beta,
         |  ((CAST(sy AS DOUBLE) - ($beta) * CAST(sx AS DOUBLE)) / $n) / $BmScale.0 AS ln_k
         |FROM mo""".stripMargin
+    },
+    // same us*8+code packing, same peer-inclusive RANGE frame (both
+    // engines' RANGE windows include same-instant peers), same decode
+    "q_first_touch" -> {
+      import graft.queries.BehaviorOps.{AttrConvType, AttrLookbackUs, AttrTouch}
+      val codeCase = AttrTouch.map { case (t, c) =>
+        s"WHEN event_type = '$t' THEN us * 8 + $c"
+      }.mkString(" ")
+      val decode = AttrTouch.map { case (t, c) => s"WHEN $c THEN '$t'" }.mkString(" ")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |x AS (SELECT *, MIN(CASE $codeCase END) OVER (PARTITION BY user_id
+        |    ORDER BY us RANGE BETWEEN $AttrLookbackUs PRECEDING AND CURRENT ROW)
+        |    AS first_touch
+        |  FROM e),
+        |c AS (SELECT
+        |    CASE WHEN first_touch IS NULL THEN 'none'
+        |         ELSE CASE (first_touch % 8) $decode END END AS channel,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM x WHERE event_type = '$AttrConvType')
+        |SELECT channel, COUNT(*) AS n_conversions, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+    },
+    // q_cuped's exact moments and closed forms, per pre-period-spend
+    // stratum (zero / below-mean / above-mean, exact integer
+    // cross-multiplied cut); the zero-covariate stratum's theta is NULL
+    // on both sides and its adjustment coalesces to zero on both sides
+    "q_cuped_strat" -> {
+      val arm = h32Sql("CAST(user_id AS VARCHAR)") + " % 2"
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+        |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+        |    CASE WHEN $arm = 0 THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS n_all, CAST(SUM(x) AS BIGINT) AS sx_all FROM u),
+        |us AS (SELECT u.*, CASE WHEN x = 0 THEN 's0_zero'
+        |    WHEN CAST(x AS HUGEINT) * n_all <= sx_all THEN 's1_below'
+        |    ELSE 's2_above' END AS stratum
+        |  FROM u CROSS JOIN t),
+        |g AS (SELECT stratum, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM us GROUP BY stratum),
+        |gg AS (SELECT stratum, n, sx,
+        |    (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      / nullif(${dbl("n")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}, 0.0) AS theta,
+        |    (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      * (${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |      / nullif((${dbl("n")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
+        |        * (${dbl("n")} * ${hdbl("syy")} - ${dbl("sy")} * ${dbl("sy")}), 0.0) AS var_reduction
+        |  FROM g),
+        |a AS (SELECT stratum, arm, COUNT(*) AS n_users, CAST(SUM(x) AS BIGINT) AS sx_a,
+        |    CAST(SUM(y) AS BIGINT) AS sy_a
+        |  FROM us GROUP BY stratum, arm)
+        |SELECT a.stratum, arm, n_users,
+        |  ${dbl("sy_a")} / ${dbl("n_users")} AS mean_post_cents,
+        |  ${dbl("sx_a")} / ${dbl("n_users")} AS mean_pre_cents,
+        |  ${dbl("sy_a")} / ${dbl("n_users")}
+        |    - COALESCE(theta, CAST(0 AS DOUBLE))
+        |      * (${dbl("sx_a")} / ${dbl("n_users")} - ${dbl("sx")} / ${dbl("n")}) AS adj_mean_cents,
+        |  theta, var_reduction
+        |FROM a JOIN gg ON a.stratum = gg.stratum ORDER BY a.stratum, arm""".stripMargin
+    },
+    // q_psi's bins, two-sided clamp, smoothing, and quantized logs, one
+    // row per day vs the all-period baseline; per-day fold in bin order
+    "q_psi_daily" -> {
+      import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
+        |      ${PsiBins - 1}), 0) AS bin
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT day, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |spine AS (SELECT day, r.range AS bin
+        |  FROM (SELECT DISTINCT day FROM c) CROSS JOIN range($PsiBins) r),
+        |s AS (SELECT spine.day, spine.bin,
+        |    COALESCE(c.c, 0) + 1 AS sa, COALESCE(b.cb, 0) + 1 AS sb
+        |  FROM spine LEFT JOIN c ON c.day = spine.day AND c.bin = spine.bin
+        |    LEFT JOIN b ON b.bin = spine.bin),
+        |dt AS (SELECT day, CAST(SUM(sa) AS BIGINT) AS na FROM s GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(cb) + $PsiBins AS BIGINT) AS nb FROM b),
+        |x AS (SELECT s.day, s.bin, sa, sb, na, nb,
+        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE) / $LogScale.0 AS term
+        |  FROM s JOIN dt USING (day) CROSS JOIN bt)
+        |SELECT day, CAST(SUM(sa) - $PsiBins AS BIGINT) AS n_events,
+        |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS psi
+        |FROM x GROUP BY day ORDER BY day""".stripMargin
     },
   )
 }

@@ -853,6 +853,67 @@ object BehaviorOps {
       .orderBy(col("channel"))
   }
 
+  // ------------------------------------------------ first-touch attribution
+  /** [[AttrLookbackDays]] expressed in microseconds — the width of
+    * [[firstTouch]]'s range frame. */
+  private[graft] val AttrLookbackUs = AttrLookbackDays * 86400L * 1000000L
+
+  /** First-touch attribution: each purchase is credited to the user's
+    * EARLIEST touch within the [[AttrLookbackDays]]-day lookback — the
+    * discovery-channel complement to [[attribution]]'s last-touch view
+    * (marketing reads both: first touch finds, last touch closes).
+    *
+    * Last-touch rode a running MAX because "latest preceding" never
+    * needs to expire; "earliest within the window" DOES (the global
+    * earliest touch may have aged out while younger in-window touches
+    * remain), so this op is ONE RANGE-frame window over the per-user
+    * stream ordered by event micros: frame = [now − lookback, now], and
+    * min(us·8 + code) inside it IS "earliest in-window touch, smallest
+    * channel code on same-instant ties" — both engines share the peer-
+    * inclusive RANGE semantics. Still one Exchange on user_id + one
+    * sort, no self-join; the aggregate is map-side combinable to
+    * |channels|+1 rows.
+    *
+    * Encode domain: us·8 must stay inside int64 and the %8 decode needs
+    * us ≥ 0, so the encode asserts 0 ≤ us < 2⁶⁰ per row (the
+    * [[attribution]] assert-rider discipline) and fails loudly on a
+    * pre-1970 or absurd-future timestamp instead of silently mis-
+    * crediting.
+    */
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val code = AttrTouch.tail.foldLeft(
+      when(col("event_type") === AttrTouch.head._1, lit(AttrTouch.head._2))) {
+      case (acc, (t, c)) => acc.when(col("event_type") === t, lit(c))
+    }
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        // +coalesce(assert_true...) rider: keeps the domain check inside
+        // the us expression so column pruning can't drop it; adds 0 on
+        // every in-domain row
+        (unix_micros(col("ts"))
+          + coalesce(
+            assert_true(unix_micros(col("ts")).between(0L, (1L << 60) - 1),
+              concat(lit("firstTouch: ts outside the us*8 encode domain "
+                + "[1970, +inf): "), col("ts").cast(StringType))).cast(LongType),
+            lit(0L))).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-AttrLookbackUs, 0)
+    val enc = when(code.isNotNull, col("us") * 8 + code)
+    val channel = when(col("first_touch").isNull, lit("none"))
+      .otherwise(AttrTouch.foldLeft(lit(null).cast(StringType)) {
+        case (acc, (t, c)) =>
+          when(col("first_touch") % 8 === c, lit(t)).otherwise(acc)
+      })
+    e.withColumn("first_touch", min(enc).over(w))
+      .filter(col("event_type") === AttrConvType)
+      .select(channel.as("channel"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
   // ---------------------------------------------------- interarrival profile
   /** Per-event-type interarrival profile: the gap from each event to the
     * SAME USER's previous event (any type), summarized per type of the

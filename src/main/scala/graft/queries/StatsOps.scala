@@ -665,6 +665,127 @@ object StatsOps {
       .orderBy(col("arm"))
   }
 
+  // ------------------------------------------- stratified CUPED adjustment
+  /** CUPED with STRATIFIED covariates — [[cuped]] refined the way a
+    * real experiment platform runs it: users are stratified by
+    * PRE-period spend (zero / at-or-below the mean / above — a
+    * pre-treatment quantity, so stratification cannot leak outcome),
+    * each stratum fits its own θ_s = cov_s(X,Y)/var_s(X), and each
+    * (stratum, arm) cell reports its θ_s-adjusted mean. Per-stratum θ
+    * both tightens the adjustment (spend tiers have very different X–Y
+    * slopes — the zero-spend stratum has var(X) = 0 and NO usable
+    * covariate, surfaced as a NULL θ rather than a global-θ distortion)
+    * and exposes WHERE the variance reduction comes from. The mean cut
+    * is ADAPTIVE (an absolute count/spend cut is an SF-coupled constant
+    * that collapses every user into one stratum as data grows) and
+    * compared exactly by integer cross-multiplication — x·n ≤ Σx as
+    * DECIMAL(38,0)/HUGEINT, never a float mean.
+    *
+    * Scale shape unchanged from [[cuped]]: one fact scan → per-user
+    * conditional sums (hash agg on user_id), then a |strata|-row moment
+    * aggregate and a |strata×arms|-row cell aggregate off the SAME user
+    * table, broadcast-joined on stratum. Exact cents integers,
+    * DECIMAL(38,0) cross moments, float only in the final closed form.
+    */
+  def cupedStratified(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("in_pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("in_pre")).as("x"),
+        sum(col("cents") * (lit(1L) - col("in_pre"))).as("y"))
+    val tot = base.agg(count(lit(1)).as("n_all"), sum(col("x")).as("sx_all"))
+    val users = base.join(broadcast(tot))
+      .withColumn("stratum",
+        when(col("x") === 0, lit("s0_zero"))
+          .when(col("x").cast(DecimalType(38, 0)) * col("n_all")
+            <= col("sx_all").cast(DecimalType(38, 0)), lit("s1_below"))
+          .otherwise(lit("s2_above")))
+      .withColumn("arm",
+        when(TextOps.h32(col("user_id").cast(StringType)) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+      .drop("n_all", "sx_all")
+    val g = users.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val covN  = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varXN = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varYN = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    val gg = g.select(col("stratum"), col("n"), col("sx"),
+      (covN / nullif(varXN, lit(0.0))).as("theta"),
+      (covN * covN / nullif(varXN * varYN, lit(0.0))).as("var_reduction"))
+    val cells = users.groupBy(col("stratum"), col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx_a"), sum(col("y")).as("sy_a"))
+    cells.join(broadcast(gg), Seq("stratum"))
+      .select(col("stratum"), col("arm"), col("n_users"),
+        (dbl("sy_a") / dbl("n_users")).as("mean_post_cents"),
+        (dbl("sx_a") / dbl("n_users")).as("mean_pre_cents"),
+        // the zero-covariate stratum adjusts by 0, not by a NULL-poisoned
+        // term: coalesce(theta, 0) keeps its adjusted mean = raw mean
+        (dbl("sy_a") / dbl("n_users")
+          - coalesce(col("theta"), lit(0.0))
+            * (dbl("sx_a") / dbl("n_users") - dbl("sx") / dbl("n")))
+          .as("adj_mean_cents"),
+        col("theta"), col("var_reduction"))
+      .orderBy(col("stratum"), col("arm"))
+  }
+
+  // ---------------------------------------------------- daily drift monitor
+  /** Per-day PSI of the event-value distribution against the all-period
+    * baseline — [[psi]] turned into the DRIFT-MONITOR SERIES a serving
+    * pipeline actually watches (one point per day; a sustained rise is
+    * the retrain/rollback trigger, and the tumbling-window streaming twin
+    * shares this exact arithmetic). Bins, clamps, +1/+[[PsiBins]]
+    * smoothing, and quantized integer-argument logs are [[psi]]'s; the
+    * per-day total is an order-pinned fold over the day's bin rows.
+    *
+    * Scale shape: ONE fact scan reduces to |days|·[[PsiBins]] counts
+    * (map-side combinable); the baseline re-aggregates from those counts
+    * (never a second scan); day totals and baseline broadcast onto the
+    * bin spine (a literal days×bins cross of two tiny aggregates). No
+    * window over fact rows at all.
+    */
+  def psiDaily(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val counts = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("ts").cast(DateType).as("day"),
+        greatest(least((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+          .divide(lit(PsiBinCents)).cast(LongType), lit(PsiBins - 1)), lit(0L)).as("bin"))
+      .groupBy(col("day"), col("bin")).agg(count(lit(1)).as("c"))
+    val base = counts.groupBy(col("bin")).agg(sum(col("c")).as("cb"))
+    val spine = counts.select(col("day")).distinct()
+      .crossJoin(broadcast(base.sparkSession.range(PsiBins).select(col("id").as("bin"))))
+    val smoothed = spine
+      .join(counts, Seq("day", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .select(col("day"), col("bin"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("sa"),
+        (coalesce(col("cb"), lit(0L)) + 1L).as("sb"))
+    val dayTot = smoothed.groupBy(col("day")).agg(sum(col("sa")).as("na"))
+    val baseTot = base.agg((sum(col("cb")) + PsiBins).as("nb"))
+    smoothed
+      .join(broadcast(dayTot), Seq("day"))
+      .join(broadcast(baseTot))
+      .withColumn("term",
+        (col("sa").cast(DoubleType) / col("na").cast(DoubleType)
+          - col("sb").cast(DoubleType) / col("nb").cast(DoubleType))
+          * (lnq(col("sa") * col("nb")) - lnq(col("sb") * col("na"))).cast(DoubleType)
+          / lit(LogScale.toDouble))
+      .groupBy(col("day"))
+      .agg((sum(col("sa")) - PsiBins).as("n_events"),
+        sort_array(collect_list(struct(col("bin"), col("term").as("t")))).as("ts"))
+      .select(col("day"), col("n_events"),
+        aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("t")).as("psi"))
+      .orderBy(col("day"))
+  }
+
   // ------------------------------------- deterministic bootstrap CI
   /** Number of bootstrap replicates for [[bootstrapCi]]. */
   private[graft] val BootReps = 32L

@@ -1497,6 +1497,21 @@ object TextOps {
     * per-doc aggregate — no joins, no pairs.
     */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowSel(spark, dir)
+    sel.groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fingerprints"),
+        countDistinct(col("fp_hash")).as("n_distinct_hashes"))
+      .withColumn("density",
+        col("n_fingerprints").cast(DoubleType)
+          / (col("n_grams") - (WinnowW - 1)).cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-document winnowing selection shared by [[winnow]] and
+    * [[plagiarismPairs]]: one distinct (doc_id, n_grams, fp_hash, fp_pos)
+    * row per selected fingerprint. */
+  private[graft] def winnowSel(spark: SparkSession, dir: String): DataFrame = {
     // posexplode_OUTER, then drop the null rows: a plain posexplode
     // infers `size(hs) > 0` and inlines the md5 transform into the scan
     // Filter — the decontaminate explode_outer fix, machine-caught again
@@ -1514,7 +1529,7 @@ object TextOps {
     val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     val wDoc = Window.partitionBy(col("doc_id"))
-    val sel = grams
+    grams
       .withColumn("n_grams", count(lit(1)).over(wDoc))
       .withColumn("key",
         min(col("gh") * WinnowP + (lit(WinnowP - 1) - col("pos"))).over(wSel))
@@ -1529,14 +1544,54 @@ object TextOps {
         expr(s"key div $WinnowP").as("fp_hash"),
         expr(s"$WinnowP - 1 - (key % $WinnowP)").as("fp_pos"))
       .distinct()
-    sel.groupBy(col("doc_id"))
-      .agg(max(col("n_grams")).as("n_grams"),
-        count(lit(1)).as("n_fingerprints"),
-        countDistinct(col("fp_hash")).as("n_distinct_hashes"))
-      .withColumn("density",
-        col("n_fingerprints").cast(DoubleType)
-          / (col("n_grams") - (WinnowW - 1)).cast(DoubleType))
-      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------ cross-document plagiarism pairs
+  /** Maximum documents a fingerprint hash may appear in and still join
+    * [[plagiarismPairs]] candidates — the boilerplate/stop-gram guard
+    * that also bounds per-hash pair fan-out at C([[PlagMaxDf]], 2). */
+  private[graft] val PlagMaxDf = 8L
+  /** Minimum shared fingerprints for a reported pair. */
+  private[graft] val PlagMinShared = 2L
+
+  /** Cross-document plagiarism candidates — [[winnow]]'s selected
+    * fingerprints put to their actual MOSS use: two documents sharing ≥
+    * [[PlagMinShared]] selected fingerprint hashes are reported with
+    * their shared count and containment score (shared / the smaller
+    * document's fingerprint set — the near-dup/contamination screen that
+    * catches PARTIAL copies exact-hash dedup and whole-doc MinHash both
+    * miss, since winnowing guarantees any shared run of ≥ w+k−1 tokens
+    * contributes a shared fingerprint).
+    *
+    * Scale shape: the pair join is an equi-join ON FP_HASH — never a
+    * doc×doc comparison — and hashes are document-frequency-capped first
+    * (df in [2, [[PlagMaxDf]]]): a boilerplate gram shared by thousands
+    * of docs would otherwise fan out quadratically, and it carries no
+    * plagiarism signal (the tfidf/stopword argument). Per surviving
+    * hash the fan-out is ≤ C([[PlagMaxDf]], 2) pairs; the aggregate is a
+    * map-side-combinable (doc_a, doc_b) count; containment denominators
+    * broadcast from the doc-scale fingerprint-count table.
+    */
+  def plagiarismPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowSel(spark, dir).select(col("doc_id"), col("fp_hash")).distinct()
+    val nFp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val rare = fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, PlagMaxDf))
+      .select(col("fp_hash"))
+    val capped = fps.join(rare, Seq("fp_hash"), "left_semi")
+    val pairs = capped.select(col("fp_hash"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= PlagMinShared)
+    pairs
+      .join(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), Seq("doc_a"))
+      .join(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared").cast(DoubleType)
+          / least(col("n_fp_a"), col("n_fp_b")).cast(DoubleType)).as("containment"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
   }
 
   // --------------------------------------------- log-odds topic words

@@ -640,15 +640,21 @@ object VectorOps {
     * distortion reaches ~1.6e13 at the 1e-6 quantization, so int64
     * would overflow past ~5e5 vectors per cell.
     */
-  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantizedEmbedding.as("qv"))
+  /** The per-subspace quantized subvector shared by the PQ ops. */
+  private def subCol(m: Int): Column =
+    expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)")
+
+  /** One-round Lloyd training of ALL [[PqM]] subspace codebooks off a
+    * (vec_id, qv) frame — factored so [[pqQuantize]] (census) and
+    * [[pqAnn]] (search) share the model. Returns subspace →
+    * (code, codeword) — the O(M·K·d) ≈ 256-value model artifact
+    * (the sanctioned driver-collect class). */
+  private[graft] def pqCodebooks(q: DataFrame): Map[Int, Seq[(Int, Array[Long])]] = {
     val seedRows = q.filter(col("vec_id") < PqK).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
     def subSeeds(m: Int): Seq[(Int, Array[Long])] =
       seedRows.map { case (cid, v) =>
         (cid, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) }
-    def subCol(m: Int): Column = expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)")
     // round-1 assignment: every subspace's argmin in ONE projection
     val a1 = q.select(Seq(col("vec_id"), col("qv")) ++
       (0 until PqM).map(m =>
@@ -666,13 +672,19 @@ object VectorOps {
       .select(col("m"), col("cluster"), col("dim"),
         floor(col("s").cast(DoubleType) / col("n")).cast(LongType).as("cm"))
       .collect()
-    val c1: Map[Int, Seq[(Int, Array[Long])]] = upd
+    upd
       .groupBy(r => (r.getLong(0).toInt, r.getInt(1)))
       .map { case ((m, cid), rows) =>
         ((m, cid), rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray) }
       .groupBy(_._1._1)
       .map { case (m, cells) =>
         (m, cells.map { case ((_, cid), arr) => (cid, arr) }.toSeq.sortBy(_._1)) }
+  }
+
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizedEmbedding.as("qv"))
+    val c1 = pqCodebooks(q)
     // encode against the trained codebooks; census per (subspace, code)
     q.select(col("vec_id"), explode(array((0 until PqM).map { m =>
         val a = assignStruct(subCol(m), c1(m))
@@ -689,5 +701,57 @@ object VectorOps {
       .withColumn("mean_distortion",
         col("distortion_sum") / col("n_vectors").cast(DoubleType))
       .orderBy(col("subspace"), col("code"))
+  }
+
+  /** Probe count and result depth for [[pqAnn]]. */
+  private[graft] val PqProbes = 5L
+  private[graft] val PqTopK   = 3
+
+  /** PQ asymmetric-distance ANN search — the SEARCH half that completes
+    * the IVF-PQ stack (`q_sim_ivf` prunes candidates by coarse cell,
+    * [[pqQuantize]] trains the codebooks, this runs the query): each
+    * corpus vector is its [[PqM]] trained codes, each probe precomputes
+    * the M×[[PqK]] lookup table of exact subspace distances to every
+    * codeword, and a vector's ADC distance is M table lookups summed —
+    * never a 64-dim scan — with exact-recall [[simTopk]] as the measured
+    * baseline. Distances are exact integers at the 1e-6 quantization
+    * (argmin ties to the lower code/id in both engines), so the oracle
+    * hash-matches without any float contract.
+    *
+    * Scale shape: the encode is map-only (M codegen'd integer argmins
+    * per vector); the LUT is a [[PqProbes]]-row BROADCAST (probe count ×
+    * M·K longs — the model-artifact size class), so the scan-side cost
+    * per vector is M·probes integer adds; top-k is a probe-partitioned
+    * rank window. At corpus scale the IVF cell filter composes upstream
+    * of the encode scan unchanged.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantizedEmbedding.as("qv"))
+    val c1 = pqCodebooks(q)
+    val enc = q.select(col("vec_id") +:
+      (0 until PqM).map(m =>
+        assignStruct(subCol(m), c1(m)).getField("cid").as(s"c$m")): _*)
+    // per-probe LUT: lut[m][code] = exact distance of the probe's m-th
+    // subvector to codeword `code` (codebooks are cid-sorted, so the
+    // array index IS the code)
+    import graft.functions.VectorFunctions.vec_sqdist_l
+    val lut = q.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"),
+        array((0 until PqM).map { m =>
+          array(c1(m).map { case (_, cw) =>
+            vec_sqdist_l(subCol(m), typedLit(cw)) }: _*)
+        }: _*).as("lut"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.join(broadcast(lut), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (0 until PqM).map(m =>
+          element_at(element_at(col("lut"), m + 1),
+            (col(s"c$m") + 1).cast(IntegerType))).reduce(_ + _).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
   }
 }
