@@ -444,6 +444,10 @@ object SparkEntry {
     "q_plagiarism_pairs" -> (TextOps.plagiarismPairs _),
     // PQ asymmetric-distance ANN top-k via broadcast probe LUTs
     "q_pq_ann" -> (VectorOps.pqAnn _),
+    // k-truss peel trace: per-round triangle-support edge filtering
+    "q_ktruss" -> (GraphOps.ktruss _),
+    // exact 2-D DBSCAN: grid radius graph, core CC, deterministic borders
+    "q_dbscan" -> (VectorOps.dbscan _),
   )
 
   private val revenueSql =
@@ -473,6 +477,21 @@ object SparkEntry {
       |s AS (SELECT DISTINCT doc_id, n_grams, key // $WinnowP AS fp_hash,
       |    $WinnowP - 1 - (key % $WinnowP) AS fp_pos
       |  FROM w WHERE pos <= n_grams - $WinnowW AND n_grams < $WinnowP)""".stripMargin
+  }
+
+  /** The materialized co-purchase edge-list CTE chain (capped baskets,
+    * support threshold — GraphOps.coEdges) shared by the iterative graph
+    * oracles; terminal CTE `e0(u, v)`, u < v. */
+  private def coEdgeCtes(
+      minSupport: Long = graft.queries.GraphOps.TriMinSupport): String = {
+    import graft.queries.BehaviorOps.MaxBasketItems
+    s"""lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |sized AS MATERIALIZED (SELECT ok FROM lp GROUP BY ok
+      |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+      |items AS MATERIALIZED (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+      |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
   }
 
   /** DuckDB exact integer squared distance between two BIGINT lists. */
@@ -3587,13 +3606,38 @@ object SparkEntry {
           |  (SELECT COUNT(*) FROM (SELECT u AS n FROM e$i UNION SELECT v AS n FROM e$i)) AS n_nodes,
           |  (SELECT COUNT(*) FROM e$i) AS n_edges""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |sized AS MATERIALIZED (SELECT ok FROM lp GROUP BY ok
-        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
-        |items AS MATERIALIZED (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
-        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
-        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+      s"""WITH ${coEdgeCtes()},
+        |$rounds
+        |SELECT * FROM ($stats) ORDER BY iteration""".stripMargin
+    },
+    // same unthresholded coEdges build, same once-per-triangle enumeration
+    // (id-ordered here, degree-ordered in Spark — the triangle SET is
+    // orientation-invariant), same 3-edge support counts and peel rule
+    "q_ktruss" -> {
+      import graft.queries.GraphOps.{KtrussK, KtrussIters, KtrussEdgeSupport}
+      val rounds = (0 to KtrussIters).map { i =>
+        val base =
+          s"""t$i AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |  FROM e$i e1 JOIN e$i e2 ON e1.u = e2.u AND e1.v < e2.v
+            |  WHERE EXISTS (SELECT 1 FROM e$i e WHERE e.u = e1.v AND e.v = e2.v)),
+            |s$i AS MATERIALIZED (SELECT u, v, COUNT(*) AS support FROM (
+            |    SELECT a AS u, b AS v FROM t$i
+            |    UNION ALL SELECT a AS u, c AS v FROM t$i
+            |    UNION ALL SELECT b AS u, c AS v FROM t$i)
+            |  GROUP BY 1, 2)""".stripMargin
+        if (i < KtrussIters)
+          base + s""",
+            |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e
+            |  JOIN s$i s ON e.u = s.u AND e.v = s.v
+            |  WHERE s.support >= ${KtrussK - 2})""".stripMargin
+        else base
+      }.mkString(",\n")
+      val stats = (0 to KtrussIters).map { i =>
+        s"""SELECT CAST($i AS INT) AS iteration,
+          |  (SELECT COUNT(*) FROM e$i) AS n_edges,
+          |  (SELECT COUNT(*) FROM t$i) AS n_triangles""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${coEdgeCtes(KtrussEdgeSupport)},
         |$rounds
         |SELECT * FROM ($stats) ORDER BY iteration""".stripMargin
     },
@@ -3693,6 +3737,42 @@ object SparkEntry {
         |  FROM adc WHERE vec_id <> probe_id)
         |SELECT probe_id, rank, neighbor_id, adc_dist
         |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
+    },
+    // same quantized coordinates and radius (the oracle may take the
+    // quadratic candidate join the Spark plan is banned from — the shift
+    // cancels in differences), same core rule, recursive-walk components
+    // (= Spark's converged min-label propagation), same min-adjacent
+    // border assignment
+    "q_dbscan" -> {
+      import graft.queries.VectorOps.{NnRadius, DbscanMinPts}
+      s"""WITH p AS MATERIALIZED (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS y
+        |  FROM embeddings),
+        |pr AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS nn_id
+        |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= ${NnRadius * NnRadius}),
+        |core AS MATERIALIZED (SELECT vec_id FROM pr GROUP BY 1
+        |  HAVING COUNT(*) >= $DbscanMinPts),
+        |ce AS MATERIALIZED (SELECT pr.vec_id AS src, pr.nn_id AS dst FROM pr
+        |  JOIN core ca ON pr.vec_id = ca.vec_id
+        |  JOIN core cb ON pr.nn_id = cb.vec_id),
+        |walk AS (
+        |  WITH RECURSIVE wr(id, reach) AS (
+        |    SELECT vec_id, vec_id FROM core
+        |    UNION
+        |    SELECT w.id, e.dst FROM wr w JOIN ce e ON e.src = w.reach)
+        |  SELECT * FROM wr),
+        |comp AS MATERIALIZED (SELECT id AS vec_id, MIN(reach) AS comp
+        |  FROM walk GROUP BY 1),
+        |borders AS (SELECT pr.vec_id, MIN(c.comp) AS comp FROM pr
+        |  JOIN comp c ON pr.nn_id = c.vec_id
+        |  WHERE pr.vec_id NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY 1),
+        |nc AS (SELECT comp, COUNT(*) AS n_core FROM comp GROUP BY 1),
+        |nb AS (SELECT comp, COUNT(*) AS n_border FROM borders GROUP BY 1)
+        |SELECT nc.comp AS cluster_id, n_core, COALESCE(n_border, 0) AS n_border
+        |FROM nc LEFT JOIN nb USING (comp) ORDER BY cluster_id""".stripMargin
     },
     // same calendar-reduced series, same first-element-seeded ARRAY fold.
     // Two DuckDB traps pinned here: a bare 0.5 is DECIMAL (the recursion

@@ -46,7 +46,7 @@ object GraphOps {
     * concurrent session sharing the SparkContext would need explicit
     * handles for the checkpoint pins as well.
     */
-  private def releasingCaches(spark: SparkSession)(build: CacheScope => DataFrame): DataFrame = {
+  private[graft] def releasingCaches(spark: SparkSession)(build: CacheScope => DataFrame): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val scope = new CacheScope
@@ -212,7 +212,8 @@ object GraphOps {
     * #5 made the entries release their caches (the old 0.67 s artifact
     * number was a median over repeats that reused a LEAKED persist).
     */
-  private[graft] def coEdges(raw: DataFrame, scope: CacheScope): DataFrame = {
+  private[graft] def coEdges(raw: DataFrame, scope: CacheScope,
+      minSupport: Long = TriMinSupport): DataFrame = {
     val baskets = raw
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
       .filter(size(col("ps")).between(2, BehaviorOps.MaxBasketItems))
@@ -223,7 +224,7 @@ object GraphOps {
           |    j -> struct(ps[i] AS u, ps[j] AS v))))""".stripMargin)).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= TriMinSupport)
+      .filter(col("n_co") >= minSupport)
       .select(col("u"), col("v")))
   }
 
@@ -233,13 +234,15 @@ object GraphOps {
       .unionByName(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
-  /** Candidate pairs `(b, c)` (b < c by id) of OUT-neighbors of a shared
-    * source under DEGREE-ordered orientation: each undirected edge points
-    * at its higher-(deg, id) endpoint, which provably caps every
-    * out-degree at O(√edges) — the power-law escape for wedge
+  /** Candidate triples `(src, b, c)` (b < c by id) — OUT-neighbor pairs
+    * of a shared source under DEGREE-ordered orientation: each undirected
+    * edge points at its higher-(deg, id) endpoint, which provably caps
+    * every out-degree at O(√edges) — the power-law escape for wedge
     * enumeration. The degree table is node-scale (broadcast here; a
     * web-scale graph lets it fall back to a hash join on the same key).
-    * Factored so the skew spec can count candidates directly.
+    * The source rides along so [[ktrussFrom]] can recover all three
+    * triangle edges; [[trianglesFrom]] only probes (b, c). Factored so
+    * the skew spec can count candidates directly.
     */
   private[graft] def orientedWedges(edges: DataFrame, deg: DataFrame): DataFrame = {
     val srcIsU = col("du") < col("dv") ||
@@ -252,7 +255,7 @@ object GraphOps {
     oriented.select(col("src"), col("dst").as("b"))
       .join(oriented.select(col("src"), col("dst").as("c")), Seq("src"))
       .filter(col("b") < col("c"))
-      .select(col("b"), col("c"))
+      .select(col("src"), col("b"), col("c"))
   }
 
   /** [[triangles]] over any (ok, pk) membership frame — factored so the
@@ -522,6 +525,82 @@ object GraphOps {
           .join(broadcast(keep.select(col("node").as("v"))), Seq("v"), "left_semi")
           .localCheckpoint()
         stats += stat(it, e)
+      }
+      stats.reduce(_ unionByName _).orderBy(col("iteration"))
+    }
+
+  // ------------------------------------------------------ k-truss peeling
+  /** Truss parameter: an edge survives a peel round iff it participates
+    * in ≥ [[KtrussK]]−2 triangles of the CURRENT edge set. */
+  private[graft] val KtrussK = 4L
+  /** Fixed number of synchronous peel rounds (shared with the oracle —
+    * both engines unroll exactly this many). */
+  private[graft] val KtrussIters = 3
+  /** [[ktruss]] peels the UNTHRESHOLDED co-purchase graph (min co-order
+    * support 1): the [[TriMinSupport]]-thresholded graph is nearly
+    * triangle-free (1 triangle at sf0.1 — every trace row would be 0),
+    * and triangle support is itself a strictly stronger tie filter than
+    * raw co-order counts, so pre-thresholding would double-filter. */
+  private[graft] val KtrussEdgeSupport = 1L
+
+  /** K-truss decomposition progress over the co-purchase graph — the
+    * EDGE-strength companion to [[kcore]]'s node peel: a round
+    * simultaneously drops every edge supporting < [[KtrussK]]−2
+    * triangles, reporting (n_edges, n_triangles) after each round — the
+    * cohesive-subgraph extractor whose survivors are communities proper
+    * (every remaining tie is multiply witnessed), where a k-core can
+    * still be a sparse hub star. Synchronous peeling is deterministic,
+    * so the unrolled oracle matches row for row.
+    *
+    * Scale shape per round: one triangle enumeration under DEGREE-ordered
+    * orientation ([[orientedWedges]] — each triangle found exactly once,
+    * out-degrees capped O(√edges)), exploded to its 3 edges and counted —
+    * an edge-scale combining aggregate — then one semi-join of the edge
+    * list against the surviving supports. n_triangles reads off the same
+    * support table (Σsupport = 3·triangles), never a second enumeration.
+    * Edges and supports `localCheckpoint` per round (the kcore idiom);
+    * [[releasingCaches]] sweeps the pins.
+    */
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[ktruss]] over any (ok, pk) membership frame — factored so the spec
+    * can pin the peel trace on a hand-drawn graph. */
+  private[graft] def ktrussFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      def supports(e: DataFrame): DataFrame = {
+        val tri = orientedWedges(e, edgeDegrees(e))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"), "left_semi")
+        // the oriented source may rank above b or c by degree, so the two
+        // src-incident edges re-normalize to (min, max); (b, c) is ordered
+        tri.select(explode(array(
+            struct(least(col("src"), col("b")).as("u"),
+              greatest(col("src"), col("b")).as("v")),
+            struct(least(col("src"), col("c")).as("u"),
+              greatest(col("src"), col("c")).as("v")),
+            struct(col("b").as("u"), col("c").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      }
+      def stat(it: Int, e: DataFrame, supp: DataFrame): DataFrame =
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(supp.agg(
+            coalesce(expr("sum(support) div 3"), lit(0L)).as("n_triangles")))
+          .select(lit(it).as("iteration"), col("n_edges"), col("n_triangles"))
+      var e = coEdges(raw, scope, KtrussEdgeSupport)
+        .select(col("u"), col("v")).localCheckpoint()
+      val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (it <- 0 to KtrussIters) {
+        val supp = supports(e).localCheckpoint()
+        stats += stat(it, e, supp)
+        if (it < KtrussIters) {
+          e = e.join(
+              supp.filter(col("support") >= KtrussK - 2).select(col("u"), col("v")),
+              Seq("u", "v"), "left_semi")
+            .localCheckpoint()
+        }
       }
       stats.reduce(_ unionByName _).orderBy(col("iteration"))
     }

@@ -583,7 +583,19 @@ object VectorOps {
   def radiusNn(spark: SparkSession, dir: String): DataFrame =
     radiusNnFrom(Tables.embeddings(spark, dir))
 
-  private[graft] def radiusNnFrom(emb: DataFrame): DataFrame = {
+  private[graft] def radiusNnFrom(emb: DataFrame): DataFrame =
+    radiusPairsFrom(emb)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("nn_id"))).as("m"))
+      .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.dist2").as("dist2"))
+      .orderBy(col("vec_id"))
+
+  /** EVERY ordered within-[[NnRadius]] pair `(vec_id, nn_id, dist2)` on
+    * the first two embedding dims, via the same provably-complete 3×3
+    * grid candidate join — factored from [[radiusNnFrom]] so
+    * [[dbscanFrom]] can consume the full radius graph (symmetric by
+    * construction: each unordered pair appears in both directions). */
+  private[graft] def radiusPairsFrom(emb: DataFrame): DataFrame = {
     val pts = emb.select(col("vec_id"),
       (expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000) AS BIGINT)")
         + NnShift).as("x"),
@@ -606,11 +618,90 @@ object VectorOps {
         (col("x") - col("xb")) * (col("x") - col("xb"))
           + (col("y") - col("yb")) * (col("y") - col("yb")))
       .filter(col("dist2") <= NnRadius * NnRadius)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("nn_id"))).as("m"))
-      .select(col("vec_id"), col("m.nn_id").as("nn_id"), col("m.dist2").as("dist2"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("nn_id"), col("dist2"))
   }
+
+  // ------------------------------------------------- density clustering
+  /** Core threshold for [[dbscan]]: neighbors (self excluded) within
+    * [[NnRadius]] a point needs to be a core point. */
+  private[graft] val DbscanMinPts = 3L
+
+  /** DBSCAN over the first two embedding dims (Ester et al. 1996), exact:
+    * core points (≥ [[DbscanMinPts]] radius neighbors), clusters =
+    * connected components of the core–core radius graph, border points
+    * assigned to the SMALLEST adjacent core cluster id (the one
+    * deterministic choice — textbook DBSCAN leaves border ties
+    * arbitrary, which an oracle contract cannot accept). Output is the
+    * per-cluster census (core/border counts) — the density-clustering
+    * profile of an embedded corpus, complementing the centroid view
+    * ([[kmeansFrom]]) with noise-aware, shape-free clusters.
+    *
+    * Scale shape: the radius graph is [[radiusPairsFrom]]'s grid join —
+    * O(n·cell-occupancy) candidates, never n² — and is PERSISTED: it
+    * feeds the degree count, the core–core edge cut, and the border
+    * assignment. Components run min-label propagation to CONVERGENCE
+    * (verified `changed == 0`) with a PATH-HALVING shortcut each round
+    * (comp ← comp's own comp, one node-scale self-join): a spatial
+    * radius graph has geometric diameter — a connected blob spans
+    * O(extent/radius) ≈ 100 hops here, where plain neighbor propagation
+    * ([[TextOps.ccRound]] alone, built for shallow near-dup stars)
+    * blows any fixed round budget — and pointer jumping collapses that
+    * to O(log diameter) rounds, the Shiloach–Vishkin / hash-to-min
+    * discipline. `localCheckpoint` lineage hygiene per round; every pin
+    * is swept by [[GraphOps.releasingCaches]] on exit.
+    */
+  def dbscan(spark: SparkSession, dir: String): DataFrame =
+    dbscanFrom(Tables.embeddings(spark, dir))
+
+  /** [[dbscan]] over any (vec_id, embedding) frame — factored so the spec
+    * can pin clusters on a hand-drawn point set. */
+  private[graft] def dbscanFrom(emb: DataFrame): DataFrame =
+    GraphOps.releasingCaches(emb.sparkSession) { scope =>
+      val pairs = scope.cache(radiusPairsFrom(emb))
+      val core = pairs.groupBy(col("vec_id")).agg(count(lit(1)).as("n_nbrs"))
+        .filter(col("n_nbrs") >= DbscanMinPts).select(col("vec_id"))
+      val coreEdges = scope.cache(pairs
+        .join(core, Seq("vec_id"), "left_semi")
+        .join(core.select(col("vec_id").as("nn_id")), Seq("nn_id"), "left_semi")
+        .select(col("vec_id").as("src"), col("nn_id").as("dst")))
+      var labels = coreEdges.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 32) {
+        val prop = TextOps.ccRound(labels, coreEdges)
+        // path-halving: comp ← comp(comp). Every comp value IS a labeled
+        // node id (labels seed as own-id and only ever take neighbor
+        // label values), so the inner self-join is total.
+        val next = prop
+          .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"))
+          .select(col("doc_id"), col("comp2").as("comp"),
+            (col("chg") + (col("comp2") < col("comp")).cast(LongType)).as("chg"))
+          .localCheckpoint(eager = false)
+        changed = next.agg(sum(col("chg"))).head().getLong(0)
+        labels = next.select(col("doc_id"), col("comp"))
+        rounds += 1
+      }
+      require(changed == 0, s"dbscan: label propagation not converged after $rounds rounds")
+      // isolated core points (no core neighbor) are their own clusters:
+      // union them back in — coreEdges only carries edge-incident cores
+      val allCore = core.select(col("vec_id").as("doc_id"))
+        .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("comp", col("doc_id"))
+        .unionByName(labels.select(col("doc_id"), col("comp")))
+      val borders = pairs
+        .join(core, Seq("vec_id"), "left_anti") // non-core probe side
+        .join(allCore.select(col("doc_id").as("nn_id"), col("comp")), Seq("nn_id"))
+        .groupBy(col("vec_id")).agg(min(col("comp")).as("comp"))
+      allCore.groupBy(col("comp")).agg(count(lit(1)).as("n_core"))
+        .join(borders.groupBy(col("comp")).agg(count(lit(1)).as("n_border")),
+          Seq("comp"), "left")
+        .select(col("comp").as("cluster_id"), col("n_core"),
+          coalesce(col("n_border"), lit(0L)).as("n_border"))
+        .orderBy(col("cluster_id"))
+    }
 
   // ------------------------------------------------ product quantization
   /** Subspaces a vector splits into for [[pqQuantize]]. */
