@@ -485,4 +485,32 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 20.0)    // median of {10, 30}
     assert(r.getDouble(4) === 28.0)    // p90 interpolation 10 + 0.9*20
   }
+
+  test("firstTouch: earliest in-window touch wins; aged-out lookback is none") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ftouch").toString
+    def d(day: Int): Long = day * 86400L * 1000000000L // nanos-long
+    Seq(
+      // user 1: click d0, view d1, purchase d2 — FIRST touch is the click
+      // (last-touch attribution would credit the view); second purchase at
+      // d20 has no touch inside the 7-day window -> none
+      (1L, d(0), 1L, "click", 0.0), (2L, d(1), 1L, "view", 0.0),
+      (3L, d(2), 1L, "purchase", 10.0), (4L, d(20), 1L, "purchase", 5.0),
+      // user 2: view d0, purchase d8 (view aged out -> none); then signup
+      // d9, purchase d10 -> signup, though the view is GLOBALLY earliest —
+      // the window-expiry case a running min cannot express
+      (5L, d(0), 2L, "view", 0.0), (6L, d(8), 2L, "purchase", 3.0),
+      (7L, d(9), 2L, "signup", 0.0), (8L, d(10), 2L, "purchase", 2.0),
+      // user 3: touch exactly 7 days before the purchase — the RANGE
+      // frame's preceding bound is inclusive
+      (9L, d(0), 3L, "click", 0.0), (10L, d(7), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = BehaviorOps.firstTouch(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map(
+      "click"  -> ((2L, 1100L)),
+      "signup" -> ((1L, 200L)),
+      "none"   -> ((2L, 800L))))
+  }
 }

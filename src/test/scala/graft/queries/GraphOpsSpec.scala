@@ -93,7 +93,9 @@ class GraphOpsSpec extends SparkSpec {
       () => GraphOps.triangles(spark, sf),
       () => GraphOps.commonNeighbors(spark, sf),
       () => GraphOps.kcore(spark, sf),
-      () => GraphOps.bfsReach(spark, sf))
+      () => GraphOps.ktruss(spark, sf),
+      () => GraphOps.bfsReach(spark, sf),
+      () => VectorOps.dbscan(spark, sf))
     for (fn <- entries) {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       assert(fn().count() > 0)
@@ -179,6 +181,25 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(0) === ((6L, 8L)))
     (1 to GraphOps.KcoreIters).foreach(i => assert(out(i) === ((4L, 6L))))
+  }
+
+  test("ktruss: K4 survives, pendant triangle and tail peel away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge in 2 triangles), pendant triangle
+    // {4,5,6} (support 1), tail 6-7 (support 0). One 2-item basket per
+    // edge suffices — the truss build is UNthresholded by design.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val raw = edges.zipWithIndex
+      .flatMap { case ((u, v), i) => Seq((i.toLong, u), (i.toLong, v)) }
+      .toDF("ok", "pk")
+    val out = GraphOps.ktrussFrom(raw).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 0: 10 edges, 5 triangles (4 in K4 + the pendant); the K=4
+    // peel (support >= 2) strips the pendant and tail simultaneously;
+    // the K4 is stable ever after
+    assert(out(0) === ((10L, 5L)))
+    (1 to GraphOps.KtrussIters).foreach(i => assert(out(i) === ((6L, 4L))))
   }
 
   test("bfsReach: min-hop levels on a hand-drawn chain with an island") {

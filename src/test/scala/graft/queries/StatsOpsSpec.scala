@@ -407,4 +407,60 @@ class StatsOpsSpec extends SparkSpec {
     assert(r2.getDouble(3) > 0.0)
     assert(r2.getDouble(4) < r2.getDouble(2) && r2.getDouble(2) < r2.getDouble(5))
   }
+
+  test("cupedStratified: adaptive spend strata, per-stratum theta, null-theta coalesce") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = tmp("cupstrat")
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")   // day 10 <= 15
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")  // day 20 > 15
+    // u1: x=0 (s0_zero), y=5; u2: x=10,y=10 and u4: x=5,y=0 (both below
+    // the mean 45/4 by cross-multiplication -> s1_below); u3: x=30,y=20
+    // (s2_above). theta(s1_below) over (10,10),(5,0): cov*n = 50,
+    // varX*n = 25 -> 2.0, var_reduction = 1.0; singleton/zero-variance
+    // strata get NULL theta and an UNadjusted mean
+    Seq((1L, post, 1L, 0.05), (2L, pre, 2L, 0.10), (3L, post, 2L, 0.10),
+      (4L, pre, 3L, 0.30), (5L, post, 3L, 0.20), (6L, pre, 4L, 0.05))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = StatsOps.cupedStratified(spark, dir).collect()
+    val nByStratum = rows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    assert(nByStratum === Map("s0_zero" -> 1L, "s1_below" -> 2L, "s2_above" -> 1L))
+    for (r <- rows) {
+      val (stratum, theta) = (r.getString(0), Option(r.get(6)))
+      if (stratum == "s1_below") {
+        assert(theta.contains(2.0))
+        assert(r.getDouble(7) === 1.0)
+      } else {
+        // zero-covariate / singleton stratum: theta NULL, adjustment zero
+        assert(theta.isEmpty)
+        assert(r.getDouble(5) === r.getDouble(3)) // adj_mean == mean_post
+      }
+    }
+  }
+
+  test("psiDaily: mirrored drift days score equal positive PSI; negatives clamp to bin 0") {
+    import spark.implicits._
+    val dir = tmp("psid")
+    def ts(day: Int): Long = day * 86400L * 1000000000L // nanos-long
+    // day 0: all mass in bin 0; day 1: all mass in bin 1 — symmetric
+    // against the pooled baseline, so the two PSI points must be EQUAL
+    // (and positive: quantized-log PSI terms are sign-aligned)
+    val rows = Seq.fill(4)((ts(0), 1.0)) ++ Seq.fill(4)((ts(1), 50.0))
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsOps.psiDaily(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L))
+    assert(out(0).getDouble(2) === out(1).getDouble(2))
+    assert(out(0).getDouble(2) > 0.0)
+    // negative values land ON the spine (bin 0), not off it: pre-clamp
+    // they fell out of both period totals entirely
+    val dir2 = tmp("psid2")
+    Seq((ts(0), -1.0), (ts(0), -0.01)).toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val out2 = StatsOps.psiDaily(spark, dir2).collect()
+    assert(out2.length === 1)
+    assert(out2.head.getLong(1) === 2L)
+  }
 }

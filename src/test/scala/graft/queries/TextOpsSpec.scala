@@ -649,4 +649,29 @@ class TextOpsSpec extends SparkSpec {
       (2, "a", "b", "ab", 5L),
       (3, "aa", "ab", "aaab", 3L)))
   }
+
+  test("plagiarismPairs: shared passage pairs up, df-capped boilerplate cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plag").toString
+    // docs 1 and 2 share a 20-token passage behind different framings —
+    // winnowing guarantees shared fingerprints for any run >= w+k-1 = 6
+    // tokens, so the pair must surface with n_shared >= PlagMinShared.
+    // docs 3..12 share ONLY a 7-token boilerplate phrase: its fingerprint
+    // hashes occur in 10 > PlagMaxDf docs, so the cap suppresses every
+    // boilerplate-only pair.
+    val passage = (1 to 20).map(i => s"run$i").mkString(" ")
+    val boiler = "please accept all cookie terms before reading"
+    val docs = Seq(
+      (1L, s"intro alpha beta $passage outro gamma"),
+      (2L, s"different start $passage another ending here")) ++
+      (3L to 12L).map(i => (i, s"$boiler unique${i}a unique${i}b unique${i}c"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.plagiarismPairs(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getLong(2) >= TextOps.PlagMinShared)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
 }

@@ -337,4 +337,50 @@ class VectorOpsSpec extends SparkSpec {
       assert(cells.forall(_.getDouble(3) >= 0.0))
     }
   }
+
+  test("pqAnn: lossless prototype corpus — ADC equals exact distance, ranks pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqann").toString
+    // 4 prototypes (vec 0..3 = the seeds) with constant components
+    // 0.0/0.1/0.2/0.3 and exact duplicates 4..11: Lloyd assigns every
+    // copy at distance 0 and the integer centroid mean reproduces each
+    // prototype EXACTLY, so PQ encoding is lossless and the ADC distance
+    // IS the true quantized L2 — the one corpus where an ANN result can
+    // be pinned against hand arithmetic
+    def proto(v: Float) = Seq.fill(64)(v)
+    val rows = Seq(
+      (0L, proto(0.0f)), (1L, proto(0.1f)), (2L, proto(0.2f)), (3L, proto(0.3f)),
+      (4L, proto(0.0f)), (5L, proto(0.0f)), (6L, proto(0.1f)), (7L, proto(0.1f)),
+      (8L, proto(0.2f)), (9L, proto(0.2f)), (10L, proto(0.3f)), (11L, proto(0.3f)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // d(Pi, Pj) = 64 dims * (100000*(i-j))^2
+    val D = 64L * 100000L * 100000L
+    val got = VectorOps.pqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 1, 4L, 0L), (0L, 2, 5L, 0L), (0L, 3, 1L, D),
+      (1L, 1, 6L, 0L), (1L, 2, 7L, 0L), (1L, 3, 0L, D),
+      (2L, 1, 8L, 0L), (2L, 2, 9L, 0L), (2L, 3, 1L, D),
+      (3L, 1, 10L, 0L), (3L, 2, 11L, 0L), (3L, 3, 2L, D),
+      (4L, 1, 0L, 0L), (4L, 2, 5L, 0L), (4L, 3, 1L, D)))
+  }
+
+  test("dbscan: hand-planted squares — cores cluster, border joins smallest, noise drops") {
+    import spark.implicits._
+    // two tight 4-point squares (pairwise within the 0.02 radius -> every
+    // member has 3 neighbors = core), one border point within radius of
+    // exactly ONE core (1 neighbor < MinPts), one isolated noise point
+    def p(x: Float, y: Float) = Seq(x, y)
+    val rows = Seq(
+      (1L, p(0.00f, 0.00f)), (2L, p(0.01f, 0.00f)),
+      (3L, p(0.00f, 0.01f)), (4L, p(0.01f, 0.01f)),
+      (5L, p(0.028f, 0.00f)),                        // border: sees only 2
+      (11L, p(0.50f, 0.50f)), (12L, p(0.51f, 0.50f)),
+      (13L, p(0.50f, 0.51f)), (14L, p(0.51f, 0.51f)),
+      (99L, p(0.90f, 0.90f)))                        // noise
+    val got = VectorOps.dbscanFrom(rows.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 4L, 1L), (11L, 4L, 0L)))
+  }
 }
