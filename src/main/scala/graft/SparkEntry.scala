@@ -448,6 +448,9 @@ object SparkEntry {
     "q_ktruss" -> (GraphOps.ktruss _),
     // exact 2-D DBSCAN: grid radius graph, core CC, deterministic borders
     "q_dbscan" -> (VectorOps.dbscan _),
+    // streaming-shaped PSI drift monitor (single windowed aggregation +
+    // static-baseline broadcast join), batch twin of q_psi_daily
+    "q_stream_psi" -> (graft.streaming.Streams.psiWindowedBatch _),
   )
 
   private val revenueSql =
@@ -4116,31 +4119,39 @@ object SparkEntry {
     },
     // q_psi's bins, two-sided clamp, smoothing, and quantized logs, one
     // row per day vs the all-period baseline; per-day fold in bin order
-    "q_psi_daily" -> {
-      import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
-      def lnq(m: String) =
-        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
-      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
-        |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
-        |      ${PsiBins - 1}), 0) AS bin
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |c AS (SELECT day, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
-        |b AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1),
-        |spine AS (SELECT day, r.range AS bin
-        |  FROM (SELECT DISTINCT day FROM c) CROSS JOIN range($PsiBins) r),
-        |s AS (SELECT spine.day, spine.bin,
-        |    COALESCE(c.c, 0) + 1 AS sa, COALESCE(b.cb, 0) + 1 AS sb
-        |  FROM spine LEFT JOIN c ON c.day = spine.day AND c.bin = spine.bin
-        |    LEFT JOIN b ON b.bin = spine.bin),
-        |dt AS (SELECT day, CAST(SUM(sa) AS BIGINT) AS na FROM s GROUP BY 1),
-        |bt AS (SELECT CAST(SUM(cb) + $PsiBins AS BIGINT) AS nb FROM b),
-        |x AS (SELECT s.day, s.bin, sa, sb, na, nb,
-        |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-        |      * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE) / $LogScale.0 AS term
-        |  FROM s JOIN dt USING (day) CROSS JOIN bt)
-        |SELECT day, CAST(SUM(sa) - $PsiBins AS BIGINT) AS n_events,
-        |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS psi
-        |FROM x GROUP BY day ORDER BY day""".stripMargin
-    },
+    "q_psi_daily" -> psiDailySql,
+    // ONE oracle, TWO plans (the q_sessionize / q_session_window
+    // precedent): the streaming-shaped single-aggregation window form
+    // must reproduce the batch per-day PSI row for row
+    "q_stream_psi" -> psiDailySql,
   )
+
+  /** The per-day PSI oracle shared by q_psi_daily (batch spine/fold form)
+    * and q_stream_psi (the streaming single-aggregation window form). */
+  private lazy val psiDailySql: String = {
+    import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
+    def lnq(m: String) =
+      s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+    s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+      |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
+      |      ${PsiBins - 1}), 0) AS bin
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT day, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |b AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+      |spine AS (SELECT day, r.range AS bin
+      |  FROM (SELECT DISTINCT day FROM c) CROSS JOIN range($PsiBins) r),
+      |s AS (SELECT spine.day, spine.bin,
+      |    COALESCE(c.c, 0) + 1 AS sa, COALESCE(b.cb, 0) + 1 AS sb
+      |  FROM spine LEFT JOIN c ON c.day = spine.day AND c.bin = spine.bin
+      |    LEFT JOIN b ON b.bin = spine.bin),
+      |dt AS (SELECT day, CAST(SUM(sa) AS BIGINT) AS na FROM s GROUP BY 1),
+      |bt AS (SELECT CAST(SUM(cb) + $PsiBins AS BIGINT) AS nb FROM b),
+      |x AS (SELECT s.day, s.bin, sa, sb, na, nb,
+      |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE) / $LogScale.0 AS term
+      |  FROM s JOIN dt USING (day) CROSS JOIN bt)
+      |SELECT day, CAST(SUM(sa) - $PsiBins AS BIGINT) AS n_events,
+      |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS psi
+      |FROM x GROUP BY day ORDER BY day""".stripMargin
+  }
 }

@@ -414,4 +414,86 @@ object Streams {
         applyHllBatch(batch, stateDir, batchId)
       }
       .start()
+
+  // ---------------------------------------------- streaming drift monitor
+  /** The value-bin expression shared by the streaming PSI and its static
+    * baseline — StatsOps.psi's cents bins with the two-sided clamp. */
+  private def psiBin: org.apache.spark.sql.Column = {
+    import graft.queries.StatsOps.{PsiBins, PsiBinCents}
+    greatest(least((col("value").cast(DecimalType(12, 2)) * 100).cast(LongType)
+      .divide(lit(PsiBinCents)).cast(LongType), lit(PsiBins - 1)), lit(0L))
+  }
+
+  /** Static baseline histogram for [[psiWindowed]]: ONE row carrying the
+    * per-bin smoothed counts (cb0..cb7) and total — the model-side
+    * reference distribution a drift monitor is configured with (here the
+    * full batch history; in production the training window). */
+  def psiBaseline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.StatsOps.PsiBins
+    graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(psiBin.as("bin"))
+      .agg(
+        sum(when(col("bin") === 0, 1L).otherwise(0L)).as("cb0"),
+        (1 until PsiBins.toInt).map(b =>
+          sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"cb$b")): _*)
+      .withColumn("one", lit(1))
+  }
+
+  /** Streaming PSI drift monitor — `q_psi_daily` re-expressed in the ONE
+    * shape Structured Streaming's append mode accepts: a single
+    * watermarked tumbling-window aggregation (per-day conditional bin
+    * counts — chained aggregations are unsupported on a stream, so the
+    * per-day fold over bin ROWS becomes a fold over bin COLUMNS), then a
+    * stream-static broadcast equi-join against the 1-row [[psiBaseline]]
+    * and a pure PROJECTION computing the smoothed shares, quantized
+    * integer-argument logs, and the bin-ordered PSI sum (the literal
+    * 0+t0+…+t7 chain IS the batch twin's sort_array fold order). State is
+    * O(open windows × bins); the watermark closes and evicts each day.
+    * Mode-agnostic: on a batch frame (watermark a no-op) the output
+    * equals StatsOps.psiDaily row for row, so the entry shares
+    * q_psi_daily's oracle — one oracle, two plans (the q_sessionize /
+    * q_session_window precedent) — and the spec replays it as a real
+    * MemoryStream against the batch answer.
+    */
+  def psiWindowed(events: DataFrame, baseline: DataFrame): DataFrame = {
+    import graft.queries.StatsOps.{LogScale, PsiBins}
+    val bins = 0 until PsiBins.toInt
+    def lnq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val counts = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .withWatermark("ts", "2 days")
+      .select(window(col("ts"), "1 day").as("w"), psiBin.as("bin"))
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("bin") === 0, 1L).otherwise(0L)).as("c0"),
+        bins.tail.map(b =>
+          sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
+    val na = bins.map(b => col(s"c$b") + 1L).reduce(_ + _)
+    val nb = bins.map(b => col(s"cb$b") + 1L).reduce(_ + _)
+    def term(b: Int): org.apache.spark.sql.Column = {
+      val sa = col(s"c$b") + 1L
+      val sb = col(s"cb$b") + 1L
+      (sa.cast(DoubleType) / col("na").cast(DoubleType)
+        - sb.cast(DoubleType) / col("nb").cast(DoubleType))
+        .multiply((lnq(sa * col("nb")) - lnq(sb * col("na"))).cast(DoubleType))
+        .divide(lit(LogScale.toDouble))
+    }
+    counts
+      .withColumn("one", lit(1))
+      .join(broadcast(baseline), Seq("one"))
+      .withColumn("na", na)
+      .withColumn("nb", nb)
+      .select(col("w.start").cast(DateType).as("day"),
+        bins.map(b => col(s"c$b")).reduce(_ + _).as("n_events"),
+        bins.map(term).foldLeft(lit(0.0))(_ + _).as("psi"))
+  }
+
+  /** Batch twin of [[psiWindowed]] — the oracle-checked entry: the full
+    * history is both the stream and the baseline, reproducing
+    * StatsOps.psiDaily exactly. */
+  def psiWindowedBatch(spark: SparkSession, dir: String): DataFrame =
+    psiWindowed(graft.Tables.events(spark, dir), psiBaseline(spark, dir))
+      .orderBy(col("day"))
 }

@@ -52,6 +52,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI: append-mode drift points equal the batch series for closed days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (ts("2024-01-01 01:00:00"), 1.0), (ts("2024-01-01 02:00:00"), 1.0),
+      (ts("2024-01-01 03:00:00"), 50.0),
+      (ts("2024-01-02 01:00:00"), 50.0), (ts("2024-01-02 02:00:00"), 50.0),
+      (ts("2024-01-02 03:00:00"), 1.0))
+    val dir = Files.createTempDirectory("graft-spsi").toString
+    history.toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val baseline = Streams.psiBaseline(spark, dir)
+    val expected = Streams.psiWindowedBatch(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.size === 2)
+
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = Streams.psiWindowed(mem.toDF().toDF("ts", "value"), baseline)
+      .writeStream.outputMode("append").format("memory").queryName("psidrift").start()
+    try {
+      mem.addData(history: _*)
+      q.processAllAvailable()
+      // both day windows still open: watermark (max ts - 2d) is behind them
+      assert(spark.table("psidrift").count() === 0)
+      // a day-6 event moves the watermark past both window ends; its own
+      // window stays open and must NOT emit
+      mem.addData((ts("2024-01-06 00:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("psidrift").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming quarantine foreachBatch: sink counts equal the batch validation split") {
     val out = Files.createTempDirectory("graft-stream").toString
     // the streaming file source watches a directory (the ingest-drop model)
