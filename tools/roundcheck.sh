@@ -39,9 +39,12 @@ grep '"metric"' "$OUT_DIR/bench.log" | tail -1
 
 echo "== [4/5] benchgate vs $PREV_BENCH"
 if [ -f "$PREV_BENCH" ]; then
+  # --patch: each flagged leg's isolated (quiet-epoch) re-run replaces its
+  # contaminated median in the round artifact, with provenance under
+  # 'patched' — so the recorded medians are clean without re-running all legs
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
     BENCHGATE_OUT="$OUT_DIR/benchgate_report.json" \
-    python3 tools/benchgate.py "$OUT_DIR/BENCH_FULL.json" "$PREV_BENCH" --rerun
+    python3 tools/benchgate.py "$OUT_DIR/BENCH_FULL.json" "$PREV_BENCH" --rerun --patch
 else
   echo "(no previous artifact at $PREV_BENCH — skipping gate)"
 fi
