@@ -451,6 +451,12 @@ object SparkEntry {
     // streaming-shaped PSI drift monitor (single windowed aggregation +
     // static-baseline broadcast join), batch twin of q_psi_daily
     "q_stream_psi" -> (graft.streaming.Streams.psiWindowedBatch _),
+    // composed FAISS stack: IVF cell pruning x PQ asymmetric distance
+    "q_ivf_pq" -> (VectorOps.ivfPqAnn _),
+    // Matryoshka truncation audit: 16-dim vs 64-dim top-3 agreement
+    "q_dim_trunc" -> (VectorOps.dimTruncRecall _),
+    // Newman modularity of co-purchase components, exact wide-int terms
+    "q_modularity" -> (GraphOps.modularity _),
   )
 
   private val revenueSql =
@@ -495,6 +501,26 @@ object SparkEntry {
       |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+  }
+
+  /** Probe-LUT + summed asymmetric-distance CTEs shared by q_pq_ann and
+    * q_ivf_pq: per subspace, each probe's exact distance to every trained
+    * codeword (l_$m), joined onto the encoded corpus (t_$m), summed to
+    * `adc(probe_id, vec_id, adc_dist)`. Requires pqChainSql upstream. */
+  private lazy val pqAdcCtes: String = {
+    import graft.queries.VectorOps.{PqM, PqProbes}
+    val luts = (0 until PqM).map { m =>
+      s"""l_$m AS MATERIALIZED (SELECT p.vec_id AS probe_id, c.cid,
+        |    ${pqDistSql("p.sv", "c.c")} AS d
+        |  FROM (SELECT vec_id, sv FROM s$m WHERE vec_id < $PqProbes) p
+        |  CROSS JOIN c1_$m c),
+        |t_$m AS MATERIALIZED (SELECT l.probe_id, e.vec_id, l.d
+        |  FROM a2_$m e JOIN l_$m l ON e.cid = l.cid)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until PqM).map(m => s"SELECT * FROM t_$m").mkString(" UNION ALL ")
+    s"""$luts,
+      |adc AS (SELECT probe_id, vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+      |  FROM ($union) GROUP BY 1, 2)""".stripMargin
   }
 
   /** DuckDB exact integer squared distance between two BIGINT lists. */
@@ -3720,20 +3746,9 @@ object SparkEntry {
     // same trained codebooks (the shared chain), same exact integer
     // subspace LUT distances, same (adc, id) rank rule
     "q_pq_ann" -> {
-      import graft.queries.VectorOps.{PqM, PqProbes, PqTopK}
-      val luts = (0 until PqM).map { m =>
-        s"""l_$m AS MATERIALIZED (SELECT p.vec_id AS probe_id, c.cid,
-          |    ${pqDistSql("p.sv", "c.c")} AS d
-          |  FROM (SELECT vec_id, sv FROM s$m WHERE vec_id < $PqProbes) p
-          |  CROSS JOIN c1_$m c),
-          |t_$m AS MATERIALIZED (SELECT l.probe_id, e.vec_id, l.d
-          |  FROM a2_$m e JOIN l_$m l ON e.cid = l.cid)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 until PqM).map(m => s"SELECT * FROM t_$m").mkString(" UNION ALL ")
+      import graft.queries.VectorOps.PqTopK
       s"""WITH $pqChainSql,
-        |$luts,
-        |adc AS (SELECT probe_id, vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
-        |  FROM ($union) GROUP BY 1, 2),
+        |$pqAdcCtes,
         |r AS (SELECT probe_id, vec_id AS neighbor_id, adc_dist,
         |    CAST(row_number() OVER (PARTITION BY probe_id
         |      ORDER BY adc_dist, vec_id) AS INT) AS rank
@@ -3741,6 +3756,92 @@ object SparkEntry {
         |SELECT probe_id, rank, neighbor_id, adc_dist
         |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
     },
+    // the composed stack: q_sim_ivf's cell assignment gates which ADC
+    // pairs survive; same codebooks, LUT integers, and rank rule (the
+    // oracle filters the full ADC table by cell — correctness-identical
+    // to Spark's cell-pruned join)
+    "q_ivf_pq" -> {
+      import graft.queries.VectorOps.PqTopK
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.c_emb", "e.n")} AS sim
+        |  FROM e JOIN c ON TRUE),
+        |asg AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |    FROM sims)
+        |  WHERE r = 1),
+        |$pqChainSql,
+        |$pqAdcCtes,
+        |flt AS (SELECT a.probe_id, pc.cell, a.vec_id, a.adc_dist FROM adc a
+        |  JOIN asg pc ON pc.vec_id = a.probe_id
+        |  JOIN asg nc ON nc.vec_id = a.vec_id AND nc.cell = pc.cell
+        |  WHERE a.vec_id <> a.probe_id),
+        |r AS (SELECT probe_id, cell, vec_id AS neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc_dist, vec_id) AS INT) AS rank
+        |  FROM flt)
+        |SELECT probe_id, cell, rank, neighbor_id, adc_dist
+        |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
+    },
+    // one pair pass, two rankings: the truncated cosine reads the first
+    // TruncDims components of the SAME arrays (range-bounded list fold =
+    // Spark's sliced-array dot, same left-to-right order)
+    "q_dim_trunc" -> {
+      import graft.queries.VectorOps.TruncDims
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT pr.probe_id, a.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "a.embedding", "pr.n")} AS cos_full,
+        |    ${cosSql("pr.p_emb", "a.embedding", TruncDims.toString)} AS cos_trunc
+        |  FROM pr JOIN e a ON a.vec_id <> pr.probe_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_full DESC, neighbor_id) AS fr,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_trunc DESC, neighbor_id) AS tr
+        |  FROM pairs)
+        |SELECT probe_id, CAST(tr AS INT) AS rank, neighbor_id, cos_trunc,
+        |  fr <= 3 AS in_full_top3
+        |FROM rk WHERE tr <= 3 ORDER BY probe_id, rank""".stripMargin
+    },
+    // same thresholded co-edges; recursive-walk components (= Spark's
+    // converged pointer-jumping labels); identical wide-int modularity
+    // terms through the VARCHAR detour
+    "q_modularity" ->
+      s"""WITH ${coEdgeCtes()},
+        |sym AS (SELECT u AS src, v AS dst FROM e0
+        |  UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |walk AS (
+        |  WITH RECURSIVE wr(id, reach) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT w.id, s.dst FROM wr w JOIN sym s ON s.src = w.reach)
+        |  SELECT * FROM wr),
+        |comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM walk GROUP BY 1),
+        |lab AS (SELECT e0.u, e0.v, cu.comp AS cu, cv.comp AS cv
+        |  FROM e0 JOIN comp cu ON e0.u = cu.id JOIN comp cv ON e0.v = cv.id),
+        |intra AS (SELECT cu AS comp, COUNT(*) AS e_c FROM lab WHERE cu = cv GROUP BY 1),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
+        |dc AS (SELECT c.comp, COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS d_c
+        |  FROM deg JOIN comp c ON deg.node = c.id GROUP BY 1),
+        |mm AS (SELECT COUNT(*) AS m FROM e0),
+        |parts AS (SELECT dc.comp AS component, n_nodes,
+        |    COALESCE(e_c, 0) AS e_c, d_c,
+        |    CAST(COALESCE(e_c, 0) AS HUGEINT) * 4 * m
+        |      - CAST(d_c AS HUGEINT) * d_c AS num,
+        |    CAST(m AS HUGEINT) * m * 4 AS den
+        |  FROM dc LEFT JOIN intra ON dc.comp = intra.comp CROSS JOIN mm),
+        |qt AS (SELECT CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(MAX(den) AS VARCHAR) AS DOUBLE) AS q_total FROM parts)
+        |SELECT component, n_nodes, e_c AS intra_edges, d_c AS degree_sum,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS q_c,
+        |  q_total
+        |FROM parts CROSS JOIN qt ORDER BY component""".stripMargin,
     // same quantized coordinates and radius (the oracle may take the
     // quadratic candidate join the Spark plan is banned from — the shift
     // cancels in differences), same core rule, recursive-walk components

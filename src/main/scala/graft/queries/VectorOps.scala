@@ -644,11 +644,9 @@ object VectorOps {
     * (comp ← comp's own comp, one node-scale self-join): a spatial
     * radius graph has geometric diameter — a connected blob spans
     * O(extent/radius) ≈ 100 hops here, where plain neighbor propagation
-    * ([[TextOps.ccRound]] alone, built for shallow near-dup stars)
-    * blows any fixed round budget — and pointer jumping collapses that
-    * to O(log diameter) rounds, the Shiloach–Vishkin / hash-to-min
-    * discipline. `localCheckpoint` lineage hygiene per round; every pin
-    * is swept by [[GraphOps.releasingCaches]] on exit.
+    * (built for shallow near-dup stars) blows any fixed round budget —
+    * via [[GraphOps.minLabelComponents]], the shared pointer-jumping
+    * loop. Every pin is swept by [[GraphOps.releasingCaches]] on exit.
     */
   def dbscan(spark: SparkSession, dir: String): DataFrame =
     dbscanFrom(Tables.embeddings(spark, dir))
@@ -664,27 +662,7 @@ object VectorOps {
         .join(core, Seq("vec_id"), "left_semi")
         .join(core.select(col("vec_id").as("nn_id")), Seq("nn_id"), "left_semi")
         .select(col("vec_id").as("src"), col("nn_id").as("dst")))
-      var labels = coreEdges.select(col("src").as("doc_id")).distinct()
-        .withColumn("comp", col("doc_id"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 32) {
-        val prop = TextOps.ccRound(labels, coreEdges)
-        // path-halving: comp ← comp(comp). Every comp value IS a labeled
-        // node id (labels seed as own-id and only ever take neighbor
-        // label values), so the inner self-join is total.
-        val next = prop
-          .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")),
-            Seq("comp"))
-          .select(col("doc_id"), col("comp2").as("comp"),
-            (col("chg") + (col("comp2") < col("comp")).cast(LongType)).as("chg"))
-          .localCheckpoint(eager = false)
-        changed = next.agg(sum(col("chg"))).head().getLong(0)
-        labels = next.select(col("doc_id"), col("comp"))
-        rounds += 1
-      }
-      require(changed == 0, s"dbscan: label propagation not converged after $rounds rounds")
+      val labels = GraphOps.minLabelComponents(coreEdges)
       // isolated core points (no core neighbor) are their own clusters:
       // union them back in — coreEdges only carries edge-incident cores
       val allCore = core.select(col("vec_id").as("doc_id"))
@@ -843,6 +821,107 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PqTopK)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // --------------------------------------------------- composed IVF-PQ search
+  /** The COMPOSED FAISS-style IVF-PQ query path — the stack's three
+    * pieces finally chained: `q_sim_ivf`'s coarse quantizer restricts
+    * candidates to the probe's cosine cell, [[pqCodebooks]] encodes the
+    * corpus, and [[pqAnn]]'s asymmetric-distance lookup ranks inside the
+    * cell — so per-probe cost is |cell| · M table lookups instead of
+    * |corpus| 64-dim dots, the multiplicative combination of the two
+    * prunings. (PQ trains on raw vectors, not residuals — the IVF-Flat+PQ
+    * hybrid — keeping the ADC integers exact and oracle-matchable.)
+    *
+    * Scale shape: cell assignment and encoding are ONE map-only pass
+    * (literal centroids + codebooks); probes broadcast their cell +
+    * M×K LUT; the join is a broadcast HASH join ON CELL (1/K of the
+    * corpus per probe reaches the ADC projection at all); top-k is a
+    * probe-partitioned rank window.
+    */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val centroids = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // per-centroid cosine, ties to the LOWEST centroid id (the simIvf rule)
+    val simCols = centroids.map { case (cid, emb, cn) =>
+      struct(
+        (dotd(col("embedding"), typedLit(emb)) / (col("norm") * lit(cn))).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    val assigned = e
+      .withColumn("cell", -greatest(simCols: _*).getField("negcid"))
+      .select(col("vec_id"), col("cell"), quantizedEmbedding.as("qv"))
+    val c1 = pqCodebooks(assigned.select(col("vec_id"), col("qv")))
+    val enc = assigned.select(Seq(col("vec_id"), col("cell")) ++
+      (0 until PqM).map(m =>
+        assignStruct(subCol(m), c1(m)).getField("cid").as(s"c$m")): _*)
+    import graft.functions.VectorFunctions.vec_sqdist_l
+    val lut = assigned.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        array((0 until PqM).map { m =>
+          array(c1(m).map { case (_, cw) =>
+            vec_sqdist_l(subCol(m), typedLit(cw)) }: _*)
+        }: _*).as("lut"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.join(broadcast(lut), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        (0 until PqM).map(m =>
+          element_at(element_at(col("lut"), m + 1),
+            (col(s"c$m") + 1).cast(IntegerType))).reduce(_ + _).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // --------------------------------------- dimension-truncation recall audit
+  /** Leading dimensions the truncated ranking keeps in [[dimTruncRecall]]. */
+  private[graft] val TruncDims = 16
+
+  /** Matryoshka-style dimension-truncation audit: rank the corpus per
+    * probe by cosine over only the FIRST [[TruncDims]] of 64 dimensions
+    * and report, for each truncated top-3 hit, whether the full-dimension
+    * ranking agrees — the measurement that prices the memory/recall trade
+    * of truncating stored embeddings (the MRL deployment question), the
+    * same way the LSH/IVF entries price their candidate pruning.
+    *
+    * ONE pair pass computes both cosines (the truncated dot reads a
+    * prefix of the same array — no second scan, no second shuffle); both
+    * rankings are windows over the same probe-partitioned pair stream;
+    * dots ride the codegen'd native expression on a sliced array. The
+    * probe side broadcasts as in [[simTopk]].
+    */
+  def dimTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val t = expr(s"slice(embedding, 1, $TruncDims)")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"),
+        t.as("t_emb"), normd(t).as("t_norm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"), col("t_emb").as("p_t"), col("t_norm").as("p_tn"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("t_emb").as("c_t"), col("t_norm").as("c_tn"))
+    val wFull = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_full").desc, col("neighbor_id"))
+    val wTrunc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_trunc").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_full",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("cos_trunc",
+        dotd(col("p_t"), col("c_t")) / (col("p_tn") * col("c_tn")))
+      .withColumn("full_rank", row_number().over(wFull))
+      .withColumn("rank", row_number().over(wTrunc))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos_trunc"),
+        (col("full_rank") <= 3).as("in_full_top3"))
       .orderBy(col("probe_id"), col("rank"))
   }
 }
