@@ -202,6 +202,23 @@ class GraphOpsSpec extends SparkSpec {
     (1 to GraphOps.KtrussIters).foreach(i => assert(out(i) === ((6L, 4L))))
   }
 
+  test("modularity: two disjoint triangles — exact per-component Q and total") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, each edge in two baskets to clear
+    // the support threshold: m = 6, per component e_c = 3, d_c = 6 ->
+    // Q_c = (4*6*3 - 36) / (4*36) = 0.25, Q = 0.5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val raw = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("ok", "pk")
+    val got = GraphOps.modularityFrom(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 3L, 6L, 0.25, 0.5),
+      (4L, 3L, 3L, 6L, 0.25, 0.5)))
+  }
+
   test("bfsReach: min-hop levels on a hand-drawn chain with an island") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString

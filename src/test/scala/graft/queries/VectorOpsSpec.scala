@@ -366,6 +366,73 @@ class VectorOpsSpec extends SparkSpec {
       (4L, 1, 0L, 0L), (4L, 2, 5L, 0L), (4L, 3, 1L, D)))
   }
 
+  test("ivfPqAnn: disjoint direction families — the cell gate excludes the nearer cross-family vector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    // family A lives on even dims, family B on odd dims (cosine across =
+    // exactly 0, within = 1 up to identical bits, so cells are A->0, B->2
+    // deterministically); scales 0.1 / 0.4 inside each family. Crucially
+    // d(A@0.1, B@0.1) = 6.4e11 < d(A@0.1, A@0.4) = 2.88e12: WITHOUT the
+    // cell gate the cross-family vector would out-rank the family mate.
+    def fam(a: Boolean, v: Float) =
+      (0 until 64).map(d => if ((d % 2 == 0) == a) v else 0.0f)
+    val rows = Seq(
+      (0L, fam(true, 0.1f)), (1L, fam(true, 0.4f)),
+      (2L, fam(false, 0.1f)), (3L, fam(false, 0.4f)),
+      (4L, fam(true, 0.1f)), (5L, fam(true, 0.4f)),
+      (6L, fam(false, 0.1f)), (7L, fam(false, 0.4f)),
+      (8L, fam(true, 0.1f)), (9L, fam(true, 0.4f)),
+      (10L, fam(false, 0.1f)), (11L, fam(false, 0.4f)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val D = 32L * 300000L * 300000L // 32 pattern dims x (4e5-1e5)^2
+    val got = VectorOps.ivfPqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 1, 4L, 0L), (0L, 0L, 2, 8L, 0L), (0L, 0L, 3, 1L, D),
+      (1L, 0L, 1, 5L, 0L), (1L, 0L, 2, 9L, 0L), (1L, 0L, 3, 0L, D),
+      (2L, 2L, 1, 6L, 0L), (2L, 2L, 2, 10L, 0L), (2L, 2L, 3, 3L, D),
+      (3L, 2L, 1, 7L, 0L), (3L, 2L, 2, 11L, 0L), (3L, 2L, 3, 2L, D),
+      (4L, 0L, 1, 0L, 0L), (4L, 0L, 2, 8L, 0L), (4L, 0L, 3, 1L, D)))
+  }
+
+  test("dimTruncRecall: ranks match a scalar double replica on a deterministic corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trunc").toString
+    // deterministic pseudo-random floats, nonzero norms, no ties; odd
+    // vectors flip sign on the tail dims so the truncated view and the
+    // full view genuinely disagree about who is close to whom
+    val vecs = (0L until 10L).map { i =>
+      i -> (0 until 64).map { d =>
+        val base = (((i * 37 + d * 11) % 13).toInt - 6) / 10.0f
+        if (d >= VectorOps.TruncDims && i % 2 == 1) -base else base
+      }
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // scalar replica of the op's exact arithmetic: left-to-right double
+    // accumulation of per-component double products (the vec_dot contract)
+    def dot(a: Seq[Float], b: Seq[Float], n: Int): Double =
+      (0 until n).foldLeft(0.0)((s, d) => s + a(d).toDouble * b(d).toDouble)
+    val m = vecs.toMap
+    def cosN(a: Long, b: Long, n: Int): Double =
+      dot(m(a), m(b), n) / (math.sqrt(dot(m(a), m(a), n)) * math.sqrt(dot(m(b), m(b), n)))
+    val expected = (0L until 5L).flatMap { p =>
+      val cands = (0L until 10L).filter(_ != p)
+      def rank(n: Int) = cands.sortBy(c => (-cosN(p, c, n), c))
+      val fullTop3 = rank(64).take(3).toSet
+      rank(VectorOps.TruncDims).take(3).zipWithIndex.map { case (c, i) =>
+        (p, i + 1, c, fullTop3.contains(c))
+      }
+    }
+    val got = VectorOps.dimTruncRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    assert(got.toSeq === expected)
+    // the audit must be non-vacuous on this corpus: truncation disagrees
+    // with the full ranking somewhere
+    assert(got.exists(!_._4))
+  }
+
   test("dbscan: hand-planted squares — cores cluster, border joins smallest, noise drops") {
     import spark.implicits._
     // two tight 4-point squares (pairwise within the 0.02 radius -> every
