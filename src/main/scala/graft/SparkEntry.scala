@@ -457,6 +457,10 @@ object SparkEntry {
     "q_dim_trunc" -> (VectorOps.dimTruncRecall _),
     // Newman modularity of co-purchase components, exact wide-int terms
     "q_modularity" -> (GraphOps.modularity _),
+    // STL-style daily decomposition: trend + weekday seasonal + residual
+    "q_stl" -> (StatsOps.stl _),
+    // entity resolution completed: match-pair components + survivorship
+    "q_golden_record" -> (CurationOps.goldenRecord _),
   )
 
   private val revenueSql =
@@ -3807,6 +3811,65 @@ object SparkEntry {
         |  fr <= 3 AS in_full_top3
         |FROM rk WHERE tr <= 3 ORDER BY probe_id, rank""".stripMargin
     },
+    // same day-scale series, same 7-offset explode join for the centered
+    // trend sum, same integer detrend (7*cents - sum7) and weekday means;
+    // every component derives from exact integers, divisions at the edge
+    "q_stl" -> {
+      import graft.queries.StatsOps.StlHalf
+      val w = 2 * StlHalf + 1
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT *, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch
+        |  FROM daily),
+        |probes AS (SELECT epoch AS center, epoch + o.off AS epoch2
+        |  FROM d2 CROSS JOIN (SELECT unnest(range(-$StlHalf, ${StlHalf + 1})) AS off) o),
+        |win AS (SELECT center, CAST(SUM(b.cents) AS BIGINT) AS sum7
+        |  FROM probes JOIN d2 b ON b.epoch = probes.epoch2
+        |  GROUP BY 1 HAVING COUNT(*) = $w),
+        |det AS (SELECT day, cents, sum7, d2.epoch % 7 AS dow,
+        |    cents * $w - sum7 AS det_num
+        |  FROM d2 JOIN win ON d2.epoch = win.center),
+        |seas AS (SELECT dow, CAST(SUM(det_num) AS BIGINT) AS s_num, COUNT(*) AS s_n
+        |  FROM det GROUP BY 1)
+        |SELECT day, cents, CAST(sum7 AS DOUBLE) / $w AS trend,
+        |  CAST(s_num AS DOUBLE) / CAST(s_n * $w AS DOUBLE) AS seasonal,
+        |  CAST(cents AS DOUBLE) - CAST(sum7 AS DOUBLE) / $w
+        |    - CAST(s_num AS DOUBLE) / CAST(s_n * $w AS DOUBLE) AS residual
+        |FROM det JOIN seas USING (dow) ORDER BY day""".stripMargin
+    },
+    // same drop-one sorted-word-subset keys (equi-join candidate match),
+    // recursive-walk components over name strings (both engines order
+    // ASCII names identically), same (m DESC, name) survivorship
+    "q_golden_record" ->
+      s"""WITH nm AS (SELECT lower(p_name) AS name, COUNT(*) AS m
+        |  FROM part GROUP BY 1),
+        |w AS (SELECT name, m, list_sort(string_split(name, ' ')) AS ws FROM nm),
+        |k AS (SELECT name, unnest(list_transform(range(0, len(ws)),
+        |    i -> list_aggregate(list_concat(ws[1:i], ws[i+2:len(ws)]),
+        |      'string_agg', ' '))) AS key
+        |  FROM w),
+        |e AS (SELECT DISTINCT a.name AS n_a, b.name AS n_b
+        |  FROM k a JOIN k b ON a.key = b.key AND a.name < b.name),
+        |sym AS (SELECT n_a AS src, n_b AS dst FROM e
+        |  UNION ALL SELECT n_b AS src, n_a AS dst FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |walk AS (
+        |  WITH RECURSIVE wr(id, reach) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT w.id, s.dst FROM wr w JOIN sym s ON s.src = w.reach)
+        |  SELECT * FROM wr),
+        |comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM walk GROUP BY 1),
+        |lab AS (SELECT nm.name, nm.m, COALESCE(c.comp, nm.name) AS comp
+        |  FROM nm LEFT JOIN comp c ON nm.name = c.id),
+        |ent AS (SELECT comp, COUNT(*) AS n_variants, CAST(SUM(m) AS BIGINT) AS n_rows
+        |  FROM lab GROUP BY 1),
+        |canon AS (SELECT comp, name AS canonical_name FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comp ORDER BY m DESC, name) AS r
+        |    FROM lab) WHERE r = 1)
+        |SELECT canonical_name, n_variants, n_rows FROM ent JOIN canon USING (comp)
+        |WHERE n_variants >= 2 ORDER BY canonical_name""".stripMargin,
     // same thresholded co-edges; recursive-walk components (= Spark's
     // converged pointer-jumping labels); identical wide-int modularity
     // terms through the VARCHAR detour

@@ -675,4 +675,58 @@ object CurationOps {
         col("share"), col("weight"), col("weight_capped"))
       .orderBy(col("source"))
   }
+
+  // ----------------------------------------------- entity golden record
+  /** Entity resolution COMPLETED — the fuzzy-match tier finds pairs,
+    * this op builds the entities: distinct part names match when they
+    * share ALL-BUT-ONE of their words (drop-one token blocking — each
+    * name emits its n sorted (n−1)-word subsets and two names match iff
+    * a subset collides; the character-edit matchers find nothing on this
+    * corpus, whose names are word recombinations, not typos), entities
+    * are connected components over the match edges, and each elects ONE
+    * canonical "golden" record — the most frequent variant, smallest
+    * name on ties (textbook survivorship, made deterministic so the
+    * oracle can check it). Output: per multi-variant entity, the
+    * canonical name, variant count, and total row mass — the
+    * master-data table an MDM pipeline publishes.
+    *
+    * Scale shape: names dedupe to (name, multiplicity) FIRST (the
+    * fuzzyMatch rewrite), the candidate join is an EQUI-join on the
+    * subset key (n keys per name, bucket-bounded fan-out — the LSH-band
+    * shape), components run [[GraphOps.minLabelComponents]]'s
+    * pointer-jumping loop over name-scale edges (labels are the name
+    * STRINGS — min-label needs any total order, and both engines share
+    * lexicographic ASCII), and survivorship is a min-struct combining
+    * aggregate, no window.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.GraphOps.releasingCaches(spark) { scope =>
+    val names = Tables.part(spark, dir)
+      .select(lower(col("p_name")).as("name"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("ws", sort_array(split(col("name"), " ")))
+    val keys = names.select(col("name"), explode(expr(
+      """transform(sequence(0, size(ws) - 1),
+        |  i -> concat_ws(' ', concat(slice(ws, 1, i),
+        |    slice(ws, i + 2, size(ws) - i - 1))))""".stripMargin)).as("key"))
+    val edges = keys.select(col("key"), col("name").as("n_a"))
+      .join(keys.select(col("key"), col("name").as("n_b")), Seq("key"))
+      .filter(col("n_a") < col("n_b"))
+      .select(col("n_a"), col("n_b")).distinct()
+    // cached: the propagation loop re-reads the edge list every round,
+    // and the levenshtein candidate join must not re-run per round
+    val sym = scope.cache(edges.select(col("n_a").as("src"), col("n_b").as("dst"))
+      .unionByName(edges.select(col("n_b").as("src"), col("n_a").as("dst"))))
+    val comp = graft.queries.GraphOps.minLabelComponents(sym)
+    val labeled = names
+      .join(comp.select(col("doc_id").as("name"), col("comp")), Seq("name"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("name"))) // singletons
+    labeled.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_variants"), sum(col("m")).as("n_rows"),
+        min(struct((-col("m")).as("negm"), col("name"))).as("g"))
+      .filter(col("n_variants") >= 2)
+      .select(col("g.name").as("canonical_name"), col("n_variants"), col("n_rows"))
+      .orderBy(col("canonical_name"))
+  }
 }

@@ -560,7 +560,8 @@ object GraphOps {
           (col("chg") + (col("comp2") < col("comp")).cast(
             org.apache.spark.sql.types.LongType)).as("chg"))
         .localCheckpoint(eager = false)
-      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      // coalesce: an EMPTY edge set (no matches at small SF) sums to NULL
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = next.select(col("doc_id"), col("comp"))
       rounds += 1
     }

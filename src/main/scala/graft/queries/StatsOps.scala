@@ -786,6 +786,59 @@ object StatsOps {
       .orderBy(col("day"))
   }
 
+  // -------------------------------------------- STL-style decomposition
+  /** Half-width of [[stl]]'s centered moving-average trend window. */
+  private[graft] val StlHalf = 3
+
+  /** STL-style decomposition of the daily order-revenue series into
+    * trend + day-of-week seasonal + residual — the classic-decomposition
+    * read behind every seasonal-adjustment and anomaly baseline (the
+    * additive Cleveland shape, one pass instead of loess iterations).
+    * All three components derive from EXACT integers: the trend is a
+    * centered 7-day sum (sum7/7 divided only at the edge), the seasonal
+    * is the per-weekday mean of the INTEGER-detrended series
+    * (7·cents − sum7, so no float ever enters an aggregate), and the
+    * residual is one closed-form double expression over those integers —
+    * identical in both engines with zero fold-order exposure.
+    *
+    * Scale shape: the fact reduces to the day-scale series first; the
+    * centered window is NOT a global window (banned) but a 7-row
+    * OFFSET EXPLODE + equi-join on day — calendar-scale work, map-side
+    * explode, no sort barrier; weekday means are a 7-row aggregate.
+    * Edge days (incomplete windows) are excluded by the n = 7 count,
+    * never padded.
+    */
+  def stl(spark: SparkSession, dir: String): DataFrame = {
+    val width = 2 * StlHalf + 1
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast(DateType).as("day"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .withColumn("epoch",
+        datediff(col("day"), lit("1970-01-01").cast(DateType)).cast(LongType))
+    val probes = daily.select(col("epoch").as("center"), explode(
+        sequence(lit(-StlHalf), lit(StlHalf))).as("off"))
+      .select(col("center"), (col("center") + col("off")).as("epoch"))
+    val win = probes.join(daily.select(col("epoch"), col("cents")), Seq("epoch"))
+      .groupBy(col("center"))
+      .agg(count(lit(1)).as("n_win"), sum(col("cents")).as("sum7"))
+      .filter(col("n_win") === width)
+    val det = daily.join(win, daily("epoch") === win("center"))
+      .select(col("day"), col("epoch"), col("cents"), col("sum7"),
+        (col("epoch") % 7).as("dow"),
+        (col("cents") * width - col("sum7")).as("det_num")) // 7*cents - sum7, exact
+    val seas = det.groupBy(col("dow"))
+      .agg(sum(col("det_num")).as("s_num"), count(lit(1)).as("s_n"))
+    det.join(broadcast(seas), Seq("dow"))
+      .select(col("day"), col("cents"),
+        (col("sum7").cast(DoubleType) / width).as("trend"),
+        (col("s_num").cast(DoubleType)
+          / (col("s_n") * width).cast(DoubleType)).as("seasonal"))
+      .withColumn("residual",
+        col("cents").cast(DoubleType) - col("trend") - col("seasonal"))
+      .orderBy(col("day"))
+  }
+
   // ------------------------------------- deterministic bootstrap CI
   /** Number of bootstrap replicates for [[bootstrapCi]]. */
   private[graft] val BootReps = 32L
