@@ -458,4 +458,25 @@ class CurationOpsSpec extends SparkSpec {
     // c's raw weight 19/3 exceeds the cap
     assert(r("c") === ((1L, 1L, 1.0 / 19.0, 19.0 / 3.0, CurationOps.WeightCap)))
   }
+
+  test("goldenRecord: drop-one word matching, survivorship, singleton exclusion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    // entity 1: three variants sharing "red blue" (canonical = the most
+    // frequent "red blue green"); entity 2: two variants tied at m=1
+    // (canonical = lexicographically smaller "one two four"); the
+    // 5-row singleton must NOT appear (n_variants < 2)
+    val parts = Seq.fill(3)("red blue green") ++ Seq("red blue teal") ++
+      Seq.fill(2)("red blue verde") ++
+      Seq("one two three", "one two four") ++
+      Seq.fill(5)("alpha beta gamma")
+    parts.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = CurationOps.goldenRecord(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("one two four", 2L, 2L),
+      ("red blue green", 3L, 6L)))
+  }
 }

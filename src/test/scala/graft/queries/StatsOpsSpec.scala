@@ -408,6 +408,31 @@ class StatsOpsSpec extends SparkSpec {
     assert(r2.getDouble(4) < r2.getDouble(2) && r2.getDouble(2) < r2.getDouble(5))
   }
 
+  test("stl: a linear series decomposes to trend-only — centering pinned exactly") {
+    import spark.implicits._
+    val dir = tmp("stl")
+    // one order per day, totalprice = epoch-day dollars: the centered
+    // 7-day mean of a LINEAR series is the center value exactly, so the
+    // integer detrend is 0 everywhere -> seasonal and residual exactly 0.
+    // An off-center window (the classic bug) would fail every row.
+    val base = java.time.LocalDate.parse("1995-01-01")
+    val rows = (0 until 14).map { i =>
+      val d = base.plusDays(i)
+      (java.sql.Date.valueOf(d), d.toEpochDay.toDouble)
+    }
+    rows.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsOps.stl(spark, dir).collect()
+    assert(got.length === 8) // days 3..10 have full +/-3 windows
+    for (r <- got) {
+      val epoch = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) === epoch * 100)         // cents
+      assert(r.getDouble(2) === epoch * 100.0)     // trend = center exactly
+      assert(r.getDouble(3) === 0.0)               // seasonal
+      assert(r.getDouble(4) === 0.0)               // residual
+    }
+  }
+
   test("cupedStratified: adaptive spend strata, per-stratum theta, null-theta coalesce") {
     import spark.implicits._
     import java.sql.Timestamp
