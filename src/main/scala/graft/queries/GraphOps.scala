@@ -671,8 +671,15 @@ object GraphOps {
   private[graft] def ktrussFrom(raw: DataFrame): DataFrame =
     releasingCaches(raw.sparkSession) { scope =>
       def supports(e: DataFrame): DataFrame = {
+        // the closing probe BROADCASTS the edge list: it is aggregate-
+        // reduced (coEdges' groupBy) and node-pair-scale (~20 MB at
+        // sf0.1), while the wedge-candidate stream it probes is the big
+        // side — shuffling candidates cost ~2x the whole leg. A web-scale
+        // graph (edges >> executor memory) swaps this for the partitioned
+        // hash join; the enumeration shape is unchanged.
         val tri = orientedWedges(e, edgeDegrees(e))
-          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"), "left_semi")
+          .join(broadcast(e.select(col("u").as("b"), col("v").as("c"))),
+            Seq("b", "c"), "left_semi")
         // the oriented source may rank above b or c by degree, so the two
         // src-incident edges re-normalize to (min, max); (b, c) is ordered
         tri.select(explode(array(
