@@ -461,6 +461,10 @@ object SparkEntry {
     "q_stl" -> (StatsOps.stl _),
     // entity resolution completed: match-pair components + survivorship
     "q_golden_record" -> (CurationOps.goldenRecord _),
+    // Markov transition model backtested on each user's held-out last hop
+    "q_markov_eval" -> (BehaviorOps.markovEval _),
+    // item-CF hit-rate on an even/odd basket split with max-id holdout
+    "q_cf_eval" -> (BehaviorOps.cfEval _),
   )
 
   private val revenueSql =
@@ -505,6 +509,33 @@ object SparkEntry {
       |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+  }
+
+  /** The item-item CF CTE chain (capped baskets → co-counts → quantized
+    * cosine → rank) shared by q_item_cf and q_cf_eval; terminal CTE
+    * `r(item, cf_rank, nbr, n_co, cos_q)`. `where` filters the lineitem
+    * scan (the train-split hook). */
+  private def itemCfCtes(where: String = ""): String = {
+    import graft.queries.BehaviorOps.{CfScale, CfTopItems, MaxBasketItems}
+    s"""lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem $where),
+      |sized AS (SELECT ok FROM lp GROUP BY ok
+      |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+      |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
+      |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+      |co AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS n_co
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      |sym AS (SELECT pk_a AS item, pk_b AS nbr, n_co FROM co
+      |  UNION ALL SELECT pk_b AS item, pk_a AS nbr, n_co FROM co),
+      |top AS (SELECT pk AS item FROM ic ORDER BY n_item DESC, pk LIMIT $CfTopItems),
+      |scored AS (SELECT item, nbr, n_co,
+      |    CAST(floor(CAST(n_co * $CfScale AS DOUBLE)
+      |      / sqrt(CAST(i.n_item * n.n_item AS DOUBLE)) + 0.5) AS BIGINT) AS cos_q
+      |  FROM sym
+      |  JOIN top USING (item)
+      |  JOIN ic i ON i.pk = item
+      |  JOIN ic n ON n.pk = nbr),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+      |    ORDER BY cos_q DESC, n_co DESC, nbr) AS INT) AS cf_rank FROM scored)""".stripMargin
   }
 
   /** Probe-LUT + summed asymmetric-distance CTEs shared by q_pq_ann and
@@ -3092,29 +3123,35 @@ object SparkEntry {
     },
     // same basket cap before pair formation, same quantized cosine (every
     // input integer-exact, one sqrt + one division per pair)
-    "q_item_cf" -> {
-      import graft.queries.BehaviorOps.{CfNeighbors, CfScale, CfTopItems, MaxBasketItems}
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |sized AS (SELECT ok FROM lp GROUP BY ok
-        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
-        |items AS (SELECT lp.ok, lp.pk FROM lp JOIN sized USING (ok)),
-        |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
-        |co AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS n_co
-        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-        |sym AS (SELECT pk_a AS item, pk_b AS nbr, n_co FROM co
-        |  UNION ALL SELECT pk_b AS item, pk_a AS nbr, n_co FROM co),
-        |top AS (SELECT pk AS item FROM ic ORDER BY n_item DESC, pk LIMIT $CfTopItems),
-        |scored AS (SELECT item, nbr, n_co,
-        |    CAST(floor(CAST(n_co * $CfScale AS DOUBLE)
-        |      / sqrt(CAST(i.n_item * n.n_item AS DOUBLE)) + 0.5) AS BIGINT) AS cos_q
-        |  FROM sym
-        |  JOIN top USING (item)
-        |  JOIN ic i ON i.pk = item
-        |  JOIN ic n ON n.pk = nbr),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
-        |    ORDER BY cos_q DESC, n_co DESC, nbr) AS INT) AS cf_rank FROM scored)
+    "q_item_cf" ->
+      s"""WITH ${itemCfCtes()}
         |SELECT item, cf_rank, nbr, n_co, cos_q FROM r
-        |WHERE cf_rank <= $CfNeighbors ORDER BY item, cf_rank""".stripMargin
+        |WHERE cf_rank <= ${graft.queries.BehaviorOps.CfNeighbors}
+        |ORDER BY item, cf_rank""".stripMargin,
+    // same even/odd append-stable split, same CF chain on the train half,
+    // same max-id holdout and applicable-basket denominator
+    "q_cf_eval" -> {
+      import graft.queries.BehaviorOps.{CfNeighbors, MaxBasketItems}
+      s"""WITH ${itemCfCtes("WHERE l_orderkey % 2 = 0")},
+        |cf AS (SELECT item, nbr FROM r WHERE cf_rank <= $CfNeighbors),
+        |tlp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_orderkey % 2 = 1),
+        |tsized AS (SELECT ok FROM tlp GROUP BY ok
+        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBasketItems),
+        |titems AS (SELECT tlp.ok, tlp.pk FROM tlp JOIN tsized USING (ok)),
+        |hold AS (SELECT ok, MAX(pk) AS holdout FROM titems GROUP BY ok),
+        |ctx AS (SELECT t.ok, t.pk, h.holdout FROM titems t JOIN hold h USING (ok)
+        |  WHERE t.pk <> h.holdout),
+        |recs AS (SELECT DISTINCT ctx.ok, ctx.holdout, cf.nbr
+        |  FROM ctx JOIN cf ON cf.item = ctx.pk),
+        |hits AS (SELECT DISTINCT ok FROM recs WHERE nbr = holdout),
+        |app AS (SELECT DISTINCT ok FROM ctx
+        |  WHERE pk IN (SELECT DISTINCT item FROM cf))
+        |SELECT (SELECT COUNT(*) FROM hold) AS n_test_baskets,
+        |  (SELECT COUNT(*) FROM app) AS n_applicable,
+        |  (SELECT COUNT(*) FROM hits) AS n_hits,
+        |  CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM app) AS DOUBLE) AS hit_rate""".stripMargin
     },
     // same (rank, day, code) int64 encoding under the same running MAX,
     // same day-resolution lookback, integer-cents revenue
@@ -3811,6 +3848,28 @@ object SparkEntry {
         |  fr <= 3 AS in_full_top3
         |FROM rk WHERE tr <= 3 ORDER BY probe_id, rank""".stripMargin
     },
+    // same transition build, same last-per-user holdout, same
+    // (count DESC, next) argmax; unseen states predict NULL = miss
+    "q_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |tr AS (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx
+        |  FROM (SELECT * FROM t WHERE nxt IS NOT NULL)),
+        |train AS (SELECT cur, nxt, COUNT(*) AS n FROM tr WHERE rn < mx GROUP BY 1, 2),
+        |pred AS (SELECT cur, nxt AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS r
+        |    FROM train) WHERE r = 1),
+        |test AS (SELECT tr.cur, tr.nxt, p.pred FROM tr
+        |  LEFT JOIN pred p ON p.cur = tr.cur WHERE rn = mx)
+        |SELECT cur, COUNT(*) AS n_test,
+        |  CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        |FROM test GROUP BY cur ORDER BY cur""".stripMargin,
     // same day-scale series, same 7-offset explode join for the centered
     // trend sum, same integer detrend (7*cents - sum7) and weekday means;
     // every component derives from exact integers, divisions at the edge

@@ -853,6 +853,88 @@ object BehaviorOps {
       .orderBy(col("channel"))
   }
 
+  // --------------------------------------------- Markov next-event backtest
+  /** Holdout evaluation of the [[markovNext]] transition model — the
+    * model put to WORK and measured (the langid_eval discipline): each
+    * user's LAST transition is held out, the row-argmax of the
+    * transition counts trained on everything else predicts its target,
+    * and per-state accuracy comes out beside the prediction. The
+    * backtest a pipeline runs before trusting next-event predictions
+    * for prefetching or session-abandonment scoring.
+    *
+    * Scale shape: one user-partitioned lead/rank window pass builds all
+    * transitions and marks each user's last (a second aggregate over
+    * the SAME window partition — no extra Exchange); train counts are a
+    * |states|² aggregate; the argmax is a min-struct combining
+    * aggregate ((count DESC, next ASC) — deterministic, never hash
+    * order); the test join broadcasts the |states|-row prediction
+    * table. A state unseen in training predicts NULL and scores a miss.
+    */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val tr = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("cur"),
+        lead(col("event_type"), 1).over(w).as("nxt"),
+        row_number().over(w).as("rn"))
+      .filter(col("nxt").isNotNull)
+      .withColumn("is_test", col("rn") === max(col("rn")).over(wAll))
+    val train = tr.filter(!col("is_test"))
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val pred = train.groupBy(col("cur"))
+      .agg(min(struct((-col("n")).as("negn"), col("nxt"))).as("p"))
+      .select(col("cur"), col("p.nxt").as("pred"))
+    tr.filter(col("is_test"))
+      .join(broadcast(pred), Seq("cur"), "left")
+      .groupBy(col("cur"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("pred"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("accuracy",
+        col("n_hits").cast(DoubleType) / col("n_test").cast(DoubleType))
+      .orderBy(col("cur"))
+  }
+
+  // ----------------------------------------------- CF holdout evaluation
+  /** Leave-one-out holdout evaluation of [[itemCf]] — the recommender
+    * measured, not just materialized: the CF neighbor lists train on the
+    * EVEN-keyed half of the baskets (an append-stable split, so no
+    * test basket leaks into its own neighbor counts), each odd capped
+    * test basket holds out its max-id item, and a basket scores a hit
+    * when the holdout appears among the CF neighbors of ANY remaining
+    * context item. `hit_rate` is over APPLICABLE baskets (context
+    * intersects the [[CfTopItems]] modeled items) — the honest
+    * denominator; `n_test_baskets` records the raw pool beside it.
+    *
+    * Scale shape: training is [[itemCfFrom]] on the filtered half; the
+    * model is a ≤[[CfTopItems]]·[[CfNeighbors]]-row BROADCAST; test
+    * baskets reduce to (basket, holdout, context) in one aggregate +
+    * join; hits/applicable are semi-join counts. Output is one row.
+    */
+  def cfEval(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val cf = itemCfFrom(raw.filter(col("ok") % 2 === 0))
+      .select(col("item"), col("nbr"))
+    val lp = raw.filter(col("ok") % 2 === 1).distinct()
+    val sized = lp.groupBy(col("ok")).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize").between(2, MaxBasketItems)).select(col("ok"))
+    val test = lp.join(sized, Seq("ok"), "left_semi")
+    val hold = test.groupBy(col("ok")).agg(max(col("pk")).as("holdout"))
+    val ctx = test.join(hold, Seq("ok")).filter(col("pk") =!= col("holdout"))
+    val recs = ctx.join(broadcast(cf.withColumnRenamed("item", "pk")), Seq("pk"))
+      .select(col("ok"), col("holdout"), col("nbr")).distinct()
+    val hits = recs.filter(col("nbr") === col("holdout")).select(col("ok")).distinct()
+    val app = ctx
+      .join(broadcast(cf.select(col("item").as("pk")).distinct()), Seq("pk"), "left_semi")
+      .select(col("ok")).distinct()
+    hold.agg(count(lit(1)).as("n_test_baskets"))
+      .crossJoin(app.agg(count(lit(1)).as("n_applicable")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("hit_rate",
+        col("n_hits").cast(DoubleType) / col("n_applicable").cast(DoubleType))
+  }
+
   // ------------------------------------------------ first-touch attribution
   /** [[AttrLookbackDays]] expressed in microseconds — the width of
     * [[firstTouch]]'s range frame. */
