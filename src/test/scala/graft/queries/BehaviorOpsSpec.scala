@@ -486,6 +486,40 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 28.0)    // p90 interpolation 10 + 0.9*20
   }
 
+  test("markovEval: last-hop holdout, argmax prediction, unseen-state miss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mkv").toString
+    def t(m: Int): Long = m * 60000000000L
+    // u1: a b a b a b -> train ab x2, ba x2; holdout (a,b) -> pred(a)=b HIT
+    // u2: b c b c     -> train bc, cb;       holdout (b,c) -> pred(b)=a MISS
+    //    (b's train counts: ba 2 vs bc 1 -> argmax a)
+    val e1 = Seq("a", "b", "a", "b", "a", "b").zipWithIndex.map {
+      case (ty, i) => (i.toLong, t(i), 1L, ty) }
+    val e2 = Seq("b", "c", "b", "c").zipWithIndex.map {
+      case (ty, i) => (100L + i, t(i), 2L, ty) }
+    (e1 ++ e2).toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = BehaviorOps.markovEval(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map("a" -> ((1L, 1L, 1.0)), "b" -> ((1L, 0L, 0.0))))
+  }
+
+  test("cfEval: hit via trained neighbor, applicable-only denominator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfeval").toString
+    // train (even ok): {1,2} x2 and {1,3} -> CF(1) = {2,3}, CF(2) = {1}...
+    // test (odd ok): {1,2} hold 2 -> HIT; {1,9} hold 9 -> applicable miss;
+    // {7,8} hold 8 -> context 7 unmodeled -> not applicable
+    val rows = Seq(
+      (0L, 1L), (0L, 2L), (2L, 1L), (2L, 2L), (4L, 1L), (4L, 3L),
+      (1L, 1L), (1L, 2L), (3L, 1L), (3L, 9L), (5L, 7L), (5L, 8L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = BehaviorOps.cfEval(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      === ((3L, 2L, 1L, 0.5)))
+  }
+
   test("firstTouch: earliest in-window touch wins; aged-out lookback is none") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ftouch").toString
