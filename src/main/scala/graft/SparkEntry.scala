@@ -465,6 +465,10 @@ object SparkEntry {
     "q_markov_eval" -> (BehaviorOps.markovEval _),
     // item-CF hit-rate on an even/odd basket split with max-id holdout
     "q_cf_eval" -> (BehaviorOps.cfEval _),
+    // tokenizer fertility per source: learned merges applied + measured
+    "q_bpe_fertility" -> (TextOps.bpeFertility _),
+    // Simpson's screen: per-segment vs pooled slope, moments re-aggregated
+    "q_simpsons" -> (StatsOps.simpsons _),
   )
 
   private val revenueSql =
@@ -536,6 +540,32 @@ object SparkEntry {
       |  JOIN ic n ON n.pk = nbr),
       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
       |    ORDER BY cos_q DESC, n_co DESC, nbr) AS INT) AS cf_rank FROM scored)""".stripMargin
+  }
+
+  /** The BPE merge-learning CTE chain shared by q_bpe_train and
+    * q_bpe_fertility (TextOps.bpeTrainMerges): corpus vocabulary,
+    * leading-delimiter encode, and BpeIters (pair-count → winner m$i →
+    * greedy-replace v$i) rounds, all MATERIALIZED. */
+  private lazy val bpeChainSql: String = {
+    import graft.queries.TextOps.BpeIters
+    val rounds = (1 to BpeIters).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),
+        |      x -> struct_pack(l := tk[x], r := tk[x+1]))) AS p
+        |    FROM (SELECT string_split(repr[2:], '|') AS tk, freq FROM v${i - 1})
+        |    WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |v$i AS MATERIALIZED (SELECT replace(repr,
+        |    '|' || (SELECT l FROM m$i) || '|' || (SELECT r FROM m$i),
+        |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i)) AS repr, freq FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""u AS MATERIALIZED (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+      |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM u
+      |  WHERE w NOT LIKE '%|%' GROUP BY w),
+      |v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS repr, freq FROM vocab),
+      |$rounds""".stripMargin
   }
 
   /** Probe-LUT + summed asymmetric-distance CTEs shared by q_pq_ann and
@@ -3746,28 +3776,42 @@ object SparkEntry {
     // same exclusion of delimiter-bearing ('|') tokens from the vocabulary
     "q_bpe_train" -> {
       import graft.queries.TextOps.BpeIters
-      val rounds = (1 to BpeIters).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-          |  FROM (SELECT freq, unnest(list_transform(range(1, len(tk)),
-          |      x -> struct_pack(l := tk[x], r := tk[x+1]))) AS p
-          |    FROM (SELECT string_split(repr[2:], '|') AS tk, freq FROM v${i - 1})
-          |    WHERE len(tk) >= 2)
-          |  GROUP BY 1, 2),
-          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-          |v$i AS MATERIALIZED (SELECT replace(repr,
-          |    '|' || (SELECT l FROM m$i) || '|' || (SELECT r FROM m$i),
-          |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i)) AS repr, freq FROM v${i - 1})""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BpeIters).map(i =>
         s"SELECT CAST($i AS INT) AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH u AS MATERIALIZED (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
-        |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM u
-        |  WHERE w NOT LIKE '%|%' GROUP BY w),
-        |v0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS repr, freq FROM vocab),
-        |$rounds
+      s"""WITH $bpeChainSql
         |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+    },
+    // same trained merges (the shared chain) applied per SOURCE vocabulary
+    // with the same replace chain; symbol count = '|' count; exact sums
+    "q_bpe_fertility" -> {
+      import graft.queries.TextOps.BpeIters
+      val applies = (1 to BpeIters).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT source, replace(repr,
+          |    '|' || (SELECT l FROM m$i) || '|' || (SELECT r FROM m$i),
+          |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i)) AS repr,
+          |    freq, n_chars FROM f${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeChainSql,
+        |u2 AS MATERIALIZED (SELECT source,
+        |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+        |voc2 AS MATERIALIZED (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM u2 WHERE w NOT LIKE '%|%' GROUP BY 1, 2),
+        |f0 AS MATERIALIZED (SELECT source,
+        |    regexp_replace(w, '(.)', '|\\1', 'g') AS repr, freq,
+        |    CAST(len(w) AS BIGINT) AS n_chars
+        |  FROM voc2),
+        |$applies,
+        |fin AS (SELECT source, freq, n_chars,
+        |    CAST(len(repr) - len(replace(repr, '|', '')) AS BIGINT) AS n_sym
+        |  FROM f$BpeIters)
+        |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_word_occurrences,
+        |  CAST(SUM(freq * n_sym) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(freq * n_sym) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) AS fertility,
+        |  CAST(CAST(SUM(freq * n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(freq * n_sym) AS BIGINT) AS DOUBLE) AS chars_per_token
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin
     },
     // same lowest-id seeds, one integer Lloyd update and argmin encode per
     // subspace (the kmeansCte recipe sliced); HUGEINT distortions through
@@ -3847,6 +3891,32 @@ object SparkEntry {
         |SELECT probe_id, CAST(tr AS INT) AS rank, neighbor_id, cos_trunc,
         |  fr <= 3 AS in_full_top3
         |FROM rk WHERE tr <= 3 ORDER BY probe_id, rank""".stripMargin
+    },
+    // same per-segment exact moments (HUGEINT through the VARCHAR
+    // detour), pooled moments RE-AGGREGATED from them, same closed forms
+    "q_simpsons" -> {
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def slope(n: String, sx: String, sy: String, sxy: String, sxx: String) =
+        s"(${dbl(n)} * ${hdbl(sxy)} - ${dbl(sx)} * ${dbl(sy)})" +
+          s" / nullif(${dbl(n)} * ${hdbl(sxx)} - ${dbl(sx)} * ${dbl(sx)}, 0.0)"
+      s"""WITH seg AS (SELECT o_orderpriority AS segment,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM seg GROUP BY 1),
+        |p AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+        |    CAST(SUM(sy) AS BIGINT) AS sy, SUM(sxy) AS sxy, SUM(sxx) AS sxx FROM m),
+        |s AS (SELECT segment, m.n,
+        |    ${slope("m.n", "m.sx", "m.sy", "m.sxy", "m.sxx")} AS slope,
+        |    ${slope("p.n", "p.sx", "p.sy", "p.sxy", "p.sxx")} AS pooled_slope
+        |  FROM m CROSS JOIN p)
+        |SELECT segment, n, slope, pooled_slope,
+        |  slope * pooled_slope < 0 AS is_reversed
+        |FROM s ORDER BY segment""".stripMargin
     },
     // same transition build, same last-per-user holdout, same
     // (count DESC, next) argmax; unseen states predict NULL = miss

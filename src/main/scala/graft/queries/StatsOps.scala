@@ -786,6 +786,43 @@ object StatsOps {
       .orderBy(col("day"))
   }
 
+  // --------------------------------------------- Simpson's paradox screen
+  /** Per-segment vs pooled trend-direction screen (Simpson's paradox):
+    * the OLS slope of order value over time, fit per order priority AND
+    * pooled, with a reversal flag where the signs disagree — the
+    * aggregation-bias audit every cross-segment metric read needs before
+    * anyone trusts the pooled trend. EXACT up to the closed-form
+    * divisions: per-segment moments (n, Σx, Σy, Σxy, Σx²) accumulate as
+    * DECIMAL(38,0) (the olsFit discipline), and the POOLED moments
+    * re-aggregate from the segment moments — moments are additive, so
+    * the pooled fit costs no second scan.
+    */
+  def simpsons(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("segment"),
+        datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("x"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("y"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+    val pooled = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+    def slope(pfx: String): Column = {
+      def d(c: String): Column = col(pfx + c).cast(DoubleType)
+      (d("n") * d("sxy") - d("sx") * d("sy")) /
+        nullif(d("n") * d("sxx") - d("sx") * d("sx"), lit(0.0))
+    }
+    m.crossJoin(broadcast(pooled.select(
+        col("n").as("p_n"), col("sx").as("p_sx"), col("sy").as("p_sy"),
+        col("sxy").as("p_sxy"), col("sxx").as("p_sxx"))))
+      .select(col("segment"), col("n"),
+        slope("").as("slope"), slope("p_").as("pooled_slope"))
+      .withColumn("is_reversed", col("slope") * col("pooled_slope") < 0)
+      .orderBy(col("segment"))
+  }
+
   // -------------------------------------------- STL-style decomposition
   /** Half-width of [[stl]]'s centered moving-average trend window. */
   private[graft] val StlHalf = 3

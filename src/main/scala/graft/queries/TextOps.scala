@@ -1816,6 +1816,17 @@ object TextOps {
     * model-artifact class of collect (the Lloyd-centroid precedent).
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(spark, dir)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The [[bpeTrain]] merge-learning loop, exposed so [[bpeFertility]]
+    * can apply the learned merges. Returns (rank, lhs, rhs, merged,
+    * pair_count) — O([[BpeIters]]) rows, the model-artifact class. */
+  private[graft] def bpeTrainMerges(
+      spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(toksAll).as("w"))
       .filter(!col("w").contains("|")) // delimiter-bearing tokens encode
@@ -1842,8 +1853,49 @@ object TextOps {
           replace(col("repr"), lit(s"|$l|$r"), lit(s"|$l$r")))
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+    merges.toSeq
+  }
+
+  // ------------------------------------------------- tokenizer fertility
+  /** Tokenizer FERTILITY per source — [[bpeTrain]]'s model evaluated the
+    * way tokenizer work actually is (tokens per word, chars per token):
+    * the learned merges apply to each source's word vocabulary via the
+    * same leading-delimiter greedy replace (replace chain ≡ BPE apply,
+    * the bpeTrain proof), and the symbol count per word is just the
+    * count of `|` delimiters. A source whose fertility stays near
+    * chars-per-word is under-served by the merges — the signal that
+    * drives vocabulary-size and data-mixture decisions for a tokenizer.
+    *
+    * Scale shape: training is [[bpeTrainMerges]] (corpus touched once);
+    * application is [[BpeIters]] literal string replaces on the
+    * (source, word, freq) VOCABULARY — map-only, corpus-size-
+    * independent; the report is one |sources|-row aggregate of exact
+    * integer token/char sums, divisions at the edge.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMerges(spark, dir)
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksAll).as("w"))
+      .filter(!col("w").contains("|"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("freq"), length(col("w")).as("n_chars"),
+        regexp_replace(col("w"), "(.)", "|$1").as("repr"))
+    val applied = merges.foldLeft(vocab) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("repr", replace(col("repr"), lit(s"|$l|$r"), lit(s"|$l$r")))
+    }
+    applied
+      .withColumn("n_sym",
+        (length(col("repr")) - length(replace(col("repr"), lit("|"), lit(""))))
+          .cast(LongType))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_word_occurrences"),
+        sum(col("freq") * col("n_sym")).as("n_tokens"),
+        sum(col("freq") * col("n_chars")).as("n_chars_total"))
+      .select(col("source"), col("n_word_occurrences"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType)
+          / col("n_word_occurrences").cast(DoubleType)).as("fertility"),
+        (col("n_chars_total").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType)).as("chars_per_token"))
+      .orderBy(col("source"))
   }
 }
