@@ -408,6 +408,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(r2.getDouble(4) < r2.getDouble(2) && r2.getDouble(2) < r2.getDouble(5))
   }
 
+  test("simpsons: both segments trend down, the pool trends up — reversal flagged") {
+    import spark.implicits._
+    val dir = tmp("simp")
+    def d(x: Int) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x))
+    // segment A: (0, $1.00), (1, $0.00); segment B: (10, $2.00), (11, $1.00)
+    // each slope exactly -100 cents/day; pooled = 3600/404 > 0
+    Seq(("A", d(0), 1.00), ("A", d(1), 0.00), ("B", d(10), 2.00), ("B", d(11), 1.00))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsOps.simpsons(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      "A" -> ((2L, -100.0, 3600.0 / 404.0, true)),
+      "B" -> ((2L, -100.0, 3600.0 / 404.0, true))))
+  }
+
   test("stl: a linear series decomposes to trend-only — centering pinned exactly") {
     import spark.implicits._
     val dir = tmp("stl")

@@ -650,6 +650,26 @@ class TextOpsSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeFertility: merges serve one source fully, ration the other") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    // sx: "aaaa" x10 — merges 1-2 ((a,a), (aa,aa)) collapse it to ONE
+    // token. sy: "bcdefgh" x1 — its 6 cnt-1 pairs compete for the 4
+    // remaining rounds; greedy (cnt DESC, l, r) takes (b,c), (bc,d),
+    // (bcd,e), (bcde,f), leaving |bcdef|g|h = 3 tokens
+    val docs = Seq(
+      (1L, Seq.fill(10)("aaaa").mkString(" "), "sx"),
+      (2L, "bcdefgh", "sy"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bpeFertility(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "sx" -> ((10L, 10L, 1.0, 4.0)),
+      "sy" -> ((1L, 3L, 3.0, 7.0 / 3.0))))
+  }
+
   test("plagiarismPairs: shared passage pairs up, df-capped boilerplate cannot") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-plag").toString
