@@ -469,6 +469,8 @@ object SparkEntry {
     "q_bpe_fertility" -> (TextOps.bpeFertility _),
     // Simpson's screen: per-segment vs pooled slope, moments re-aggregated
     "q_simpsons" -> (StatsOps.simpsons _),
+    // multi-probe IVF x PQ: both recall knobs in one composed query path
+    "q_ivfpq_multi" -> (VectorOps.ivfPqMulti _),
   )
 
   private val revenueSql =
@@ -3868,6 +3870,35 @@ object SparkEntry {
         |      ORDER BY adc_dist, vec_id) AS INT) AS rank
         |  FROM flt)
         |SELECT probe_id, cell, rank, neighbor_id, adc_dist
+        |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
+    },
+    // the q_ivf_pq chain with the probe side taking its top-IvfNProbe
+    // cells (same sim DESC, cid tie rule as the assignment); a candidate
+    // has exactly one cell, so the multi-probe join needs no dedup
+    "q_ivfpq_multi" -> {
+      import graft.queries.VectorOps.{IvfNProbe, PqProbes, PqTopK}
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.c_emb", "e.n")} AS sim
+        |  FROM e JOIN c ON TRUE),
+        |rks AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |  FROM sims),
+        |asg AS (SELECT vec_id, cid AS cell FROM rks WHERE r = 1),
+        |pcell AS (SELECT vec_id AS probe_id, cid AS cell FROM rks
+        |  WHERE r <= $IvfNProbe AND vec_id < $PqProbes),
+        |$pqChainSql,
+        |$pqAdcCtes,
+        |flt AS (SELECT a.probe_id, a.vec_id, a.adc_dist FROM adc a
+        |  JOIN pcell pc ON pc.probe_id = a.probe_id
+        |  JOIN asg nc ON nc.vec_id = a.vec_id AND nc.cell = pc.cell
+        |  WHERE a.vec_id <> a.probe_id),
+        |r AS (SELECT probe_id, vec_id AS neighbor_id, adc_dist,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc_dist, vec_id) AS INT) AS rank
+        |  FROM flt)
+        |SELECT probe_id, rank, neighbor_id, adc_dist
         |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
     },
     // one pair pass, two rankings: the truncated cosine reads the first

@@ -881,6 +881,66 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** [[ivfPqAnn]] with MULTI-PROBE cell selection — the round-11 backlog
+    * composition (nprobe > 1 in the composed stack): candidates are
+    * cell-assigned and PQ-encoded exactly as [[ivfPqAnn]], but each
+    * probe searches its [[IvfNProbe]] nearest coarse cells (the
+    * [[simIvfMulti]] boundary-recall fix) and ranks them by the PQ
+    * asymmetric distance — so the two recall knobs of a production
+    * FAISS deployment (nprobe and codebook size) finally meet in one
+    * query path.
+    *
+    * Scale shape is [[ivfPqAnn]]'s unchanged: the probe side explodes
+    * nprobe (cell, LUT) rows — nprobe×|probes|, still a broadcast of
+    * model-artifact size — and each corpus vector belongs to exactly
+    * ONE cell, so a (probe, neighbor) pair arises at most once and
+    * needs no dedup before the rank window. Per-probe scanned mass is
+    * nprobe/K of the corpus, each candidate costing M table lookups.
+    */
+  def ivfPqMulti(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val centroids = e.filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // (negsim, cid) structs: ascending sort = similarity DESC, ties to the
+    // lowest centroid id — the simIvfPairs rule, shared with the oracle
+    val simStructs = centroids.map { case (cid, emb, cn) =>
+      struct(
+        (-(dotd(col("embedding"), typedLit(emb)) / (col("norm") * lit(cn)))).as("negsim"),
+        lit(cid).as("cid"))
+    }
+    val assigned = e
+      .withColumn("cell", sort_array(array(simStructs: _*)).getItem(0).getField("cid"))
+      .select(col("vec_id"), col("cell"), quantizedEmbedding.as("qv"))
+    val c1 = pqCodebooks(assigned.select(col("vec_id"), col("qv")))
+    val enc = assigned.select(Seq(col("vec_id"), col("cell")) ++
+      (0 until PqM).map(m =>
+        assignStruct(subCol(m), c1(m)).getField("cid").as(s"c$m")): _*)
+    import graft.functions.VectorFunctions.vec_sqdist_l
+    val probes = e.filter(col("vec_id") < PqProbes)
+      .withColumn("qv", quantizedEmbedding)
+      .select(col("vec_id").as("probe_id"),
+        explode(slice(sort_array(array(simStructs: _*)), 1, IvfNProbe)).as("pc"),
+        array((0 until PqM).map { m =>
+          array(c1(m).map { case (_, cw) =>
+            vec_sqdist_l(subCol(m), typedLit(cw)) }: _*)
+        }: _*).as("lut"))
+      .select(col("probe_id"), col("pc").getField("cid").as("cell"), col("lut"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (0 until PqM).map(m =>
+          element_at(element_at(col("lut"), m + 1),
+            (col(s"c$m") + 1).cast(IntegerType))).reduce(_ + _).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   // --------------------------------------- dimension-truncation recall audit
   /** Leading dimensions the truncated ranking keeps in [[dimTruncRecall]]. */
   private[graft] val TruncDims = 16

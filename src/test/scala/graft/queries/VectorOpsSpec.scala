@@ -161,6 +161,28 @@ class VectorOpsSpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("multi-probe IVF-PQ: candidate superset can only improve the per-probe best ADC") {
+    // ivfPqMulti searches the probe's top-IvfNProbe cells where ivfPqAnn
+    // searches only rank-1; same codebooks, same ADC — so per probe the
+    // multi-probe minimum ADC distance is <= the single-cell one, and the
+    // (probe, neighbor) stream carries no duplicates (one cell per vector)
+    val single = VectorOps.ivfPqAnn(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("probe_id"), col("adc_dist").as("d1"))
+    val multi = VectorOps.ivfPqMulti(spark, sf)
+    assert(multi.groupBy("probe_id", "neighbor_id").count()
+      .filter(col("count") > 1).count() === 0)
+    val best = multi.filter(col("rank") === 1)
+      .select(col("probe_id"), col("adc_dist").as("dm"))
+    val worse = best.join(single, Seq("probe_id"))
+      .filter(col("dm") > col("d1")).count()
+    assert(worse === 0, "multi-probe best ADC regressed vs single-cell")
+    // per-probe result depth is exactly PqTopK on the corpus (cells are
+    // never that sparse at the test SFs)
+    val depths = multi.groupBy("probe_id").count().collect()
+    assert(depths.forall(_.getLong(1) === VectorOps.PqTopK.toLong))
+  }
+
   test("embed dedup: pairs stay within (label, bucket) and meet the threshold") {
     val out = VectorOps.embedDedup(spark, sf).cache()
     assert(out.filter(col("cos_sim") < 0.3).count() === 0)
