@@ -471,6 +471,8 @@ object SparkEntry {
     "q_simpsons" -> (StatsOps.simpsons _),
     // multi-probe IVF x PQ: both recall knobs in one composed query path
     "q_ivfpq_multi" -> (VectorOps.ivfPqMulti _),
+    // Markov removal-effect attribution: absorbing-chain value iteration
+    "q_markov_removal" -> (BehaviorOps.markovRemoval _),
   )
 
   private val revenueSql =
@@ -3900,6 +3902,58 @@ object SparkEntry {
         |  FROM flt)
         |SELECT probe_id, rank, neighbor_id, adc_dist
         |FROM r WHERE rank <= $PqTopK ORDER BY probe_id, rank""".stripMargin
+    },
+    // same purchase-split journeys, same quantized matrix, the SAME
+    // unrolled integer value iteration (removal = value forced to 0, no
+    // matrix rebuild); every division is integral on non-negatives, the
+    // effect sum is an integer sum — only the two final ratios are doubles
+    "q_markov_removal" -> {
+      import graft.queries.BehaviorOps.{MarkovRemIters, MarkovRemScale}
+      val rounds = (1 to MarkovRemIters).map { k =>
+        s"""v$k AS MATERIALIZED (
+          |  SELECT qs.sc, qs.cur AS s,
+          |    CAST(SUM(qs.q * (CASE WHEN qs.nxt = 'CONV' THEN $MarkovRemScale
+          |      WHEN qs.nxt = 'NULL' OR qs.nxt = qs.sc THEN 0
+          |      ELSE COALESCE(p.v, 0) END)) // $MarkovRemScale AS BIGINT) AS v
+          |  FROM qs LEFT JOIN v${k - 1} p ON p.sc = qs.sc AND p.s = qs.nxt
+          |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS s,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |st AS (SELECT s,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, seg ORDER BY ts, event_id) AS rn,
+        |    LEAD(s) OVER (PARTITION BY user_id, seg ORDER BY ts, event_id) AS nxt
+        |  FROM x),
+        |tr AS (
+        |  SELECT 'START' AS cur, s AS nxt FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s AS cur, COALESCE(nxt, 'NULL') AS nxt FROM st WHERE s <> 'CONV'),
+        |cells AS (SELECT cur, nxt, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT cur, SUM(n) AS nt FROM cells GROUP BY 1),
+        |q AS (SELECT c.cur, c.nxt,
+        |    CAST((c.n * $MarkovRemScale) // t.nt AS BIGINT) AS q
+        |  FROM cells c JOIN tot t USING (cur)),
+        |scn AS (SELECT DISTINCT cur AS sc FROM cells WHERE cur <> 'START'
+        |  UNION ALL SELECT '(full)'),
+        |qs AS MATERIALIZED (SELECT scn.sc, q.cur, q.nxt, q.q FROM scn CROSS JOIN q),
+        |v0 AS MATERIALIZED (SELECT scn.sc, s.s, CAST(0 AS BIGINT) AS v
+        |  FROM scn CROSS JOIN (SELECT DISTINCT cur AS s FROM cells) s),
+        |$rounds,
+        |conv AS (SELECT sc, v FROM v$MarkovRemIters WHERE s = 'START'),
+        |f AS (SELECT v AS vf FROM conv WHERE sc = '(full)'),
+        |eff AS (SELECT sc AS channel, f.vf AS conv_full_q, conv.v AS conv_removed_q,
+        |    f.vf - conv.v AS eff_q
+        |  FROM conv CROSS JOIN f WHERE sc <> '(full)'),
+        |t2 AS (SELECT CAST(SUM(eff_q) AS BIGINT) AS te FROM eff)
+        |SELECT channel, conv_full_q, conv_removed_q,
+        |  CAST(eff_q AS DOUBLE) / nullif(CAST(conv_full_q AS DOUBLE), 0.0)
+        |    AS removal_effect,
+        |  CAST(eff_q AS DOUBLE) / nullif(CAST(te AS DOUBLE), 0.0) AS attribution
+        |FROM eff CROSS JOIN t2 ORDER BY channel""".stripMargin
     },
     // one pair pass, two rankings: the truncated cosine reads the first
     // TruncDims components of the SAME arrays (range-bounded list fold =

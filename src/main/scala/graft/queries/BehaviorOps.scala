@@ -895,6 +895,118 @@ object BehaviorOps {
       .orderBy(col("cur"))
   }
 
+  // ------------------------------------- Markov removal-effect attribution
+  /** Fixed-point scale for [[markovRemoval]]'s quantized transition
+    * probabilities and conversion values (2^20 — the AaScale class). */
+  private[graft] val MarkovRemScale = 1L << 20
+  /** Value-iteration rounds — conversion probability within this many
+    * steps; shared with the unrolled oracle CTE chain. */
+  private[graft] val MarkovRemIters = 8
+
+  /** Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven alternative to [[attribution]]'s last-touch and
+    * [[firstTouch]]'s first-touch rules): user journeys become a
+    * first-order Markov chain over channel states with absorbing CONV
+    * (purchase) and NULL (journey end) states, a channel's REMOVAL
+    * EFFECT is how much the chain's START→CONV probability drops when
+    * that channel is switched off, and attribution shares are the
+    * normalized effects. The one attribution scheme that credits a
+    * channel by its causal necessity in the graph rather than by its
+    * position in the path.
+    *
+    * Journeys: per-user timelines split AFTER each purchase (the
+    * classical path definition — a conversion closes its journey and
+    * the next event opens a fresh one); START precedes each journey's
+    * first event; a journey ending without purchase transits to NULL.
+    * Removing channel c needs NO matrix rebuild: in the value
+    * iteration v(s) = Σ_t P(s,t)·v(t), turning c off IS forcing
+    * v(c) = 0 (any path through c fails) — so all scenarios (full + one
+    * per channel) share one quantized matrix and iterate together,
+    * keyed by (scenario, state).
+    *
+    * Engine-exact by construction: P quantizes to integers
+    * (n·[[MarkovRemScale]] div row_total), each round is an integer
+    * dot product with one truncating div (Q·v ≤ 2^40·|states| — int64
+    * headroom), and both removal_effect and attribution divide exact
+    * integers (the effect SUM is integer, never a float fold).
+    *
+    * Scale shape: the corpus-scale work is ONE user-partitioned window
+    * pass (the purchase-count segmentation and the lead ride the same
+    * partition ordering) reduced to a ≤|states|²-cell matrix — which is
+    * a MODEL ARTIFACT bounded by the event-type domain, not the data
+    * (the Lloyd-centroid collect class), so the value iteration runs
+    * driver-side over the collected cells instead of paying 8×|scenarios|
+    * micro-jobs for frames a few dozen rows wide (measured: the
+    * in-engine localCheckpoint loop cost ~2.4 s of pure scheduling at
+    * sf0.1). A chain whose state space genuinely scaled with the data
+    * would swap the iteration back to the prRanks-style join loop;
+    * the `require` bound fails loudly before any such corpus collects.
+    * Output is |channels| rows.
+    */
+  def markovRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val segW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val state = when(col("event_type") === "purchase", lit("CONV"))
+      .otherwise(col("event_type"))
+    val x = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), state.as("s"),
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(segW), lit(0L)).as("seg"))
+    val jw = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+    val st = x.select(col("s"),
+      row_number().over(jw).as("rn"),
+      lead(col("s"), 1).over(jw).as("nxt"))
+    val tr = st.filter(col("rn") === 1)
+      .select(lit("START").as("cur"), col("s").as("nxt"))
+      .unionByName(st.filter(col("s") =!= "CONV")
+        .select(col("s").as("cur"), coalesce(col("nxt"), lit("NULL")).as("nxt")))
+    val cells = tr.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val qcells = cells
+      .join(cells.groupBy(col("cur")).agg(sum(col("n")).as("nt")), Seq("cur"))
+      .select(col("cur"), col("nxt"),
+        expr(s"(n * $MarkovRemScale) div nt").as("q"))
+    val cellArr = qcells.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cellArr.length <= 4096,
+      s"markovRemoval: ${cellArr.length} transition cells — state space " +
+        "outgrew the driver-side iteration; swap in the join-loop form")
+    val states = cellArr.map(_._1).distinct.sorted
+    val chans = states.filter(_ != "START")
+    // K rounds of v(s) <- (Σ_t Q(s,t)·vv(t)) div S with CONV=S, NULL=0,
+    // and the removed channel (if any) forced to 0 — exact int64
+    // throughout (Q·vv <= 2^40, summed over <= |states|+2 targets)
+    def iterate(blocked: Option[String]): Long = {
+      var v = Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 1 to MarkovRemIters) {
+        v = states.map { s =>
+          val sum = cellArr.iterator.filter(_._1 == s).map { case (_, t, q) =>
+            val vv =
+              if (t == "CONV") MarkovRemScale
+              else if (t == "NULL" || blocked.contains(t)) 0L
+              else v(t)
+            q * vv
+          }.sum
+          s -> sum / MarkovRemScale
+        }.toMap.withDefaultValue(0L)
+      }
+      v("START")
+    }
+    val vf = iterate(None)
+    val effs = chans.map(c => (c, iterate(Some(c))))
+    val te = effs.map { case (_, vr) => vf - vr }.sum
+    import spark.implicits._
+    effs.map { case (c, vr) =>
+      (c, vf, vr,
+        if (vf == 0L) None else Some((vf - vr).toDouble / vf.toDouble),
+        if (te == 0L) None else Some((vf - vr).toDouble / te.toDouble))
+    }.toSeq
+      .toDF("channel", "conv_full_q", "conv_removed_q",
+        "removal_effect", "attribution")
+      .orderBy(col("channel"))
+  }
+
   // ----------------------------------------------- CF holdout evaluation
   /** Leave-one-out holdout evaluation of [[itemCf]] — the recommender
     * measured, not just materialized: the CF neighbor lists train on the

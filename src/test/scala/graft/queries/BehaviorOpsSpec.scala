@@ -547,4 +547,50 @@ class BehaviorOpsSpec extends SparkSpec {
       "signup" -> ((1L, 200L)),
       "none"   -> ((2L, 800L))))
   }
+
+  test("markovRemoval: hand-iterated removal effects on a 2-channel chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrem").toString
+    // counts: START->{click:2, view:2}; click->{CONV:2, NULL:1};
+    // view->{CONV:1, click:1}. Quantized at S=2^20 and value-iterated by
+    // hand (stable from round 3): v(click)=699050, v(view)=873813,
+    // v(START)=786431; remove click -> 262144; remove view -> 349525.
+    Seq(
+      (1L, ts(0, 0), 1L, "click"), (2L, ts(0, 1), 1L, "purchase"),
+      (3L, ts(0, 0), 2L, "view"), (4L, ts(0, 1), 2L, "purchase"),
+      (5L, ts(0, 0), 3L, "click"),
+      (6L, ts(0, 0), 4L, "view"), (7L, ts(0, 1), 4L, "click"),
+      (8L, ts(0, 2), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = BehaviorOps.markovRemoval(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m("click") === ((786431L, 262144L,
+      524287.0 / 786431.0, 524287.0 / 961193.0)))
+    assert(m("view") === ((786431L, 349525L,
+      436906.0 / 786431.0, 436906.0 / 961193.0)))
+  }
+
+  test("markovRemoval: a purchase closes its journey — the next event re-STARTs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrem2").toString
+    // one user, purchase THEN click: with the split, journeys are
+    // [CONV] and [click->NULL], so START->{CONV:1, click:1} and
+    // v(START) = (S/2 · S) div S = 524288 — exactly the 1-in-2-journeys
+    // conversion probability. An unsplit timeline would give
+    // START->{CONV:1} only and v(START) = S = 1048576.
+    Seq(
+      (1L, ts(0, 0), 1L, "purchase"), (2L, ts(0, 1), 1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = BehaviorOps.markovRemoval(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "click")
+    assert(r.getLong(1) === 524288L)     // split-sensitive conv_full_q
+    assert(r.getLong(2) === 524288L)     // removing a dead-end channel: no drop
+    assert(r.getDouble(3) === 0.0)
+    assert(r.isNullAt(4))                // 0/0 attribution nulls out
+  }
 }
