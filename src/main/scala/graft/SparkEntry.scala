@@ -473,6 +473,8 @@ object SparkEntry {
     "q_ivfpq_multi" -> (VectorOps.ivfPqMulti _),
     // Markov removal-effect attribution: absorbing-chain value iteration
     "q_markov_removal" -> (BehaviorOps.markovRemoval _),
+    // cross-source quantile normalization (batch-effect correction)
+    "q_quantile_norm" -> (CurationOps.quantileNorm _),
   )
 
   private val revenueSql =
@@ -3955,6 +3957,26 @@ object SparkEntry {
         |  CAST(eff_q AS DOUBLE) / nullif(CAST(te AS DOUBLE), 0.0) AS attribution
         |FROM eff CROSS JOIN t2 ORDER BY channel""".stripMargin
     },
+    // same (n_chars, doc_id) rank tie rule, same floor-interpolated index
+    // by integer cross-multiplication, one division of an exact int sum
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |rk AS (SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r
+        |  FROM d),
+        |sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        |pr AS (SELECT rk.source, rk.r, sz.n FROM rk JOIN sz USING (source)),
+        |lk AS (SELECT pr.source, pr.r, rv.n_chars AS v
+        |  FROM pr CROSS JOIN sz s2
+        |  JOIN rk rv ON rv.source = s2.source
+        |    AND rv.r = CASE WHEN pr.n = 1 THEN 1
+        |      ELSE ((pr.r - 1) * (s2.n - 1)) // (pr.n - 1) + 1 END),
+        |t AS (SELECT source, r, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS c
+        |  FROM lk GROUP BY 1, 2)
+        |SELECT rk.doc_id, rk.source, rk.n_chars,
+        |  CAST(rk.r AS INT) AS rank_in_source,
+        |  CAST(t.sv AS DOUBLE) / CAST(t.c AS DOUBLE) AS norm_chars
+        |FROM rk JOIN t USING (source, r) ORDER BY rk.doc_id""".stripMargin,
     // one pair pass, two rankings: the truncated cosine reads the first
     // TruncDims components of the SAME arrays (range-bounded list fold =
     // Spark's sliced-array dot, same left-to-right order)

@@ -676,6 +676,54 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------- quantile normalization
+  /** Cross-source quantile normalization of document length — the
+    * batch-effect correction (Bolstad et al. 2003, the microarray
+    * workhorse) a multi-source corpus needs before any length-sensitive
+    * threshold is shared across sources: each document's value is
+    * replaced by the MEAN across sources of the value at its own
+    * within-source rank, so every source ends up with the identical
+    * marginal distribution while each document keeps its rank.
+    *
+    * Unequal source sizes map ranks proportionally — rank r of an
+    * n-row source reads index ((r−1)·(n'−1)) div (n−1) + 1 of an
+    * n'-row source (floor interpolation, EXACT integer
+    * cross-multiplication — the adaptive-cut discipline; reduces to the
+    * classical equal-size recipe when n = n', which the driver corpus
+    * satisfies at every SF — the unequal path is spec-pinned). The
+    * normalized value is one division of an exact integer sum.
+    *
+    * Scale shape: one source-partitioned rank window; the reference
+    * lookup joins each (source, rank, size) row against the
+    * |sources|-row size table (broadcast) and equi-joins the computed
+    * index back onto the ranked table — O(docs·sources) rows, linear in
+    * the corpus with a bounded source domain, never docs². At 100 TB
+    * the rank window is the cost; sources partition it.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.withColumn("r", row_number().over(w))
+    val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val probes = ranked.select(col("source"), col("r"))
+      .join(broadcast(sizes), Seq("source"))
+    val lk = probes
+      .crossJoin(broadcast(sizes.select(col("source").as("source2"), col("n").as("n2"))))
+      .select(col("source"), col("r"), col("source2"),
+        when(col("n") === 1, lit(1L))
+          .otherwise(expr("((r - 1) * (n2 - 1)) div (n - 1)") + 1).as("idx"))
+      .join(ranked.select(col("source").as("source2"), col("r").as("idx"),
+        col("n_chars").as("v")), Seq("source2", "idx"))
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+    ranked.join(lk, Seq("source", "r"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("r").as("rank_in_source"),
+        (col("sv").cast(DoubleType) / col("c").cast(DoubleType)).as("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------- entity golden record
   /** Entity resolution COMPLETED — the fuzzy-match tier finds pairs,
     * this op builds the entities: distinct part names match when they

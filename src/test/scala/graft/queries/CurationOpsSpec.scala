@@ -479,4 +479,30 @@ class CurationOpsSpec extends SparkSpec {
       ("one two four", 2L, 2L),
       ("red blue green", 3L, 6L)))
   }
+
+  test("quantileNorm: unequal source sizes interpolate by exact index mapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qnorm").toString
+    // A = [10, 20, 30] (n=3), B = [100, 300] (n=2); floor-interpolated
+    // indices: A's r reads B at ((r-1)·1) div 2 + 1 -> 1,1,2; B's r reads
+    // A at ((r-1)·2) div 1 + 1 -> 1,3. Means computed by hand.
+    Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "B", 100L), (5L, "B", 300L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.quantileNorm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((1, 55.0)),   // mean(10, 100)
+      2L -> ((2, 60.0)),   // mean(20, 100)
+      3L -> ((3, 165.0)),  // mean(30, 300)
+      4L -> ((1, 55.0)),   // mean(10, 100)
+      5L -> ((2, 165.0)))) // mean(30, 300)
+    // after normalization both sources share the identical marginal
+    val bySrc = CurationOps.quantileNorm(spark, dir).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getDouble(4)).sorted.toSeq).toMap
+    assert(bySrc("B").toSet.subsetOf(bySrc("A").toSet))
+  }
 }
