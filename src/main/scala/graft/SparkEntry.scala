@@ -475,6 +475,8 @@ object SparkEntry {
     "q_markov_removal" -> (BehaviorOps.markovRemoval _),
     // cross-source quantile normalization (batch-effect correction)
     "q_quantile_norm" -> (CurationOps.quantileNorm _),
+    // the ewma fold as mapGroupsWithState state (batch-mode twin)
+    "q_ewma_state" -> (graft.streaming.EwmaState.ewmaStateBatch _),
   )
 
   private val revenueSql =
@@ -632,6 +634,22 @@ object SparkEntry {
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
       |  FROM embeddings),
       |$chains""".stripMargin
+  }
+
+  /** The q_ewma list_reduce fold — shared verbatim by q_ewma (the
+    * collect_list HOF fold) and q_ewma_state (the mapGroupsWithState
+    * fold): same seed, same left-to-right IEEE chain, bit-identical. */
+  private lazy val ewmaSql: String = {
+    import graft.queries.BehaviorOps.EwmaAlpha
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+      |l AS (SELECT user_id, COUNT(*) AS n,
+      |    list(value ORDER BY ts, event_id) AS vals
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, n,
+      |  list_reduce(vals, (acc, x) ->
+      |    CAST($EwmaAlpha AS DOUBLE) * x + CAST(${1.0 - EwmaAlpha} AS DOUBLE) * acc) AS ewma
+      |FROM l ORDER BY user_id""".stripMargin
   }
 
   /** DuckDB 12-signature MinHash battery over a BIGINT list column `th`,
@@ -2461,18 +2479,10 @@ object SparkEntry {
     // the identical left fold: first element is the seed in BOTH
     // engines (list_reduce ≡ aggregate-with-first-as-init), and α=1/4
     // makes every coefficient an exact double
-    "q_ewma" -> {
-      import graft.queries.BehaviorOps.EwmaAlpha
-      s"""WITH e AS (
-        |  SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
-        |l AS (SELECT user_id, COUNT(*) AS n,
-        |    list(value ORDER BY ts, event_id) AS vals
-        |  FROM e GROUP BY user_id)
-        |SELECT user_id, n,
-        |  list_reduce(vals, (acc, x) ->
-        |    CAST($EwmaAlpha AS DOUBLE) * x + CAST(${1.0 - EwmaAlpha} AS DOUBLE) * acc) AS ewma
-        |FROM l ORDER BY user_id""".stripMargin
-    },
+    "q_ewma" -> ewmaSql,
+    // the SAME fold carried as mapGroupsWithState state (one oracle,
+    // two plans: collect_list HOF fold vs per-key stateful fold)
+    "q_ewma_state" -> ewmaSql,
     // zones are exact per-file min/max; both probes and the monthly file
     // rule are shared constants, so the audit rows match exactly
     "q_zonemap_audit" -> {

@@ -426,4 +426,41 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((2L, ts("2024-01-01 11:25:00"), ts("2024-01-01 11:25:00"), 1)))
     } finally q.stop()
   }
+
+  test("stateful ewma: incremental micro-batches land on the batch fold bit-for-bit") {
+    import graft.streaming.EwmaState
+    import graft.streaming.EwmaState.Ev
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Seq(
+      // user 1: four values split 2+1+1 across batches; user 2: 1+1;
+      // user 3 appears only in the last batch
+      Ev(1L, 1000L, 1L, 10.0), Ev(1L, 2000L, 2L, 20.0),
+      Ev(2L, 1000L, 3L, 5.0),
+      Ev(1L, 3000L, 4L, 40.0), Ev(2L, 4000L, 5L, 7.5),
+      Ev(1L, 4000L, 6L, 0.25), Ev(3L, 1000L, 7L, 3.0))
+    val batches = Seq(events.take(3), events.slice(3, 5), events.drop(5))
+
+    val mem = MemoryStream[Ev]
+    val q = EwmaState.ewmaOf(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("ewma_st").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // latest emission per user = the final carried state
+      val got = spark.table("ewma_st").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap.values.toSet
+      // the batch-mode twin over the same rows, one shot
+      val batch = EwmaState.ewmaOf(events.toDS()).collect()
+        .map(o => (o.user_id, o.n, o.ewma)).toSet
+      assert(got === batch)
+      // and both equal the pure fold of the full per-user history
+      val expect = events.groupBy(_.user_id).map { case (u, es) =>
+        val st = EwmaState.fold(None, es.sortBy(e => (e.ts, e.event_id)).map(_.value)).get
+        (u, st.n, st.ewma)
+      }.toSet
+      assert(batch === expect)
+    } finally q.stop()
+  }
 }
