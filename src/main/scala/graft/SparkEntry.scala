@@ -477,6 +477,8 @@ object SparkEntry {
     "q_quantile_norm" -> (CurationOps.quantileNorm _),
     // the ewma fold as mapGroupsWithState state (batch-mode twin)
     "q_ewma_state" -> (graft.streaming.EwmaState.ewmaStateBatch _),
+    // golden record + hub verification: over-merged entities refined
+    "q_entity_verify" -> (CurationOps.entityVerify _),
   )
 
   private val revenueSql =
@@ -635,6 +637,33 @@ object SparkEntry {
       |  FROM embeddings),
       |$chains""".stripMargin
   }
+
+  /** The golden-record match chain (drop-one subset keys → candidate
+    * edges → recursive-walk components → labeled names), ending at
+    * `lab(name, m, comp)` with `nm(name, m)` upstream — shared by
+    * q_golden_record and q_entity_verify. */
+  private lazy val goldenLabSql: String =
+    """nm AS (SELECT lower(p_name) AS name, COUNT(*) AS m
+      |  FROM part GROUP BY 1),
+      |w AS (SELECT name, m, list_sort(string_split(name, ' ')) AS ws FROM nm),
+      |k AS (SELECT name, unnest(list_transform(range(0, len(ws)),
+      |    i -> list_aggregate(list_concat(ws[1:i], ws[i+2:len(ws)]),
+      |      'string_agg', ' '))) AS key
+      |  FROM w),
+      |e AS (SELECT DISTINCT a.name AS n_a, b.name AS n_b
+      |  FROM k a JOIN k b ON a.key = b.key AND a.name < b.name),
+      |sym AS (SELECT n_a AS src, n_b AS dst FROM e
+      |  UNION ALL SELECT n_b AS src, n_a AS dst FROM e),
+      |nodes AS (SELECT DISTINCT src AS id FROM sym),
+      |walk AS (
+      |  WITH RECURSIVE wr(id, reach) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT w.id, s.dst FROM wr w JOIN sym s ON s.src = w.reach)
+      |  SELECT * FROM wr),
+      |comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM walk GROUP BY 1),
+      |lab AS (SELECT nm.name, nm.m, COALESCE(c.comp, nm.name) AS comp
+      |  FROM nm LEFT JOIN comp c ON nm.name = c.id)""".stripMargin
 
   /** The q_ewma list_reduce fold — shared verbatim by q_ewma (the
     * collect_list HOF fold) and q_ewma_state (the mapGroupsWithState
@@ -4088,27 +4117,7 @@ object SparkEntry {
     // recursive-walk components over name strings (both engines order
     // ASCII names identically), same (m DESC, name) survivorship
     "q_golden_record" ->
-      s"""WITH nm AS (SELECT lower(p_name) AS name, COUNT(*) AS m
-        |  FROM part GROUP BY 1),
-        |w AS (SELECT name, m, list_sort(string_split(name, ' ')) AS ws FROM nm),
-        |k AS (SELECT name, unnest(list_transform(range(0, len(ws)),
-        |    i -> list_aggregate(list_concat(ws[1:i], ws[i+2:len(ws)]),
-        |      'string_agg', ' '))) AS key
-        |  FROM w),
-        |e AS (SELECT DISTINCT a.name AS n_a, b.name AS n_b
-        |  FROM k a JOIN k b ON a.key = b.key AND a.name < b.name),
-        |sym AS (SELECT n_a AS src, n_b AS dst FROM e
-        |  UNION ALL SELECT n_b AS src, n_a AS dst FROM e),
-        |nodes AS (SELECT DISTINCT src AS id FROM sym),
-        |walk AS (
-        |  WITH RECURSIVE wr(id, reach) AS (
-        |    SELECT id, id FROM nodes
-        |    UNION
-        |    SELECT w.id, s.dst FROM wr w JOIN sym s ON s.src = w.reach)
-        |  SELECT * FROM wr),
-        |comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM walk GROUP BY 1),
-        |lab AS (SELECT nm.name, nm.m, COALESCE(c.comp, nm.name) AS comp
-        |  FROM nm LEFT JOIN comp c ON nm.name = c.id),
+      s"""WITH $goldenLabSql,
         |ent AS (SELECT comp, COUNT(*) AS n_variants, CAST(SUM(m) AS BIGINT) AS n_rows
         |  FROM lab GROUP BY 1),
         |canon AS (SELECT comp, name AS canonical_name FROM (
@@ -4116,6 +4125,30 @@ object SparkEntry {
         |    FROM lab) WHERE r = 1)
         |SELECT canonical_name, n_variants, n_rows FROM ent JOIN canon USING (comp)
         |WHERE n_variants >= 2 ORDER BY canonical_name""".stripMargin,
+    // same chain + hub verification vs the elected canonical: word-set
+    // Jaccard by exact sizes (|A∩B| = |A|+|B|−|A∪B|), integer
+    // cross-multiplied threshold, same (m DESC, name) canonical
+    "q_entity_verify" -> {
+      import graft.queries.CurationOps.VerifyTauDen
+      s"""WITH $goldenLabSql,
+        |canon AS (SELECT comp, name AS canon_name FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY comp ORDER BY m DESC, name) AS r
+        |    FROM lab) WHERE r = 1),
+        |wsx AS (SELECT name, list_distinct(string_split(name, ' ')) AS wd FROM nm),
+        |v AS (SELECT lab.comp, c.canon_name, lab.m,
+        |    len(a.wd) + len(b.wd) - len(list_distinct(list_concat(a.wd, b.wd))) AS inter_n,
+        |    len(list_distinct(list_concat(a.wd, b.wd))) AS un
+        |  FROM lab JOIN canon c USING (comp)
+        |  JOIN wsx a ON a.name = lab.name
+        |  JOIN wsx b ON b.name = c.canon_name)
+        |SELECT canon_name AS canonical_name,
+        |  CAST(SUM(CASE WHEN inter_n * $VerifyTauDen >= un THEN 1 ELSE 0 END) AS BIGINT) AS n_variants,
+        |  CAST(SUM(CASE WHEN inter_n * $VerifyTauDen >= un THEN m ELSE 0 END) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN inter_n * $VerifyTauDen >= un THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+        |FROM v GROUP BY comp, canon_name
+        |HAVING SUM(CASE WHEN inter_n * $VerifyTauDen >= un THEN 1 ELSE 0 END) >= 2
+        |ORDER BY canonical_name""".stripMargin
+    },
     // same thresholded co-edges; recursive-walk components (= Spark's
     // converged pointer-jumping labels); identical wide-int modularity
     // terms through the VARCHAR detour

@@ -749,6 +749,19 @@ object CurationOps {
     */
   def goldenRecord(spark: SparkSession, dir: String): DataFrame =
     graft.queries.GraphOps.releasingCaches(spark) { scope =>
+      matchLabeled(spark, dir, scope).groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_variants"), sum(col("m")).as("n_rows"),
+          min(struct((-col("m")).as("negm"), col("name"))).as("g"))
+        .filter(col("n_variants") >= 2)
+        .select(col("g.name").as("canonical_name"), col("n_variants"), col("n_rows"))
+        .orderBy(col("canonical_name"))
+    }
+
+  /** The [[goldenRecord]] match chain up to per-name component labels —
+    * (name, m, ws, comp) — factored so [[entityVerify]] consumes the
+    * SAME candidate graph and loop. */
+  private def matchLabeled(spark: SparkSession, dir: String,
+      scope: graft.queries.GraphOps.CacheScope): DataFrame = {
     val names = Tables.part(spark, dir)
       .select(lower(col("p_name")).as("name"))
       .groupBy(col("name"))
@@ -763,18 +776,63 @@ object CurationOps {
       .filter(col("n_a") < col("n_b"))
       .select(col("n_a"), col("n_b")).distinct()
     // cached: the propagation loop re-reads the edge list every round,
-    // and the levenshtein candidate join must not re-run per round
+    // and the candidate join must not re-run per round
     val sym = scope.cache(edges.select(col("n_a").as("src"), col("n_b").as("dst"))
       .unionByName(edges.select(col("n_b").as("src"), col("n_a").as("dst"))))
     val comp = graft.queries.GraphOps.minLabelComponents(sym)
-    val labeled = names
+    names
       .join(comp.select(col("doc_id").as("name"), col("comp")), Seq("name"), "left")
       .withColumn("comp", coalesce(col("comp"), col("name"))) // singletons
-    labeled.groupBy(col("comp"))
-      .agg(count(lit(1)).as("n_variants"), sum(col("m")).as("n_rows"),
-        min(struct((-col("m")).as("negm"), col("name"))).as("g"))
-      .filter(col("n_variants") >= 2)
-      .select(col("g.name").as("canonical_name"), col("n_variants"), col("n_rows"))
-      .orderBy(col("canonical_name"))
   }
+
+  /** Denominator of [[entityVerify]]'s Jaccard floor: a member survives
+    * iff |words∩canon| · this ≥ |words∪canon| (τ = 1/3). PROBED against
+    * the corpus shape before choosing (the SF-coupled-constant
+    * discipline): part names are TWO-word recombinations, so a
+    * legitimate drop-one match shares 1 of 2 words — word-set Jaccard
+    * exactly 1/3 — while chained strangers share zero; τ = 1/2 would
+    * reject every true variant and τ < 1/3 admits the whole hairball. */
+  private[graft] val VerifyTauDen = 3
+
+  /** [[goldenRecord]] with the production PAIRWISE-VERIFY refinement
+    * (the round-10 backlog's over-merge fix): transitive closure over
+    * drop-one matches chains the small-vocabulary corpus into one giant
+    * entity, so each member is VERIFIED against its entity's elected
+    * canonical — word-set Jaccard ≥ 1/[[VerifyTauDen]] by exact integer
+    * cross-multiplication — and failures are expelled (they become
+    * singletons, reported as `n_rejected`). Verification is against the
+    * CANONICAL, not all-pairs: O(members) instead of O(members²) per
+    * entity — the hub-verify production compromise, and the canonical
+    * always survives its own check (J = 1), so the surviving group
+    * keeps its elected record and no re-election round is needed (the
+    * canonical is the max-multiplicity member; expelled members can
+    * never have out-ranked it).
+    *
+    * Scale shape: the [[matchLabeled]] chain (equi-join candidates,
+    * pointer-jumping components), one broadcastable per-entity canonical
+    * table joined back onto members, set arithmetic on the ALREADY
+    * array-ized word lists (|A∩B| = |A|+|B|−|A∪B|, three size() calls,
+    * no explode), one combining aggregate to the entity report.
+    */
+  def entityVerify(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.GraphOps.releasingCaches(spark) { scope =>
+      val labeled = matchLabeled(spark, dir, scope)
+      val canon = labeled.groupBy(col("comp"))
+        .agg(min(struct((-col("m")).as("negm"), col("name"), col("ws"))).as("g"))
+        .select(col("comp"), col("g.name").as("canon_name"), col("g.ws").as("cws"))
+      val uSize = size(array_distinct(concat(col("ws"), col("cws"))))
+      val verified = labeled.join(canon, Seq("comp"))
+        .withColumn("un", uSize)
+        .withColumn("inter_n",
+          size(array_distinct(col("ws"))) + size(array_distinct(col("cws"))) - col("un"))
+        .withColumn("pass", col("inter_n") * VerifyTauDen >= col("un"))
+      verified.groupBy(col("comp"), col("canon_name"))
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_variants"),
+          sum(when(col("pass"), col("m")).otherwise(0L)).as("n_rows"),
+          sum(when(col("pass"), 0L).otherwise(1L)).as("n_rejected"))
+        .filter(col("n_variants") >= 2)
+        .select(col("canon_name").as("canonical_name"),
+          col("n_variants"), col("n_rows"), col("n_rejected"))
+        .orderBy(col("canonical_name"))
+    }
 }

@@ -480,6 +480,28 @@ class CurationOpsSpec extends SparkSpec {
       ("red blue green", 3L, 6L)))
   }
 
+  test("entityVerify: chained member fails hub Jaccard and is expelled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-entverify").toString
+    // Chain A—B—C formed by drop-one blocking: A="red blue green" (m=3,
+    // the canonical) matches B="red blue teal" on subset "red blue"; B
+    // matches C="blue teal pink" on "blue teal"; A and C share only
+    // "blue" (J = 1/5 < 1/3) so C is expelled by hub verification even
+    // though transitive closure merged it. The clean pair survives whole.
+    val parts = Seq.fill(3)("red blue green") ++ Seq("red blue teal") ++
+      Seq("blue teal pink") ++
+      Seq.fill(2)("one two three") ++ Seq("one two four") ++
+      Seq.fill(4)("alpha beta gamma") // singleton, filtered (n_variants < 2)
+    parts.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = CurationOps.entityVerify(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("one two three", 2L, 3L, 0L),
+      ("red blue green", 2L, 4L, 1L)))
+  }
+
   test("quantileNorm: unequal source sizes interpolate by exact index mapping") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qnorm").toString
