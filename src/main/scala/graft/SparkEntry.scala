@@ -479,6 +479,10 @@ object SparkEntry {
     "q_ewma_state" -> (graft.streaming.EwmaState.ewmaStateBatch _),
     // golden record + hub verification: over-merged entities refined
     "q_entity_verify" -> (CurationOps.entityVerify _),
+    // contrastive hard-negative mining (label-contrastive cosine top-k)
+    "q_hard_negatives" -> (VectorOps.hardNegatives _),
+    // hybrid dense+lexical retrieval fused by reciprocal rank
+    "q_hybrid_rrf" -> (VectorOps.hybridRrf _),
   )
 
   private val revenueSql =
@@ -4148,6 +4152,81 @@ object SparkEntry {
         |FROM v GROUP BY comp, canon_name
         |HAVING SUM(CASE WHEN inter_n * $VerifyTauDen >= un THEN 1 ELSE 0 END) >= 2
         |ORDER BY canonical_name""".stripMargin
+    },
+    // same label-rejecting pair join, same cosine and (cos desc, id) rank
+    "q_hard_negatives" -> {
+      import graft.queries.VectorOps.{HardNegK, HardNegProbes}
+      s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, label AS p_label, embedding AS p_emb, n
+        |  FROM e WHERE vec_id < $HardNegProbes),
+        |pairs AS (
+        |  SELECT pr.probe_id, pr.p_label, c.vec_id AS neighbor_id, c.label AS n_label,
+        |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN e c ON c.label <> pr.p_label)
+        |SELECT probe_id, p_label, CAST(rnk AS INT) AS rank, neighbor_id, n_label, cos_sim
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= $HardNegK ORDER BY probe_id, rank""".stripMargin
+    },
+    // same two rank lists (cosine scan; probe-term BM25 with the exact
+    // integer-quantized contributions) fused by the same two-term RRF sum
+    "q_hybrid_rrf" -> {
+      import graft.queries.TextOps.{BmB, BmK1, BmScale}
+      import graft.queries.VectorOps.{RrfK, RrfPoolK, RrfProbes, RrfTopK}
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n
+        |  FROM e WHERE vec_id < $RrfProbes),
+        |dpairs AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN e c ON c.vec_id <> pr.probe_id),
+        |dense AS (SELECT probe_id, neighbor_id, CAST(rnk AS INT) AS r_dense FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM dpairs) WHERE rnk <= $RrfPoolK),
+        |d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+        |pterms AS (SELECT DISTINCT doc_id AS probe_id, term
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |        FROM documents WHERE doc_id < $RrfProbes)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN (SELECT term FROM pterms) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT doc_id, term,
+        |    CAST(floor(
+        |      CAST(${lnq("2 * n_docs + 2")} - ${lnq("2 * df + 1")} AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0}
+        |         / (CAST(tf AS DOUBLE) + $BmK1 * (${1.0 - BmB}
+        |            + $BmB * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      + 0.5) AS BIGINT) AS contrib_q
+        |  FROM tf JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats),
+        |lexsc AS (SELECT p.probe_id, c.doc_id AS neighbor_id,
+        |    CAST(SUM(contrib_q) AS BIGINT) AS score_q
+        |  FROM c JOIN pterms p USING (term) WHERE c.doc_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT probe_id, neighbor_id, CAST(rnk AS INT) AS r_lex FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_q DESC, neighbor_id) AS rnk
+        |  FROM lexsc) WHERE rnk <= $RrfPoolK),
+        |fused AS (
+        |  SELECT COALESCE(dense.probe_id, lex.probe_id) AS probe_id,
+        |    COALESCE(dense.neighbor_id, lex.neighbor_id) AS neighbor_id,
+        |    r_dense, r_lex,
+        |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_dense), CAST(0 AS DOUBLE))
+        |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_lex), CAST(0 AS DOUBLE)) AS rrf_score
+        |  FROM dense FULL JOIN lex
+        |    ON dense.probe_id = lex.probe_id AND dense.neighbor_id = lex.neighbor_id)
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, neighbor_id, r_dense, r_lex, rrf_score
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf_score DESC, neighbor_id) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= $RrfTopK ORDER BY probe_id, rank""".stripMargin
     },
     // same thresholded co-edges; recursive-walk components (= Spark's
     // converged pointer-jumping labels); identical wide-int modularity

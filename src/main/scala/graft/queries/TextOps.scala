@@ -1305,7 +1305,7 @@ object TextOps {
   /** floor(ln(m)·[[BmScale]] + 0.5) of a positive INTEGER column — logs
     * only ever take integer arguments, so the quantized value is
     * bit-identical across engines (the entropyDim discipline). */
-  private def lnq(m: Column): Column =
+  private[queries] def lnq(m: Column): Column =
     floor(log(m.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
       .cast(LongType)
 

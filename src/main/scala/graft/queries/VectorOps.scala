@@ -984,4 +984,138 @@ object VectorOps {
         (col("full_rank") <= 3).as("in_full_top3"))
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  // ------------------------------------------- contrastive hard negatives
+  /** Probe-id bound and per-probe list size for [[hardNegatives]]. */
+  private[graft] val HardNegProbes = 8L
+  private[graft] val HardNegK = 5
+
+  /** Contrastive hard-negative mining — for each probe vector, the
+    * [[HardNegK]] most-similar corpus vectors whose LABEL DIFFERS from
+    * the probe's: the near-miss pairs a contrastive/embedding trainer
+    * feeds as negatives (easy negatives are random; hard ones sit next
+    * to the anchor in embedding space). The label-difference predicate
+    * lives in the JOIN CONDITION, so the ranking sees only admissible
+    * pairs (a NULL label on either side drops the pair in both engines —
+    * `<>` is null-rejecting).
+    *
+    * Scale shape: identical to [[simTopk]]'s baseline — tiny probe set
+    * broadcast against the partitioned corpus, one linear scan, per-probe
+    * row_number window; any of the bucket pruners (`q_sim_lsh`/`q_sim_ivf`)
+    * slots in front unchanged since the label test is per-pair.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normd(col("embedding")).as("norm"))
+    val probes = e.filter(col("vec_id") < HardNegProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(broadcast(probes), col("n_label") =!= col("p_label"))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("probe_id"), col("p_label"), col("rank"), col("neighbor_id"),
+        col("n_label"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // --------------------------------------- hybrid retrieval (RRF fusion)
+  /** Probe-id bound, per-leg pool depth, RRF damping constant (Cormack &
+    * Clarke 2009's k = 60), and fused list size for [[hybridRrf]]. */
+  private[graft] val RrfProbes = 5L
+  private[graft] val RrfPoolK = 10
+  private[graft] val RrfK = 60
+  private[graft] val RrfTopK = 5
+
+  /** Hybrid dense+lexical retrieval fused by Reciprocal Rank Fusion —
+    * the standard RAG retrieval stack: for each probe document, (a) a
+    * DENSE leg ranks the corpus by embedding cosine exactly as
+    * [[simTopk]], (b) a LEXICAL leg ranks it by document-as-query BM25
+    * (the probe doc's distinct terms are the query; same Lucene idf and
+    * tf/length normalization as [[TextOps.bm25]], so every per-(doc,term)
+    * contribution is quantized to an exact integer BEFORE the per-doc
+    * sum), and the two top-[[RrfPoolK]] lists merge with
+    * score = Σ 1/([[RrfK]] + rank) — rank-only fusion, deliberately
+    * insensitive to the legs' incomparable score scales. The RRF sum is
+    * two IEEE double terms in a fixed order over exact integer ranks, so
+    * the oracle reproduces it bitwise.
+    *
+    * Scale shape: the dense leg is [[simTopk]]'s broadcast-probe linear
+    * scan; the lexical leg never aggregates the full vocabulary — the
+    * probe term set (O(probes · doc-length), tiny) broadcasts as a
+    * semi-join onto the exploded term stream BEFORE the (doc, term)
+    * aggregate, df re-aggregates from those postings only, and the
+    * corpus stats are a 1-row broadcast cross (the [[TextOps.bm25]]
+    * shape). Fusion is a full-outer join of two ≤ probes·[[RrfPoolK]]-row
+    * rank lists — driver-scale, but kept distributed and deterministic.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextOps.{lnq, toksAll, BmB, BmK1}
+    // dense leg — simTopk's scan at pool depth
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val dProbes = e.filter(col("vec_id") < RrfProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val wDense = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val dense = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      .join(broadcast(dProbes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim",
+        dotd(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")))
+      .withColumn("r_dense", row_number().over(wDense))
+      .filter(col("r_dense") <= RrfPoolK)
+      .select(col("probe_id"), col("neighbor_id"), col("r_dense"))
+    // lexical leg — document-as-query BM25 over probe-term postings only
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toksAll).cast(LongType).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val pTerms = Tables.documents(spark, dir)
+      .filter(col("doc_id") < RrfProbes)
+      .select(col("doc_id").as("probe_id"), explode(array_distinct(toksAll)).as("term"))
+    val termSet = pTerms.select(col("term")).distinct()
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfQ = lnq(lit(2L) * col("n_docs") + lit(2L)) -
+      lnq(lit(2L) * col("df") + lit(1L))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val tfn = tfd * lit(BmK1 + 1.0) /
+      (tfd + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl").cast(DoubleType) / avgdl))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("contrib_q", floor(idfQ.cast(DoubleType) * tfn + lit(0.5)).cast(LongType))
+    val wLex = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_q").desc, col("neighbor_id"))
+    val lex = contrib.join(broadcast(pTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("contrib_q")).as("score_q"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= RrfPoolK)
+      .select(col("probe_id"), col("neighbor_id"), col("r_lex"))
+    // fusion — two fixed-order double terms over exact integer ranks
+    val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0))
+    val wF = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    dense.join(lex, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score", rrf)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("r_dense"), col("r_lex"), col("rrf_score"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
 }

@@ -472,4 +472,67 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 4L, 1L), (11L, 4L, 0L)))
   }
+
+  test("hardNegatives: nearest same-label vector is excluded, rest rank by cosine") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hneg").toString
+    // probe 0 (label 0) at [1,0]; id 10 shares its label at cosine ~1 and
+    // must NOT appear; the three different-label vectors rank by cosine:
+    // 11 (~0.90) > 13 (~0.71) > 12 (0.0)
+    Seq(
+      (0L, Seq(1f, 0f), 0),
+      (10L, Seq(0.99f, 0.01f), 0),
+      (11L, Seq(0.9f, 0.436f), 1),
+      (12L, Seq(0f, 1f), 1),
+      (13L, Seq(0.7f, 0.7f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    val probe0 = got.filter(_._1 == 0L)
+    assert(probe0.map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1, 11L, 1), (2, 13L, 2), (3, 12L, 1)))
+    assert(probe0.map(_._5).toSeq === probe0.map(_._5).sorted.reverse.toSeq)
+    // no same-label pair anywhere in the output
+    assert(got.forall { case (p, _, _, nl, _) =>
+      val pl = Map(0L -> 0, 10L -> 0, 11L -> 1, 12L -> 1, 13L -> 2)(p)
+      nl != pl
+    })
+  }
+
+  test("hybridRrf: both-list candidates outrank a single-list dense winner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    // dense ranks for probe 0: 10 (cos~1) > 11 (0.8) > 12 (0.0); lexical
+    // ranks over probe terms {alpha,beta,gamma}: 11 (3 hits) > 12 (2 hits),
+    // 10 absent. RRF: 11 = 1/62+1/61 > 12 = 1/63+1/62 > 10 = 1/61 — the
+    // candidate each leg agrees on beats the dense-only winner.
+    Seq(
+      (0L, Seq(1f, 0f)),
+      (10L, Seq(1f, 0.001f)),
+      (11L, Seq(0.8f, 0.6f)),
+      (12L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq(
+      (0L, "alpha beta gamma"),
+      (10L, "zz qq ww"),
+      (11L, "alpha beta gamma delta"),
+      (12L, "alpha beta xi yy"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = VectorOps.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === Seq(
+      (0L, 1, 11L, Some(2), Some(1)),
+      (0L, 2, 12L, Some(3), Some(2)),
+      (0L, 3, 10L, Some(1), None)))
+    // the fused score is the exact two-term sum of the rank reciprocals
+    val byId = got.map(t => t._3 -> t._6).toMap
+    assert(byId(11L) === 1.0 / 62 + 1.0 / 61)
+    assert(byId(12L) === 1.0 / 63 + 1.0 / 62)
+    assert(byId(10L) === 1.0 / 61)
+  }
 }
