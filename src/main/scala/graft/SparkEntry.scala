@@ -483,6 +483,8 @@ object SparkEntry {
     "q_hard_negatives" -> (VectorOps.hardNegatives _),
     // hybrid dense+lexical retrieval fused by reciprocal rank
     "q_hybrid_rrf" -> (VectorOps.hybridRrf _),
+    // top principal component: exact-integer centered Gram + power iteration
+    "q_pca_power" -> (VectorOps.pcaPower _),
   )
 
   private val revenueSql =
@@ -4227,6 +4229,53 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf_score DESC, neighbor_id) AS rnk
         |  FROM fused)
         |WHERE rnk <= $RrfTopK ORDER BY probe_id, rank""".stripMargin
+    },
+    // same integer moments (n·Σqq − ΣqΣq), same 24 unrolled L∞-normalized
+    // matvec rounds as k-ascending first-seed folds, same Rayleigh close
+    "q_pca_power" -> {
+      import graft.queries.VectorOps.{PcaDim, PcaRounds, PcaScale}
+      val dp1 = PcaDim + 1
+      def round(i: Int): String =
+        s"""it$i AS (SELECT m, list_transform(w, x -> x / mx) AS v FROM (
+          |  SELECT m, w, list_aggregate(list_transform(w, x -> abs(x)), 'max') AS mx FROM (
+          |    SELECT m, list_transform(range(1, $dp1), j ->
+          |      list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
+          |        (a, b) -> a + b)) AS w
+          |    FROM it${i - 1})))""".stripMargin
+      val rounds = (1 to PcaRounds).map(round).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n FROM q),
+        |el AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM q),
+        |sums AS (SELECT j, CAST(SUM(x) AS BIGINT) AS sj FROM el GROUP BY j),
+        |g AS (SELECT a.j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.j <= b.j GROUP BY 1, 2),
+        |ct AS (SELECT g.j, g.k, nn.n * g.g - sa.sj * sb.sj AS c
+        |  FROM g CROSS JOIN nn
+        |  JOIN sums sa ON sa.j = g.j JOIN sums sb ON sb.j = g.k),
+        |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM ct WHERE j = k),
+        |fsym AS (SELECT j, k, c FROM ct
+        |  UNION ALL SELECT k AS j, j AS k, c FROM ct WHERE j < k),
+        |rows_ AS (SELECT j, list(c ORDER BY k) AS r FROM fsym GROUP BY j),
+        |mat AS (SELECT list(r ORDER BY j) AS m FROM rows_),
+        |it0 AS (SELECT m, list_transform(range(1, $dp1), x -> CAST(1 AS DOUBLE)) AS v
+        |  FROM mat),
+        |$rounds,
+        |fin AS (SELECT m, v, list_transform(range(1, $dp1), j ->
+        |    list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
+        |      (a, b) -> a + b)) AS w
+        |  FROM it$PcaRounds),
+        |sc AS (SELECT v,
+        |    list_reduce(list_transform(range(1, $dp1), j -> v[j] * w[j]),
+        |      (a, b) -> a + b) AS num,
+        |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS den
+        |  FROM fin)
+        |SELECT CAST(jj - 1 AS INT) AS dim, v[jj] / sqrt(den) AS loading,
+        |  num / den AS lambda, (num / den) / CAST(tr.tr AS DOUBLE) AS var_frac
+        |FROM sc CROSS JOIN tr CROSS JOIN (SELECT unnest(range(1, $dp1)) AS jj)
+        |ORDER BY dim""".stripMargin
     },
     // same thresholded co-edges; recursive-walk components (= Spark's
     // converged pointer-jumping labels); identical wide-int modularity

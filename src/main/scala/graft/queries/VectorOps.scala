@@ -1025,6 +1025,99 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // --------------------------------------------- PCA via exact-integer Gram
+  /** Fixed-point scale for [[pcaPower]]'s embedding quantization (the
+    * EntScale convention: 2^20). With |x| < 1 and d = 64, a centered
+    * Gram entry n·Σqq − (Σq)(Σq) is bounded by ~n²·2^40/d-ish terms —
+    * int64-safe through n ≈ 10^6; beyond that the DECIMAL(38,0) detour
+    * (the modularity precedent) swaps in. */
+  private[graft] val PcaScale = 1L << 20
+  /** Power-iteration rounds — fixed and unrolled in the oracle, so the
+    * contract is the exact 24-round iterate, not a convergence test. */
+  private[graft] val PcaRounds = 24
+  private[graft] val PcaDim = 64
+
+  /** Top principal component of the embedding corpus by power iteration
+    * over the EXACT-INTEGER centered Gram matrix: embeddings quantize to
+    * integers at [[PcaScale]], one map-only pass + a combining aggregate
+    * produces the d(d+1)/2 upper-triangle second moments Σ q_j·q_k and
+    * the d first moments Σ q_j, and the centered matrix is assembled as
+    * C'_{jk} = n·Σq_jq_k − (Σq_j)(Σq_k) — n² times the covariance, every
+    * entry an exact int64, so the expensive distributed part carries NO
+    * float contract at all. [[PcaRounds]] rounds of power iteration with
+    * L∞ re-normalization then run on the collected d×d matrix (bounded
+    * O(d²) driver state, the Lloyd-centroid precedent), every float op in
+    * a pinned order: matvec folds k ascending from a 0.0 seed (≡ DuckDB's
+    * first-element list_reduce seed), the normalizer is an order-free
+    * abs-max, and the final Rayleigh quotient λ = vᵀC'v / vᵀv and
+    * variance fraction λ/trace(C') fold j ascending. Output: per
+    * dimension, the unit-L2 loading plus the shared λ and variance-
+    * explained fraction — the embedding-collapse / anisotropy audit
+    * (a dominant PC1 means the embedding space is effectively
+    * low-rank) a curation pipeline runs before trusting cosine.
+    *
+    * Scale shape: the corpus pass is one explode of d(d+1)/2 products
+    * per row into a combining (j,k) aggregate — map-side partials make
+    * it one shuffle of 2080 running sums per partition regardless of N;
+    * the iteration cost is d³·rounds, independent of the corpus. The
+    * collect is O(d²) longs, documented at the site.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT))")
+        .as("v"))
+    val n = q.count()
+    require(n > 0, s"pcaPower: empty embedding corpus at $dir")
+    val el = q.select(posexplode(col("v")).as(Seq("j", "x")))
+    // bounded collect: d first moments (64 longs)
+    val sj = el.groupBy(col("j")).agg(sum(col("x")).as("sj"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bounded collect: d(d+1)/2 second moments (2080 longs, Lloyd precedent)
+    val gram = q.select(explode(expr(
+      """flatten(transform(sequence(0, size(v) - 1), j ->
+        |  transform(sequence(j, size(v) - 1), k ->
+        |    named_struct('j', j, 'k', k, 'p', v[j] * v[k]))))""".stripMargin)).as("s"))
+      .select(col("s.j"), col("s.k"), col("s.p"))
+      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val d = PcaDim
+    val c = Array.ofDim[Long](d, d)
+    for (((j, k), g) <- gram) {
+      val v = Math.subtractExact(Math.multiplyExact(n, g), Math.multiplyExact(sj(j), sj(k)))
+      c(j)(k) = v
+      c(k)(j) = v
+    }
+    // addExact: the oracle's HUGEINT-summing CAST fails loudly past int64
+    // — the Scala fold must fail the same way, never wrap silently
+    val trace = (0 until d).map(j => c(j)(j)).foldLeft(0L)(Math.addExact)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { j =>
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += c(j)(k).toDouble * v(k); k += 1 }
+        s
+      }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to PcaRounds) {
+      val w = matvec(v)
+      val mx = w.map(math.abs).max
+      require(mx != 0.0, "pcaPower: zero matvec — degenerate Gram matrix")
+      v = w.map(_ / mx)
+    }
+    val w = matvec(v)
+    var num = 0.0
+    var den = 0.0
+    for (j <- 0 until d) { num += v(j) * w(j); den += v(j) * v(j) }
+    val lam = num / den
+    val varFrac = lam / trace.toDouble
+    val l2 = math.sqrt(den)
+    import spark.implicits._
+    (0 until d).map(j => (j, v(j) / l2, lam, varFrac))
+      .toDF("dim", "loading", "lambda", "var_frac")
+      .orderBy(col("dim"))
+  }
+
   // --------------------------------------- hybrid retrieval (RRF fusion)
   /** Probe-id bound, per-leg pool depth, RRF damping constant (Cormack &
     * Clarke 2009's k = 60), and fused list size for [[hybridRrf]]. */

@@ -473,6 +473,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 1L), (11L, 4L, 0L)))
   }
 
+  test("pcaPower: recovers the dominant axis; a constant dim centers to EXACTLY zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    // dim 3 is constant 0.5 (nonzero mean, zero variance): the exact-integer
+    // centering n·Σqq − ΣqΣq makes its row/column of C' identically 0, so
+    // its loading is 0.0 EXACTLY (never touched by any matvec). dim 5
+    // carries 16x the variance of dim 20, so PC1 is e5 with sign fixed
+    // by the all-ones start; dim 20's residual decays as (1/16)^24.
+    val rows = Seq(0.4f, 0.4f, -0.4f, -0.4f).zip(
+      Seq(0.1f, -0.1f, 0.1f, -0.1f)).zipWithIndex.map { case ((a, b), i) =>
+      val v = Array.fill(64)(0f)
+      v(3) = 0.5f; v(5) = a; v(20) = b
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.pcaPower(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size === 64)
+    assert(got(3)._1 === 0.0)
+    assert(math.abs(got(5)._1 - 1.0) < 1e-12)
+    assert(math.abs(got(20)._1) < 1e-20)
+    // var explained = 0.16/(0.16+0.01) up to quantization
+    assert(got(5)._3 > 0.93 && got(5)._3 < 0.95)
+    assert(got(5)._2 > 0.0)
+  }
+
   test("hardNegatives: nearest same-label vector is excluded, rest rank by cosine") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hneg").toString
