@@ -485,6 +485,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> (VectorOps.hybridRrf _),
     // top principal component: exact-integer centered Gram + power iteration
     "q_pca_power" -> (VectorOps.pcaPower _),
+    // per-label PC1 projection moments (the trained component applied)
+    "q_pca_project" -> (VectorOps.pcaProject _),
   )
 
   private val revenueSql =
@@ -670,6 +672,53 @@ object SparkEntry {
       |comp AS MATERIALIZED (SELECT id, MIN(reach) AS comp FROM walk GROUP BY 1),
       |lab AS (SELECT nm.name, nm.m, COALESCE(c.comp, nm.name) AS comp
       |  FROM nm LEFT JOIN comp c ON nm.name = c.id)""".stripMargin
+
+  /** The PCA power-iteration chain shared by q_pca_power and
+    * q_pca_project: quantized vectors `q(vec_id, label, v)`, exact-integer
+    * centered Gram `ct`/`tr`, the 64×64 nested-list matrix `mat`, and the
+    * 24 unrolled L∞-normalized matvec rounds, ending at
+    * `sc(v, num, den)` (the final iterate and its Rayleigh terms). */
+  private lazy val pcaCoreSql: String = {
+    import graft.queries.VectorOps.{PcaDim, PcaRounds, PcaScale}
+    val dp1 = PcaDim + 1
+    def round(i: Int): String =
+      s"""it$i AS (SELECT m, list_transform(w, x -> x / mx) AS v FROM (
+        |  SELECT m, w, list_aggregate(list_transform(w, x -> abs(x)), 'max') AS mx FROM (
+        |    SELECT m, list_transform(range(1, $dp1), j ->
+        |      list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
+        |        (a, b) -> a + b)) AS w
+        |    FROM it${i - 1})))""".stripMargin
+    val rounds = (1 to PcaRounds).map(round).mkString(",\n")
+    s"""q AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM q),
+      |el AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM q),
+      |sums AS (SELECT j, CAST(SUM(x) AS BIGINT) AS sj FROM el GROUP BY j),
+      |g AS (SELECT a.j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+      |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.j <= b.j GROUP BY 1, 2),
+      |ct AS (SELECT g.j, g.k, nn.n * g.g - sa.sj * sb.sj AS c
+      |  FROM g CROSS JOIN nn
+      |  JOIN sums sa ON sa.j = g.j JOIN sums sb ON sb.j = g.k),
+      |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM ct WHERE j = k),
+      |fsym AS (SELECT j, k, c FROM ct
+      |  UNION ALL SELECT k AS j, j AS k, c FROM ct WHERE j < k),
+      |rows_ AS (SELECT j, list(c ORDER BY k) AS r FROM fsym GROUP BY j),
+      |mat AS (SELECT list(r ORDER BY j) AS m FROM rows_),
+      |it0 AS (SELECT m, list_transform(range(1, $dp1), x -> CAST(1 AS DOUBLE)) AS v
+      |  FROM mat),
+      |$rounds,
+      |fin AS (SELECT m, v, list_transform(range(1, $dp1), j ->
+      |    list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
+      |      (a, b) -> a + b)) AS w
+      |  FROM it$PcaRounds),
+      |sc AS (SELECT v,
+      |    list_reduce(list_transform(range(1, $dp1), j -> v[j] * w[j]),
+      |      (a, b) -> a + b) AS num,
+      |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS den
+      |  FROM fin)""".stripMargin
+  }
 
   /** The q_ewma list_reduce fold — shared verbatim by q_ewma (the
     * collect_list HOF fold) and q_ewma_state (the mapGroupsWithState
@@ -4233,49 +4282,35 @@ object SparkEntry {
     // same integer moments (n·Σqq − ΣqΣq), same 24 unrolled L∞-normalized
     // matvec rounds as k-ascending first-seed folds, same Rayleigh close
     "q_pca_power" -> {
-      import graft.queries.VectorOps.{PcaDim, PcaRounds, PcaScale}
-      val dp1 = PcaDim + 1
-      def round(i: Int): String =
-        s"""it$i AS (SELECT m, list_transform(w, x -> x / mx) AS v FROM (
-          |  SELECT m, w, list_aggregate(list_transform(w, x -> abs(x)), 'max') AS mx FROM (
-          |    SELECT m, list_transform(range(1, $dp1), j ->
-          |      list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
-          |        (a, b) -> a + b)) AS w
-          |    FROM it${i - 1})))""".stripMargin
-      val rounds = (1 to PcaRounds).map(round).mkString(",\n")
-      s"""WITH q AS (SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |nn AS (SELECT COUNT(*) AS n FROM q),
-        |el AS (SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM q),
-        |sums AS (SELECT j, CAST(SUM(x) AS BIGINT) AS sj FROM el GROUP BY j),
-        |g AS (SELECT a.j, b.j AS k, CAST(SUM(a.x * b.x) AS BIGINT) AS g
-        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.j <= b.j GROUP BY 1, 2),
-        |ct AS (SELECT g.j, g.k, nn.n * g.g - sa.sj * sb.sj AS c
-        |  FROM g CROSS JOIN nn
-        |  JOIN sums sa ON sa.j = g.j JOIN sums sb ON sb.j = g.k),
-        |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM ct WHERE j = k),
-        |fsym AS (SELECT j, k, c FROM ct
-        |  UNION ALL SELECT k AS j, j AS k, c FROM ct WHERE j < k),
-        |rows_ AS (SELECT j, list(c ORDER BY k) AS r FROM fsym GROUP BY j),
-        |mat AS (SELECT list(r ORDER BY j) AS m FROM rows_),
-        |it0 AS (SELECT m, list_transform(range(1, $dp1), x -> CAST(1 AS DOUBLE)) AS v
-        |  FROM mat),
-        |$rounds,
-        |fin AS (SELECT m, v, list_transform(range(1, $dp1), j ->
-        |    list_reduce(list_transform(range(1, $dp1), k -> m[j][k] * v[k]),
-        |      (a, b) -> a + b)) AS w
-        |  FROM it$PcaRounds),
-        |sc AS (SELECT v,
-        |    list_reduce(list_transform(range(1, $dp1), j -> v[j] * w[j]),
-        |      (a, b) -> a + b) AS num,
-        |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS den
-        |  FROM fin)
+      import graft.queries.VectorOps.PcaDim
+      s"""WITH $pcaCoreSql
         |SELECT CAST(jj - 1 AS INT) AS dim, v[jj] / sqrt(den) AS loading,
         |  num / den AS lambda, (num / den) / CAST(tr.tr AS DOUBLE) AS var_frac
-        |FROM sc CROSS JOIN tr CROSS JOIN (SELECT unnest(range(1, $dp1)) AS jj)
+        |FROM sc CROSS JOIN tr CROSS JOIN (SELECT unnest(range(1, ${PcaDim + 1})) AS jj)
         |ORDER BY dim""".stripMargin
+    },
+    // same unit loadings, same k-ascending projection fold and floor
+    // quantization, same HUGEINT (n·Σp² − ΣpΣp) spread moments
+    "q_pca_project" -> {
+      import graft.queries.VectorOps.{PcaDim, PcaScale}
+      val dp1 = PcaDim + 1
+      s"""WITH $pcaCoreSql,
+        |u AS (SELECT list_transform(range(1, $dp1), j -> v[j] / sqrt(den)) AS u FROM sc),
+        |pj AS (SELECT q.label,
+        |    CAST(floor(list_reduce(
+        |      list_transform(range(1, $dp1), k -> q.v[k] * u.u[k]),
+        |      (a, b) -> a + b)) AS BIGINT) AS pq
+        |  FROM q CROSS JOIN u),
+        |ag AS (SELECT label, COUNT(*) AS n_vecs,
+        |    CAST(SUM(pq) AS BIGINT) AS s1, CAST(SUM(pq * pq) AS BIGINT) AS s2
+        |  FROM pj GROUP BY label)
+        |SELECT label, n_vecs,
+        |  CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / $PcaScale.0 AS mean_proj,
+        |  CAST(CAST(n_vecs AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |       - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+        |    / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))
+        |    / ${PcaScale * PcaScale}.0 AS var_proj
+        |FROM ag ORDER BY label""".stripMargin
     },
     // same thresholded co-edges; recursive-walk components (= Spark's
     // converged pointer-jumping labels); identical wide-int modularity

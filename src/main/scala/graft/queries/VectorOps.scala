@@ -1063,10 +1063,28 @@ object VectorOps {
     * collect is O(d²) longs, documented at the site.
     */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(
+    val m = pcaModel(spark, dir)
+    import spark.implicits._
+    (0 until PcaDim).map(j => (j, m.unit(j), m.lam, m.varFrac))
+      .toDF("dim", "loading", "lambda", "var_frac")
+      .orderBy(col("dim"))
+  }
+
+  /** The trained top-PC: unit-L2 loadings plus the Rayleigh eigenvalue
+    * and variance fraction — shared by [[pcaPower]] (which reports it)
+    * and [[pcaProject]] (which applies it to the corpus). */
+  private[graft] case class PcaModel(unit: Array[Double], lam: Double, varFrac: Double)
+
+  /** Quantized-embedding frame (vec_id, label, v: array<bigint>) shared
+    * by the PCA entries. */
+  private def pcaQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT))")
         .as("v"))
+
+  private def pcaModel(spark: SparkSession, dir: String): PcaModel = {
+    val q = pcaQuantized(spark, dir)
     val n = q.count()
     require(n > 0, s"pcaPower: empty embedding corpus at $dir")
     val el = q.select(posexplode(col("v")).as(Seq("j", "x")))
@@ -1112,10 +1130,47 @@ object VectorOps {
     val lam = num / den
     val varFrac = lam / trace.toDouble
     val l2 = math.sqrt(den)
-    import spark.implicits._
-    (0 until d).map(j => (j, v(j) / l2, lam, varFrac))
-      .toDF("dim", "loading", "lambda", "var_frac")
-      .orderBy(col("dim"))
+    PcaModel(v.map(_ / l2), lam, varFrac)
+  }
+
+  /** The trained PC1 put to WORK: every corpus vector projects onto the
+    * unit loading (the same k-ascending 0.0-seeded fold the oracle
+    * replays with list_reduce), the projection quantizes to an exact
+    * integer via floor — from there the per-LABEL location/spread
+    * moments are integer-exact: mean = Σp/n/[[PcaScale]] and variance
+    * through the n·Σp² − (Σp)² form, carried in DECIMAL(38,0)/HUGEINT
+    * (the modularity wide-int precedent — n·Σp² can clear int64 on a
+    * concentrated label) and cast to DOUBLE only at the very end. This
+    * is the embedding drift/anisotropy audit per label: a label whose
+    * PC1 distribution sits away from the rest is a collapsed or
+    * mis-embedded stratum.
+    *
+    * Scale shape: training is [[pcaModel]] (one moment pass, O(d²)
+    * driver state); application is MAP-ONLY — the loading vector rides
+    * into the fold as an array literal, no join — and the report is one
+    * combining aggregate keyed by label. Nothing here grows with the
+    * corpus except the one linear pass.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val m = pcaModel(spark, dir)
+    val u = typedlit(m.unit.toSeq)
+    val dec = DecimalType(38, 0)
+    val f = aggregate(
+      zip_with(col("v"), u, (a, b) => a.cast(DoubleType) * b),
+      lit(0.0), (s, x) => s + x)
+    val m2 = (col("n_vecs").cast(dec) * col("s2").cast(dec) -
+      col("s1").cast(dec) * col("s1").cast(dec)).cast(DoubleType)
+    pcaQuantized(spark, dir)
+      .withColumn("pq", floor(f).cast(LongType))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("pq")).as("s1"),
+        sum(col("pq") * col("pq")).as("s2"))
+      .select(col("label"), col("n_vecs"),
+        (col("s1").cast(DoubleType) / col("n_vecs").cast(DoubleType) /
+          lit(PcaScale.toDouble)).as("mean_proj"),
+        (m2 / (col("n_vecs").cast(DoubleType) * col("n_vecs").cast(DoubleType)) /
+          lit(PcaScale.toDouble * PcaScale.toDouble)).as("var_proj"))
+      .orderBy(col("label"))
   }
 
   // --------------------------------------- hybrid retrieval (RRF fusion)

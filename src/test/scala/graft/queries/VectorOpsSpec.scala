@@ -485,9 +485,9 @@ class VectorOpsSpec extends SparkSpec {
       Seq(0.1f, -0.1f, 0.1f, -0.1f)).zipWithIndex.map { case ((a, b), i) =>
       val v = Array.fill(64)(0f)
       v(3) = 0.5f; v(5) = a; v(20) = b
-      (i.toLong, v.toSeq)
+      (i.toLong, v.toSeq, 0)
     }
-    rows.toDF("vec_id", "embedding")
+    rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = VectorOps.pcaPower(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
@@ -498,6 +498,32 @@ class VectorOpsSpec extends SparkSpec {
     // var explained = 0.16/(0.16+0.01) up to quantization
     assert(got(5)._3 > 0.93 && got(5)._3 < 0.95)
     assert(got(5)._2 > 0.0)
+  }
+
+  test("pcaProject: label means sit at the planted ±0.4 poles with ~zero spread") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcaproj").toString
+    // same geometry as the pcaPower fixture, labels split by the dim-5
+    // sign: PC1 = e5, so label 0 projects to ~+0.4 and label 1 to ~-0.4;
+    // the only within-label variation rides dim 20, whose loading decayed
+    // to ~1e-29 — variance collapses to the floor-quantization residue
+    val rows = Seq(
+      (0L, 0.4f, 0.1f, 0), (1L, 0.4f, -0.1f, 0),
+      (2L, -0.4f, 0.1f, 1), (3L, -0.4f, -0.1f, 1)).map { case (i, a, b, lab) =>
+      val v = Array.fill(64)(0f)
+      v(3) = 0.5f; v(5) = a; v(20) = b
+      (i, v.toSeq, lab)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.pcaProject(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(0, 1))
+    assert(got(0)._1 === 2L && got(1)._1 === 2L)
+    assert(got(0)._2 > 0.39 && got(0)._2 < 0.41)
+    assert(got(1)._2 > -0.41 && got(1)._2 < -0.39)
+    assert(got(0)._3 >= 0.0 && got(0)._3 < 1e-9)
+    assert(got(1)._3 >= 0.0 && got(1)._3 < 1e-9)
   }
 
   test("hardNegatives: nearest same-label vector is excluded, rest rank by cosine") {
