@@ -487,6 +487,10 @@ object SparkEntry {
     "q_pca_power" -> (VectorOps.pcaPower _),
     // per-label PC1 projection moments (the trained component applied)
     "q_pca_project" -> (VectorOps.pcaProject _),
+    // JL sketch distance-preservation audit over the LSH planes
+    "q_jl_audit" -> (VectorOps.jlAudit _),
+    // coarsened-exact-matching ATT (adaptive mean cuts, pruned strata)
+    "q_cem_att" -> (StatsOps.cemAtt _),
   )
 
   private val revenueSql =
@@ -4289,6 +4293,56 @@ object SparkEntry {
         |FROM sc CROSS JOIN tr CROSS JOIN (SELECT unnest(range(1, ${PcaDim + 1})) AS jj)
         |ORDER BY dim""".stripMargin
     },
+    // same ±1 md5 planes, same left-associated 16-term estimate
+    "q_jl_audit" -> {
+      import graft.queries.VectorOps.{JlPlanes, JlProbes}
+      val projCols = (0 until JlPlanes).map(j => s"${planeDotSql(j)} AS p$j").mkString(",\n    ")
+      val est = (0 until JlPlanes)
+        .map(j => s"(a.p$j - c.p$j) * (a.p$j - c.p$j)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings
+        |  WHERE vec_id < $JlProbes),
+        |b AS (SELECT vec_id, embedding, n,
+        |    ${dotSql("embedding", "embedding", "n")} AS ss,
+        |    $projCols
+        |  FROM e),
+        |pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |    a.ss + c.ss - CAST(2 AS DOUBLE) * ${dotSql("a.embedding", "c.embedding", "a.n")} AS d2_true,
+        |    ($est) / CAST($JlPlanes AS DOUBLE) AS d2_jl
+        |  FROM b a JOIN b c ON a.vec_id < c.vec_id)
+        |SELECT id_a, id_b, d2_true, d2_jl, d2_jl / nullif(d2_true, CAST(0 AS DOUBLE)) AS ratio
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin
+    },
+    // same adaptive cross-multiplied cuts, same pruned-strata join, same
+    // stratum-ordered ATT fold
+    "q_cem_att" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |u AS (SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN COALESCE(cents, 0) ELSE 0 END) AS y_cents
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nu, SUM(n_click) AS tc, SUM(n_view) AS tv,
+        |    SUM(n_signup) AS tsg, SUM(n_error) AS te FROM u),
+        |f AS (SELECT u.user_id, u.y_cents,
+        |    CAST((CASE WHEN nu * n_click > tc THEN 1 ELSE 0 END) * 4
+        |      + (CASE WHEN nu * n_view > tv THEN 1 ELSE 0 END) * 2
+        |      + (CASE WHEN nu * n_signup > tsg THEN 1 ELSE 0 END) AS INT) AS stratum,
+        |    CASE WHEN nu * n_error > te THEN 1 ELSE 0 END AS treat
+        |  FROM u CROSS JOIN tot),
+        |g AS (SELECT stratum, treat, COUNT(*) AS n, CAST(SUM(y_cents) AS BIGINT) AS sy
+        |  FROM f GROUP BY 1, 2),
+        |d AS (SELECT t.stratum, t.n AS n_treated, c.n AS n_control,
+        |    CAST(t.sy AS DOUBLE) / CAST(t.n AS DOUBLE) / 100.0 AS mean_y_treated,
+        |    CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) / 100.0 AS mean_y_control
+        |  FROM g t JOIN g c ON t.stratum = c.stratum AND t.treat = 1 AND c.treat = 0),
+        |d2 AS (SELECT *, mean_y_treated - mean_y_control AS diff FROM d),
+        |att AS (SELECT list_reduce(list(CAST(n_treated AS DOUBLE) * diff ORDER BY stratum),
+        |    (a, b) -> a + b) / CAST(SUM(n_treated) AS DOUBLE) AS att FROM d2)
+        |SELECT stratum, n_treated, n_control, mean_y_treated, mean_y_control, diff, att
+        |FROM d2 CROSS JOIN att ORDER BY stratum""".stripMargin,
     // same unit loadings, same k-ascending projection fold and floor
     // quantization, same HUGEINT (n·Σp² − ΣpΣp) spread moments
     "q_pca_project" -> {

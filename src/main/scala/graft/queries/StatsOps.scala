@@ -1018,4 +1018,69 @@ object StatsOps {
           .as("point_mean_cents"),
         col("boot_se"), col("ci_lo"), col("ci_hi"))
   }
+
+  // ----------------------------- coarsened exact matching (CEM) ATT
+  /** Coarsened-exact-matching treatment-effect estimate (Iacus, King &
+    * Porro's CEM, the matching estimator that stays EXACT-arithmetic
+    * friendly): users coarsen into strata by three pre-treatment
+    * activity covariates (click / view / signup counts, each cut at the
+    * corpus mean by integer cross-multiplication — nu·x > Σx, the
+    * adaptive-cut discipline, so the strata never collapse as data
+    * grows), treatment is above-mean ERROR exposure on the same adaptive
+    * cut, and the outcome is exact purchase cents. Strata missing either
+    * group are PRUNED (the defining CEM step); each matched stratum
+    * reports group means and their difference, plus the pooled ATT —
+    * the n_treated-weighted mean of the stratum differences, folded in
+    * stratum order (sort_array + aggregate ≡ list(... ORDER BY) +
+    * list_reduce) so the one cross-row float sum is order-pinned.
+    *
+    * Scale shape: one fact pass to user grain (conditional-sum combining
+    * aggregate), a 1-row totals cross to flag strata, one (stratum,
+    * treat) aggregate — O(strata) rows from there, with the ATT a
+    * broadcast 1-row cross back onto the report. No window, no pair
+    * join; the covariate cuts re-aggregate from the user grain, never a
+    * second fact scan.
+    */
+  def cemAtt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+    val u = ev.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+      sum(when(col("event_type") === "purchase", coalesce(col("cents"), lit(0L)))
+        .otherwise(0L)).as("y_cents"))
+    val tot = u.agg(count(lit(1)).as("nu"), sum(col("n_click")).as("tc"),
+      sum(col("n_view")).as("tv"), sum(col("n_signup")).as("tsg"),
+      sum(col("n_error")).as("te"))
+    def cut(cnt: String, t: String): Column =
+      when(col("nu") * col(cnt) > col(t), 1).otherwise(0)
+    val f = u.crossJoin(broadcast(tot))
+      .withColumn("stratum", (cut("n_click", "tc") * 4 + cut("n_view", "tv") * 2 +
+        cut("n_signup", "tsg")).cast(IntegerType))
+      .withColumn("treat", cut("n_error", "te"))
+    val g = f.groupBy(col("stratum"), col("treat"))
+      .agg(count(lit(1)).as("n"), sum(col("y_cents")).as("sy"))
+    val t = g.filter(col("treat") === 1)
+      .select(col("stratum"), col("n").as("n_treated"), col("sy").as("syt"))
+    val c = g.filter(col("treat") === 0)
+      .select(col("stratum"), col("n").as("n_control"), col("sy").as("syc"))
+    val d = t.join(c, Seq("stratum"))
+      .withColumn("mean_y_treated",
+        col("syt").cast(DoubleType) / col("n_treated").cast(DoubleType) / lit(100.0))
+      .withColumn("mean_y_control",
+        col("syc").cast(DoubleType) / col("n_control").cast(DoubleType) / lit(100.0))
+      .withColumn("diff", col("mean_y_treated") - col("mean_y_control"))
+    val att = d.agg(sum(col("n_treated")).as("den"),
+        sort_array(collect_list(struct(col("stratum"),
+          (col("n_treated").cast(DoubleType) * col("diff")).as("t")))).as("ts"))
+      .select((aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("t")) /
+        col("den").cast(DoubleType)).as("att"))
+    d.crossJoin(broadcast(att))
+      .select(col("stratum"), col("n_treated"), col("n_control"),
+        col("mean_y_treated"), col("mean_y_control"), col("diff"), col("att"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -1173,6 +1173,56 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  // --------------------------------- Johnson–Lindenstrauss sketch audit
+  /** Plane count (sketch width k) and probe bound for [[jlAudit]]. */
+  private[graft] val JlPlanes = 16
+  private[graft] val JlProbes = 10L
+
+  /** Random-projection (Johnson–Lindenstrauss) distance-preservation
+    * audit: every probe vector sketches to [[JlPlanes]] signed-hyperplane
+    * projections (the SAME deterministic ±1 planes the LSH tier hashes
+    * with — this measures the geometry those buckets inherit), and every
+    * probe pair reports true squared Euclidean distance next to the
+    * sketch estimate Σ_j (p_aj − p_bj)² / k and their ratio. E[estimate]
+    * = d² under ±1 projections, so the measured ratio spread IS the
+    * distortion at k = 16 — the audit a pipeline runs before trusting a
+    * compact sketch for near-dup or clustering work (the sketch-accuracy
+    * discipline: every approximate structure ships with its truth audit).
+    *
+    * Determinism: projections and dots ride the codegen'd native
+    * expressions (left-to-right folds); the 16-term estimate is one
+    * fixed left-associated expression — no multi-row float aggregate
+    * anywhere, so both engines agree bitwise.
+    *
+    * Scale shape: the probe set is a pushed literal filter (the
+    * constructive BNLJ sanction); pairs are probes², never corpus-scale.
+    * Auditing a larger sample stays linear: sketches are map-only, and a
+    * deterministic 1-in-N pair slice (the minhashEst precedent) bounds
+    * the pair stage.
+    */
+  def jlAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < JlProbes)
+      .select(Seq(col("vec_id"), col("embedding"),
+        dotd(col("embedding"), col("embedding")).as("ss")) ++
+        (0 until JlPlanes).map(j => planeDot(j, col("embedding")).as(s"p$j")): _*)
+    val a = base.select(Seq(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("ss").as("sa")) ++
+      (0 until JlPlanes).map(j => col(s"p$j").as(s"pa$j")): _*)
+    val b = base.select(Seq(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("ss").as("sb")) ++
+      (0 until JlPlanes).map(j => col(s"p$j").as(s"pb$j")): _*)
+    val est = (0 until JlPlanes)
+      .map(j => (col(s"pa$j") - col(s"pb$j")) * (col(s"pa$j") - col(s"pb$j")))
+      .reduce(_ + _) / lit(JlPlanes.toDouble)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("d2_true", col("sa") + col("sb") - lit(2.0) * dotd(col("ea"), col("eb")))
+      .withColumn("d2_jl", est)
+      .select(col("id_a"), col("id_b"), col("d2_true"), col("d2_jl"),
+        (col("d2_jl") / nullif(col("d2_true"), lit(0.0))).as("ratio"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------- hybrid retrieval (RRF fusion)
   /** Probe-id bound, per-leg pool depth, RRF damping constant (Cormack &
     * Clarke 2009's k = 60), and fused list size for [[hybridRrf]]. */

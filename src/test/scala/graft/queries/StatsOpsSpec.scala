@@ -505,4 +505,31 @@ class StatsOpsSpec extends SparkSpec {
     assert(out2.length === 1)
     assert(out2.head.getLong(1) === 2L)
   }
+
+  test("cemAtt: hand-built strata, group means, and the weighted ATT") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cem").toString
+    // 4 users. clicks: u1,u2 = 2, u3,u4 = 0 (mean cut -> strata 4 vs 0);
+    // views = 1 each and signups = 0 (cuts never fire); errors: u1,u3 = 2,
+    // u2,u4 = 0 (treatment). Purchases: 10.00 / 6.00 / 3.00 / 1.00.
+    // Stratum 4: diff = 10 - 6 = 4; stratum 0: diff = 3 - 1 = 2;
+    // ATT = (1*4 + 1*2) / 2 = 3.
+    val t0 = 86400L * 1000000000L
+    def ev(u: Long, tpe: String, n: Int, v: Double = 0.0) =
+      Seq.fill(n)((t0, u, tpe, v))
+    val rows =
+      ev(1, "click", 2) ++ ev(2, "click", 2) ++
+      (1L to 4L).flatMap(u => ev(u, "view", 1)) ++
+      ev(1, "error", 2) ++ ev(3, "error", 2) ++
+      ev(1, "purchase", 1, 10.0) ++ ev(2, "purchase", 1, 6.0) ++
+      ev(3, "purchase", 1, 3.0) ++ ev(4, "purchase", 1, 1.0)
+    rows.toDF("ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsOps.cemAtt(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (0, 1L, 1L, 3.0, 1.0, 2.0, 3.0),
+      (4, 1L, 1L, 10.0, 6.0, 4.0, 3.0)))
+  }
 }

@@ -526,6 +526,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(1)._3 >= 0.0 && got(1)._3 < 1e-9)
   }
 
+  test("jlAudit: exact true distances; identical vectors sketch to zero exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jl").toString
+    // ids 0 and 2 are IDENTICAL vectors: d2_true = 0 (ratio null) and the
+    // sketch estimate is exactly 0 (same projections). ids 0 and 1 are
+    // orthogonal unit vectors: d2_true = 2.0 exactly (the float dots are
+    // exact on 0/1 components); the sketch value depends on the md5
+    // planes, but ratio must equal d2_jl / 2 bitwise.
+    val z = Array.fill(64)(0f)
+    def unit(i: Int) = { val v = z.clone(); v(i) = 1f; v.toSeq }
+    Seq((0L, unit(0), 0), (1L, unit(1), 0), (2L, unit(0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.jlAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(got.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got((0L, 2L))._1 === 0.0 && got((0L, 2L))._2 === 0.0)
+    assert(got((0L, 2L))._3 === None) // 0/0 guarded to null, never NaN
+    assert(got((0L, 1L))._1 === 2.0)
+    assert(got((0L, 1L))._3 === Some(got((0L, 1L))._2 / 2.0))
+    assert(got((1L, 2L))._1 === 2.0)
+  }
+
   test("hardNegatives: nearest same-label vector is excluded, rest rank by cosine") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hneg").toString
