@@ -491,6 +491,10 @@ object SparkEntry {
     "q_jl_audit" -> (VectorOps.jlAudit _),
     // coarsened-exact-matching ATT (adaptive mean cuts, pruned strata)
     "q_cem_att" -> (StatsOps.cemAtt _),
+    // per-source unigram KL divergence matrix (integer-sum total)
+    "q_source_kl" -> (TextOps.sourceKl _),
+    // Wald SPRT day-by-day experiment monitor (integer LLR cumsum)
+    "q_sprt_monitor" -> (BehaviorOps.sprtMonitor _),
   )
 
   private val revenueSql =
@@ -4292,6 +4296,60 @@ object SparkEntry {
         |  num / den AS lambda, (num / den) / CAST(tr.tr AS DOUBLE) AS var_frac
         |FROM sc CROSS JOIN tr CROSS JOIN (SELECT unnest(range(1, ${PcaDim + 1})) AS jj)
         |ORDER BY dim""".stripMargin
+    },
+    // same add-one smoothing over the shared vocab, same integer
+    // cross-product log arguments, same single end division
+    "q_source_kl" -> {
+      import graft.queries.TextOps.BmScale
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+      s"""WITH st AS (SELECT source, term, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |vocab AS (SELECT DISTINCT term FROM st),
+        |vc AS (SELECT COUNT(*) AS v FROM vocab),
+        |uni AS (SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b,
+        |    b.n AS n_b, vc.v, vocab.term
+        |  FROM ns a CROSS JOIN ns b CROSS JOIN vc CROSS JOIN vocab
+        |  WHERE a.source <> b.source),
+        |j AS (SELECT u.source_a, u.source_b, u.n_a, u.n_b,
+        |    COALESCE(sa.c, 0) + 1 AS ia, COALESCE(sb.c, 0) + 1 AS ib,
+        |    u.n_a + u.v AS nap, u.n_b + u.v AS nbp
+        |  FROM uni u
+        |  LEFT JOIN st sa ON sa.source = u.source_a AND sa.term = u.term
+        |  LEFT JOIN st sb ON sb.source = u.source_b AND sb.term = u.term)
+        |SELECT source_a, source_b, n_a, n_b,
+        |  CAST(SUM(ia * (${lnq("ia * nbp")} - ${lnq("ib * nap")})) AS DOUBLE)
+        |    / CAST(nap AS DOUBLE) / $BmScale.0 AS kl
+        |FROM j GROUP BY source_a, source_b, n_a, n_b, nap
+        |ORDER BY source_a, source_b""".stripMargin
+    },
+    // same /50 rational hypotheses, same integer lnq increments, same
+    // arm-partitioned day cumsum against the quantized ±ln 19 bound
+    "q_sprt_monitor" -> {
+      import graft.queries.BehaviorOps.{SprtBoundArg, SprtP0, SprtP1}
+      import graft.queries.StatsOps.LogScale
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      val (p0n, den) = SprtP0
+      val (p1n, _)   = SprtP1
+      s"""WITH daily AS (SELECT CAST(user_id % 2 AS INT) AS arm, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT arm, day, n, x,
+        |    SUM(x * (${lnq(p1n.toString)} - ${lnq(p0n.toString)})
+        |      + (n - x) * (${lnq((den - p1n).toString)} - ${lnq((den - p0n).toString)}))
+        |      OVER (PARTITION BY arm ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily)
+        |SELECT arm, day, n, x, CAST(cum AS DOUBLE) / $LogScale.0 AS llr,
+        |  CASE WHEN cum >= ${lnq(SprtBoundArg.toString)} THEN 'accept_h1'
+        |       WHEN cum <= -${lnq(SprtBoundArg.toString)} THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM c ORDER BY arm, day""".stripMargin
     },
     // same ±1 md5 planes, same left-associated 16-term estimate
     "q_jl_audit" -> {

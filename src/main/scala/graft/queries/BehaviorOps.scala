@@ -1197,4 +1197,60 @@ object BehaviorOps {
         (element_at(col("ps"), 1) / lit(1000000.0)).as("p50_secs"),
         (element_at(col("ps"), 2) / lit(1000000.0)).as("p90_secs"))
   }
+
+  // ------------------------------- sequential probability ratio monitor
+  /** SPRT hypothesis rates as exact rationals: H0 p = 9/50, H1 p = 11/50
+    * — chosen integer-over-integer so every log-likelihood term is a
+    * difference of INTEGER-argument quantized logs. */
+  private[graft] val SprtP0 = (9L, 50L)
+  private[graft] val SprtP1 = (11L, 50L)
+  /** (1−β)/α at α = β = 0.05 — the Wald acceptance boundary ln 19. */
+  private[graft] val SprtBoundArg = 19L
+
+  /** Wald's sequential probability ratio test as a day-by-day experiment
+    * monitor — the "peeking-safe" companion to [[abTest]]'s one-shot z:
+    * per arm (the same user_id parity split) and day, the binomial
+    * log-likelihood-ratio increment for conversion rate [[SprtP1]] vs
+    * [[SprtP0]] accumulates as an EXACT INTEGER —
+    * x·(lnq 11 − lnq 9) + (n−x)·(lnq 39 − lnq 41), all integer log
+    * arguments since both hypothesis rates are /50 rationals — and each
+    * day carries the running decision against Wald's ±ln 19 boundary
+    * (quantized to the same 2^20 grid, so the comparison is
+    * integer-exact). Output is the monitoring table an experimenter
+    * reads daily: continue, or stop with the hypothesis accepted.
+    *
+    * Scale shape: the fact reduces to (arm, day) conditional counts in
+    * one combining aggregate; the running sum is a window PARTITIONED by
+    * arm over day-grain rows (calendar-scale partitions, never row
+    * scale). Nothing float crosses rows; the reported llr divides the
+    * integer cumsum once.
+    */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.StatsOps.LogScale
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5))
+        .cast(LongType)
+    val (p0n, den) = SprtP0
+    val (p1n, _)   = SprtP1
+    val isBuy = col("event_type") === "purchase"
+    val daily = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).cast(IntegerType).as("arm"),
+        col("ts").cast(DateType).as("day"), isBuy.as("buy"))
+      .groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(when(col("buy"), 1L).otherwise(0L)).as("x"))
+    val inc = col("x") * (lnq(lit(p1n)) - lnq(lit(p0n))) +
+      (col("n") - col("x")) * (lnq(lit(den - p1n)) - lnq(lit(den - p0n)))
+    val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = lnq(lit(SprtBoundArg))
+    daily
+      .withColumn("cum", sum(inc).over(w))
+      .select(col("arm"), col("day"), col("n"), col("x"),
+        (col("cum").cast(DoubleType) / lit(LogScale.toDouble)).as("llr"),
+        when(col("cum") >= bound, "accept_h1")
+          .when(col("cum") <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("arm"), col("day"))
+  }
 }

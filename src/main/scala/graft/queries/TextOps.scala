@@ -1898,4 +1898,57 @@ object TextOps {
           / col("n_tokens").cast(DoubleType)).as("chars_per_token"))
       .orderBy(col("source"))
   }
+
+  // --------------------------------- source distribution divergence (KL)
+  /** Pairwise Kullback–Leibler divergence between the sources' unigram
+    * token distributions (add-one smoothed over the shared vocabulary) —
+    * the redundancy/mixture audit beside [[sourceOverlap]]: overlap
+    * measures shared CONTENT (shingle sets); this measures distributional
+    * distance, the quantity data-mixture tuning (DoReMi-style) and
+    * domain-weight decisions actually consume. KL(a‖b) =
+    * Σ_t p_a(t)·ln(p_a(t)/p_b(t)) with p_s(t) = (c_st + 1)/(n_s + V):
+    * every log argument is the INTEGER cross-product (c_a+1)·(n_b+V)
+    * vs (c_b+1)·(n_a+V), so each term is the exact integer
+    * (c_a+1)·(lnq₁ − lnq₂) and the divergence total is an INTEGER SUM —
+    * no cross-row float fold anywhere (the mutualInfo discipline);
+    * the single division by (n_a+V)·2^20 happens once per pair.
+    *
+    * Scale shape: the corpus reduces to (source, term) counts in one
+    * combining aggregate (map-side partials); totals and vocabulary
+    * re-aggregate from it. The pair universe is sources² × vocabulary —
+    * group-domain work, never row-scale — built from broadcast
+    * aggregate-reduced sides only.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
+        .cast(LongType)
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksAll).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = st.select(col("term")).distinct()
+    val vc = vocab.agg(count(lit(1)).as("v"))
+    val uni = ns.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(ns.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") =!= col("source_b"))
+      .crossJoin(broadcast(vc))
+      .crossJoin(broadcast(vocab))
+    val contrib = col("ia") * (lnq(col("ia") * col("nbp")) - lnq(col("ib") * col("nap")))
+    uni
+      .join(st.select(col("source").as("source_a"), col("term"), col("c").as("ca")),
+        Seq("source_a", "term"), "left")
+      .join(st.select(col("source").as("source_b"), col("term"), col("c").as("cb")),
+        Seq("source_b", "term"), "left")
+      .withColumn("ia", coalesce(col("ca"), lit(0L)) + 1L)
+      .withColumn("ib", coalesce(col("cb"), lit(0L)) + 1L)
+      .withColumn("nap", col("n_a") + col("v"))
+      .withColumn("nbp", col("n_b") + col("v"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("nap"))
+      .agg(sum(contrib).as("s"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (col("s").cast(DoubleType) / col("nap").cast(DoubleType) /
+          lit(BmScale.toDouble)).as("kl"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -593,4 +593,33 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.0)
     assert(r.isNullAt(4))                // 0/0 attribution nulls out
   }
+
+  test("sprtMonitor: integer LLR cumsum and the three boundary decisions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprt").toString
+    val day = 86400L * 1000000000L
+    // arm 0 (user 0): day 1 = 100 straight purchases (LLR blows through
+    // +ln 19 -> accept_h1); arm 1 (user 1): day 1 = 2 purchases + 2 views
+    // (continue), day 2 = 120 views (cumsum dives below -ln 19 -> accept_h0)
+    val rows =
+      Seq.fill(100)((1 * day, 0L, "purchase")) ++
+      Seq.fill(2)((1 * day, 1L, "purchase")) ++ Seq.fill(2)((1 * day, 1L, "view")) ++
+      Seq.fill(120)((2 * day, 1L, "view"))
+    rows.toDF("ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * (1L << 20) + 0.5).toLong
+    def inc(n: Long, x: Long): Long =
+      x * (lnq(11) - lnq(9)) + (n - x) * (lnq(39) - lnq(41))
+    val got = BehaviorOps.sprtMonitor(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    val sc = (1L << 20).toDouble
+    assert(got((0, "1970-01-02")) ===
+      ((100L, 100L, inc(100, 100).toDouble / sc, "accept_h1")))
+    assert(got((1, "1970-01-02")) === ((4L, 2L, inc(4, 2).toDouble / sc, "continue")))
+    val cum2 = inc(4, 2) + inc(120, 0)
+    assert(got((1, "1970-01-03")) === ((120L, 0L, cum2.toDouble / sc, "accept_h0")))
+    assert(inc(100, 100) >= lnq(19) && cum2 <= -lnq(19)) // boundaries really crossed
+  }
 }

@@ -694,4 +694,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(2) >= TextOps.PlagMinShared)
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("sourceKl: matches a scalar replica over the smoothed shared vocab") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skl").toString
+    // A = {x:2, y:1} (n=3), B = {x:1, z:1} (n=2), V = 3
+    Seq((1L, "x x y", "A"), (2L, "x z", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * (1L << 20) + 0.5).toLong
+    def klq(ca: Map[String, Long], na: Long, cb: Map[String, Long], nb: Long): Double = {
+      val v = 3L
+      val s = Seq("x", "y", "z").map { t =>
+        val ia = ca.getOrElse(t, 0L) + 1; val ib = cb.getOrElse(t, 0L) + 1
+        ia * (lnq(ia * (nb + v)) - lnq(ib * (na + v)))
+      }.sum
+      s.toDouble / (na + v).toDouble / (1L << 20).toDouble
+    }
+    val a = Map("x" -> 2L, "y" -> 1L); val b = Map("x" -> 1L, "z" -> 1L)
+    val got = TextOps.sourceKl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set(("A", "B"), ("B", "A")))
+    assert(got(("A", "B")) === ((3L, 2L, klq(a, 3, b, 2))))
+    assert(got(("B", "A")) === ((2L, 3L, klq(b, 2, a, 3))))
+    // Gibbs: smoothed KL stays non-negative (up to log quantization)
+    assert(got.values.forall(_._3 > -1e-6))
+  }
 }
