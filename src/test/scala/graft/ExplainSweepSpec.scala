@@ -25,15 +25,31 @@ class ExplainSweepSpec extends SparkSpec {
     * join against one of these is never the right plan at 100 TB. */
   private val constantTables = Seq("region", "nation")
 
+  /** Peels cardinality-preserving wrappers (project/filter/sort/exchange)
+    * so a join side can be tested for what it IS, not what it contains —
+    * a 1-row aggregate consumed by a broadcast join deep inside a side is
+    * fine; a 1-row aggregate that IS the side is the defect. */
+  @annotation.tailrec
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case w: org.apache.spark.sql.execution.ProjectExec => unwrap(w.child)
+    case w: org.apache.spark.sql.execution.FilterExec => unwrap(w.child)
+    case w: org.apache.spark.sql.execution.SortExec => unwrap(w.child)
+    case w: org.apache.spark.sql.execution.exchange.Exchange => unwrap(w.child)
+    case other => other
+  }
+
   test("no sort-merge join consumes a 1-row (grouping-less) aggregate side") {
     for ((name, plan) <- plans; j <- plan.collect { case s: SortMergeJoinExec => s };
          side <- Seq(j.left, j.right)) {
       // a grouping-less aggregate is exactly one row by construction; if a
-      // join sees it on a shuffle side, the planner's size estimate lost
+      // join SEES IT as a shuffle side (through nothing but
+      // cardinality-preserving wrappers), the planner's size estimate lost
       // the reduction — broadcast it explicitly instead
-      val oneRowAgg = side.collectFirst {
-        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a }
-      assert(oneRowAgg.isEmpty,
+      val oneRow = unwrap(side) match {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+        case _ => false
+      }
+      assert(!oneRow,
         s"$name sort-merge-joins a side reduced to ONE ROW by a grouping-less " +
           s"aggregate — broadcast() it:\n$side")
     }
