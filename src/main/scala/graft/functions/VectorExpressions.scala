@@ -57,6 +57,14 @@ object VectorFunctions {
     ColumnShim.column(VecReconSAE(ColumnShim.expression(emb),
       ColumnShim.expression(codes), ColumnShim.expression(mn),
       ColumnShim.expression(scale)))
+
+  /** Upper-triangle self outer product of an `array<bigint>` — the
+    * d(d+1)/2 exact products v(j)·v(k), j ≤ k, row-major; codegen'd.
+    * Bitwise-equal (it is integer arithmetic) to the nested
+    * `flatten(transform(transform(...)))` HOF form it replaces.
+    */
+  def vec_outer_ut(v: Column): Column =
+    ColumnShim.column(LongVecOuterUpper(ColumnShim.expression(v)))
 }
 
 /** Dot product of two `array<float>` columns, accumulated left-to-right in
@@ -362,4 +370,78 @@ object SignedProjection {
       if ((d(0) & 0x80) == 0) 1.0 else -1.0
     }
   }
+}
+
+/** Upper-triangle outer product of an `array<bigint>` with itself — the
+  * d(d+1)/2 products v(j)·v(k) for j ≤ k in row-major (j, k) order, the
+  * per-row second-moment stream the exact-integer Gram/PCA pass aggregates
+  * (position p decodes to (j, k) by the same row-major walk). Exact int64
+  * (caller guarantees (q_max)² headroom, as with [[LongVecSqDist]]). One
+  * stated divergence from the nested `transform`+`flatten` HOF form it
+  * replaces: a null ELEMENT poisons the whole result here, where the HOF
+  * emits an array containing nulls — unreachable from the PCA quantizer,
+  * whose `transform` only produces non-null elements.
+  */
+case class LongVecOuterUpper(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_outer_ut requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val res = new Array[Long](n * (n + 1) / 2)
+    var p = 0
+    var j = 0
+    while (j < n) {
+      if (x.isNullAt(j)) return null
+      val vj = x.getLong(j)
+      var k = j
+      while (k < n) {
+        if (x.isNullAt(k)) return null
+        res(p) = vj * x.getLong(k)
+        p += 1
+        k += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val res = ctx.freshName("res")
+      s"""
+         |final int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  final long[] $res = new long[$n * ($n + 1) / 2];
+         |  int $p = 0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    for (int $k = $j; $k < $n; $k++) {
+         |      $res[$p++] = $x.getLong($j) * $x.getLong($k);
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |}
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_outer_ut"
+
+  override protected def withNewChildInternal(newChild: Expression): LongVecOuterUpper =
+    copy(child = newChild)
 }

@@ -1091,17 +1091,20 @@ object VectorOps {
     // bounded collect: d first moments (64 longs)
     val sj = el.groupBy(col("j")).agg(sum(col("x")).as("sj"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // bounded collect: d(d+1)/2 second moments (2080 longs, Lloyd precedent)
-    val gram = q.select(explode(expr(
-      """flatten(transform(sequence(0, size(v) - 1), j ->
-        |  transform(sequence(j, size(v) - 1), k ->
-        |    named_struct('j', j, 'k', k, 'p', v[j] * v[k]))))""".stripMargin)).as("s"))
-      .select(col("s.j"), col("s.k"), col("s.p"))
-      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("g"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // bounded collect: d(d+1)/2 second moments (2080 longs, Lloyd
+    // precedent); the per-row product stream rides the codegen'd
+    // vec_outer_ut — the nested-transform HOF form was interpreted and
+    // dominated the whole pass (4.2 s → sub-second at sf0.1)
+    val gram = q.select(posexplode(
+        graft.functions.VectorFunctions.vec_outer_ut(col("v"))).as(Seq("pos", "p")))
+      .groupBy(col("pos")).agg(sum(col("p")).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val d = PcaDim
     val c = Array.ofDim[Long](d, d)
-    for (((j, k), g) <- gram) {
+    var pos = 0
+    for (j <- 0 until d; k <- j until d) {
+      val g = gram(pos)
+      pos += 1
       val v = Math.subtractExact(Math.multiplyExact(n, g), Math.multiplyExact(sj(j), sj(k)))
       c(j)(k) = v
       c(k)(j) = v

@@ -112,6 +112,36 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("vec_outer_ut matches the nested-transform HOF form (both eval paths)") {
+    import VectorFunctions.vec_outer_ut
+    val genLongVec: Gen[Seq[java.lang.Long]] =
+      Gen.choose(0, 20).flatMap(n => Gen.listOfN(n,
+        Gen.choose(-1000000L, 1000000L).map(java.lang.Long.valueOf)))
+    // empty arrays are excluded from the HOF comparison: sequence(0, -1)
+    // DESCENDS, so the HOF reference itself errors on them — the native
+    // form's empty-in/empty-out is asserted separately below
+    val rows = samples(genLongVec, 80).filter(_.nonEmpty).map(Row(_)) :+ Row(null)
+    val schema = StructType(Seq(StructField("v", ArrayType(LongType), nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val hof = expr("flatten(transform(sequence(0, size(v) - 1), j -> " +
+      "transform(sequence(j, size(v) - 1), k -> v[j] * v[k])))")
+    for (mode <- Seq("NO_CODEGEN", "CODEGEN_ONLY")) withCodegen(mode) {
+      val disagree = df.select(vec_outer_ut(col("v")).as("nat"), hof.as("ref"))
+        .filter(!(col("nat") <=> col("ref"))).collect()
+      assert(disagree.isEmpty, s"[$mode] native != HOF on: ${disagree.mkString(", ")}")
+    }
+    // stated divergence: a null ELEMENT poisons the native result (the HOF
+    // form would emit an array containing nulls) — unreachable from the
+    // PCA quantizer, which only ever produces non-null elements
+    val nd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq[java.lang.Long](1L, null, 3L))), 1), schema)
+    assert(nd.select(vec_outer_ut(col("v"))).collect().head.isNullAt(0))
+    // empty in, empty out
+    val ed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq.empty[java.lang.Long])), 1), schema)
+    assert(ed.select(vec_outer_ut(col("v"))).collect().head.getSeq[Long](0).isEmpty)
+  }
+
   test("vec_recon_sae matches the HOF audit bitwise (random vectors, nulls, both eval paths)") {
     import VectorFunctions.vec_recon_sae
     // the displaced HOF form from vecQuantize's reconstruction audit,
