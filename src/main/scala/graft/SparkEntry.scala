@@ -495,6 +495,8 @@ object SparkEntry {
     "q_source_kl" -> (TextOps.sourceKl _),
     // Wald SPRT day-by-day experiment monitor (integer LLR cumsum)
     "q_sprt_monitor" -> (BehaviorOps.sprtMonitor _),
+    // 2-component mixture by classification EM (exact-moment scores)
+    "q_gmm_hard" -> (StatsOps.gmmHard _),
   )
 
   private val revenueSql =
@@ -4350,6 +4352,50 @@ object SparkEntry {
         |       WHEN cum <= -${lnq(SprtBoundArg.toString)} THEN 'accept_h0'
         |       ELSE 'continue' END AS decision
         |FROM c ORDER BY arm, day""".stripMargin
+    },
+    // same midpoint init, same unrolled rounds with HUGEINT moments and
+    // the identical per-row score expression (lnq grid + exact rational)
+    "q_gmm_hard" -> {
+      import graft.queries.StatsOps.{GmmRounds, LogScale}
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      def moments(src: String, out: String) =
+        s"""$out AS (SELECT COUNT(*) AS nn,
+          |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(SUM(CASE WHEN c = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+          |    SUM(CASE WHEN c = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q1,
+          |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(SUM(CASE WHEN c = 2 THEN x ELSE 0 END) AS BIGINT) AS s2,
+          |    SUM(CASE WHEN c = 2 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q2
+          |  FROM $src),
+          |${out}m AS (SELECT *,
+          |    CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS m1,
+          |    CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS m2
+          |  FROM $out)""".stripMargin
+      def score(i: Int) =
+        s"""(CAST(${lnq(s"m$i")} - 4 * ${lnq(s"n$i")} + 2 * ${lnq("nn")} AS DOUBLE)
+          |      / $LogScale.0
+          |      + CAST((CAST(n$i AS HUGEINT) * x - s$i) * (CAST(n$i AS HUGEINT) * x - s$i) AS DOUBLE)
+          |        / CAST(m$i AS DOUBLE))""".stripMargin
+      val rounds = (1 to GmmRounds).map { r =>
+        s"""${moments(s"a${r - 1}", s"mo$r")},
+          |a$r AS (SELECT x, CASE WHEN ${score(1)} <= ${score(2)} THEN 1 ELSE 2 END AS c
+          |  FROM xs CROSS JOIN mo${r}m)""".stripMargin
+      }.mkString(",\n")
+      def out(i: Int) =
+        s"""SELECT $i AS component, n$i AS n,
+          |  CAST(n$i AS DOUBLE) / CAST(nn AS DOUBLE) AS weight,
+          |  CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) / 100.0 AS mean_price,
+          |  sqrt(CAST(m$i AS DOUBLE) / CAST(n$i AS DOUBLE) / CAST(n$i AS DOUBLE)) / 100.0 AS sd_price
+          |FROM finm""".stripMargin
+      s"""WITH xs AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM xs),
+        |a0 AS (SELECT x, CASE WHEN 2 * x <= mn + mx THEN 1 ELSE 2 END AS c
+        |  FROM xs CROSS JOIN mm),
+        |$rounds,
+        |${moments(s"a$GmmRounds", "fin")}
+        |${out(1)} UNION ALL ${out(2)} ORDER BY component""".stripMargin
     },
     // same ±1 md5 planes, same left-associated 16-term estimate
     "q_jl_audit" -> {

@@ -1019,6 +1019,87 @@ object StatsOps {
         col("boot_se"), col("ci_lo"), col("ci_hi"))
   }
 
+  // ------------------------- hard-assignment EM (2-component mixture)
+  /** EM rounds after the min/max-midpoint init — fixed and unrolled in
+    * the oracle (the kmeans two-Lloyd-rounds convention). */
+  private[graft] val GmmRounds = 2
+
+  /** Two-component 1-D Gaussian mixture over order prices by
+    * CLASSIFICATION EM (hard assignments — the CEM variant of EM that
+    * stays inside this repo's exactness contract): the E-step assigns
+    * each order to the component minimizing the −2·log-likelihood score
+    *   ln σ_c² − 2·ln π_c + (x − μ_c)²/σ_c²
+    * where every input to the score is an EXACT integer moment of the
+    * previous round — with μ_c = s_c/n_c and σ_c² = m_c/n_c²
+    * (m_c = n_c·Σx² − s_c², DECIMAL(38,0)/HUGEINT), the quadratic term
+    * collapses to the exact rational (n_c·x − s_c)²/m_c, and the log
+    * terms quantize as lnq(m_c) − 4·lnq(n_c) + 2·lnq(n) on the 2^20
+    * grid (integer arguments only). The score is ONE identically-written
+    * per-row double expression — floats never cross rows; the M-step is
+    * a conditional-sum combining aggregate back to exact integers.
+    * Init splits at the integer midpoint 2x ≤ min+max; ties assign to
+    * component 1 in both engines. Output: per component, its size,
+    * mixing weight, mean price, and standard deviation — the
+    * distribution-decomposition read (e.g. a retail/wholesale price
+    * split) a profiling pass feeds segmentation.
+    *
+    * Scale shape: each round is ONE map-only scan of the cents column
+    * against a broadcast 1-row moment cross, then one combining
+    * aggregate — [[GmmRounds]]+2 linear passes total, no window, no
+    * pair join, state is 7 integers. Degenerate corpora that empty a
+    * component (ln 0) are outside the contract, as with the IVF
+    * zero-norm centroid.
+    */
+  def gmmHard(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val x = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast(LongType).as("x"))
+    val mm = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    def moments(assigned: DataFrame): DataFrame = assigned.agg(
+      count(lit(1)).as("nn"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 1, col("x")).otherwise(0L)).as("s1"),
+      sum(when(col("c") === 1, col("x").cast(dec) * col("x"))
+        .otherwise(lit(0).cast(dec))).as("q1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("c") === 2, col("x")).otherwise(0L)).as("s2"),
+      sum(when(col("c") === 2, col("x").cast(dec) * col("x"))
+        .otherwise(lit(0).cast(dec))).as("q2"))
+    def mC(i: Int): Column =
+      (col(s"n$i").cast(dec) * col(s"q$i") - col(s"s$i").cast(dec) * col(s"s$i"))
+    def score(i: Int): Column = {
+      val quadNum = {
+        val t = col(s"n$i").cast(dec) * col("x").cast(dec) - col(s"s$i").cast(dec)
+        t * t
+      }
+      (lnq(col(s"m$i")) - lit(4L) * lnq(col(s"n$i")) + lit(2L) * lnq(col("nn")))
+        .cast(DoubleType) / lit(LogScale.toDouble) +
+        quadNum.cast(DoubleType) / col(s"m$i").cast(DoubleType)
+    }
+    var cur = x.crossJoin(broadcast(mm))
+      .select(col("x"),
+        when(lit(2L) * col("x") <= col("mn") + col("mx"), 1).otherwise(2).as("c"))
+    for (_ <- 1 to GmmRounds) {
+      val st = moments(cur)
+        .withColumn("m1", mC(1)).withColumn("m2", mC(2))
+      cur = x.crossJoin(broadcast(st))
+        .select(col("x"), when(score(1) <= score(2), 1).otherwise(2).as("c"))
+    }
+    val fin = moments(cur)
+      .withColumn("m1", mC(1)).withColumn("m2", mC(2))
+    def side(i: Int): DataFrame = fin.select(
+      lit(i).as("component"), col(s"n$i").as("n"),
+      (col(s"n$i").cast(DoubleType) / col("nn").cast(DoubleType)).as("weight"),
+      (col(s"s$i").cast(DoubleType) / col(s"n$i").cast(DoubleType) / lit(100.0))
+        .as("mean_price"),
+      (sqrt(col(s"m$i").cast(DoubleType) / col(s"n$i").cast(DoubleType) /
+        col(s"n$i").cast(DoubleType)) / lit(100.0)).as("sd_price"))
+    side(1).unionByName(side(2)).orderBy(col("component"))
+  }
+
   // ----------------------------- coarsened exact matching (CEM) ATT
   /** Coarsened-exact-matching treatment-effect estimate (Iacus, King &
     * Porro's CEM, the matching estimator that stays EXACT-arithmetic

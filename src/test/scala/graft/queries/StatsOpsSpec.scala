@@ -506,6 +506,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(out2.head.getLong(1) === 2L)
   }
 
+  test("gmmHard: recovers a planted bimodal price split exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gmm").toString
+    // two tight clusters around $10 and $500: the midpoint init already
+    // separates them and EM rounds keep the split stable, so means and
+    // sds are hand-computable from the exact cents moments
+    Seq(9.0, 10.0, 11.0, 499.0, 500.0, 501.0).zipWithIndex
+      .map { case (p, i) => (i.toLong, BigDecimal(p)) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsOps.gmmHard(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val sd = math.sqrt(60000.0 / 3.0 / 3.0) / 100.0 // m = 3·Σx² − s² = 60000 cents²
+    assert(got.toSeq === Seq(
+      (1, 3L, 0.5, 10.0, sd),
+      (2, 3L, 0.5, 500.0, sd)))
+  }
+
   test("cemAtt: hand-built strata, group means, and the weighted ATT") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cem").toString
