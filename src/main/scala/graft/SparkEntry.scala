@@ -497,6 +497,8 @@ object SparkEntry {
     "q_sprt_monitor" -> (BehaviorOps.sprtMonitor _),
     // 2-component mixture by classification EM (exact-moment scores)
     "q_gmm_hard" -> (StatsOps.gmmHard _),
+    // harmonic centrality from probe customers (exact lcm-scaled 1/d)
+    "q_harmonic" -> (GraphOps.harmonic _),
   )
 
   private val revenueSql =
@@ -4352,6 +4354,29 @@ object SparkEntry {
         |       WHEN cum <= -${lnq(SprtBoundArg.toString)} THEN 'accept_h0'
         |       ELSE 'continue' END AS decision
         |FROM c ORDER BY arm, day""".stripMargin
+    },
+    // same bipartite encoding and seeds; the layered first-visit BFS
+    // replays as a depth-bounded recursive walk + MIN(depth); same
+    // lcm-scaled integer reciprocals
+    "q_harmonic" -> {
+      import graft.queries.GraphOps.{HarmonicLcm, HarmonicMaxDepth, HarmonicSeedMod}
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |seeds AS (SELECT DISTINCT src AS s FROM e
+        |  WHERE src % 2 = 0 AND (src // 2) % $HarmonicSeedMod = 1),
+        |walk AS (
+        |  WITH RECURSIVE w(s, node, depth) AS (
+        |    SELECT s, s, 0 FROM seeds
+        |    UNION
+        |    SELECT w.s, e.dst, w.depth + 1 FROM w JOIN e ON e.src = w.node
+        |    WHERE w.depth < $HarmonicMaxDepth)
+        |  SELECT * FROM w),
+        |d AS (SELECT s, node, MIN(depth) AS depth FROM walk GROUP BY 1, 2)
+        |SELECT s // 2 AS custkey, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM($HarmonicLcm // depth) AS DOUBLE) / $HarmonicLcm.0 AS harmonic
+        |FROM d WHERE depth > 0 GROUP BY s ORDER BY custkey""".stripMargin
     },
     // same midpoint init, same unrolled rounds with HUGEINT moments and
     // the identical per-row score expression (lnq grid + exact rational)

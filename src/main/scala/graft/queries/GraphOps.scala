@@ -735,17 +735,25 @@ object GraphOps {
     * web-scale graph swaps the broadcasts for hash joins pre-partitioned
     * on node id (the prRanks note).
     */
-  def bfsReach(spark: SparkSession, dir: String): DataFrame = releasingCaches(spark) { scope =>
+  /** The symmetric customer–supplier bipartite edge list (customers at
+    * even ids 2c, suppliers at odd 2s+1), cached into `scope` — shared
+    * by [[bfsReach]] and [[harmonic]]. */
+  private def bipartiteEdges(spark: SparkSession, dir: String,
+      scope: CacheScope): DataFrame = {
     val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = scope.cache(pairs
+    scope.cache(pairs
       .select(explode(array(
         struct(col("c").as("src"), col("s").as("dst")),
         struct(col("s").as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+  }
+
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = releasingCaches(spark) { scope =>
+    val edges = bipartiteEdges(spark, dir, scope)
     val seeds = edges
       .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $BfsSeedMod") === 1)
       .select(col("src").as("node")).distinct()
@@ -766,5 +774,61 @@ object GraphOps {
         sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
       .orderBy(col("depth"))
+  }
+
+  // ------------------------------------------------- harmonic centrality
+  /** Probe density (customers with custkey ≡ 1 mod this are sources) and
+    * BFS horizon for [[harmonic]]; the probe COUNT scales with the data
+    * (30 at sf0.1, 1 at sf0.001) instead of collapsing — the adaptive-cut
+    * discipline applied to a seed set. */
+  private[graft] val HarmonicSeedMod = 500L
+  private[graft] val HarmonicMaxDepth = 4
+  /** lcm(1..6): 1/d scales to the exact integer [[HarmonicLcm]]/d for
+    * every depth the horizon allows (headroom through 6). */
+  private[graft] val HarmonicLcm = 60L
+
+  /** Harmonic centrality of probe customers on the customer–supplier
+    * bipartite graph: Σ_{v ≠ s, d(s,v) ≤ [[HarmonicMaxDepth]]} 1/d(s,v),
+    * the bounded-horizon centrality that (unlike closeness) is defined on
+    * disconnected graphs. Distances come from a MULTI-SOURCE layered BFS —
+    * (source, node) frontier tuples, first visit pins the distance, the
+    * [[bfsReach]] loop generalized — and the reciprocal sum is EXACT:
+    * 1/d scales to the integer [[HarmonicLcm]]/d (lcm-of-depths
+    * discipline, the one float division deferred to the very end), so the
+    * oracle's recursive-walk MIN(depth) replay hash-matches bit for bit.
+    *
+    * Scale shape: the frontier is (probes × reach) tuples keyed by node —
+    * a plain hash join against the cached edge list each round (never a
+    * forced broadcast: the multi-source frontier SCALES, unlike
+    * bfsReach's single-source set), one anti-join against the visited
+    * set, localCheckpoint truncating the per-round lineage. Rounds are
+    * fixed ([[HarmonicMaxDepth]]); the report is one combining aggregate
+    * per source.
+    */
+  def harmonic(spark: SparkSession, dir: String): DataFrame = releasingCaches(spark) { scope =>
+    val edges = bipartiteEdges(spark, dir, scope)
+    val seeds = edges
+      .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $HarmonicSeedMod") === 1)
+      .select(col("src").as("s")).distinct()
+    var visited = seeds.select(col("s"), col("s").as("node"))
+      .withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = visited.select(col("s"), col("node"))
+    for (d <- 1 to HarmonicMaxDepth) {
+      val next = edges
+        .join(frontier.select(col("s"), col("node").as("src")), Seq("src"))
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("s"), col("node"))
+    }
+    visited.filter(col("depth") > 0)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"$HarmonicLcm div depth")).as("hc"))
+      .select(expr("s div 2").as("custkey"), col("n_reached"),
+        (col("hc").cast("double") / lit(HarmonicLcm.toDouble)).as("harmonic"))
+      .orderBy(col("custkey"))
   }
 }

@@ -239,4 +239,22 @@ class GraphOpsSpec extends SparkSpec {
       2 -> ((1L, 0L)),   // c2 (min-hop: NOT re-counted at depth 2 via s9)
       3 -> ((0L, 1L))))  // s2
   }
+
+  test("harmonic: hand-summed reciprocals on a path; isolated probe scores 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-harm").toString
+    // path c1 - s10 - c2 - s20 - c3 (from c1: depths 1,2,3,4) plus an
+    // isolated pair c501 - s30; probes are custkey % 500 == 1 (1 and 501)
+    Seq((100L, 1L), (200L, 2L), (201L, 2L), (300L, 3L), (400L, 501L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((100L, 10L), (200L, 10L), (201L, 20L), (300L, 20L), (400L, 30L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.harmonic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 125.0 / 60.0), // 60/1 + 60/2 + 60/3 + 60/4 = 125
+      (501L, 1L, 1.0)))
+  }
 }
