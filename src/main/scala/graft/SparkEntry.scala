@@ -499,6 +499,8 @@ object SparkEntry {
     "q_gmm_hard" -> (StatsOps.gmmHard _),
     // harmonic centrality from probe customers (exact lcm-scaled 1/d)
     "q_harmonic" -> (GraphOps.harmonic _),
+    // leave-one-segment-out trend influence from additive moments
+    "q_loo_influence" -> (StatsOps.looInfluence _),
   )
 
   private val revenueSql =
@@ -4129,6 +4131,37 @@ object SparkEntry {
         |  FROM m CROSS JOIN p)
         |SELECT segment, n, slope, pooled_slope,
         |  slope * pooled_slope < 0 AS is_reversed
+        |FROM s ORDER BY segment""".stripMargin
+    },
+    // same additive moments (pooled − segment), same closed-form slopes
+    // through the same VARCHAR detour for the HUGEINT moments
+    "q_loo_influence" -> {
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def slope(n: String, sx: String, sy: String, sxy: String, sxx: String) =
+        s"(${dbl(n)} * ${hdbl(sxy)} - ${dbl(sx)} * ${dbl(sy)})" +
+          s" / nullif(${dbl(n)} * ${hdbl(sxx)} - ${dbl(sx)} * ${dbl(sx)}, 0.0)"
+      s"""WITH seg AS (SELECT o_orderpriority AS segment,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (SELECT segment, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM seg GROUP BY 1),
+        |p AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+        |    CAST(SUM(sy) AS BIGINT) AS sy, SUM(sxy) AS sxy, SUM(sxx) AS sxx FROM m),
+        |l AS (SELECT segment, m.n,
+        |    CAST(p.n - m.n AS BIGINT) AS l_n, CAST(p.sx - m.sx AS BIGINT) AS l_sx,
+        |    CAST(p.sy - m.sy AS BIGINT) AS l_sy,
+        |    p.sxy - m.sxy AS l_sxy, p.sxx - m.sxx AS l_sxx,
+        |    ${slope("p.n", "p.sx", "p.sy", "p.sxy", "p.sxx")} AS slope_full
+        |  FROM m CROSS JOIN p),
+        |s AS (SELECT segment, n, slope_full,
+        |    ${slope("l_n", "l_sx", "l_sy", "l_sxy", "l_sxx")} AS slope_loo
+        |  FROM l)
+        |SELECT segment, n, slope_full, slope_loo,
+        |  slope_full - slope_loo AS influence
         |FROM s ORDER BY segment""".stripMargin
     },
     // same transition build, same last-per-user holdout, same

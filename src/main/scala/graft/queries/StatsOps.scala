@@ -797,8 +797,12 @@ object StatsOps {
     * re-aggregate from the segment moments — moments are additive, so
     * the pooled fit costs no second scan.
     */
-  def simpsons(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.orders(spark, dir)
+  /** Per-priority-segment OLS moments of (orderdate epoch-day, cents) —
+    * n, Σx, Σy, Σxy, Σx² as exact integers/DECIMAL(38,0) — shared by
+    * [[simpsons]] and [[looInfluence]]; pooled moments RE-AGGREGATE from
+    * these (additive), never a second scan. */
+  private def segmentMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("segment"),
         datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
           .cast(LongType).as("x"),
@@ -807,13 +811,19 @@ object StatsOps {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
         sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+
+  /** The closed-form OLS slope over prefixed moment columns. */
+  private def slopeOf(pfx: String): Column = {
+    def d(c: String): Column = col(pfx + c).cast(DoubleType)
+    (d("n") * d("sxy") - d("sx") * d("sy")) /
+      nullif(d("n") * d("sxx") - d("sx") * d("sx"), lit(0.0))
+  }
+
+  def simpsons(spark: SparkSession, dir: String): DataFrame = {
+    val m = segmentMoments(spark, dir)
     val pooled = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
       sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
-    def slope(pfx: String): Column = {
-      def d(c: String): Column = col(pfx + c).cast(DoubleType)
-      (d("n") * d("sxy") - d("sx") * d("sy")) /
-        nullif(d("n") * d("sxx") - d("sx") * d("sx"), lit(0.0))
-    }
+    def slope(pfx: String): Column = slopeOf(pfx)
     m.crossJoin(broadcast(pooled.select(
         col("n").as("p_n"), col("sx").as("p_sx"), col("sy").as("p_sy"),
         col("sxy").as("p_sxy"), col("sxx").as("p_sxx"))))
@@ -1017,6 +1027,41 @@ object StatsOps {
         (col("s").cast(DoubleType) / col("n_rows").cast(DoubleType))
           .as("point_mean_cents"),
         col("boot_se"), col("ci_lo"), col("ci_hi"))
+  }
+
+  // --------------------------- leave-one-segment-out influence (LOO)
+  /** Data-valuation by leave-one-segment-out: how much does each order
+    * segment MOVE the corpus-wide trend? The metric is the pooled OLS
+    * slope of order value over time; removing a segment re-derives the
+    * slope from pooled-minus-segment moments — moments are ADDITIVE, so
+    * the whole LOO sweep costs ZERO extra scans (the pooled-moments
+    * discipline: one scan to segment grain, everything above
+    * re-aggregates). Influence = slope_full − slope_loo: positive means
+    * the segment was pulling the trend UP. Every subtraction happens on
+    * exact integer/DECIMAL(38,0) moments; the two slopes are the same
+    * closed-form double expression the OLS tier already pins.
+    *
+    * This is the cheap end of the data-attribution ladder (full Shapley
+    * needs 2^k subsets; LOO is the standard first read a corpus owner
+    * runs before pruning a source) — and at 100 TB it is STILL one fact
+    * pass, because the sweep runs on O(segments) moment rows.
+    */
+  def looInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val m = segmentMoments(spark, dir)
+    val pooled = m.agg(sum(col("n")).as("p_n"), sum(col("sx")).as("p_sx"),
+      sum(col("sy")).as("p_sy"), sum(col("sxy")).as("p_sxy"),
+      sum(col("sxx")).as("p_sxx"))
+    m.crossJoin(broadcast(pooled))
+      .withColumn("l_n", col("p_n") - col("n"))
+      .withColumn("l_sx", col("p_sx") - col("sx"))
+      .withColumn("l_sy", col("p_sy") - col("sy"))
+      .withColumn("l_sxy", col("p_sxy") - col("sxy"))
+      .withColumn("l_sxx", col("p_sxx") - col("sxx"))
+      .select(col("segment"), col("n"),
+        slopeOf("p_").as("slope_full"),
+        slopeOf("l_").as("slope_loo"),
+        (slopeOf("p_") - slopeOf("l_")).as("influence"))
+      .orderBy(col("segment"))
   }
 
   // ------------------------- hard-assignment EM (2-component mixture)

@@ -506,6 +506,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(out2.head.getLong(1) === 2L)
   }
 
+  test("looInfluence: removing a segment moves the pooled slope by hand-computed deltas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-loo").toString
+    // A rises (0,0)->(1,100 cents), B falls (0,200)->(1,0).
+    // pooled slope = (4·100 − 2·300)/(4·2 − 4) = −50; without A the slope
+    // is B's own −200 (influence +150); without B it is A's +100 (−150)
+    Seq(
+      ("A", "1970-01-01", BigDecimal("0.00")), ("A", "1970-01-02", BigDecimal("1.00")),
+      ("B", "1970-01-01", BigDecimal("2.00")), ("B", "1970-01-02", BigDecimal("0.00")))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsOps.looInfluence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("A", 2L, -50.0, -200.0, 150.0),
+      ("B", 2L, -50.0, 100.0, -150.0)))
+  }
+
   test("gmmHard: recovers a planted bimodal price split exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gmm").toString
