@@ -501,6 +501,8 @@ object SparkEntry {
     "q_harmonic" -> (GraphOps.harmonic _),
     // leave-one-segment-out trend influence from additive moments
     "q_loo_influence" -> (StatsOps.looInfluence _),
+    // the SPRT cumsum as flatMapGroupsWithState state (batch twin)
+    "q_sprt_state" -> (graft.streaming.SprtState.sprtStateBatch _),
   )
 
   private val revenueSql =
@@ -732,6 +734,32 @@ object SparkEntry {
       |      (a, b) -> a + b) AS num,
       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS den
       |  FROM fin)""".stripMargin
+  }
+
+  /** The SPRT monitor oracle — shared verbatim by q_sprt_monitor (window
+    * cumsum plan) and q_sprt_state (the flatMapGroupsWithState fold). */
+  private lazy val sprtMonitorSql: String = {
+    import graft.queries.BehaviorOps.{SprtBoundArg, SprtP0, SprtP1}
+    import graft.queries.StatsOps.LogScale
+    def lnq(m: String) =
+      s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+    val (p0n, den) = SprtP0
+    val (p1n, _)   = SprtP1
+    s"""WITH daily AS (SELECT CAST(user_id % 2 AS INT) AS arm, CAST(ts AS DATE) AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |c AS (SELECT arm, day, n, x,
+      |    SUM(x * (${lnq(p1n.toString)} - ${lnq(p0n.toString)})
+      |      + (n - x) * (${lnq((den - p1n).toString)} - ${lnq((den - p0n).toString)}))
+      |      OVER (PARTITION BY arm ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM daily)
+      |SELECT arm, day, n, x, CAST(cum AS DOUBLE) / $LogScale.0 AS llr,
+      |  CASE WHEN cum >= ${lnq(SprtBoundArg.toString)} THEN 'accept_h1'
+      |       WHEN cum <= -${lnq(SprtBoundArg.toString)} THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM c ORDER BY arm, day""".stripMargin
   }
 
   /** The q_ewma list_reduce fold — shared verbatim by q_ewma (the
@@ -4365,29 +4393,10 @@ object SparkEntry {
     },
     // same /50 rational hypotheses, same integer lnq increments, same
     // arm-partitioned day cumsum against the quantized ±ln 19 bound
-    "q_sprt_monitor" -> {
-      import graft.queries.BehaviorOps.{SprtBoundArg, SprtP0, SprtP1}
-      import graft.queries.StatsOps.LogScale
-      def lnq(m: String) =
-        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
-      val (p0n, den) = SprtP0
-      val (p1n, _)   = SprtP1
-      s"""WITH daily AS (SELECT CAST(user_id % 2 AS INT) AS arm, CAST(ts AS DATE) AS day,
-        |    COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-        |c AS (SELECT arm, day, n, x,
-        |    SUM(x * (${lnq(p1n.toString)} - ${lnq(p0n.toString)})
-        |      + (n - x) * (${lnq((den - p1n).toString)} - ${lnq((den - p0n).toString)}))
-        |      OVER (PARTITION BY arm ORDER BY day
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM daily)
-        |SELECT arm, day, n, x, CAST(cum AS DOUBLE) / $LogScale.0 AS llr,
-        |  CASE WHEN cum >= ${lnq(SprtBoundArg.toString)} THEN 'accept_h1'
-        |       WHEN cum <= -${lnq(SprtBoundArg.toString)} THEN 'accept_h0'
-        |       ELSE 'continue' END AS decision
-        |FROM c ORDER BY arm, day""".stripMargin
-    },
+    "q_sprt_monitor" -> sprtMonitorSql,
+    // the SAME integer cumsum carried as flatMapGroupsWithState state
+    // (one oracle, two plans: window cumsum vs per-arm stateful fold)
+    "q_sprt_state" -> sprtMonitorSql,
     // same bipartite encoding and seeds; the layered first-visit BFS
     // replays as a depth-bounded recursive walk + MIN(depth); same
     // lcm-scaled integer reciprocals

@@ -463,4 +463,43 @@ class StreamingSpec extends SparkSpec {
       assert(batch === expect)
     } finally q.stop()
   }
+
+  test("stateful sprt: day bins fed across micro-batches emit the batch rows bit-for-bit") {
+    import graft.streaming.SprtState
+    import graft.streaming.SprtState.Bin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // arm 0 crosses +ln19 on day 2 (100 straight conversions); arm 1 sinks
+    // toward accept_h0; bins arrive day-ordered per arm, split mid-history
+    val bins = Seq(
+      Bin(0, d("2024-01-01"), 4, 2), Bin(1, d("2024-01-01"), 4, 2),
+      Bin(0, d("2024-01-02"), 100, 100),
+      Bin(1, d("2024-01-02"), 120, 0), Bin(0, d("2024-01-03"), 3, 1))
+    val batches = Seq(bins.take(2), bins.slice(2, 4), bins.drop(4))
+
+    val mem = MemoryStream[Bin]
+    val q = SprtState.sprtOf(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sprt_st").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("sprt_st").collect()
+        .map(r => (r.getInt(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getString(5))).toSet
+      // every bin emitted exactly once, with the carried cumsum
+      assert(got.size === bins.size)
+      val batch = SprtState.sprtOf(bins.toDS()).collect()
+        .map(o => (o.arm, o.day.toString, o.n, o.x, o.llr, o.decision)).toSet
+      assert(got === batch)
+      // and both equal the pure whole-history fold per arm
+      val expect = bins.groupBy(_.arm).flatMap { case (_, bs) =>
+        SprtState.fold(0L, bs.sortBy(_.day.getTime))._2
+      }.map(o => (o.arm, o.day.toString, o.n, o.x, o.llr, o.decision)).toSet
+      assert(batch === expect)
+      // the planted boundary crossings really happen
+      assert(got.exists(r => r._1 == 0 && r._6 == "accept_h1"))
+      assert(got.exists(r => r._1 == 1 && r._6 == "accept_h0"))
+    } finally q.stop()
+  }
 }
