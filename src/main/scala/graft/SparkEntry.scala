@@ -503,6 +503,10 @@ object SparkEntry {
     "q_loo_influence" -> (StatsOps.looInfluence _),
     // the SPRT cumsum as flatMapGroupsWithState state (batch twin)
     "q_sprt_state" -> (graft.streaming.SprtState.sprtStateBatch _),
+    // sample-ratio-mismatch guardrail on the experiment's user split
+    "q_srm_check" -> (BehaviorOps.srmCheck _),
+    // log-log price elasticity per brand (quantized-integer-log OLS)
+    "q_elasticity" -> (StatsOps.elasticity _),
   )
 
   private val revenueSql =
@@ -4160,6 +4164,43 @@ object SparkEntry {
         |SELECT segment, n, slope, pooled_slope,
         |  slope * pooled_slope < 0 AS is_reversed
         |FROM s ORDER BY segment""".stripMargin
+    },
+    // same user-grain distinct, same integer cross-multiplied flag
+    "q_srm_check" -> {
+      import graft.queries.BehaviorOps.SrmChiCritX1000
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS chi_sq,
+        |  1000 * (n_a - n_b) * (n_a - n_b) > $SrmChiCritX1000 * (n_a + n_b) AS srm
+        |FROM c""".stripMargin
+    },
+    // same integer-argument quantized logs on both axes, same moments,
+    // same closed-form slope/intercept through the VARCHAR detour
+    "q_elasticity" -> {
+      import graft.queries.StatsOps.LogScale
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      val slope =
+        s"(${dbl("n")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})" +
+          s" / nullif(${dbl("n")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}, 0.0)"
+      s"""WITH li AS (SELECT p_brand AS brand,
+        |    ${lnq("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")} AS x,
+        |    ${lnq("CAST(l_quantity AS BIGINT)")} AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT brand, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM li GROUP BY 1),
+        |s AS (SELECT brand, n, $slope AS elasticity,
+        |    (${dbl("sy")} - ($slope) * ${dbl("sx")}) / ${dbl("n")} / $LogScale.0 AS intercept
+        |  FROM m)
+        |SELECT brand, n, elasticity, intercept FROM s ORDER BY brand""".stripMargin
     },
     // same additive moments (pooled − segment), same closed-form slopes
     // through the same VARCHAR detour for the HUGEINT moments

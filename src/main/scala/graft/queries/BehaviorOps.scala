@@ -1225,6 +1225,34 @@ object BehaviorOps {
     * scale). Nothing float crosses rows; the reported llr divides the
     * integer cumsum once.
     */
+  /** χ²(1df) 95% critical value × 1000 — the SRM flag compares by
+    * integer cross-multiplication, no float gate. */
+  private[graft] val SrmChiCritX1000 = 3841L
+
+  /** Sample-ratio-mismatch guardrail for the user_id-parity experiment
+    * split: with a 50/50 design, χ² over the two USER counts (the
+    * randomization unit — never event counts, which overdispersion
+    * inflates) collapses to (n_a − n_b)²/n, an exact integer ratio;
+    * the flag compares 1000·(n_a − n_b)² > [[SrmChiCritX1000]]·n by
+    * cross-multiplication. A flagged split means assignment itself is
+    * broken and every downstream read ([[abTest]], [[sprtMonitor]],
+    * CUPED) is void — the FIRST check an experimentation pipeline runs.
+    * Shape: one distinct to the user grain, one conditional-count
+    * aggregate, a 1-row report.
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .agg(
+        sum(when(pmod(col("user_id"), lit(2L)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2L)) === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double")
+          ./((col("n_a") + col("n_b")).cast("double")).as("chi_sq"),
+        (lit(1000L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(SrmChiCritX1000) * (col("n_a") + col("n_b"))).as("srm"))
+
   def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.StatsOps.LogScale
     def lnq(c: Column): Column =

@@ -1029,6 +1029,40 @@ object StatsOps {
         col("boot_se"), col("ci_lo"), col("ci_hi"))
   }
 
+  // ------------------------------- log-log price elasticity per brand
+  /** Per-brand price elasticity of demand — the OLS slope of
+    * ln(quantity) on ln(price) over line items, the econometric read a
+    * pricing pipeline runs per product family. Both logs take INTEGER
+    * arguments (cents and unit counts) quantized to the 2^20 grid, so
+    * every regression moment is an exact integer/DECIMAL(38,0) sum; the
+    * slope and intercept are the closed-form double expressions the OLS
+    * tier pins (HUGEINT moments cross the engine boundary through the
+    * simpsons VARCHAR detour). Shape: one fact pass joined to the part
+    * dim for the brand key, moments combine map-side, O(brands) rows
+    * after the aggregate.
+    */
+  def elasticity(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        lnq((col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType)).as("x"),
+        lnq(col("l_quantity").cast(LongType)).as("y"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val m = li.groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val slope = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      nullif(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"), lit(0.0))
+    m.select(col("brand"), col("n"), slope.as("elasticity"),
+        ((dbl("sy") - slope * dbl("sx")) / dbl("n") / lit(LogScale.toDouble))
+          .as("intercept"))
+      .orderBy(col("brand"))
+  }
+
   // --------------------------- leave-one-segment-out influence (LOO)
   /** Data-valuation by leave-one-segment-out: how much does each order
     * segment MOVE the corpus-wide trend? The metric is the pooled OLS

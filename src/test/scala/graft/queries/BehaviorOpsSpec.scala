@@ -594,6 +594,29 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(r.isNullAt(4))                // 0/0 attribution nulls out
   }
 
+  test("srmCheck: user-grain counts, exact chi, flag fires only on real skew") {
+    import spark.implicits._
+    val t0 = 86400L * 1000000000L
+    // balanced: 3 even vs 3 odd users, one user duplicated 5x (must count
+    // once) -> chi = 0, no flag
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-srm1").toString
+    ((0L to 5L).map(u => (t0, u, "view")) ++ Seq.fill(5)((t0, 0L, "click")))
+      .toDF("ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir1/events.parquet")
+    val r1 = BehaviorOps.srmCheck(spark, dir1).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2), r1.getBoolean(3)) ===
+      ((3L, 3L, 0.0, false)))
+    // skewed: 40 even vs 10 odd -> chi = 900/50 = 18 > 3.841 -> flag
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-srm2").toString
+    ((0L until 40L).map(u => (t0, u * 2, "view")) ++
+      (0L until 10L).map(u => (t0, u * 2 + 1, "view")))
+      .toDF("ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = BehaviorOps.srmCheck(spark, dir2).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2), r2.getBoolean(3)) ===
+      ((40L, 10L, 18.0, true)))
+  }
+
   test("sprtMonitor: integer LLR cumsum and the three boundary decisions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sprt").toString

@@ -506,6 +506,29 @@ class StatsOpsSpec extends SparkSpec {
     assert(out2.head.getLong(1) === 2L)
   }
 
+  test("elasticity: two-point log-log fit matches the scalar replica; slope ~1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-elas").toString
+    // doubling price doubles quantity here, so the log-log slope is ~1
+    // (exactly the quantized-log ratio the replica computes)
+    Seq((1L, BigDecimal("1.00"), 1L), (1L, BigDecimal("2.00"), 2L))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * (1L << 20) + 0.5).toLong
+    val (x1, y1) = (lnq(100), lnq(1)); val (x2, y2) = (lnq(200), lnq(2))
+    val (n, sx, sy) = (2.0, (x1 + x2).toDouble, (y1 + y2).toDouble)
+    val sxy = (x1 * y1 + x2 * y2).toDouble; val sxx = (x1 * x1 + x2 * x2).toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n / (1L << 20).toDouble
+    val got = StatsOps.elasticity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("B1", 2L, slope, intercept)))
+    assert(math.abs(slope - 1.0) < 1e-6)
+  }
+
   test("looInfluence: removing a segment moves the pooled slope by hand-computed deltas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-loo").toString
