@@ -505,6 +505,8 @@ object SparkEntry {
     "q_sprt_state" -> (graft.streaming.SprtState.sprtStateBatch _),
     // sample-ratio-mismatch guardrail on the experiment's user split
     "q_srm_check" -> (BehaviorOps.srmCheck _),
+    // isotonic (PAV) calibration fit via the minimax closed form
+    "q_isotonic" -> (StatsOps.isotonic _),
     // log-log price elasticity per brand (quantized-integer-log OLS)
     "q_elasticity" -> (StatsOps.elasticity _),
   )
@@ -3620,6 +3622,34 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE) AS ece FROM t)
         |SELECT bin, n, n_pos, mean_conf, frac_pos, abs_gap, ece
         |FROM b3 CROSS JOIN tt ORDER BY bin""".stripMargin
+    },
+    // same reliability bins, same exact prefix-sum interval means, same
+    // minimax (max over j<=i of min over k>=i) pick on identical doubles
+    "q_isotonic" -> {
+      import graft.queries.StatsOps.CalBins
+      val milli = h32Sql("CAST(event_id AS VARCHAR)") + " % 1000"
+      s"""WITH e AS (SELECT $milli AS milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT milli * $CalBins // 1000 AS bin, COUNT(*) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1),
+        |pre AS (SELECT a.bin AS pb, CAST(SUM(c.n) AS BIGINT) AS cn,
+        |    CAST(SUM(c.n_pos) AS BIGINT) AS cp
+        |  FROM b a JOIN b c ON c.bin <= a.bin GROUP BY 1),
+        |iv AS (SELECT j.bin AS j, pk.pb AS k,
+        |    pk.cn - pj.cn + j.n AS sn, pk.cp - pj.cp + j.n_pos AS sp
+        |  FROM b j
+        |  JOIN pre pj ON pj.pb = j.bin
+        |  JOIN pre pk ON j.bin <= pk.pb),
+        |cand AS (SELECT i.bin AS i, iv.j, iv.k,
+        |    CAST(sp AS DOUBLE) / CAST(sn AS DOUBLE) AS mean
+        |  FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin),
+        |inner_ AS (SELECT i, j, MIN(mean) AS inner_min FROM cand GROUP BY 1, 2),
+        |iso AS (SELECT i, MAX(inner_min) AS iso_rate FROM inner_ GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, iso_rate
+        |FROM b JOIN iso ON bin = i ORDER BY bin""".stripMargin
     },
     // same literal bin spine, same +1/+bins smoothing, same quantized
     // integer-argument logs; total PSI folds in bin order on both sides;

@@ -491,14 +491,21 @@ object StatsOps {
     * One fact scan, one 10-row groupBy with map-side combine, a 1-row
     * broadcast cross for the total — O(bins) state at any data size.
     */
-  def calibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The reliability-bin frame (bin, n, sm, n_pos) shared by
+    * [[calibration]] and [[isotonic]]: synthetic md5-milli confidence
+    * bucketed into [[CalBins]] score deciles, one combining aggregate. */
+  private def calBins(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(
         (TextOps.h32(col("event_id").cast(StringType)) % 1000L).as("milli"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .select(expr(s"milli * $CalBins div 1000").as("bin"), col("milli"), col("pos"))
-    val bins = e.groupBy(col("bin"))
+    e.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("milli")).as("sm"), sum(col("pos")).as("n_pos"))
+  }
+
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val bins = calBins(spark, dir)
       .withColumn("mean_conf",
         col("sm").cast(DoubleType) / (col("n").cast(DoubleType) * lit(1000.0)))
       .withColumn("frac_pos", col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
@@ -513,6 +520,50 @@ object StatsOps {
     bins.join(broadcast(tot))
       .select(col("bin"), col("n"), col("n_pos"),
         col("mean_conf"), col("frac_pos"), col("abs_gap"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
+  // ------------------------------------- isotonic calibration (PAV fit)
+  /** Isotonic (monotone non-decreasing) calibration of the reliability
+    * bins — the PAV fit every probability calibrator runs after
+    * [[calibration]] flags miscalibration. Computed NOT by the
+    * sequential pool-adjacent-violators sweep (hostile to both engines)
+    * but by its CLOSED FORM, iso(i) = max_{j≤i} min_{k≥i} mean(j..k):
+    * interval means come from exact integer prefix sums over the
+    * [[CalBins]]-row spine (a triangular self-join — spine-scale, never
+    * row-scale), and the min/max comparisons divide exact integers in
+    * one identical expression, so both engines order and pick the same
+    * doubles. Output: per bin, the raw positive rate beside the fitted
+    * monotone rate — the mapping a serving layer applies.
+    *
+    * Scale shape: ONE fact pass to the bin grain (the shared calBins
+    * aggregate); everything above is O(bins³) on literal-scale frames,
+    * broadcast throughout. 100 TB changes only the first aggregate.
+    */
+  def isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val bins = calBins(spark, dir)
+      .select(col("bin"), col("n"), col("n_pos"))
+    // exact prefix sums by triangular self-join on the tiny spine
+    val pre = bins.select(col("bin").as("pb"))
+      .join(broadcast(bins), col("bin") <= col("pb"))
+      .groupBy(col("pb")).agg(sum(col("n")).as("cn"), sum(col("n_pos")).as("cp"))
+    // interval (j..k) sums: cum(k) − cum(j) + bin(j) itself
+    val ivSums = bins.select(col("bin").as("j"), col("n").as("nj"), col("n_pos").as("pj"))
+      .join(broadcast(pre.select(col("pb").as("j"), col("cn").as("cnj"), col("cp").as("cpj"))), Seq("j"))
+      .join(broadcast(pre.select(col("pb").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (col("cnk") - col("cnj") + col("nj")).as("sn"),
+        (col("cpk") - col("cpj") + col("pj")).as("sp"))
+    val cand = bins.select(col("bin").as("i"))
+      .join(broadcast(ivSums), col("j") <= col("i") && col("k") >= col("i"))
+      .withColumn("mean", col("sp").cast(DoubleType) / col("sn").cast(DoubleType))
+    val inner = cand.groupBy(col("i"), col("j")).agg(min(col("mean")).as("inner_min"))
+    val iso = inner.groupBy(col("i")).agg(max(col("inner_min")).as("iso_rate"))
+    bins.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("raw_rate"),
+        col("iso_rate"))
       .orderBy(col("bin"))
   }
 

@@ -506,6 +506,30 @@ class StatsOpsSpec extends SparkSpec {
     assert(out2.head.getLong(1) === 2L)
   }
 
+  test("isotonic: matches the scalar minimax replica; monotone and mass-preserving") {
+    val got = StatsOps.isotonic(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val bins = got.map(t => (t._2, t._3)) // (n, n_pos) in bin order
+    // independent scalar replica of iso(i) = max_{j<=i} min_{k>=i} mean(j..k)
+    def mean(j: Int, k: Int): Double = {
+      val sp = (j to k).map(bins(_)._2).sum.toDouble
+      val sn = (j to k).map(bins(_)._1).sum.toDouble
+      sp / sn
+    }
+    val m = bins.indices.toArray
+    val expect = m.map(i => (0 to i).map(j => (i until bins.length).map(k =>
+      mean(j, k)).min).max)
+    assert(got.map(_._5).toSeq === expect.toSeq)
+    // monotone non-decreasing, and PAV preserves the positive mass
+    assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val mass = got.map(t => t._2 * t._5).sum
+    val pos = got.map(_._3).sum.toDouble
+    assert(math.abs(mass - pos) / pos < 1e-9)
+    // the fit is non-vacuous on this corpus: some raw rate was reordered
+    assert(got.map(_._4).toSeq != got.map(_._5).toSeq)
+  }
+
   test("elasticity: two-point log-log fit matches the scalar replica; slope ~1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-elas").toString
