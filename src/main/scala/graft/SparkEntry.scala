@@ -507,6 +507,8 @@ object SparkEntry {
     "q_srm_check" -> (BehaviorOps.srmCheck _),
     // isotonic (PAV) calibration fit via the minimax closed form
     "q_isotonic" -> (StatsOps.isotonic _),
+    // held-out bigram cross-entropy per source (LM corpus evaluation)
+    "q_perplexity_eval" -> (CurationOps.perplexityEval _),
     // log-log price elasticity per brand (quantized-integer-log OLS)
     "q_elasticity" -> (StatsOps.elasticity _),
   )
@@ -3622,6 +3624,34 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE) AS ece FROM t)
         |SELECT bin, n, n_pos, mean_conf, frac_pos, abs_gap, ece
         |FROM b3 CROSS JOIN tt ORDER BY bin""".stripMargin
+    },
+    // same even/odd split, same add-one smoothing with the train context
+    // vocabulary as V, same integer-argument quantized log sums
+    "q_perplexity_eval" -> {
+      import graft.queries.StatsOps.LogScale
+      def lnq(m: String) =
+        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
+        |btr AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+        |  FROM t WHERE len(tk) >= 2 AND doc_id % 2 = 0),
+        |cb AS (SELECT bg, COUNT(*) AS c2 FROM btr GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |  FROM cb GROUP BY 1),
+        |vc AS (SELECT COUNT(*) AS v FROM ctx),
+        |bev AS (SELECT source, doc_id, unnest(list_transform(range(0, len(tk) - 1),
+        |    i -> concat(tk[i+1], ' ', tk[i+2]))) AS bg
+        |  FROM t WHERE len(tk) >= 2 AND doc_id % 2 = 1),
+        |sc AS (SELECT b.source, b.doc_id,
+        |    ${lnq("COALESCE(cb.c2, 0) + 1")} - ${lnq("COALESCE(ctx.c1, 0) + vc.v")} AS lp
+        |  FROM bev b
+        |  LEFT JOIN cb ON b.bg = cb.bg
+        |  LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+        |  CROSS JOIN vc)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_bigrams,
+        |  -CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / $LogScale.0 AS cross_entropy
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin
     },
     // same reliability bins, same exact prefix-sum interval means, same
     // minimax (max over j<=i of min over k>=i) pick on identical doubles

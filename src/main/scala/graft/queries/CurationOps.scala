@@ -422,6 +422,57 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------ held-out bigram cross-entropy
+  /** Per-source held-out cross-entropy under an add-one-smoothed bigram
+    * LM — the standard language-model corpus evaluation (nats per
+    * bigram, the quantity perplexity exponentiates): the model trains
+    * on EVEN doc_ids, evaluates on ODD (the append-stable split
+    * discipline), and every log-probability is a difference of
+    * INTEGER-argument quantized logs — ln p = ln(c₂+1) − ln(c₁+V) with
+    * c₂/c₁ the train bigram/context counts and V the train context
+    * vocabulary — so the per-source total is an exact integer sum, one
+    * division at the end. Unseen bigrams and contexts fall back to the
+    * smoothing mass via coalesce(·, 0), identically in both engines.
+    * A source whose held-out text surprises the corpus model (high
+    * cross-entropy) is out-of-distribution — the read mixture tuning
+    * pairs with [[domainWeights]] and q_source_kl.
+    *
+    * Scale shape: ONE exploded train pass to the bigram vocabulary
+    * (context totals and V re-aggregate from it — additive, never a
+    * second scan) and ONE exploded eval pass joined against the
+    * broadcast vocabulary tables; the report is a per-source combining
+    * aggregate.
+    */
+  def perplexityEval(spark: SparkSession, dir: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(graft.queries.StatsOps.LogScale.toDouble)
+        + lit(0.5)).cast(LongType)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toksAll.as("toks"))
+    val cb = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(explode(bigramsOf).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val ctx = cb.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val vc = ctx.agg(count(lit(1)).as("v"))
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("source"), col("doc_id"), explode(bigramsOf).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(cb), Seq("bg"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vc))
+      .withColumn("lp",
+        lnq(coalesce(col("c2"), lit(0L)) + 1L) -
+          lnq(coalesce(col("c1"), lit(0L)) + col("v")))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        (-col("slp").cast(DoubleType) / col("n_bigrams").cast(DoubleType) /
+          lit(graft.queries.StatsOps.LogScale.toDouble)).as("cross_entropy"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------- DSIR importance weighting
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each document is weighted

@@ -527,4 +527,24 @@ class CurationOpsSpec extends SparkSpec {
       .mapValues(_.map(_.getDouble(4)).sorted.toSeq).toMap
     assert(bySrc("B").toSet.subsetOf(bySrc("A").toSet))
   }
+
+  test("perplexityEval: hand-traced smoothing for seen, unseen-bigram, unseen-context") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+    // train (doc 0): "a b a b" -> c2 = {ab:2, ba:1}, ctx = {a:2, b:1}, V=2.
+    // eval S (doc 1) "a b c": lp(ab) = lnq3 - lnq4 (seen), lp(bc) = 0 - lnq3
+    // (unseen bigram, seen context) -> ce = lnq4 / 2 / 2^20.
+    // eval S2 (doc 3) "z z": unseen context -> lp = -lnq2, ce = lnq2 / 2^20.
+    Seq((0L, "a b a b", "S"), (1L, "a b c", "S"), (3L, "z z", "S2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * (1L << 20) + 0.5).toLong
+    val sc = (1L << 20).toDouble
+    val got = CurationOps.perplexityEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("S", 1L, 2L, -(lnq(3) - lnq(4) - lnq(3)).toDouble / 2.0 / sc),
+      ("S2", 1L, 1L, lnq(2).toDouble / sc)))
+  }
 }
