@@ -511,6 +511,8 @@ object SparkEntry {
     "q_perplexity_eval" -> (CurationOps.perplexityEval _),
     // log-log price elasticity per brand (quantized-integer-log OLS)
     "q_elasticity" -> (StatsOps.elasticity _),
+    // LSH (bands, rows) tuning table over the one 12-signature pass
+    "q_lsh_tuning" -> (TextOps.lshTuning _),
   )
 
   private val revenueSql =
@@ -3624,6 +3626,48 @@ object SparkEntry {
         |    / CAST(n_total AS DOUBLE) AS ece FROM t)
         |SELECT bin, n, n_pos, mean_conf, frac_pos, abs_gap, ece
         |FROM b3 CROSS JOIN tt ORDER BY bin""".stripMargin
+    },
+    // same 12 signatures, same b·r = 12 retilings, same exact integer
+    // bucket economics and bucket-min fold counts
+    "q_lsh_tuning" -> {
+      import graft.queries.TextOps.LshConfigs
+      val configs = LshConfigs.map { case (b, r) =>
+        val cases = (0 until b).map { j =>
+          val key = (0 until r).map(i => s"sig${r * j + i}")
+            .mkString("concat(", ", '_', ", ")")
+          s"WHEN $j THEN $key"
+        }.mkString(" ")
+        s"""bd_${b}_$r AS (
+          |  SELECT doc_id, band_id, CASE band_id $cases END AS band_key
+          |  FROM sig CROSS JOIN (SELECT unnest(range($b)) AS band_id)),
+          |bk_${b}_$r AS (SELECT band_id, band_key, COUNT(*) AS m
+          |  FROM bd_${b}_$r GROUP BY 1, 2),
+          |st_${b}_$r AS (SELECT COUNT(*) AS n_buckets,
+          |    CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets,
+          |    CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+          |  FROM bk_${b}_$r),
+          |rp_${b}_$r AS (SELECT band_id, band_key, min(doc_id) AS bucket_rep
+          |  FROM bd_${b}_$r GROUP BY 1, 2),
+          |du_${b}_$r AS (SELECT CAST(SUM(CASE WHEN doc_id <> cid THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+          |  FROM (SELECT b.doc_id, min(r.bucket_rep) AS cid
+          |        FROM bd_${b}_$r b JOIN rp_${b}_$r r USING (band_id, band_key)
+          |        GROUP BY b.doc_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = LshConfigs.map { case (b, r) =>
+        s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+          |  n_buckets, n_collision_buckets, candidate_pairs, n_dup_docs
+          |FROM st_${b}_$r CROSS JOIN du_${b}_$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, tk -> ${h32Sql("tk")}) AS th FROM t),
+        |sig AS (SELECT doc_id,
+        |    $minhashSigSql
+        |  FROM h),
+        |$configs
+        |$rows
+        |ORDER BY rows_per_band""".stripMargin
     },
     // same even/odd split, same add-one smoothing with the train context
     // vocabulary as V, same integer-argument quantized log sums

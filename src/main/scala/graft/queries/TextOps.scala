@@ -91,7 +91,10 @@ object TextOps {
     * (new-batch-only probe against a persisted bucket table). This IS the
     * "signature table" a production pipeline persists between batches.
     */
-  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  /** The 12-signature table (doc_id, sig0..sig11) — the one expensive
+    * pass every banding config re-reads; shared by [[minhashBands]] and
+    * [[lshTuning]]. */
+  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toksSet.as("toks"))
     val tok = docs.select(col("doc_id"), explode(col("toks")).as("tk"))
@@ -99,7 +102,11 @@ object TextOps {
     val sigAggs = (0 until 12).map { i =>
       min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP)).as(s"sig$i")
     }
-    val sigs = tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
     val bandStructs = (0 until NumBands).map { j =>
       struct(
         lit(j).as("band_id"),
@@ -127,6 +134,58 @@ object TextOps {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhashFrom(minhashBands(spark, dir))
+
+  /** The (bands, rows-per-band) grid [[lshTuning]] sweeps — every config
+    * retiles the SAME 12 signatures (b·r = 12), so the sweep never
+    * recomputes a hash. */
+  private[graft] val LshConfigs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6))
+
+  /** The LSH band-parameter tuning table — the measurement a dedup owner
+    * reads before picking (bands, rows): each config in [[LshConfigs]]
+    * retiles the one 12-signature table into b bands of r rows and
+    * reports the bucket economics that trade recall against verify-stage
+    * cost: bucket count, colliding buckets, CANDIDATE PAIRS Σ m(m−1)/2
+    * (the quadratic bill a pair-verify stage would pay), and the docs the
+    * bucket-min clustering would fold (more rows per band → sharper
+    * S-curve → fewer candidates, lower recall). Every number is an exact
+    * integer — counts and integer-division pair counts, no float at all.
+    *
+    * Scale shape: ONE signature pass (the dedup-family shared seam),
+    * cached and retiled per config by a map-only explode; each config
+    * costs one combining aggregate over its buckets plus one
+    * bucket-partitioned window for the fold count. The report is
+    * O(configs) rows.
+    */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.GraphOps.releasingCaches(spark) { scope =>
+      val sigs = scope.cache(minhashSigs(spark, dir))
+      val perConfig = LshConfigs.map { case (b, r) =>
+        val bandStructs = (0 until b).map { j =>
+          struct(lit(j).as("band_id"),
+            concat_ws("_", (0 until r).map(i => col(s"sig${r * j + i}")): _*).as("band_key"))
+        }
+        val banded = sigs
+          .withColumn("band", explode(array(bandStructs: _*)))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        val stats = banded.groupBy(col("band_id"), col("band_key"))
+          .agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_collision_buckets"),
+            sum(expr("m * (m - 1) div 2")).as("candidate_pairs"))
+        val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+        val dups = banded
+          .withColumn("bucket_rep", min(col("doc_id")).over(bucketW))
+          .groupBy(col("doc_id"))
+          .agg(min(col("bucket_rep")).as("cluster_id"))
+          .agg(sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+            .as("n_dup_docs"))
+        stats.crossJoin(broadcast(dups))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_buckets"), col("n_collision_buckets"),
+            col("candidate_pairs"), col("n_dup_docs"))
+      }
+      perConfig.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+    }
 
   // ------------------------------------------------- dedup: incremental batch
   /** INCREMENTAL near-dup assignment — the multi-batch production shape of

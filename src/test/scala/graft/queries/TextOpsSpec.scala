@@ -722,4 +722,29 @@ class TextOpsSpec extends SparkSpec {
     // Gibbs: smoothed KL stays non-negative (up to log quantization)
     assert(got.values.forall(_._3 > -1e-6))
   }
+
+  test("lshTuning: identical docs collide in every config, bucket math exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsht").toString
+    // docs 1 and 2 share ALL tokens (identical 12-signature rows), doc 3
+    // is disjoint: every config has exactly b collision buckets of size 2
+    // (one per band), b·1 candidate pairs, 2b buckets, and folds doc 2
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps zeta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.lshTuning(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length === TextOps.LshConfigs.length)
+    for ((b, r, nb, nc, cp, nd) <- got) {
+      assert(b * r === 12)
+      assert(nb === 2L * b, s"config ($b,$r)")
+      assert(nc === b.toLong && cp === b.toLong && nd === 1L, s"config ($b,$r)")
+    }
+    // the sweep's defining monotonicity: more rows per band, fewer
+    // candidates (measured on the real corpus, where configs differ)
+    val corpus = TextOps.lshTuning(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getInt(1)).map(_.getLong(4))
+    assert(corpus.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
