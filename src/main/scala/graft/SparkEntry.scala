@@ -683,7 +683,7 @@ object SparkEntry {
       |k AS (SELECT name, unnest(list_transform(range(0, len(ws)),
       |    i -> list_aggregate(list_concat(ws[1:i], ws[i+2:len(ws)]),
       |      'string_agg', ' '))) AS key
-      |  FROM w),
+      |  FROM w WHERE len(ws) >= 2),
       |e AS (SELECT DISTINCT a.name AS n_a, b.name AS n_b
       |  FROM k a JOIN k b ON a.key = b.key AND a.name < b.name),
       |sym AS (SELECT n_a AS src, n_b AS dst FROM e
@@ -1187,13 +1187,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer c JOIN seg_dim s ON LOWER(c.c_mktsegment) = LOWER(s.seg_name)
         |GROUP BY s.seg_sk, s.seg_name ORDER BY s.seg_name""".stripMargin,
+    // same adaptive max/2 orderkey cut, same NOT-EXISTS anti shape
     "q_dim_upsert_new" ->
-      """SELECT c_mktsegment, c_nationkey
-        |FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_custkey >= 750) i
-        |WHERE NOT EXISTS (SELECT 1 FROM customer e
-        |  WHERE e.c_custkey < 750 AND e.c_mktsegment = i.c_mktsegment
-        |    AND e.c_nationkey = i.c_nationkey)
-        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+      """WITH mx AS (SELECT MAX(l_orderkey) AS mx FROM lineitem),
+        |i AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem CROSS JOIN mx WHERE l_orderkey * 2 > mx),
+        |e AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem CROSS JOIN mx WHERE l_orderkey * 2 <= mx)
+        |SELECT l_partkey, l_suppkey FROM i
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.l_partkey = i.l_partkey AND e.l_suppkey = i.l_suppkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_fact_upsert" ->
       """WITH f AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders,
@@ -3749,7 +3753,7 @@ object SparkEntry {
         |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS share_b
         |  FROM s CROSS JOIN t),
         |x2 AS (SELECT *, (share_a - share_b)
-        |    * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE)
+        |    * CAST(${lnq("CAST(sa AS HUGEINT) * nb")} - ${lnq("CAST(sb AS HUGEINT) * na")} AS DOUBLE)
         |    / $LogScale.0 AS psi_term
         |  FROM x),
         |tot AS (SELECT list_reduce(list(psi_term ORDER BY bin), (a, x) -> a + x) AS psi
@@ -3769,9 +3773,9 @@ object SparkEntry {
         |my AS (SELECT y_val, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
         |nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
         |s AS (SELECT x_val, y_val, n_xy, n_x, n_y, n,
-        |    ${lnq("n_xy * n")} - ${lnq("n_x * n_y")} AS pmi_q
+        |    ${lnq("CAST(n_xy AS HUGEINT) * n")} - ${lnq("CAST(n_x AS HUGEINT) * n_y")} AS pmi_q
         |  FROM cells JOIN mx USING (x_val) JOIN my USING (y_val) CROSS JOIN nn),
-        |mi AS (SELECT CAST(SUM(n_xy * pmi_q) AS BIGINT) AS mi_num, MAX(n) AS nn2 FROM s)
+        |mi AS (SELECT SUM(CAST(n_xy AS HUGEINT) * pmi_q) AS mi_num, MAX(n) AS nn2 FROM s)
         |SELECT x_val, y_val, n_xy, n_x, n_y,
         |  CAST(pmi_q AS DOUBLE) / $LogScale.0 AS pmi,
         |  CAST(mi_num AS DOUBLE) / (CAST(nn2 AS DOUBLE) * $LogScale.0) AS mi
@@ -4531,7 +4535,7 @@ object SparkEntry {
         |  LEFT JOIN st sa ON sa.source = u.source_a AND sa.term = u.term
         |  LEFT JOIN st sb ON sb.source = u.source_b AND sb.term = u.term)
         |SELECT source_a, source_b, n_a, n_b,
-        |  CAST(SUM(ia * (${lnq("ia * nbp")} - ${lnq("ib * nap")})) AS DOUBLE)
+        |  CAST(SUM(ia * (${lnq("CAST(ia AS HUGEINT) * nbp")} - ${lnq("CAST(ib AS HUGEINT) * nap")})) AS DOUBLE)
         |    / CAST(nap AS DOUBLE) / $BmScale.0 AS kl
         |FROM j GROUP BY source_a, source_b, n_a, n_b, nap
         |ORDER BY source_a, source_b""".stripMargin
@@ -4571,6 +4575,14 @@ object SparkEntry {
       import graft.queries.StatsOps.{GmmRounds, LogScale}
       def lnq(m: String) =
         s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      // the m_i moments are HUGEINT and routinely exceed 2^63, so every
+      // double read of one routes through the pinned CAST-to-VARCHAR
+      // detour (q_simpsons/q_elasticity/q_modularity precedent): a
+      // 1-ulp hugeint->double drift would feed the floor-quantized
+      // E-step comparison and could flip an assignment (ADVICE r10)
+      def dd(m: String) = s"CAST(CAST($m AS VARCHAR) AS DOUBLE)"
+      def lnqh(m: String) =
+        s"CAST(floor(ln(${dd(m)}) * $LogScale.0 + 0.5) AS BIGINT)"
       def moments(src: String, out: String) =
         s"""$out AS (SELECT COUNT(*) AS nn,
           |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -4585,10 +4597,10 @@ object SparkEntry {
           |    CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS m2
           |  FROM $out)""".stripMargin
       def score(i: Int) =
-        s"""(CAST(${lnq(s"m$i")} - 4 * ${lnq(s"n$i")} + 2 * ${lnq("nn")} AS DOUBLE)
+        s"""(CAST(${lnqh(s"m$i")} - 4 * ${lnq(s"n$i")} + 2 * ${lnq("nn")} AS DOUBLE)
           |      / $LogScale.0
-          |      + CAST((CAST(n$i AS HUGEINT) * x - s$i) * (CAST(n$i AS HUGEINT) * x - s$i) AS DOUBLE)
-          |        / CAST(m$i AS DOUBLE))""".stripMargin
+          |      + ${dd(s"(CAST(n$i AS HUGEINT) * x - s$i) * (CAST(n$i AS HUGEINT) * x - s$i)")}
+          |        / ${dd(s"m$i")})""".stripMargin
       val rounds = (1 to GmmRounds).map { r =>
         s"""${moments(s"a${r - 1}", s"mo$r")},
           |a$r AS (SELECT x, CASE WHEN ${score(1)} <= ${score(2)} THEN 1 ELSE 2 END AS c
@@ -4598,7 +4610,7 @@ object SparkEntry {
         s"""SELECT $i AS component, n$i AS n,
           |  CAST(n$i AS DOUBLE) / CAST(nn AS DOUBLE) AS weight,
           |  CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE) / 100.0 AS mean_price,
-          |  sqrt(CAST(m$i AS DOUBLE) / CAST(n$i AS DOUBLE) / CAST(n$i AS DOUBLE)) / 100.0 AS sd_price
+          |  sqrt(${dd(s"m$i")} / CAST(n$i AS DOUBLE) / CAST(n$i AS DOUBLE)) / 100.0 AS sd_price
           |FROM finm""".stripMargin
       s"""WITH xs AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
         |  FROM orders),
@@ -4676,8 +4688,9 @@ object SparkEntry {
         |  FROM pj GROUP BY label)
         |SELECT label, n_vecs,
         |  CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / $PcaScale.0 AS mean_proj,
-        |  CAST(CAST(n_vecs AS HUGEINT) * CAST(s2 AS HUGEINT)
-        |       - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+        |  -- HUGEINT spread through the pinned VARCHAR detour (ADVICE r10)
+        |  CAST(CAST(CAST(n_vecs AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |       - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
         |    / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE))
         |    / ${PcaScale * PcaScale}.0 AS var_proj
         |FROM ag ORDER BY label""".stripMargin
@@ -5124,7 +5137,7 @@ object SparkEntry {
       |bt AS (SELECT CAST(SUM(cb) + $PsiBins AS BIGINT) AS nb FROM b),
       |x AS (SELECT s.day, s.bin, sa, sb, na, nb,
       |    (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-      |      * CAST(${lnq("sa * nb")} - ${lnq("sb * na")} AS DOUBLE) / $LogScale.0 AS term
+      |      * CAST(${lnq("CAST(sa AS HUGEINT) * nb")} - ${lnq("CAST(sb AS HUGEINT) * na")} AS DOUBLE) / $LogScale.0 AS term
       |  FROM s JOIN dt USING (day) CROSS JOIN bt)
       |SELECT day, CAST(SUM(sa) - $PsiBins AS BIGINT) AS n_events,
       |  list_reduce(list(term ORDER BY bin), (a, x) -> a + x) AS psi

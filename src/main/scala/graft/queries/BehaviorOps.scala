@@ -315,8 +315,10 @@ object BehaviorOps {
     * basket is 17 items): the dropped mass is exercised, not
     * hypothetical. All pre-pair stages — distinct, size count, size
     * filter, the pair self-join itself — key on l_orderkey, so they
-    * share ONE exchange; the item-frequency and basket-count frames are
-    * dimension-cardinality and broadcast into the lift computation.
+    * share ONE exchange; the basket-count frame is a 1-row broadcast, and
+    * the item-frequency joins are left to SIZE-based planning (auto-
+    * broadcast at test SFs, partitioned at catalog scale) because the
+    * item domain grows with the data.
     * Lift = N·c₁₂/(c₁·c₂) is exact int64 products under one double
     * division, mirrored in the oracle.
     */
@@ -339,9 +341,14 @@ object BehaviorOps {
       .filter(col("pk_a") < col("pk_b"))
       .groupBy(col("pk_a"), col("pk_b"))
       .agg(count(lit(1)).as("n_co"))
-      .join(broadcast(itemCnt.select(col("pk").as("pk_a"), col("n_item").as("n_a"))),
+      // the item-count table is CATALOG-scale (it grows with the part
+      // domain, not a bounded one), so it is never hint-broadcast
+      // (ADVICE r10 class): the planner still auto-broadcasts it by SIZE
+      // at test SFs (same plan, same cost), but at 100 TB the estimate
+      // exceeds the threshold and the join partitions instead of OOMing
+      .join(itemCnt.select(col("pk").as("pk_a"), col("n_item").as("n_a")),
         Seq("pk_a"))
-      .join(broadcast(itemCnt.select(col("pk").as("pk_b"), col("n_item").as("n_b"))),
+      .join(itemCnt.select(col("pk").as("pk_b"), col("n_item").as("n_b")),
         Seq("pk_b"))
       .crossJoin(broadcast(nBaskets))
       .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"),
@@ -766,9 +773,11 @@ object BehaviorOps {
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cos_q").desc, col("n_co").desc, col("nbr"))
     sym
-      .join(broadcast(itemCnt.select(col("pk").as("item"), col("n_item").as("n_i"))),
+      // catalog-scale degree table: size-based join choice, never a hint
+      // (the basketPairs de-broadcast rationale)
+      .join(itemCnt.select(col("pk").as("item"), col("n_item").as("n_i")),
         Seq("item"))
-      .join(broadcast(itemCnt.select(col("pk").as("nbr"), col("n_item").as("n_n"))),
+      .join(itemCnt.select(col("pk").as("nbr"), col("n_item").as("n_n")),
         Seq("nbr"))
       .withColumn("cos_q",
         floor((col("n_co") * CfScale).cast(DoubleType)

@@ -440,8 +440,10 @@ object CurationOps {
     * Scale shape: ONE exploded train pass to the bigram vocabulary
     * (context totals and V re-aggregate from it — additive, never a
     * second scan) and ONE exploded eval pass joined against the
-    * broadcast vocabulary tables; the report is a per-source combining
-    * aggregate.
+    * vocabulary tables by PARTITIONED hash join on bg/w1 (the vocabulary
+    * is corpus-scale — aggregate-reduced but on unbounded keys, so it is
+    * never hint-broadcast); only the 1-row V aggregate crosses broadcast.
+    * The report is a per-source combining aggregate.
     */
   def perplexityEval(spark: SparkSession, dir: String): DataFrame = {
     def lnq(c: Column): Column =
@@ -458,8 +460,12 @@ object CurationOps {
     docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
       .select(col("source"), col("doc_id"), explode(bigramsOf).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-      .join(broadcast(cb), Seq("bg"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
+      // the vocabulary tables are CORPUS-scale (Heaps-law growth — they
+      // are aggregates, but on unbounded keys), so they join partitioned,
+      // never hint-broadcast (ADVICE r10: a forced broadcast here is a
+      // 100 TB OOM); only the 1-row V cross is bounded enough to force
+      .join(cb, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vc))
       .withColumn("lp",
         lnq(coalesce(col("c2"), lit(0L)) + 1L) -
@@ -818,7 +824,12 @@ object CurationOps {
       .groupBy(col("name"))
       .agg(count(lit(1)).as("m"))
       .withColumn("ws", sort_array(split(col("name"), " ")))
-    val keys = names.select(col("name"), explode(expr(
+    // single-word names emit NO subset keys (ADVICE r10): dropping the
+    // only word yields '' in Spark (concat_ws over empty) but NULL in the
+    // oracle (string_agg over empty list) — '' would pairwise-match ALL
+    // 1-word names while NULL matches none, so the 1-word case is defined
+    // identically by exclusion (a 1-word name has no drop-one variant).
+    val keys = names.filter(size(col("ws")) >= 2).select(col("name"), explode(expr(
       """transform(sequence(0, size(ws) - 1),
         |  i -> concat_ws(' ', concat(slice(ws, 1, i),
         |    slice(ws, i + 2, size(ws) - i - 1))))""".stripMargin)).as("key"))

@@ -666,42 +666,57 @@ object GraphOps {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
 
+  /** Edge-count ceiling below which [[ktrussSupports]]'s closing probe may
+    * BROADCAST the edge list (~20 bytes/edge → ~100 MB at the limit).
+    * The broadcast is a measured 2× win at sf0.1 (1.2 M edges — shuffling
+    * the 41 M-row/round wedge-candidate stream costs twice the leg), but
+    * the edge list grows with the GRAPH, not a bounded domain, so a
+    * static hint is a raw OOM on a web-scale graph (ADVICE r10). The
+    * plan therefore switches on the COUNTED edge cardinality — the list
+    * is localCheckpoint()ed every round, so the count is already paid —
+    * and above the ceiling the probe is a partitioned hash semi-join;
+    * the enumeration shape is identical either way
+    * (GraphOpsSpec pins both sides of the switch). */
+  private[graft] val KtrussBroadcastMaxEdges = 5L * 1000 * 1000
+
+  /** One peel round's triangle-support table over edge set `e` (whose
+    * cardinality the caller already knows from the checkpoint count). */
+  private[graft] def ktrussSupports(e: DataFrame, nEdges: Long,
+      broadcastMaxEdges: Long = KtrussBroadcastMaxEdges): DataFrame = {
+    val closing = e.select(col("u").as("b"), col("v").as("c"))
+    val probe =
+      if (nEdges <= broadcastMaxEdges) broadcast(closing) else closing
+    val tri = orientedWedges(e, edgeDegrees(e)).join(probe, Seq("b", "c"), "left_semi")
+    // the oriented source may rank above b or c by degree, so the two
+    // src-incident edges re-normalize to (min, max); (b, c) is ordered
+    tri.select(explode(array(
+        struct(least(col("src"), col("b")).as("u"),
+          greatest(col("src"), col("b")).as("v")),
+        struct(least(col("src"), col("c")).as("u"),
+          greatest(col("src"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+  }
+
   /** [[ktruss]] over any (ok, pk) membership frame — factored so the spec
     * can pin the peel trace on a hand-drawn graph. */
   private[graft] def ktrussFrom(raw: DataFrame): DataFrame =
     releasingCaches(raw.sparkSession) { scope =>
-      def supports(e: DataFrame): DataFrame = {
-        // the closing probe BROADCASTS the edge list: it is aggregate-
-        // reduced (coEdges' groupBy) and node-pair-scale (~20 MB at
-        // sf0.1), while the wedge-candidate stream it probes is the big
-        // side — shuffling candidates cost ~2x the whole leg. A web-scale
-        // graph (edges >> executor memory) swaps this for the partitioned
-        // hash join; the enumeration shape is unchanged.
-        val tri = orientedWedges(e, edgeDegrees(e))
-          .join(broadcast(e.select(col("u").as("b"), col("v").as("c"))),
-            Seq("b", "c"), "left_semi")
-        // the oriented source may rank above b or c by degree, so the two
-        // src-incident edges re-normalize to (min, max); (b, c) is ordered
-        tri.select(explode(array(
-            struct(least(col("src"), col("b")).as("u"),
-              greatest(col("src"), col("b")).as("v")),
-            struct(least(col("src"), col("c")).as("u"),
-              greatest(col("src"), col("c")).as("v")),
-            struct(col("b").as("u"), col("c").as("v")))).as("p"))
-          .select(col("p.u").as("u"), col("p.v").as("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
-      }
-      def stat(it: Int, e: DataFrame, supp: DataFrame): DataFrame =
-        e.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(supp.agg(
-            coalesce(expr("sum(support) div 3"), lit(0L)).as("n_triangles")))
-          .select(lit(it).as("iteration"), col("n_edges"), col("n_triangles"))
+      def stat(it: Int, nEdges: Long, supp: DataFrame): DataFrame =
+        supp.agg(coalesce(expr("sum(support) div 3"), lit(0L)).as("n_triangles"))
+          .select(lit(it).as("iteration"), lit(nEdges).as("n_edges"),
+            col("n_triangles"))
       var e = coEdges(raw, scope, KtrussEdgeSupport)
         .select(col("u"), col("v")).localCheckpoint()
       val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (it <- 0 to KtrussIters) {
-        val supp = supports(e).localCheckpoint()
-        stats += stat(it, e, supp)
+        // the checkpointed edge count both reports n_edges (one fewer
+        // aggregate+cross per round than re-counting inside the plan) and
+        // drives the broadcast-vs-partitioned probe switch
+        val n = e.count()
+        val supp = ktrussSupports(e, n).localCheckpoint()
+        stats += stat(it, n, supp)
         if (it < KtrussIters) {
           e = e.join(
               supp.filter(col("support") >= KtrussK - 2).select(col("u"), col("v")),

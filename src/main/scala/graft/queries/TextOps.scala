@@ -1975,25 +1975,37 @@ object TextOps {
     * Scale shape: the corpus reduces to (source, term) counts in one
     * combining aggregate (map-side partials); totals and vocabulary
     * re-aggregate from it. The pair universe is sources² × vocabulary —
-    * group-domain work, never row-scale — built from broadcast
-    * aggregate-reduced sides only.
+    * the VOCABULARY is the big, PARTITIONED side (corpus-scale under
+    * Heaps' law — ADVICE r10: hint-broadcasting it is a 100 TB OOM) and
+    * the sources²×V frame it crosses with is the broadcast side: S²−S
+    * rows, bounded because `source` is a bounded domain. The two count
+    * lookups are partitioned hash joins on (source, term).
+    *
+    * Overflow headroom (ADVICE r10): each quantized-log argument is the
+    * product of two data-scale counts, computed in DECIMAL(18,0) ×
+    * DECIMAL(18,0) → DECIMAL(37,0) — exact as long as each FACTOR stays
+    * below 10^18 (term count and corpus mass, comfortably true at
+    * 100 TB), where the old int64 product wrapped silently at 9.2×10^18.
+    * The oracle multiplies in HUGEINT for the same reason.
     */
   def sourceKl(spark: SparkSession, dir: String): DataFrame = {
     def lnq(c: Column): Column =
       floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
         .cast(LongType)
+    def dec(c: Column): Column = c.cast(DecimalType(18, 0))
     val st = Tables.documents(spark, dir)
       .select(col("source"), explode(toksAll).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
     val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val vocab = st.select(col("term")).distinct()
     val vc = vocab.agg(count(lit(1)).as("v"))
-    val uni = ns.select(col("source").as("source_a"), col("n").as("n_a"))
+    val pairs = ns.select(col("source").as("source_a"), col("n").as("n_a"))
       .crossJoin(ns.select(col("source").as("source_b"), col("n").as("n_b")))
       .filter(col("source_a") =!= col("source_b"))
-      .crossJoin(broadcast(vc))
-      .crossJoin(broadcast(vocab))
-    val contrib = col("ia") * (lnq(col("ia") * col("nbp")) - lnq(col("ib") * col("nap")))
+      .crossJoin(vc)
+    val uni = vocab.crossJoin(broadcast(pairs))
+    val contrib = col("ia") *
+      (lnq(dec(col("ia")) * dec(col("nbp"))) - lnq(dec(col("ib")) * dec(col("nap"))))
     uni
       .join(st.select(col("source").as("source_a"), col("term"), col("c").as("ca")),
         Seq("source_a", "term"), "left")

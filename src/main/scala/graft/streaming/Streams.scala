@@ -477,7 +477,10 @@ object Streams {
       val sb = col(s"cb$b") + 1L
       (sa.cast(DoubleType) / col("na").cast(DoubleType)
         - sb.cast(DoubleType) / col("nb").cast(DoubleType))
-        .multiply((lnq(sa * col("nb")) - lnq(sb * col("na"))).cast(DoubleType))
+        // DECIMAL products for the data-scale x data-scale log arguments
+        // (ADVICE r10 -- int64 wraps silently at 9.2e18; oracle uses HUGEINT)
+        .multiply((lnq(sa.cast(DecimalType(18, 0)) * col("nb").cast(DecimalType(18, 0)))
+          - lnq(sb.cast(DecimalType(18, 0)) * col("na").cast(DecimalType(18, 0)))).cast(DoubleType))
         .divide(lit(LogScale.toDouble))
     }
     counts

@@ -2,13 +2,16 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull, LambdaFunction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, DayOfMonth, DayOfWeek, EqualTo, ExprId, Expression, Hour, IntegralDivide, IsNotNull, LambdaFunction, Least, Literal, Minute, Month, Multiply, Pmod, Quarter, Remainder, TimeWindow, TruncDate, TruncTimestamp, WeekDay, WeekOfYear, Year}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, SubqueryAlias, Filter => LFilter, Join => LJoin}
 import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DateType
 
 /** The SCALE.md plan audit as a regression test: every `SparkEntry.queries`
   * plan is inspected (pre-AQE physical plan — planning only, nothing runs,
@@ -109,21 +112,199 @@ class PlanGuardSpec extends SparkSpec {
     case _            => true
   }
 
-  test("fact-scale tables are never broadcast without a reducing step") {
-    for ((name, plan) <- plans) {
-      val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
-      for (b <- broadcasts) {
-        val scansFact = b.collect { case s: FileSourceScanExec => s }.exists(s =>
-          factTables.exists(t =>
-            s.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))))
-        val reduced = b.collect {
-          case a: BaseAggregateExec => a: SparkPlan
-          case f: FilterExec if isSelective(f.condition) => f: SparkPlan
-        }.nonEmpty
-        assert(!scansFact || reduced,
-          s"$name broadcasts a fact-scale table with no filter/aggregate below the exchange")
+  // ------------------------------------------------------------------
+  // Key-domain boundedness audit for HINT-forced broadcasts (VERDICT/
+  // ADVICE r10). Two lessons folded in:
+  //
+  // 1. The old form of this test collected BroadcastExchangeExec from
+  //    `queryExecution.sparkPlan` — but exchanges are only inserted by
+  //    EnsureRequirements into the EXECUTED plan, so the old test was
+  //    VACUOUS (it matched nothing, ever). That vacuum is how r10's
+  //    corpus-vocabulary broadcasts shipped.
+  // 2. The right audit target is the EXPLICIT `broadcast()` hint, read
+  //    from the optimized LOGICAL plan: a hint forces the broadcast at
+  //    EVERY scale, so the hinted frame must have a BOUNDED key domain
+  //    (not merely "an aggregate below it" — r10's loophole: a vocabulary
+  //    aggregate is reduced but grows with the corpus under Heaps' law).
+  //    SIZE-based broadcasts are deliberately out of scope: the planner
+  //    re-chooses them from size estimates at real scale and AQE
+  //    re-plans at runtime, so they adapt; hints do not.
+  //
+  // A hinted side is bounded when the recursion below proves its row
+  // domain independent of fact cardinality: a global aggregate (1 row),
+  // an aggregate on bounded-domain keys (enum columns, calendar
+  // extractions, mod-by-literal, literal-clamped or adaptive-decile
+  // bins), a LIMIT, dim-only scans, a selective filter (the historical
+  // probe-set sanction), or an aggregate whose keys are equi-bound to a
+  // bounded side through a semi/inner join (the probe-term postings
+  // shape). Anything else — a vocabulary, an edge list, a per-item count
+  // — fails loudly here and must join partitioned or switch on a counted
+  // runtime bound (GraphOps.KtrussBroadcastMaxEdges).
+  // ------------------------------------------------------------------
+
+  /** Scan-level columns with data-independent domains (enums, bounded
+    * reference keys). Grouping keys resolving to ONLY these are bounded. */
+  private val boundedCols = Set(
+    "source", "lang", "label", "event_type",
+    "o_orderpriority", "o_orderstatus",
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_quantity", "l_linenumber",
+    "c_mktsegment", "c_nationkey", "s_nationkey", "n_nationkey", "n_regionkey",
+    "r_regionkey", "p_brand", "p_mfgr", "p_container", "p_size")
+
+  private def isFactScan(p: LogicalPlan): Boolean = p match {
+    case r: LogicalRelation => r.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.exists(pth =>
+        factTables.exists(t => pth.toString.endsWith(s"/$t.parquet")))
+      case _ => true
+    }
+    case _ => false
+  }
+
+  /** exprId → defining expression, over the whole subtree, so grouping
+    * keys resolve through Project/Aggregate aliases back to scan columns. */
+  private def defMap(plan: LogicalPlan): Map[ExprId, Expression] = {
+    val local: Map[ExprId, Expression] = plan match {
+      case p: Project =>
+        p.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }.toMap
+      case _ => Map.empty
+    }
+    plan.children.foldLeft(local) { case (m, c) => m ++ defMap(c) }
+  }
+
+  private def resolveExpr(e: Expression, defs: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var changed = true
+    var i = 0
+    while (changed && i < 8) {
+      var hit = false
+      cur = cur.transformUp {
+        case a: AttributeReference if defs.contains(a.exprId) => hit = true; defs(a.exprId)
+      }
+      changed = hit; i += 1
+    }
+    cur
+  }
+
+  /** A grouping expression has a bounded domain when it references only
+    * bounded columns, or passes through a domain-bounding form: calendar
+    * extraction (the domain grows with wall time, not data volume),
+    * mod-by-literal, a literal upper clamp, or the repo's adaptive-decile
+    * idiom (x·K div max-expr — at most K+1 values by construction). */
+  private def isBoundedKey(e: Expression, defs: Map[ExprId, Expression]): Boolean = {
+    val r = resolveExpr(e, defs)
+    def bounding(x: Expression): Boolean = x match {
+      case _: Year | _: Month | _: DayOfMonth | _: DayOfWeek | _: WeekDay
+           | _: Hour | _: Minute | _: Quarter | _: WeekOfYear => true
+      case c: Cast => c.dataType == DateType
+      case _: TruncDate | _: TruncTimestamp | _: TimeWindow => true
+      case Pmod(_, Literal(_, _), _) => true
+      case Remainder(_, Literal(_, _), _) => true
+      case l: Least => l.children.exists(_.isInstanceOf[Literal])
+      case IntegralDivide(m: Multiply, _, _) => m.children.exists(_.isInstanceOf[Literal])
+      case _ => false
+    }
+    r.references.isEmpty ||
+      r.references.forall(a => boundedCols(a.name)) ||
+      r.exists(bounding)
+  }
+
+  /** Row-domain boundedness of a hinted broadcast side. */
+  private def boundedBroadcastSide(plan: LogicalPlan,
+      defs: Map[ExprId, Expression]): Boolean = plan match {
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(g => isBoundedKey(g, defs)) ||
+        boundedBroadcastSide(a.child, defs) || aggKeysSemiBounded(a, defs)
+    case f: LFilter => isSelective(f.condition) || boundedBroadcastSide(f.child, defs)
+    case j: LJoin => j.joinType match {
+      case LeftSemi | LeftAnti => boundedBroadcastSide(j.left, defs)
+      case _ => boundedBroadcastSide(j.left, defs) && boundedBroadcastSide(j.right, defs)
+    }
+    case _: GlobalLimit => true
+    case _: LocalRelation | _: Range | _: OneRowRelation => true
+    case r: LogicalRelation => !isFactScan(r)
+    case l if l.children.isEmpty => false
+    case other => other.children.forall(boundedBroadcastSide(_, defs))
+  }
+
+  /** An aggregate whose keys are all equi-bound to a bounded join side is
+    * itself bounded — the probe-term postings shape: the semi/inner join
+    * restricts the key domain to the bounded side's keys BEFORE the
+    * aggregate, so the aggregate's output is probe-scale even though the
+    * big side is the corpus. Peels through intermediate aggregates whose
+    * keys contain the outer keys (a dedup step preserves the bound). */
+  private def aggKeysSemiBounded(a: Aggregate,
+      defs: Map[ExprId, Expression]): Boolean = {
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => peel(c)
+      case LFilter(_, c) => peel(c)
+      case SubqueryAlias(_, c) => peel(c)
+      case inner: Aggregate
+          if a.groupingExpressions.forall(g =>
+            inner.groupingExpressions.exists(_.semanticEquals(g))) => peel(inner.child)
+      case _ => p
+    }
+    peel(a.child) match {
+      case j: LJoin if j.joinType == LeftSemi || j.joinType == Inner =>
+        val eqs = j.condition.toSeq.flatMap(_.collect { case EqualTo(x, y) => (x, y) })
+        def keysBoundTo(big: LogicalPlan, small: LogicalPlan): Boolean = {
+          val bigKeys = eqs.collect {
+            case (x, y) if x.references.subsetOf(big.outputSet) &&
+              y.references.subsetOf(small.outputSet) => x
+            case (x, y) if y.references.subsetOf(big.outputSet) &&
+              x.references.subsetOf(small.outputSet) => y
+          }
+          a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.forall(g => bigKeys.exists(_.semanticEquals(g)))
+        }
+        (boundedBroadcastSide(j.right, defs) && keysBoundTo(j.left, j.right)) ||
+          (boundedBroadcastSide(j.left, defs) && keysBoundTo(j.right, j.left))
+      case _ => false
+    }
+  }
+
+  private def hintedBroadcastSides(plan: LogicalPlan): Seq[LogicalPlan] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    plan.foreach {
+      case j: LJoin =>
+        for ((h, side) <- Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+             if h.exists(_.strategy.exists(_.toString.contains("broadcast"))))
+          out += side
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  test("every hint-forced broadcast side has a bounded key domain") {
+    for ((name, df) <- dfs) {
+      val plan = df.queryExecution.optimizedPlan
+      val defs = defMap(plan)
+      for (side <- hintedBroadcastSides(plan)) {
+        assert(boundedBroadcastSide(side, defs),
+          s"$name hint-broadcasts a side whose key domain grows with the data " +
+            s"(a 100 TB OOM — join it partitioned, or bound it at runtime like " +
+            s"GraphOps.ktrussSupports):\n${side.treeString.split("\n").take(12).mkString("\n")}")
       }
     }
+    // negative control: a vocabulary aggregate under a forced broadcast —
+    // exactly r10's q_perplexity_eval shape — must FAIL the audit (the old
+    // aggregate-presence rule passed it; key-domain boundedness must not)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).count()
+    val badPlan = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+      .join(org.apache.spark.sql.functions.broadcast(vocab), Seq("term"))
+      .queryExecution.optimizedPlan
+    val badSides = hintedBroadcastSides(badPlan)
+    assert(badSides.nonEmpty, "negative control lost its hint")
+    assert(!badSides.forall(boundedBroadcastSide(_, defMap(badPlan))),
+      "the audit passed a corpus-vocabulary broadcast — the r10 loophole is back")
   }
 
   test("no higher-order lambda inside any Filter condition") {

@@ -202,6 +202,36 @@ class GraphOpsSpec extends SparkSpec {
     (1 to GraphOps.KtrussIters).foreach(i => assert(out(i) === ((6L, 4L))))
   }
 
+  test("ktruss closing probe de-broadcasts above the edge-count ceiling") {
+    import spark.implicits._
+    // the ADVICE-r10 runtime bound: at or under the ceiling the probe is
+    // hint-broadcast (the measured 2x win), above it the hint disappears
+    // and the semi-join partitions — same support table either way
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val n = e.count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val bc = GraphOps.ktrussSupports(e, n, broadcastMaxEdges = n)
+      val part = GraphOps.ktrussSupports(e, n, broadcastMaxEdges = n - 1)
+      // join NODES, not exchanges: sparkPlan is pre-EnsureRequirements, so
+      // BroadcastExchangeExec never appears in it (the r10 guard vacuum).
+      // The closing probe is the only LeftSemi join in the round; the
+      // wedge-internal degree joins stay broadcast either way.
+      def semiBroadcasts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }
+      assert(semiBroadcasts(bc).nonEmpty,
+        "ceiling not exceeded: the probe should keep the broadcast hint")
+      assert(semiBroadcasts(part).isEmpty,
+        "ceiling exceeded: the probe must plan partitioned, no broadcast")
+      assert(bc.orderBy("u", "v").collect().toSeq ===
+        part.orderBy("u", "v").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("modularity: two disjoint triangles — exact per-component Q and total") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6}, each edge in two baskets to clear

@@ -221,15 +221,27 @@ def main():
                 r["verdict"] = "CONFIRMED regression"
                 confirmed.append(r["leg"])
         if args.patch:
-            # patch the CURRENT artifact in place: the isolated re-run is
-            # the cleaner measurement for every flagged leg (quiet epoch,
-            # own warmup+quiesce), whatever the adjudication verdict —
-            # a confirmed regression's honest value IS the isolated one.
-            # Provenance keeps the original medians for the judge.
-            patched = {}
+            # Patch ONLY phantom-adjudicated legs (ADVICE r10): for those,
+            # the isolated re-run PROVED the median was contamination, so
+            # the clean value replaces it. A CONFIRMED regression keeps its
+            # honest median — overwriting it with the (smaller) isolated
+            # number would understate a real regression in the headline —
+            # and the isolated reading goes to provenance only. Legs the
+            # isolated path could not re-run (rerun-failed) are flagged in
+            # provenance so the artifact never SILENTLY mixes regimes.
+            patched, unpatched = {}, {}
             for r in flagged:
                 iso = r.get("isolated")
                 if iso is None or iso < 0:
+                    unpatched[r["leg"]] = {
+                        "median": cur_doc["queries"][r["leg"]],
+                        "reason": "isolated re-run failed — median regime unknown"}
+                    continue
+                if r["verdict"].startswith("CONFIRMED"):
+                    unpatched[r["leg"]] = {
+                        "median": cur_doc["queries"][r["leg"]],
+                        "isolated": iso,
+                        "reason": "confirmed regression — honest median kept"}
                     continue
                 patched[r["leg"]] = {"was": cur_doc["queries"][r["leg"]],
                                      "was_min": cur_min.get(r["leg"]),
@@ -238,15 +250,18 @@ def main():
                 cur_doc["queries"][r["leg"]] = iso
                 if r["leg"] in cur_min and fresh_min.get(r["leg"]) is not None:
                     cur_doc["queries_min"][r["leg"]] = fresh_min[r["leg"]]
-            if patched:
-                if isinstance(cur_doc.get("value"), (int, float)):
+            if patched or unpatched:
+                if patched and isinstance(cur_doc.get("value"), (int, float)):
                     delta = sum(p["now"] - p["was"] for p in patched.values())
                     cur_doc["value"] = round(cur_doc["value"] + delta, 3)
                 cur_doc.setdefault("patched", {}).update(patched)
+                if unpatched:
+                    cur_doc.setdefault("unpatched", {}).update(unpatched)
                 with open(args.current, "w") as f:
                     json.dump(cur_doc, f)
-                print(f"[benchgate] patched {len(patched)} leg(s) in "
-                      f"{args.current} (originals kept under 'patched')")
+                print(f"[benchgate] patched {len(patched)} phantom leg(s) in "
+                      f"{args.current}; {len(unpatched)} leg(s) kept their "
+                      "median (confirmed/rerun-failed — see 'unpatched')")
 
     new_legs = sorted(set(cur) - set(prev))
     gone_legs = sorted(set(prev) - set(cur))
