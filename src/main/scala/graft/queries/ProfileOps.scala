@@ -580,4 +580,132 @@ object ProfileOps {
         count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
       .orderBy(col("event_type"))
   }
+
+  // ------------------------------------------------ q-digest quantile sketch
+  /** Quantile-sketch universe: event values quantize to cents clamped to
+    * [0, 2^[[QdLevels]]) — the psi bin-clamp idiom, enforced identically
+    * in both engines (observed max at sf0.1 is 56 021 cents, inside the
+    * 65 536-cent universe with headroom). */
+  private[graft] val QdLevels   = 16
+  private[graft] val QdUniverse = 1L << QdLevels
+  /** Digest capacity: the compression threshold is T = ⌈mass⌉/K (min 1) —
+    * nodes lighter than T push their mass to the dyadic parent. Rank
+    * error of any estimate is < 2·[[QdLevels]]·T (≈ 0.016·n at K = 2048):
+    * a rank query miscounts only nodes whose dyadic range straddles the
+    * query point; straddling nodes form one root path (≤ L of them), and
+    * a retained internal node carries < 2T (it accumulated two children
+    * that each pushed < T). */
+  private[graft] val QdK = 2048L
+
+  /** Q-digest compression (Shrivastava et al. 2004, adapted to a
+    * deterministic level-synchronous sweep): `nodes` is any
+    * (level, bin, c) table — level-0 histogram rows for a fresh build,
+    * mixed-level digest unions for a MERGE — and the sweep walks levels
+    * 0..[[QdLevels]] retaining nodes with c ≥ T and pushing lighter mass
+    * to the parent (level+1, bin div 2), where it combines with whatever
+    * else arrives there before its own ≥ T test. Pure function of the
+    * combined counts — merge is union-then-recompress, and mass is
+    * preserved exactly (the spec pins both).
+    *
+    * 100 TB shape: this is the scale path for the exact-percentile
+    * entries (q_quantiles/q_equidepth sort the full column): ONE
+    * map-side-combinable groupBy to the ≤ 2^16-bin histogram — fixed-size
+    * mergeable state regardless of data volume, the CMS/HLL property —
+    * then 16 chained aggregates over ≤ 65 536 rows. No full sort
+    * anywhere; nothing in the plan scales past the universe size.
+    */
+  private[graft] def qdigestCompress(nodes: DataFrame): DataFrame = {
+    val tot = nodes.agg(sum(col("c")).as("nmass"))
+      .select(expr(s"greatest(nmass div $QdK, 1)").as("t"))
+    var state = nodes.crossJoin(broadcast(tot))
+      .select(col("level"), col("bin"), col("c"), lit(false).as("done"), col("t"))
+    for (_ <- 0 until QdLevels) {
+      val keep = col("done") || col("c") >= col("t")
+      val stepped = state.select(
+        when(keep, col("level")).otherwise(col("level") + 1).as("level"),
+        when(keep, col("bin")).otherwise(expr("bin div 2")).as("bin"),
+        col("c"), keep.as("done"), col("t"))
+      state = stepped.groupBy(col("level"), col("bin"), col("done"))
+        .agg(sum(col("c")).as("c"), max(col("t")).as("t"))
+        .select(col("level"), col("bin"), col("c"), col("done"), col("t"))
+    }
+    state.groupBy(col("level"), col("bin")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Per-decile report: digest estimate vs exact answer — the truth audit
+    * completing the sketch quartet (CMS, HLL, MinHash each carry one).
+    * The estimate is the upper bound of the first digest node (sorted by
+    * (upper, level, bin)) whose running mass reaches ⌈φ·n⌉; the exact
+    * answer and the estimate's rank INTERVAL re-read the level-0
+    * histogram. `abs_rank_err` is the distance from the target rank to
+    * [rank(<est)+1, rank(≤est)] — zero when the target falls inside it:
+    * a heavy point mass AT the estimated value widens the interval for
+    * any algorithm that returns a value, so counting it as sketch error
+    * would fail even an exact computation (the hand fixture pins this).
+    * Folds run over COLLECTED arrays — bounded by the universe (≤ 2^16
+    * structs, ~1 MB), never by the data — so no global window appears;
+    * `err_bound` is the 2·L·T straddle guarantee the spec asserts. */
+  private[graft] def qdigestReport(spark: SparkSession, h0: DataFrame,
+      digest: DataFrame): DataFrame = {
+    val dArr = digest
+      .select(expr(s"least(shiftleft(bin + 1, level) - 1, ${QdUniverse - 1})")
+          .as("upper"),
+        col("level"), col("bin"), col("c"))
+      .agg(
+        sort_array(collect_list(struct(col("upper"), col("level"), col("bin"),
+          col("c")))).as("nodes"),
+        sum(col("c")).as("n"), count(lit(1)).as("n_nodes"))
+    val hArr = h0.agg(
+      sort_array(collect_list(struct(col("bin"), col("c")))).as("h0nodes"))
+    spark.range(1, 10).select(col("id").as("p"))
+      .crossJoin(broadcast(dArr))
+      .crossJoin(broadcast(hArr))
+      .withColumn("t", expr(s"greatest(n div $QdK, 1)"))
+      .withColumn("target", expr("(p * n + 9) div 10"))
+      .withColumn("est_cents", expr(
+        """aggregate(nodes,
+          |  named_struct('cum', CAST(0 AS BIGINT), 'est', CAST(-1 AS BIGINT)),
+          |  (a, x) -> IF(a.est >= 0, a, named_struct('cum', a.cum + x.c,
+          |    'est', IF(a.cum + x.c >= target, x.upper, CAST(-1 AS BIGINT))))).est"""
+          .stripMargin))
+      .withColumn("true_cents", expr(
+        """aggregate(h0nodes,
+          |  named_struct('cum', CAST(0 AS BIGINT), 'v', CAST(-1 AS BIGINT)),
+          |  (a, x) -> IF(a.v >= 0, a, named_struct('cum', a.cum + x.c,
+          |    'v', IF(a.cum + x.c >= target, x.bin, CAST(-1 AS BIGINT))))).v"""
+          .stripMargin))
+      .withColumn("rank_of_est", expr(
+        "aggregate(h0nodes, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + IF(x.bin <= est_cents, x.c, CAST(0 AS BIGINT)))"))
+      .withColumn("rank_below_est", expr(
+        "aggregate(h0nodes, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + IF(x.bin < est_cents, x.c, CAST(0 AS BIGINT)))"))
+      .select(
+        (col("p") * 10).cast(IntegerType).as("phi_pct"),
+        col("target").as("target_rank"),
+        col("est_cents"), col("true_cents"), col("rank_of_est"),
+        greatest(lit(0L), col("rank_below_est") + 1 - col("target"),
+          col("target") - col("rank_of_est")).as("abs_rank_err"),
+        (lit(2L * QdLevels) * col("t")).as("err_bound"),
+        col("n_nodes"))
+      .orderBy(col("phi_pct"))
+  }
+
+  /** Level-0 histogram over event-value cents (the digest's input and the
+    * audit's exact reference). */
+  private[graft] def qdigestH0(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(greatest(least((col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType), lit(QdUniverse - 1)), lit(0L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Deterministic q-digest quantile sketch over event values with its
+    * truth audit: per decile φ, the digest's estimate, the exact quantile,
+    * the estimate's true rank, and the 2·L·T error guarantee. */
+  def qdigest(spark: SparkSession, dir: String): DataFrame = {
+    val h0 = qdigestH0(spark, dir)
+    qdigestReport(spark, h0,
+      qdigestCompress(h0.select(lit(0).as("level"), col("bin"), col("c"))))
+  }
 }

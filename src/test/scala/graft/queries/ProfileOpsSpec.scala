@@ -265,4 +265,87 @@ class ProfileOpsSpec extends SparkSpec {
     val k = ProfileOps.entropyDim(const, "c", "k").collect()(0)
     assert(k.getLong(2) === 1L && k.getDouble(3) === 0.0)
   }
+
+  test("qdigest: hand-computed digest, estimates, and error audit") {
+    import spark.implicits._
+    // level-0 histogram (cents bins): (0, 5120), (1, 2), (2, 3), (3, 5120)
+    // -> n = 10245, t = n div 2048 = 5. Sweep: bins 0 and 3 retain at
+    // level 0 (c >= 5); bin 1 pushes to (1,0), bin 2 to (1,1); both still
+    // light, push again and COMBINE at (2,0) with c = 5 >= t -> retained.
+    val h0 = Seq((0L, 5120L), (1L, 2L), (2L, 3L), (3L, 5120L)).toDF("bin", "c")
+    val digest = ProfileOps.qdigestCompress(
+        h0.select(lit(0).as("level"), col("bin"), col("c")))
+      .orderBy(col("level"), col("bin"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(digest === Seq((0, 0L, 5120L), (0, 3L, 5120L), (2, 0L, 5L)))
+    // phi = 0.5: target = ceil(n/2) = 5123. Digest nodes sorted by
+    // (upper, level, bin): (0,lv0) cum 5120 < 5123, then (3,lv0) cum
+    // 10240 >= 5123 -> est = 3. Exact lower quantile: h0 cumsum
+    // 5120/5122/5125 -> first bin reaching 5123 is 2. The rank interval
+    // of est=3 is [rank(<3)+1, rank(<=3)] = [5126, 10245]; the target
+    // misses it by 3 — the straddle error (the pushed-up (2,0) node),
+    // NOT the 5120-point-mass at value 3, which any value-returning
+    // quantile algorithm attributes wholesale. Bound 2·16·5 = 160.
+    val rep = ProfileOps.qdigestReport(spark, h0,
+        ProfileOps.qdigestCompress(
+          h0.select(lit(0).as("level"), col("bin"), col("c"))))
+      .collect()
+    val r50 = rep.find(_.getInt(0) == 50).get
+    assert(r50.getLong(1) === 5123L) // target_rank
+    assert(r50.getLong(2) === 3L)    // est_cents
+    assert(r50.getLong(3) === 2L)    // true_cents
+    assert(r50.getLong(4) === 10245L) // rank_of_est = rank(<= est)
+    assert(r50.getLong(5) === 3L)    // interval distance
+    assert(r50.getLong(6) === 160L)  // err_bound
+    assert(rep.forall(_.getLong(7) === 3L)) // n_nodes
+  }
+
+  test("qdigest: mass preservation and error-within-bound on real data") {
+    val h0 = ProfileOps.qdigestH0(spark, "/root/testdata/sf0.001").cache()
+    val n = h0.agg(sum(col("c"))).collect()(0).getLong(0)
+    val digest = ProfileOps.qdigestCompress(
+      h0.select(lit(0).as("level"), col("bin"), col("c")))
+    assert(digest.agg(sum(col("c"))).collect()(0).getLong(0) === n)
+    val rep = ProfileOps.qdigestReport(spark, h0, digest).collect()
+    assert(rep.length === 9)
+    for (r <- rep) {
+      assert(r.getLong(5) <= r.getLong(6),
+        s"decile ${r.getInt(0)}: rank err ${r.getLong(5)} > bound ${r.getLong(6)}")
+      // the estimate never undershoots the true lower quantile by value
+      // more than the node width implies; pin the cheap invariant instead:
+      // est >= true (upper-bound estimates are right-biased)
+      assert(r.getLong(2) >= r.getLong(3))
+    }
+    h0.unpersist()
+  }
+
+  test("qdigest: merge law -- union-then-recompress preserves mass and the bound") {
+    // split sf0.001 events by event_id parity, digest each half, merge by
+    // UNIONING the two digests' (level, bin, c) nodes and recompressing
+    // (the q-digest merge), then audit the merged digest against the WHOLE
+    // data's exact histogram: mass exact, per-decile rank error within the
+    // merged bound (2 sweeps' straddle, so 2x the single bound).
+    import org.apache.spark.sql.DataFrame
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        greatest(least((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType),
+          lit(ProfileOps.QdUniverse - 1)), lit(0L)).as("bin"))
+    def h0Of(df: DataFrame): DataFrame =
+      df.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val whole = h0Of(ev).cache()
+    val dA = ProfileOps.qdigestCompress(h0Of(ev.filter(col("event_id") % 2 === 0))
+      .select(lit(0).as("level"), col("bin"), col("c")))
+    val dB = ProfileOps.qdigestCompress(h0Of(ev.filter(col("event_id") % 2 === 1))
+      .select(lit(0).as("level"), col("bin"), col("c")))
+    val merged = ProfileOps.qdigestCompress(dA.unionByName(dB))
+    val n = whole.agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(merged.agg(sum(col("c"))).collect()(0).getLong(0) === n)
+    val rep = ProfileOps.qdigestReport(spark, whole, merged).collect()
+    for (r <- rep)
+      assert(r.getLong(5) <= 2 * r.getLong(6),
+        s"decile ${r.getInt(0)}: merged rank err ${r.getLong(5)} > 2x bound")
+    whole.unpersist()
+  }
 }
