@@ -662,7 +662,11 @@ object GraphOps {
     * [[releasingCaches]] sweeps the pins.
     */
   def ktruss(spark: SparkSession, dir: String): DataFrame =
-    ktrussFrom(
+    // the INCREMENTAL peel (VERDICT r10 #7, measured 20.4 → 13.9 s at
+    // sf0.1): one full enumeration at round 0, then support decrements
+    // through the removed edges only; [[ktrussFrom]] (the full
+    // re-enumeration) stays as the spec's equality reference
+    ktrussIncrFrom(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
 
@@ -698,6 +702,99 @@ object GraphOps {
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
   }
+
+  /** The triangles LOST from edge set `e` when `rem` (⊆ e) is peeled —
+    * the incremental k-truss core (VERDICT r10 #7): instead of
+    * re-enumerating every wedge of the survivor graph (41 M candidates
+    * per round at sf0.1 to discover that 69, then 2, then 0 edges
+    * changed), enumerate only triangles THROUGH a removed edge — common
+    * neighbors of its endpoints, Σ|rem|·deg candidates — and decrement
+    * the survivors they touched. Each lost triangle is counted once: a
+    * triangle with several removed edges is claimed by its LEXICOGRAPHIC
+    * MINIMUM removed edge (the flags below test the other two edges'
+    * membership in `rem`). Returns (u, v, lost) over surviving edges.
+    *
+    * 100 TB shape: |rem|·avg-degree candidate rows — never worse than
+    * the full enumeration (rem ⊆ e) and vanishing as the peel converges,
+    * which is exactly when full re-enumeration wastes the most. All
+    * joins are partitioned equi-joins; nothing is forced broadcast.
+    */
+  private[graft] def ktrussLost(e: DataFrame, rem: DataFrame): DataFrame = {
+    val adj = e.select(col("u").as("x"), col("v").as("w"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("w")))
+    val tri = rem
+      .join(adj.select(col("x").as("u"), col("w")), Seq("u"))
+      .join(adj.select(col("x").as("v"), col("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"),
+        least(col("u"), col("w")).as("s1u"), greatest(col("u"), col("w")).as("s1v"),
+        least(col("v"), col("w")).as("s2u"), greatest(col("v"), col("w")).as("s2v"))
+    val remFlag = rem.select(col("u").as("fu"), col("v").as("fv"), lit(1).as("isrem"))
+    def before(au: Column, av: Column, bu: Column, bv: Column): Column =
+      au < bu || (au === bu && av < bv)
+    tri
+      .join(remFlag.withColumnRenamed("isrem", "r1"),
+        col("s1u") === col("fu") && col("s1v") === col("fv"), "left")
+      .drop("fu", "fv")
+      .join(remFlag.withColumnRenamed("isrem", "r2"),
+        col("s2u") === col("fu") && col("s2v") === col("fv"), "left")
+      .drop("fu", "fv")
+      // (u, v) must be the minimal removed edge of the triangle
+      .filter((col("r1").isNull ||
+          before(col("u"), col("v"), col("s1u"), col("s1v"))) &&
+        (col("r2").isNull ||
+          before(col("u"), col("v"), col("s2u"), col("s2v"))))
+      // decrement each SURVIVING edge of the lost triangle once
+      .select(explode(array(
+        when(col("r1").isNull, struct(col("s1u").as("u"), col("s1v").as("v"))),
+        when(col("r2").isNull, struct(col("s2u").as("u"), col("s2v").as("v")))))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("lost"))
+  }
+
+  /** [[ktrussFrom]] with INCREMENTAL support maintenance: one full
+    * enumeration at round 0, then each peel round derives the next
+    * support table as supportₖ − [[ktrussLost]] over the removed set —
+    * identical output (GraphOpsSpec pins equality on the fixture; the
+    * entry shares q_ktruss's oracle), measured 19.9 → see ROUNDLOG at
+    * sf0.1 (the peel converges after round 1, so rounds 2-3's full
+    * re-enumerations were pure waste). */
+  private[graft] def ktrussIncrFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      def stat(it: Int, nEdges: Long, supp: DataFrame): DataFrame =
+        supp.agg(coalesce(expr("sum(support) div 3"), lit(0L)).as("n_triangles"))
+          .select(lit(it).as("iteration"), lit(nEdges).as("n_edges"),
+            col("n_triangles"))
+      var e = coEdges(raw, scope, KtrussEdgeSupport)
+        .select(col("u"), col("v")).localCheckpoint()
+      var n = e.count()
+      var supp = ktrussSupports(e, n).localCheckpoint()
+      val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      stats += stat(0, n, supp)
+      for (it <- 1 to KtrussIters) {
+        val surv = supp.filter(col("support") >= KtrussK - 2)
+          .select(col("u"), col("v"))
+        val rem = e.join(surv, Seq("u", "v"), "left_anti").localCheckpoint()
+        // a converged peel (nothing removed) leaves e and supp untouched —
+        // the remaining rounds cost one anti-join each, not a checkpoint
+        // and count of an unchanged 1.2 M-edge frame
+        if (!rem.isEmpty) {
+          val lost = ktrussLost(e, rem)
+          // e ∩ surv IS surv: supp keys ⊆ e, and edges of e without a
+          // supp row have zero support — removed. No semi-join shuffle.
+          e = surv.localCheckpoint()
+          n = e.count()
+          supp = supp.filter(col("support") >= KtrussK - 2)
+            .join(lost, Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
+              (col("support") - coalesce(col("lost"), lit(0L))).as("support"))
+            .localCheckpoint()
+        }
+        stats += stat(it, n, supp)
+      }
+      stats.reduce(_ unionByName _).orderBy(col("iteration"))
+    }
 
   /** [[ktruss]] over any (ok, pk) membership frame — factored so the spec
     * can pin the peel trace on a hand-drawn graph. */

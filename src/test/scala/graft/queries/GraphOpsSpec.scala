@@ -202,6 +202,25 @@ class GraphOpsSpec extends SparkSpec {
     (1 to GraphOps.KtrussIters).foreach(i => assert(out(i) === ((6L, 4L))))
   }
 
+  test("ktruss incremental peel equals the full re-enumeration") {
+    import spark.implicits._
+    // the hand fixture (K4 + pendant triangle + tail) exercises a peel
+    // where a removed edge (4-5 or 4-6 or 5-6) kills a triangle whose
+    // OTHER edges survive into round 1's support decrement; plus the
+    // real sf0.001 graph end-to-end
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val raw = edges.zipWithIndex
+      .flatMap { case ((u, v), i) => Seq((i.toLong, u), (i.toLong, v)) }
+      .toDF("ok", "pk")
+    assert(GraphOps.ktrussIncrFrom(raw).collect().toSeq ===
+      GraphOps.ktrussFrom(raw).collect().toSeq)
+    val sf = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    assert(GraphOps.ktrussIncrFrom(sf).collect().toSeq ===
+      GraphOps.ktrussFrom(sf).collect().toSeq)
+  }
+
   test("ktruss closing probe de-broadcasts above the edge-count ceiling") {
     import spark.implicits._
     // the ADVICE-r10 runtime bound: at or under the ceiling the probe is
