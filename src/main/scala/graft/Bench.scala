@@ -285,8 +285,19 @@ object Bench {
     // timed3's warmup because the global pass above already materialized
     // every query once (JIT + page cache), and the heavy legs touch the
     // same input files so the OS cache stays warm.
-    val results = names.map { name =>
-      name -> timed3(() => materialize(name), warmup = false)
+    // The sweep runs in thirds with a calibration probe between chunks
+    // (VERDICT r11 #2): mid→end was one ~200 s unprobed window, so a
+    // contaminated tail epoch could not be attributed tighter than "half
+    // the run" — the backfilled r11 close flagged 13 sub-second legs for
+    // exactly this reason. Two extra ~3 s probes buy per-third brackets.
+    val sweepCals = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
+    val chunks = names.grouped(math.max(1, (names.size + 2) / 3)).toSeq
+    val results = chunks.zipWithIndex.flatMap { case (chunk, i) =>
+      val rs = chunk.map { name =>
+        name -> timed3(() => materialize(name), warmup = false)
+      }
+      if (i < chunks.size - 1) sweepCals += (s"sweep_${i + 1}" -> calibrate())
+      rs
     }
     val finalResults =
       etlResults ++ dedupResults ++ kmeansResults ++ layoutResults ++ results
@@ -307,7 +318,7 @@ object Bench {
       "\"" + k + "\":[" + round3(t.t0) + "," + round3(t.t1) + "]"
     }.mkString("{", ",", "}")
     val cals = Seq("start" -> calStart, "post_etl" -> calPostEtl,
-      "mid" -> calMid, "end" -> calEnd)
+      "mid" -> calMid) ++ sweepCals.toSeq ++ Seq("end" -> calEnd)
     val calMeds = cals.map(_._2.median).filter(_ >= 0)
     val calSpread =
       if (calMeds.isEmpty || calMeds.min <= 0) -1.0 else calMeds.max / calMeds.min
@@ -327,8 +338,36 @@ object Bench {
     val spreadSuspect = finalResults.collect {
       case (k, t) if t.min > 0 && t.median > 1.5 * t.min => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // Epoch self-annotation (VERDICT r11 #2): spread_suspect cannot see
+    // contamination that inflates all 3 iterations EQUALLY (etl_pipeline
+    // read 54.8 med / 51.2 min — spread 1.07 — while really ~27 s, five
+    // rounds running). The evidence that CAN see it is the leg's
+    // BRACKETING calibration probes vs the run's own quiet floor: external
+    // load that inflates a leg's whole window inflates the constant-work
+    // probes around it too. A leg whose nearest probes read > 1.4x the
+    // floor is annotated with that ratio ("epoch_suspect") — listed, not
+    // patched, like spread_suspect: medians stay honest raw measurements
+    // and benchgate re-adjudicates the named legs. Sub-second legs are
+    // skipped (absolute error is noise; the phantom class is heavy legs).
+    val calFloor = calMeds.filter(_ > 0) match {
+      case s if s.nonEmpty => s.min
+      case _ => -1.0
+    }
+    def bracketRatio(t: Timing): Double = {
+      if (calFloor <= 0) return -1.0
+      val prev = cals.map(_._2).filter(c => c.median >= 0 && c.t1 <= t.t0)
+        .sortBy(-_.t1).headOption
+      val next = cals.map(_._2).filter(c => c.median >= 0 && c.t0 >= t.t1)
+        .sortBy(_.t0).headOption
+      val bracket = (prev.toSeq ++ next.toSeq).map(_.median)
+      if (bracket.isEmpty) -1.0 else bracket.max / calFloor
+    }
+    val epochSuspect = finalResults.collect {
+      case (k, t) if t.median >= 1.0 && bracketRatio(t) > 1.4 =>
+        "\"" + k + "\":" + round3(bracketRatio(t))
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

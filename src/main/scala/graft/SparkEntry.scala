@@ -2686,11 +2686,14 @@ object SparkEntry {
     // node has the minimal upper)
     "q_qdigest" -> {
       import graft.queries.ProfileOps.{QdK, QdLevels, QdUniverse}
+      // the keep predicate carries the root clamp (level >= QdLevels) the
+      // engine's sweep applies — a no-op on this level-0 build, mirrored
+      // so the two sweeps stay textually equivalent for merge input too
       val rounds = (0 until QdLevels).map { i =>
         s"""s${i + 1} AS (SELECT level, bin, SUM(c) AS c, done, MAX(t) AS t FROM (
-           |    SELECT CASE WHEN done OR c >= t THEN level ELSE level + 1 END AS level,
-           |           CASE WHEN done OR c >= t THEN bin ELSE bin // 2 END AS bin,
-           |           c, (done OR c >= t) AS done, t
+           |    SELECT CASE WHEN done OR c >= t OR level >= $QdLevels THEN level ELSE level + 1 END AS level,
+           |           CASE WHEN done OR c >= t OR level >= $QdLevels THEN bin ELSE bin // 2 END AS bin,
+           |           c, (done OR c >= t OR level >= $QdLevels) AS done, t
            |    FROM s$i) GROUP BY level, bin, done)""".stripMargin
       }.mkString(",\n")
       s"""WITH h0 AS MATERIALIZED (
@@ -3785,8 +3788,12 @@ object SparkEntry {
     // bin 0 in both engines, absorbing the trunc-vs-floor divide gap)
     "q_psi" -> {
       import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
+      // the argument is a HUGEINT count product: its double read routes
+      // through the pinned CAST-to-VARCHAR detour (the q_gmm_hard lnqh
+      // precedent) so a 1-ulp hugeint->double drift above 2^63 cannot
+      // flip the floor-quantized log vs Spark's Decimal(38,0) read
       def lnq(m: String) =
-        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+        s"CAST(floor(ln(CAST(CAST($m AS VARCHAR) AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
       s"""WITH e AS (SELECT
         |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
         |      ${PsiBins - 1}), 0) AS bin,
@@ -3815,8 +3822,9 @@ object SparkEntry {
     // an exact integer sum — no float fold at all
     "q_mutual_info" -> {
       import graft.queries.StatsOps.LogScale
+      // HUGEINT count-product argument -> VARCHAR detour (q_psi note)
       def lnq(m: String) =
-        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+        s"CAST(floor(ln(CAST(CAST($m AS VARCHAR) AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
       s"""WITH cells AS (SELECT o_orderpriority AS x_val, o_orderstatus AS y_val,
         |    COUNT(*) AS n_xy FROM orders GROUP BY 1, 2),
         |mx AS (SELECT x_val, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
@@ -4565,8 +4573,9 @@ object SparkEntry {
     // cross-product log arguments, same single end division
     "q_source_kl" -> {
       import graft.queries.TextOps.BmScale
+      // HUGEINT count-product argument -> VARCHAR detour (q_psi note)
       def lnq(m: String) =
-        s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
+        s"CAST(floor(ln(CAST(CAST($m AS VARCHAR) AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
       s"""WITH st AS (SELECT source, term, COUNT(*) AS c
         |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
         |        FROM documents)
@@ -5169,8 +5178,9 @@ object SparkEntry {
     * and q_stream_psi (the streaming single-aggregation window form). */
   private lazy val psiDailySql: String = {
     import graft.queries.StatsOps.{LogScale, PsiBins, PsiBinCents}
+    // HUGEINT count-product argument -> VARCHAR detour (q_psi note)
     def lnq(m: String) =
-      s"CAST(floor(ln(CAST($m AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"CAST(floor(ln(CAST(CAST($m AS VARCHAR) AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
     s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
       |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
       |      ${PsiBins - 1}), 0) AS bin

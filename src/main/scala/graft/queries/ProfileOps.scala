@@ -620,7 +620,14 @@ object ProfileOps {
     var state = nodes.crossJoin(broadcast(tot))
       .select(col("level"), col("bin"), col("c"), lit(false).as("done"), col("t"))
     for (_ <- 0 until QdLevels) {
-      val keep = col("done") || col("c") >= col("t")
+      // level >= QdLevels forces done at the ROOT: on mixed-level MERGE
+      // input a light root node must accumulate there, not step to a
+      // phantom level 17+ where done/not-done groups never recombine —
+      // that non-canonical shape kept mass and estimates (upper clamps to
+      // the universe) but voided the uniform 2·L·T bound (ADVICE r11).
+      // Fresh level-0 builds cannot reach the root mid-sweep, so their
+      // digests are bit-identical with or without the clause.
+      val keep = col("done") || col("c") >= col("t") || col("level") >= QdLevels
       val stepped = state.select(
         when(keep, col("level")).otherwise(col("level") + 1).as("level"),
         when(keep, col("bin")).otherwise(expr("bin div 2")).as("bin"),

@@ -613,11 +613,13 @@ object StatsOps {
       .withColumn("share_b", col("sb").cast(DoubleType) / col("nb").cast(DoubleType))
       .withColumn("psi_term",
         (col("share_a") - col("share_b"))
-          // the log arguments are products of two data-scale counts: DECIMAL
-          // multiply (exact to 10^38) replaces the int64 product that wraps
-          // silently at 9.2e18 (ADVICE r10); the oracle multiplies in HUGEINT
-          * (lnq(col("sa").cast(DecimalType(18, 0)) * col("nb").cast(DecimalType(18, 0)))
-            - lnq(col("sb").cast(DecimalType(18, 0)) * col("na").cast(DecimalType(18, 0)))).cast(DoubleType)
+          // the log arguments are products of two data-scale counts:
+          // DECIMAL(19,0) multiply (every long representable; product
+          // <= 8.5e37 fits DECIMAL(38,0) exactly) replaces the int64
+          // product that wraps silently at 9.2e18 (ADVICE r10/r11); the
+          // oracle multiplies in HUGEINT + reads via the VARCHAR detour
+          * (lnq(col("sa").cast(DecimalType(19, 0)) * col("nb").cast(DecimalType(19, 0)))
+            - lnq(col("sb").cast(DecimalType(19, 0)) * col("na").cast(DecimalType(19, 0)))).cast(DoubleType)
           / lit(LogScale.toDouble))
     val total = terms.agg(
         sort_array(collect_list(struct(col("bin"), col("psi_term").as("t")))).as("ts"))
@@ -654,11 +656,11 @@ object StatsOps {
       .join(broadcast(mx), Seq("x_val"))
       .join(broadcast(my), Seq("y_val"))
       .join(broadcast(n))
-      // same ADVICE-r10 headroom fix as psi: c_xy*N and c_x*c_y are
-      // data-scale x data-scale -- DECIMAL(18,0) products, HUGEINT oracle
-      .withColumn("pmi_q", lnq(col("n_xy").cast(DecimalType(18, 0)) * col("n").cast(DecimalType(18, 0)))
-        - lnq(col("n_x").cast(DecimalType(18, 0)) * col("n_y").cast(DecimalType(18, 0))))
-    val mi = scored.agg(sum(col("n_xy").cast(DecimalType(18, 0)) * col("pmi_q")).as("mi_num"),
+      // same headroom fix as psi (ADVICE r10/r11): c_xy*N and c_x*c_y are
+      // data-scale x data-scale -- DECIMAL(19,0) products, HUGEINT oracle
+      .withColumn("pmi_q", lnq(col("n_xy").cast(DecimalType(19, 0)) * col("n").cast(DecimalType(19, 0)))
+        - lnq(col("n_x").cast(DecimalType(19, 0)) * col("n_y").cast(DecimalType(19, 0))))
+    val mi = scored.agg(sum(col("n_xy").cast(DecimalType(19, 0)) * col("pmi_q")).as("mi_num"),
         max(col("n")).as("nn"))
       .select((col("mi_num").cast(DoubleType)
         / (col("nn").cast(DoubleType) * lit(LogScale.toDouble))).as("mi"))
@@ -834,11 +836,13 @@ object StatsOps {
       .withColumn("term",
         (col("sa").cast(DoubleType) / col("na").cast(DoubleType)
           - col("sb").cast(DoubleType) / col("nb").cast(DoubleType))
-          // the log arguments are products of two data-scale counts: DECIMAL
-          // multiply (exact to 10^38) replaces the int64 product that wraps
-          // silently at 9.2e18 (ADVICE r10); the oracle multiplies in HUGEINT
-          * (lnq(col("sa").cast(DecimalType(18, 0)) * col("nb").cast(DecimalType(18, 0)))
-            - lnq(col("sb").cast(DecimalType(18, 0)) * col("na").cast(DecimalType(18, 0)))).cast(DoubleType)
+          // the log arguments are products of two data-scale counts:
+          // DECIMAL(19,0) multiply (every long representable; product
+          // <= 8.5e37 fits DECIMAL(38,0) exactly) replaces the int64
+          // product that wraps silently at 9.2e18 (ADVICE r10/r11); the
+          // oracle multiplies in HUGEINT + reads via the VARCHAR detour
+          * (lnq(col("sa").cast(DecimalType(19, 0)) * col("nb").cast(DecimalType(19, 0)))
+            - lnq(col("sb").cast(DecimalType(19, 0)) * col("na").cast(DecimalType(19, 0)))).cast(DoubleType)
           / lit(LogScale.toDouble))
       .groupBy(col("day"))
       .agg((sum(col("sa")) - PsiBins).as("n_events"),

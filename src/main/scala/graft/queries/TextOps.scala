@@ -1981,18 +1981,20 @@ object TextOps {
     * rows, bounded because `source` is a bounded domain. The two count
     * lookups are partitioned hash joins on (source, term).
     *
-    * Overflow headroom (ADVICE r10): each quantized-log argument is the
-    * product of two data-scale counts, computed in DECIMAL(18,0) ×
-    * DECIMAL(18,0) → DECIMAL(37,0) — exact as long as each FACTOR stays
-    * below 10^18 (term count and corpus mass, comfortably true at
-    * 100 TB), where the old int64 product wrapped silently at 9.2×10^18.
-    * The oracle multiplies in HUGEINT for the same reason.
+    * Overflow headroom (ADVICE r10/r11): each quantized-log argument is
+    * the product of two data-scale counts, computed in DECIMAL(19,0) ×
+    * DECIMAL(19,0) → DECIMAL(38,0). DECIMAL(19,0) represents EVERY long
+    * (DECIMAL(18,0) silently nulled counts ≥ 10^18 under non-ANSI Spark)
+    * and the product — at most ~8.5×10^37 for two max-long factors —
+    * still fits DECIMAL(38,0) exactly. The old int64 product wrapped
+    * silently at 9.2×10^18; the oracle multiplies in HUGEINT and reads
+    * the double through the CAST-to-VARCHAR detour.
     */
   def sourceKl(spark: SparkSession, dir: String): DataFrame = {
     def lnq(c: Column): Column =
       floor(log(c.cast(DoubleType)) * lit(BmScale.toDouble) + lit(0.5))
         .cast(LongType)
-    def dec(c: Column): Column = c.cast(DecimalType(18, 0))
+    def dec(c: Column): Column = c.cast(DecimalType(19, 0))
     val st = Tables.documents(spark, dir)
       .select(col("source"), explode(toksAll).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))

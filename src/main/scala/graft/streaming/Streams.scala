@@ -477,10 +477,11 @@ object Streams {
       val sb = col(s"cb$b") + 1L
       (sa.cast(DoubleType) / col("na").cast(DoubleType)
         - sb.cast(DoubleType) / col("nb").cast(DoubleType))
-        // DECIMAL products for the data-scale x data-scale log arguments
-        // (ADVICE r10 -- int64 wraps silently at 9.2e18; oracle uses HUGEINT)
-        .multiply((lnq(sa.cast(DecimalType(18, 0)) * col("nb").cast(DecimalType(18, 0)))
-          - lnq(sb.cast(DecimalType(18, 0)) * col("na").cast(DecimalType(18, 0)))).cast(DoubleType))
+        // DECIMAL(19,0) products for the data-scale x data-scale log
+        // arguments (ADVICE r10/r11 -- int64 wraps at 9.2e18, DECIMAL(18,0)
+        // nulls counts >= 1e18; oracle: HUGEINT + the VARCHAR detour)
+        .multiply((lnq(sa.cast(DecimalType(19, 0)) * col("nb").cast(DecimalType(19, 0)))
+          - lnq(sb.cast(DecimalType(19, 0)) * col("na").cast(DecimalType(19, 0)))).cast(DoubleType))
         .divide(lit(LogScale.toDouble))
     }
     counts

@@ -324,7 +324,11 @@ class ProfileOpsSpec extends SparkSpec {
     // UNIONING the two digests' (level, bin, c) nodes and recompressing
     // (the q-digest merge), then audit the merged digest against the WHOLE
     // data's exact histogram: mass exact, per-decile rank error within the
-    // merged bound (2 sweeps' straddle, so 2x the single bound).
+    // principled merged bound 2 x (2·L·T_m): the shard sweeps contribute
+    // displacement <= 2·L·(T_A + T_B) <= 2·L·T_m (thresholds scale with
+    // mass), the recompress adds its own <= 2·L·T_m. With the root clamp
+    // (ADVICE r11) the merged digest is canonical — no phantom level-17+
+    // nodes — so the straddle-path argument applies uniformly.
     import org.apache.spark.sql.DataFrame
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .filter(col("value").isNotNull)
