@@ -304,6 +304,9 @@ object SparkEntry {
     // deterministic q-digest quantile sketch + truth audit vs the exact
     // deciles (completes the sketch quartet: CMS, HLL, MinHash, quantiles)
     "q_qdigest" -> (ProfileOps.qdigest _),
+    // the MERGE law as a distributed plan: per-event-type digests built
+    // independently, union-and-recompressed, audited vs the global truth
+    "q_qdigest_merge" -> (ProfileOps.qdigestMerge _),
     // Shannon entropy of the categorical catalog columns, fixed-point
     "q_entropy_profile" -> (ProfileOps.entropyProfile _),
     // market-basket pair co-occurrence with support + lift, cap-guarded
@@ -2704,6 +2707,61 @@ object SparkEntry {
         |    GREATEST(SUM(c) // $QdK, 1) AS t FROM h0),
         |s0 AS (SELECT 0 AS level, bin, c, FALSE AS done, t FROM h0 CROSS JOIN tot),
         |$rounds,
+        |digest AS MATERIALIZED (
+        |  SELECT level, bin, CAST(SUM(c) AS BIGINT) AS c FROM s$QdLevels GROUP BY 1, 2),
+        |nodes AS (SELECT LEAST((bin + 1) * (CAST(1 AS BIGINT) << level) - 1,
+        |    ${QdUniverse - 1}) AS upper, level, bin, c FROM digest),
+        |cum AS (SELECT *, SUM(c) OVER (ORDER BY upper, level, bin) AS cum FROM nodes),
+        |h0cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM h0),
+        |nn AS (SELECT (SELECT COUNT(*) FROM digest) AS n_nodes, n, t FROM tot),
+        |q AS (SELECT unnest(range(1, 10)) AS p, n, n_nodes, t FROM nn),
+        |q2 AS (SELECT p, (p * n + 9) // 10 AS target, n_nodes, t FROM q),
+        |est AS (SELECT q2.p, q2.target, q2.n_nodes, q2.t,
+        |    CAST(MIN(cum.upper) AS BIGINT) AS est_cents
+        |  FROM q2 JOIN cum ON cum.cum >= q2.target GROUP BY 1, 2, 3, 4),
+        |tru AS (SELECT q2.p, CAST(MIN(h0cum.bin) AS BIGINT) AS true_cents
+        |  FROM q2 JOIN h0cum ON h0cum.cum >= q2.target GROUP BY 1),
+        |rk AS (SELECT e.p,
+        |    CAST(COALESCE(SUM(h.c) FILTER (WHERE h.bin <= e.est_cents), 0) AS BIGINT) AS rank_of_est,
+        |    CAST(COALESCE(SUM(h.c) FILTER (WHERE h.bin < e.est_cents), 0) AS BIGINT) AS rank_below_est
+        |  FROM est e LEFT JOIN h0 h ON h.bin <= e.est_cents GROUP BY 1)
+        |SELECT CAST(e.p * 10 AS INT) AS phi_pct, CAST(e.target AS BIGINT) AS target_rank,
+        |  e.est_cents, t2.true_cents, rk.rank_of_est,
+        |  GREATEST(0, rk.rank_below_est + 1 - e.target, e.target - rk.rank_of_est) AS abs_rank_err,
+        |  CAST(2 * $QdLevels * e.t AS BIGINT) AS err_bound,
+        |  CAST(e.n_nodes AS BIGINT) AS n_nodes
+        |FROM est e JOIN tru t2 USING (p) JOIN rk USING (p) ORDER BY phi_pct""".stripMargin
+    },
+    // the per-type sweep (threshold per shard) then the merged sweep —
+    // both the identical 16-round CASE text as q_qdigest, the first with
+    // the shard key carried through every GROUP BY; same-(level, bin)
+    // nodes COMBINE before the merged sweep (engine pre-combines too);
+    // report tail identical to q_qdigest against the GLOBAL histogram
+    "q_qdigest_merge" -> {
+      import graft.queries.ProfileOps.{QdK, QdLevels, QdUniverse}
+      def sweep(pfx: String, grp: String) = (0 until QdLevels).map { i =>
+        s"""$pfx${i + 1} AS (SELECT ${grp}level, bin, SUM(c) AS c, done, MAX(t) AS t FROM (
+           |    SELECT ${grp}CASE WHEN done OR c >= t OR level >= $QdLevels THEN level ELSE level + 1 END AS level,
+           |           CASE WHEN done OR c >= t OR level >= $QdLevels THEN bin ELSE bin // 2 END AS bin,
+           |           c, (done OR c >= t OR level >= $QdLevels) AS done, t
+           |    FROM $pfx$i) GROUP BY ${grp}level, bin, done)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0t AS MATERIALIZED (
+        |  SELECT event_type AS et,
+        |    GREATEST(LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+        |      ${QdUniverse - 1}), 0) AS bin, COUNT(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT et, GREATEST(SUM(c) // $QdK, 1) AS t FROM h0t GROUP BY et),
+        |p0 AS (SELECT h0t.et, 0 AS level, bin, c, FALSE AS done, t
+        |  FROM h0t JOIN tt USING (et)),
+        |${sweep("p", "et, ")},
+        |dsrc AS MATERIALIZED (
+        |  SELECT level, bin, CAST(SUM(c) AS BIGINT) AS c FROM p$QdLevels GROUP BY 1, 2),
+        |h0 AS MATERIALIZED (SELECT bin, CAST(SUM(c) AS BIGINT) AS c FROM h0t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    GREATEST(SUM(c) // $QdK, 1) AS t FROM h0),
+        |s0 AS (SELECT level, bin, c, FALSE AS done, t FROM dsrc CROSS JOIN tot),
+        |${sweep("s", "")},
         |digest AS MATERIALIZED (
         |  SELECT level, bin, CAST(SUM(c) AS BIGINT) AS c FROM s$QdLevels GROUP BY 1, 2),
         |nodes AS (SELECT LEAST((bin + 1) * (CAST(1 AS BIGINT) << level) - 1,

@@ -615,9 +615,14 @@ object ProfileOps {
     * anywhere; nothing in the plan scales past the universe size.
     */
   private[graft] def qdigestCompress(nodes: DataFrame): DataFrame = {
-    val tot = nodes.agg(sum(col("c")).as("nmass"))
+    // canonical union semantics: same-(level, bin) mass COMBINES before
+    // any threshold test — a merge input carries one node per digest, and
+    // testing fragments individually could step a light fragment past a
+    // sibling that stays (identity for fresh single-histogram builds)
+    val combined = nodes.groupBy(col("level"), col("bin")).agg(sum(col("c")).as("c"))
+    val tot = combined.agg(sum(col("c")).as("nmass"))
       .select(expr(s"greatest(nmass div $QdK, 1)").as("t"))
-    var state = nodes.crossJoin(broadcast(tot))
+    var state = combined.crossJoin(broadcast(tot))
       .select(col("level"), col("bin"), col("c"), lit(false).as("done"), col("t"))
     for (_ <- 0 until QdLevels) {
       // level >= QdLevels forces done at the ROOT: on mixed-level MERGE
@@ -714,5 +719,57 @@ object ProfileOps {
     val h0 = qdigestH0(spark, dir)
     qdigestReport(spark, h0,
       qdigestCompress(h0.select(lit(0).as("level"), col("bin"), col("c"))))
+  }
+
+  /** Per-group q-digest compression: the [[qdigestCompress]] sweep with a
+    * group key carried through every round — each group gets its OWN
+    * threshold T = max(⌊group mass / K⌋, 1), so the output is one
+    * independent digest per key. This is the per-source/per-shard build a
+    * 100 TB ingest runs: ONE map-side-combinable histogram aggregate, then
+    * 16 chained groupBys over ≤ |keys|·2^16 rows. The key joins broadcast
+    * because the per-key threshold frame is group-domain scale. */
+  private[graft] def qdigestCompressBy(nodes: DataFrame, key: String): DataFrame = {
+    val tot = nodes.groupBy(col(key)).agg(sum(col("c")).as("nmass"))
+      .select(col(key), expr(s"greatest(nmass div $QdK, 1)").as("t"))
+    var state = nodes.join(broadcast(tot), Seq(key))
+      .select(col(key), col("level"), col("bin"), col("c"),
+        lit(false).as("done"), col("t"))
+    for (_ <- 0 until QdLevels) {
+      val keep = col("done") || col("c") >= col("t") || col("level") >= QdLevels
+      val stepped = state.select(col(key),
+        when(keep, col("level")).otherwise(col("level") + 1).as("level"),
+        when(keep, col("bin")).otherwise(expr("bin div 2")).as("bin"),
+        col("c"), keep.as("done"), col("t"))
+      state = stepped.groupBy(col(key), col("level"), col("bin"), col("done"))
+        .agg(sum(col("c")).as("c"), max(col("t")).as("t"))
+        .select(col(key), col("level"), col("bin"), col("c"), col("done"), col("t"))
+    }
+    state.groupBy(col(key), col("level"), col("bin")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Distributed q-digest MERGE, end to end (VERDICT r11 #3): per-event-
+    * type digests built independently — the per-source/per-day shards a
+    * 100 TB pipeline actually produces — then union-and-recompress
+    * ([[qdigestCompress]] accepts the mixed-level node union directly;
+    * the root clamp keeps the merged digest canonical), and the merged
+    * digest audited against the WHOLE data's exact histogram. The plan is
+    * the mergeability claim made executable: per-shard aggregate → union
+    * → 16 bounded recompress rounds, no full sort anywhere. The reported
+    * `err_bound` is the single-sweep 2·L·T; the principled merged bound
+    * is 2× it (shard sweeps inherit ≤ 2·L·(ΣT_i) ≤ 2·L·T_m, the
+    * recompress adds ≤ 2·L·T_m — ProfileOpsSpec asserts it). */
+  def qdigestMerge(spark: SparkSession, dir: String): DataFrame = {
+    val h0ByType = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        greatest(least((col("value").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType), lit(QdUniverse - 1)), lit(0L)).as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    val perType = qdigestCompressBy(
+      h0ByType.select(col("event_type"), lit(0).as("level"), col("bin"), col("c")),
+      "event_type")
+    val merged = qdigestCompress(perType.select(col("level"), col("bin"), col("c")))
+    val h0 = h0ByType.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    qdigestReport(spark, h0, merged)
   }
 }

@@ -319,6 +319,37 @@ class ProfileOpsSpec extends SparkSpec {
     h0.unpersist()
   }
 
+  test("qdigest: per-key compress == one independent sweep per key") {
+    import spark.implicits._
+    // two shards with very different mass: each must get its OWN threshold
+    val nodes = (Seq.tabulate(40)(i => ("a", 0, i.toLong, 300L)) ++
+        Seq(("b", 0, 3L, 2L), ("b", 0, 5L, 3L), ("b", 0, 9L, 4000L)))
+      .toDF("k", "level", "bin", "c")
+    val byKey = ProfileOps.qdigestCompressBy(nodes, "k")
+      .orderBy(col("k"), col("level"), col("bin"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    for (key <- Seq("a", "b")) {
+      val solo = ProfileOps.qdigestCompress(
+          nodes.filter(col("k") === key).drop("k"))
+        .orderBy(col("level"), col("bin"))
+        .collect().map(r => (key, r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(byKey.filter(_._1 == key).toSeq === solo.toSeq,
+        s"per-key sweep diverged from the independent sweep for shard $key")
+    }
+  }
+
+  test("qdigest merge entry: mass preserved; per-decile error within the merged bound") {
+    val rep = ProfileOps.qdigestMerge(spark, "/root/testdata/sf0.001").collect()
+    assert(rep.length === 9)
+    for (r <- rep) {
+      // abs_rank_err <= 2 x err_bound — the principled union-then-
+      // recompress bound (see the merge-law test below)
+      assert(r.getLong(5) <= 2 * r.getLong(6),
+        s"decile ${r.getInt(0)}: merged rank err ${r.getLong(5)} > 2x bound")
+      assert(r.getLong(2) >= r.getLong(3)) // upper-bound estimates right-biased
+    }
+  }
+
   test("qdigest: merge law -- union-then-recompress preserves mass and the bound") {
     // split sf0.001 events by event_id parity, digest each half, merge by
     // UNIONING the two digests' (level, bin, c) nodes and recompressing
