@@ -5061,7 +5061,7 @@ object SparkEntry {
     // midranks and quantized integer logs, HUGEINT moments on the VARCHAR
     // detour
     "q_zipf_fit" -> {
-      import graft.queries.TextOps.{BmScale, ZipfBucketW}
+      import graft.queries.TextOps.BmScale
       def lq(m: String) =
         s"CAST(floor(ln(CAST($m AS DOUBLE)) * $BmScale.0 + 0.5) AS BIGINT)"
       def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
@@ -5071,7 +5071,7 @@ object SparkEntry {
       s"""WITH vc AS (SELECT term, COUNT(*) AS f FROM (
         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
         |    FROM documents) GROUP BY 1),
-        |pf AS (SELECT f, COUNT(*) AS m, f // $ZipfBucketW AS bucket FROM vc GROUP BY 1),
+        |pf AS (SELECT f, COUNT(*) AS m, LENGTH(bin(f)) AS bucket FROM vc GROUP BY 1),
         |ib AS (SELECT f, m, bucket,
         |    CAST(SUM(m) OVER (PARTITION BY bucket ORDER BY f DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rcum

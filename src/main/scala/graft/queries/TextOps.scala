@@ -1792,9 +1792,6 @@ object TextOps {
   }
 
   // ------------------------------------------------------------- Zipf fit
-  /** Frequency-bucket width of the Zipf rank prefix sum. */
-  private[graft] val ZipfBucketW = 8192L
-
   /** Zipf's-law fit of the term rank–frequency curve: weighted log–log
     * OLS of ln(freq) on ln(rank), whose negative slope is the Zipf
     * exponent (≈1 for natural language — a corpus audit that flags
@@ -1809,6 +1806,16 @@ object TextOps {
     * [[BmScale]]; the OLS moments are exact integers (DECIMAL(38,0)
     * products) and the slope/intercept are closed-form doubles — the
     * olsFit contract.
+    *
+    * Bucket = BIT LENGTH of the frequency (r12, found by the hardened
+    * BNLJ audit): the old fixed-width `f div 8192` bounded the PER-BUCKET
+    * row count but let the bucket COUNT grow as maxfreq/8192 — linear in
+    * corpus mass, so the broadcast bucket-total triangular probe was
+    * quadratic at 100 TB. length(bin(f)) caps the bucket domain at 64 at
+    * ANY scale; a bucket holds at most half the distinct-frequency
+    * universe, itself O(√tokens) (Σf over distinct f ≤ N), so the
+    * in-bucket window sort stays MB-scale at 100 TB. Ranks — and hence
+    * the fit — are bucketing-invariant; the oracle mirrors the key.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     def lq(c: Column): Column =
@@ -1817,7 +1824,7 @@ object TextOps {
       .select(explode(toksAll).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("f"))
       .groupBy(col("f")).agg(count(lit(1)).as("m"))
-      .withColumn("bucket", expr(s"f div $ZipfBucketW"))
+      .withColumn("bucket", length(expr("bin(f)")))
     val w = Window.partitionBy(col("bucket")).orderBy(col("f").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBucket = pf.withColumn("rcum", sum(col("m")).over(w))

@@ -2,13 +2,13 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, DayOfMonth, DayOfWeek, EqualTo, ExprId, Expression, Hour, IntegralDivide, IsNotNull, LambdaFunction, Least, Literal, Minute, Month, Multiply, Pmod, Quarter, Remainder, TimeWindow, TruncDate, TruncTimestamp, WeekDay, WeekOfYear, Year}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Bin, CaseWhen, Cast, DateDiff, DayOfMonth, DayOfWeek, EqualTo, ExprId, Expression, Hour, If, IntegralDivide, IsNotNull, LambdaFunction, Least, Length, Literal, Minute, Month, Multiply, Pmod, Quarter, Remainder, TimeWindow, TruncDate, TruncTimestamp, WeekDay, WeekOfYear, Year}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, SubqueryAlias, Filter => LFilter, Join => LJoin}
-import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, FilterExec, GlobalLimitExec, LocalLimitExec, ProjectExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.DateType
@@ -35,42 +35,98 @@ class PlanGuardSpec extends SparkSpec {
   private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
 
   /** The CONSTRUCTIVE BNLJ sanction (VERDICT r8 #6 — replaces the
-    * per-entry name list, which had grown to 22 sites): a nested-loop
-    * join is acceptable at 100 TB only when its broadcast build side is
-    * bounded by construction — it contains an AGGREGATE (reduced to
-    * group-domain scale: the 1-row min/max/total crosses, the
-    * bucket-total triangular probes), or a SELECTIVE filter (the
-    * brute-force top-k probe sets), or touches no fact-scale table at
-    * all (theta-contains' reference dims, seed LocalRelations). Every
-    * historical sanctioned site satisfies this structurally, and any new
-    * 1-row cross is sanctioned by construction instead of by editing a
-    * list; a raw unreduced fact build side still fails. */
-  private def boundedBuildSide(p: SparkPlan): Boolean = {
-    val hasAgg = p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
-    val hasSelectiveFilter =
-      p.collectFirst { case f: FilterExec if isSelective(f.condition) => f }.nonEmpty
-    val scansFact = p.collect { case s: FileSourceScanExec => s }.exists(s =>
-      factTables.exists(t =>
-        s.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet"))))
-    hasAgg || hasSelectiveFilter || !scansFact
+    * per-entry name list, which had grown to 22 sites), hardened to the
+    * KEY-DOMAIN recursion in r12 (VERDICT r11 #7): a BNLJ build side is a
+    * FORCED broadcast too — a non-equi join has no partitioned strategy,
+    * so size-based re-planning cannot save an unbounded side at scale —
+    * and "contains an aggregate somewhere" was exactly the r10 loophole
+    * the hint audit closed (a vocabulary aggregate is reduced but grows
+    * with the corpus). The physical recursion mirrors
+    * [[boundedBroadcastSide]]: a global aggregate, an aggregate on
+    * bounded keys (or over an already-bounded child), a selective
+    * filter, a limit, or a subtree free of fact-scale file scans
+    * (theta-contains' reference dims, seed LocalRelations, checkpointed
+    * model-scale RDD scans). A raw or vocabulary-aggregated fact build
+    * side fails, whatever sits above it. */
+  private def defMapP(p: SparkPlan): Map[ExprId, Expression] = {
+    val local: Map[ExprId, Expression] = p match {
+      case pr: ProjectExec =>
+        pr.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
+      case a: BaseAggregateExec =>
+        (a.resultExpressions ++ a.groupingExpressions)
+          .collect { case al: Alias => al.exprId -> al.child }.toMap
+      case _ => Map.empty
+    }
+    p.children.foldLeft(local) { case (m, c) => m ++ defMapP(c) }
+  }
+
+  private def isFactFileScan(s: FileSourceScanExec): Boolean =
+    factTables.exists(t =>
+      s.relation.location.rootPaths.exists(_.toString.contains(s"/$t.parquet")))
+
+  private def boundedBuildSide(p: SparkPlan,
+      defs: Map[ExprId, Expression]): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(g => isBoundedKey(g, defs)) ||
+        boundedBuildSide(a.child, defs)
+    case f: FilterExec =>
+      isSelective(f.condition) || boundedBuildSide(f.child, defs)
+    case j: BaseJoinExec => j.joinType match {
+      case LeftSemi | LeftAnti => boundedBuildSide(j.left, defs)
+      case _ => j.children.forall(boundedBuildSide(_, defs))
+    }
+    case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+    case s: FileSourceScanExec => !isFactFileScan(s)
+    // non-file leaves (LocalTableScan, Range, checkpointed RDD scans) are
+    // model/metadata-scale by the repo's collect discipline
+    case l if l.children.isEmpty => true
+    case other => other.children.forall(boundedBuildSide(_, defs))
   }
 
   test("every BroadcastNestedLoopJoin build side is bounded by construction") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     for ((name, plan) <- plans) {
+      lazy val defs = defMapP(plan)
       for (j <- plan.collect { case j: BroadcastNestedLoopJoinExec => j }) {
         val build = j.buildSide match {
           case BuildLeft  => j.left
           case BuildRight => j.right
         }
-        assert(boundedBuildSide(build),
-          s"$name plans a BNLJ whose build side is neither aggregate-reduced, " +
-            s"selectively filtered, nor dim-only:\n$build")
+        assert(boundedBuildSide(build, defs),
+          s"$name plans a BNLJ whose build side has no bounded key domain " +
+            s"(not globally aggregated, bounded-key aggregated, selectively " +
+            s"filtered, limited, or dim-only):\n$build")
       }
     }
     // canary: the invariant is exercised, not vacuous
     assert(plans("q_theta_contains")
       .collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    // negative control (VERDICT r11 #7): the r10 vocabulary shape pushed
+    // through a NON-EQUI join — a corpus-vocabulary aggregate broadcast as
+    // a BNLJ build side — must FAIL the audit (the old aggregate-presence
+    // rule passed it)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    val badPlan = docs
+      .join(org.apache.spark.sql.functions.broadcast(vocab),
+        col("doc_id") > col("n"))
+      .queryExecution.sparkPlan
+    val badBuilds = badPlan.collect { case j: BroadcastNestedLoopJoinExec =>
+      j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+    }
+    assert(badBuilds.nonEmpty, "BNLJ negative control lost its nested loop")
+    assert(!badBuilds.forall(boundedBuildSide(_, defMapP(badPlan))),
+      "the BNLJ audit passed a corpus-vocabulary build side — the r10 " +
+        "loophole re-entered through a non-equi join")
   }
 
   test("no raw array/map/struct column in any registry output schema") {
@@ -199,15 +255,42 @@ class PlanGuardSpec extends SparkSpec {
            | _: Hour | _: Minute | _: Quarter | _: WeekOfYear => true
       case c: Cast => c.dataType == DateType
       case _: TruncDate | _: TruncTimestamp | _: TimeWindow => true
+      // a difference of two DATES is calendar-bounded like the
+      // extractions above: its domain is the observable time span,
+      // growing with wall time, never with data volume (q_survival's
+      // lifetime weeks)
+      case _: DateDiff => true
       case Pmod(_, Literal(_, _), _) => true
       case Remainder(_, Literal(_, _), _) => true
       case l: Least => l.children.exists(_.isInstanceOf[Literal])
       case IntegralDivide(m: Multiply, _, _) => m.children.exists(_.isInstanceOf[Literal])
+      // a CASE/IF whose every branch VALUE is a literal has a domain of
+      // at most #branches+1 values, whatever its predicates read
+      // (q_cuped_strat's adaptive stratum label)
+      case cw: CaseWhen =>
+        cw.branches.forall(_._2.isInstanceOf[Literal]) &&
+          cw.elseValue.forall(_.isInstanceOf[Literal])
+      case If(_, t: Literal, f: Literal) => true
+      // bit length: length(bin(x)) has domain <= 64 (q_zipf_fit's
+      // log2 frequency buckets)
+      case Length(_: Bin) => true
       case _ => false
     }
-    r.references.isEmpty ||
-      r.references.forall(a => boundedCols(a.name)) ||
-      r.exists(bounding)
+    // Per-LEAF coverage (ADVICE r11): every AttributeReference must be a
+    // bounded column or sit UNDER a bounding operator on its path from
+    // the root. The old single `r.exists(bounding)` over the whole tree
+    // let a composite key like concat(term, hour(ts)) pass on the
+    // strength of its bounded component while still carrying an
+    // unbounded corpus-scale one — the r10 loophole class re-entering
+    // through composition. A bounding node bounds its whole subtree
+    // (the clamp/mod/calendar DOMAIN is what's bounded, whatever feeds
+    // it); anything else must prove every child.
+    def covered(x: Expression): Boolean = x match {
+      case a: AttributeReference => boundedCols(a.name)
+      case b if bounding(b) => true
+      case other => other.children.forall(covered)
+    }
+    covered(r)
   }
 
   /** Row-domain boundedness of a hinted broadcast side. */
@@ -305,6 +388,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(badSides.nonEmpty, "negative control lost its hint")
     assert(!badSides.forall(boundedBroadcastSide(_, defMap(badPlan))),
       "the audit passed a corpus-vocabulary broadcast — the r10 loophole is back")
+    // composite-key negative control (ADVICE r11): a key that CONTAINS a
+    // bounded component but still carries the corpus-scale one —
+    // concat(term, doc_id % 10) — must fail too; the old whole-tree
+    // exists(bounding) passed it on the strength of the mod-10 subtree
+    def termMod(d: org.apache.spark.sql.DataFrame) = d
+      .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("term"),
+        col("doc_id"))
+      .select(org.apache.spark.sql.functions.concat(col("term"),
+        col("doc_id") % 10).as("term_mod"))
+    val compositeVocab = termMod(docs).groupBy(col("term_mod")).count()
+    val badComposite = termMod(docs)
+      .join(org.apache.spark.sql.functions.broadcast(compositeVocab), Seq("term_mod"))
+      .queryExecution.optimizedPlan
+    val badCompositeSides = hintedBroadcastSides(badComposite)
+    assert(badCompositeSides.nonEmpty, "composite negative control lost its hint")
+    assert(!badCompositeSides.forall(boundedBroadcastSide(_, defMap(badComposite))),
+      "the audit passed a composite term+hour vocabulary broadcast — the " +
+        "per-leaf coverage rule regressed to whole-tree exists()")
   }
 
   test("no higher-order lambda inside any Filter condition") {
