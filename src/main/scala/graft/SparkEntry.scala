@@ -505,6 +505,9 @@ object SparkEntry {
     "q_gmm_hard" -> (StatsOps.gmmHard _),
     // harmonic centrality from probe customers (exact lcm-scaled 1/d)
     "q_harmonic" -> (GraphOps.harmonic _),
+    // source-sampled Brandes betweenness: integer sigma + 2^20 fixed-
+    // point dependency accumulation, top-20 interior nodes
+    "q_betweenness" -> (GraphOps.betweenness _),
     // leave-one-segment-out trend influence from additive moments
     "q_loo_influence" -> (StatsOps.looInfluence _),
     // the SPRT cumsum as flatMapGroupsWithState state (batch twin)
@@ -4685,6 +4688,60 @@ object SparkEntry {
         |SELECT s // 2 AS custkey, CAST(COUNT(*) AS BIGINT) AS n_reached,
         |  CAST(SUM($HarmonicLcm // depth) AS DOUBLE) / $HarmonicLcm.0 AS harmonic
         |FROM d WHERE depth > 0 GROUP BY s ORDER BY custkey""".stripMargin
+    },
+    // same bipartite encoding and seeds as q_harmonic; sigma replays as
+    // WALK COUNTS (a minimum-length walk cannot revisit, so the count of
+    // length-MIN(depth) walks IS the shortest-path count) in unrolled
+    // edge-join CTEs with HUGEINT counts; the backward sweep applies the
+    // identical half-up integral rational (2a+b)//(2b) level by level
+    "q_betweenness" -> {
+      import graft.queries.GraphOps.{BetwMaxDepth, BetwScale, HarmonicSeedMod}
+      val walks = (1 to BetwMaxDepth).map { d =>
+        s"""w$d AS MATERIALIZED (SELECT w.sk, e.dst AS node, SUM(w.sigma) AS sigma
+           |  FROM edges e JOIN w${d - 1} w ON e.src = w.node GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val uAll = (0 to BetwMaxDepth)
+        .map(d => s"SELECT sk, node, $d AS d, sigma FROM w$d")
+        .mkString("\n  UNION ALL ")
+      val back = (BetwMaxDepth - 1) to 1 by -1
+      val bLevels = back.map { k =>
+        s"""b$k AS MATERIALIZED (SELECT d.sk, d.v AS node,
+           |    CAST(SUM((2 * d.sigma_v * ($BetwScale + COALESCE(b.dq, 0)) + d.sigma_w)
+           |      // (2 * d.sigma_w)) AS BIGINT) AS dq
+           |  FROM dag d LEFT JOIN b${k + 1} b ON b.sk = d.sk AND b.node = d.w
+           |  WHERE d.dv = $k GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val accAll = back.map(k => s"SELECT * FROM b$k").mkString("\n  UNION ALL ")
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |seeds AS (SELECT DISTINCT src AS sk FROM edges
+        |  WHERE src % 2 = 0 AND (src // 2) % $HarmonicSeedMod = 1),
+        |w0 AS (SELECT sk, sk AS node, CAST(1 AS HUGEINT) AS sigma FROM seeds),
+        |$walks,
+        |u AS ($uAll),
+        |vis AS MATERIALIZED (SELECT sk, node, MIN(d) AS depth FROM u GROUP BY 1, 2),
+        |sv AS MATERIALIZED (SELECT u.sk, u.node, v.depth, u.sigma
+        |  FROM u JOIN vis v ON u.sk = v.sk AND u.node = v.node AND u.d = v.depth),
+        |dag AS MATERIALIZED (
+        |  SELECT a.sk, a.node AS v, b.node AS w, a.depth AS dv,
+        |    a.sigma AS sigma_v, b.sigma AS sigma_w
+        |  FROM edges e
+        |  JOIN sv a ON e.src = a.node
+        |  JOIN sv b ON e.dst = b.node AND b.sk = a.sk
+        |  WHERE b.depth = a.depth + 1),
+        |b$BetwMaxDepth AS (SELECT sk, node, CAST(0 AS BIGINT) AS dq FROM sv
+        |  WHERE depth = $BetwMaxDepth),
+        |$bLevels,
+        |acc AS ($accAll),
+        |agg AS (SELECT node, COUNT(DISTINCT sk) AS n_sources,
+        |    CAST(SUM(dq) AS BIGINT) AS betw_q FROM acc GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  node // 2 AS entity_key, n_sources, betw_q,
+        |  CAST(betw_q AS DOUBLE) / $BetwScale.0 AS betweenness
+        |FROM agg ORDER BY betw_q DESC, kind, entity_key LIMIT 20""".stripMargin
     },
     // same midpoint init, same unrolled rounds with HUGEINT moments and
     // the identical per-row score expression (lnq grid + exact rational)

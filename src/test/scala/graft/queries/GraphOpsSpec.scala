@@ -306,4 +306,30 @@ class GraphOpsSpec extends SparkSpec {
       (1L, 4L, 125.0 / 60.0), // 60/1 + 60/2 + 60/3 + 60/4 = 125
       (501L, 1L, 1.0)))
   }
+
+  test("betweenness: exact Brandes dependencies on a path and a diamond") {
+    import spark.implicits._
+    val S = GraphOps.BetwScale
+    def sym(pairs: (Long, Long)*) =
+      pairs.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame, seed: Long) =
+      GraphOps.betweennessFrom(edges, Seq(seed).toDF("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // path 1-2-3-4-5, source 1: δ(v) = #descendants (σ = 1 everywhere):
+    // δ(4)=1, δ(3)=2, δ(2)=3; node 5 sits at the horizon (δ=0, absent)
+    val path = run(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 1L)
+    assert(path === Map(2L -> 3 * S, 3L -> 2 * S, 4L -> 1 * S))
+    // diamond 1-{2,3}-4-5, source 1: σ(4)=σ(5)=2; δ(4)=(2/2)(1+0)=1,
+    // δ(2)=δ(3)=(1/2)(1+δ(4))=1 — every quantized term exact on the grid
+    val diamond = run(sym((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)), 1L)
+    assert(diamond === Map(2L -> S, 3L -> S, 4L -> S))
+    // two sources accumulate: path sources {1, 5} are symmetric, so every
+    // interior node collects from both ends — δ-sums mirror
+    val bothMap = GraphOps.betweennessFrom(
+        sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L, 5L).toDF("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(bothMap === Map(
+      2L -> (2L, 3 * S + 1 * S), 3L -> (2L, 2 * S + 2 * S),
+      4L -> (2L, 1 * S + 3 * S)))
+  }
 }
