@@ -508,6 +508,9 @@ object SparkEntry {
     // source-sampled Brandes betweenness: integer sigma + 2^20 fixed-
     // point dependency accumulation, top-20 interior nodes
     "q_betweenness" -> (GraphOps.betweenness _),
+    // HyperANF neighborhood function: per-node HLL register-max
+    // propagation, quantized-integer estimate sums per depth
+    "q_anf" -> (GraphOps.anf _),
     // leave-one-segment-out trend influence from additive moments
     "q_loo_influence" -> (StatsOps.looInfluence _),
     // the SPRT cumsum as flatMapGroupsWithState state (batch twin)
@@ -4742,6 +4745,59 @@ object SparkEntry {
         |  node // 2 AS entity_key, n_sources, betw_q,
         |  CAST(betw_q AS DOUBLE) / $BetwScale.0 AS betweenness
         |FROM agg ORDER BY betw_q DESC, kind, entity_key LIMIT 20""".stripMargin
+    },
+    // same md5 registers as q_hll_distinct, propagated through unrolled
+    // 16-column register-MAX CTEs; per-node estimates floor-quantized to
+    // 1/1024 BEFORE the cross-node sum, so nf_q is an exact integer in
+    // both engines and only the mirrored final divisions run in floats
+    "q_anf" -> {
+      import graft.queries.GraphOps.{AnfEstNum, AnfMaxDepth, AnfQScale, AnfRegisters}
+      val ms = (0 until AnfRegisters).map(i => s"m$i")
+      val mcols = ms.mkString(", ")
+      val init = ms.zipWithIndex
+        .map { case (m, i) => s"CASE WHEN r = $i THEN rk ELSE 0 END AS $m" }
+        .mkString(",\n        |    ")
+      val maxes = ms.map(m => s"MAX($m) AS $m").mkString(", ")
+      val rounds = (1 to AnfMaxDepth).map { d =>
+        s"""s$d AS MATERIALIZED (SELECT node, $maxes FROM (
+           |    SELECT node, $mcols FROM s${d - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, $mcols FROM edges e JOIN s${d - 1} p ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val denom = ms
+        .map(m => s"(CAST(1 AS BIGINT) << CAST(33 - $m AS INT))")
+        .mkString(" + ")
+      val ests = (0 to AnfMaxDepth).map { d =>
+        s"""e$d AS (SELECT $d AS depth, COUNT(*) AS n_nodes,
+           |  CAST(SUM(CAST(floor($AnfEstNum / CAST($denom AS DOUBLE)
+           |    * $AnfQScale.0 + 0.5) AS BIGINT)) AS BIGINT) AS nf_q FROM s$d)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to AnfMaxDepth).map(d => s"SELECT * FROM e$d")
+        .mkString("\n  UNION ALL ")
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |regs AS (SELECT node,
+        |    ${h32Sql("CAST(node AS VARCHAR)")} % $AnfRegisters AS r,
+        |    CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rk
+        |  FROM (SELECT node,
+        |      CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+        |    FROM nodes)),
+        |s0 AS MATERIALIZED (SELECT node,
+        |    $init
+        |  FROM regs),
+        |$rounds,
+        |$ests,
+        |all_ AS ($unions),
+        |hz AS (SELECT nf_q AS nf_q_max FROM all_ WHERE depth = $AnfMaxDepth)
+        |SELECT CAST(depth AS INT) AS depth, n_nodes,
+        |  CAST(nf_q AS DOUBLE) / $AnfQScale.0 AS nf_est, nf_q,
+        |  CAST(nf_q AS DOUBLE) / CAST(nf_q_max AS DOUBLE) AS nf_ratio
+        |FROM all_ CROSS JOIN hz ORDER BY depth""".stripMargin
     },
     // same midpoint init, same unrolled rounds with HUGEINT moments and
     // the identical per-row score expression (lnq grid + exact rational)

@@ -1070,4 +1070,104 @@ object GraphOps {
     acc.groupBy(col("node"))
       .agg(countDistinct(col("s")).as("n_sources"), sum(col("dq")).as("betw_q"))
   }
+
+  // ------------------------------------- approximate neighborhood function
+  /** Registers per node for [[anf]] — 16 is the classic HyperANF budget
+    * (rel. σ ≈ 1.04/√16 = 26%): the whole per-node sketch is 16 longs,
+    * so ALL-SOURCES reachability fits node-scale state at any graph
+    * size, where exact all-pairs is |V|² and even the multi-source-BFS
+    * exact path (q_harmonic) scales with sources × reach. */
+  private[graft] val AnfRegisters = 16
+  private[graft] val AnfMaxDepth = 3
+  /** Same raw-estimator constant family as [[ProfileOps.HllEstNum]],
+    * at m = [[AnfRegisters]]; digit-identical in the oracle. */
+  private[graft] val AnfEstNum: Double =
+    0.7213 / (1.0 + 1.079 / AnfRegisters) *
+      AnfRegisters * AnfRegisters * 8589934592.0
+  /** Per-node estimates are floor-quantized to 1/[[AnfQScale]] BEFORE the
+    * cross-node sum, so the neighborhood function is an exact INTEGER
+    * aggregate (a raw double sum over |V| nodes would be fold-order-
+    * nondeterministic across engines and partitionings). */
+  private[graft] val AnfQScale = 1024L
+
+  /** The HyperBall state chain: dense per-node register vectors (node,
+    * m0..m15) at depths 0..[[AnfMaxDepth]]. H_d(v) = register-wise max of
+    * H_{d-1}(v) and H_{d-1}(u) over neighbors u — one edge join + one
+    * 16-column MAX aggregate per round (map-side combinable; the sparse
+    * (node, register) encoding would blow the join up ×registers),
+    * localCheckpoint truncating lineage. Exposed for the spec, which
+    * asserts the HyperBall invariant: the depth-d state of v equals
+    * registers built DIRECTLY from v's exact d-hop reach set. */
+  private[graft] def anfStates(edges: DataFrame): Seq[(Int, DataFrame)] = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val ms = (0 until AnfRegisters).map(i => s"m$i")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val h = md5(col("node").cast(StringType))
+    var state = nodes
+      .withColumn("r", conv(substring(h, 1, 8), 16, 10).cast(LongType) % AnfRegisters)
+      .withColumn("w", conv(substring(h, 9, 8), 16, 10).cast(LongType))
+      .withColumn("rk", when(col("w") === 0, lit(33L))
+        .otherwise(lit(33L) - length(bin(col("w"))).cast(LongType)))
+      .select(col("node") +: ms.zipWithIndex.map { case (m, i) =>
+        when(col("r") === i, col("rk")).otherwise(lit(0L)).as(m)
+      }: _*)
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer((0, state))
+    for (d <- 1 to AnfMaxDepth) {
+      val prop = edges
+        .join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node") +: ms.map(col): _*)
+      state = state.unionByName(prop)
+        .groupBy(col("node"))
+        .agg(max(col(ms.head)).as(ms.head),
+          ms.tail.map(m => max(col(m)).as(m)): _*)
+        .localCheckpoint()
+      out += ((d, state))
+    }
+    out.toSeq
+  }
+
+  /** Approximate neighborhood function (ANF / HyperANF — Palmer et al.
+    * 2002, Boldi–Rosa–Vigna 2011): NF(d) = Σ_v |{u : dist(v,u) ≤ d}|,
+    * estimated for EVERY node simultaneously by propagating per-node
+    * HLL registers ([[anfStates]]) — the effective-diameter /
+    * reachability-saturation read (how many hops until the graph is
+    * one neighborhood) that exact all-pairs BFS cannot deliver at scale.
+    * Per depth: each node's raw-HLL estimate from its 16 registers
+    * (integer denominator, one division by the digit-identical
+    * [[AnfEstNum]]), floor-quantized at [[AnfQScale]], integer-summed —
+    * `nf_q` is the hash-checked exact column; `nf_ratio` divides by the
+    * horizon value (saturation fraction). The oracle replays the same
+    * md5 registers through unrolled 16-column MAX CTEs.
+    *
+    * 100 TB shape: state is |V| rows × 16 longs at every depth —
+    * node-scale like the PageRank rank table — and each round is one
+    * edge-scale hash join + a map-side-combining MAX aggregate; nothing
+    * anywhere scales with pairs. Ref: 05_queries centrality family
+    * (reachability audits). */
+  def anf(spark: SparkSession, dir: String): DataFrame =
+    releasingCaches(spark) { scope =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+      val edges = bipartiteEdges(spark, dir, scope)
+      val ms = (0 until AnfRegisters).map(i => s"m$i")
+      val denom = ms.map(m =>
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(33 - $m AS INT))"))
+        .reduce(_ + _)
+      val perDepth = anfStates(edges).map { case (d, st) =>
+        st.select(floor(lit(AnfEstNum) / denom.cast(DoubleType)
+            * lit(AnfQScale.toDouble) + lit(0.5)).cast(LongType).as("q"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("q")).as("nf_q"))
+          .select(lit(d).cast(IntegerType).as("depth"), col("n_nodes"), col("nf_q"))
+      }
+      val all = perDepth.reduce(_ unionByName _)
+      val horizon = all.filter(col("depth") === AnfMaxDepth)
+        .select(col("nf_q").as("nf_q_max"))
+      all.crossJoin(broadcast(horizon))
+        .select(col("depth"), col("n_nodes"),
+          (col("nf_q").cast(DoubleType) / lit(AnfQScale.toDouble)).as("nf_est"),
+          col("nf_q"),
+          (col("nf_q").cast(DoubleType) / col("nf_q_max").cast(DoubleType))
+            .as("nf_ratio"))
+        .orderBy(col("depth"))
+    }
 }

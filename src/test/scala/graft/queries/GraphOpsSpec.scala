@@ -332,4 +332,35 @@ class GraphOpsSpec extends SparkSpec {
       2L -> (2L, 3 * S + 1 * S), 3L -> (2L, 2 * S + 2 * S),
       4L -> (2L, 1 * S + 3 * S)))
   }
+
+  test("anf: HyperBall invariant — depth-d state equals registers of the exact reach set") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def reg(n: Long): (Long, Long) = {
+      val h = md5hex(n.toString)
+      val r = java.lang.Long.parseLong(h.substring(0, 8), 16) % GraphOps.AnfRegisters
+      val w = java.lang.Long.parseLong(h.substring(8, 16), 16)
+      val rk = if (w == 0) 33L else 33L - java.lang.Long.toBinaryString(w).length
+      (r, rk)
+    }
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L), 4L -> Set(3L))
+    def reach(n: Long, d: Int): Set[Long] =
+      (0 until d).foldLeft(Set(n))((s, _) => s ++ s.flatMap(adj))
+    for ((d, st) <- GraphOps.anfStates(edges)) {
+      val got = st.collect()
+        .map(r => r.getLong(0) -> (1 to GraphOps.AnfRegisters).map(r.getLong).toSeq)
+        .toMap
+      for (n <- Seq(1L, 2L, 3L, 4L)) {
+        val exp = (0 until GraphOps.AnfRegisters).map { i =>
+          reach(n, d).map(reg).filter(_._1 == i)
+            .map(_._2).foldLeft(0L)(math.max)
+        }.toSeq
+        assert(got(n) === exp, s"anf node $n depth $d")
+      }
+    }
+  }
 }
