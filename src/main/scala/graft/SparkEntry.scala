@@ -280,6 +280,9 @@ object SparkEntry {
     // incremental view maintenance: signed delta aggregate merged into a
     // stored view — O(delta+view) refresh, base never rescanned
     "q_ivm_agg" -> (MaintenanceOps.ivmApply _),
+    // JOIN-view IVM: bilinear signed delta (dA*B + A*dB + dA*dB) merged
+    // into the stored aggregate view; neither base table rescanned
+    "q_ivm_join" -> (MaintenanceOps.ivmJoin _),
     // two-proportion z-test between experiment arms, one scan-reduce
     "q_ab_test" -> (BehaviorOps.abTest _),
     // chi-square independence over the arm x type contingency table,
@@ -2532,6 +2535,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
         |FROM orders
         |WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 <> 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // recompute over the FINAL state of BOTH tables — the gate proving
+    // the bilinear delta expansion merges to exactly the recomputed view
+    "q_ivm_join" ->
+      """WITH fo AS (SELECT o_orderkey AS ok, o_custkey FROM orders
+        |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 <> 0),
+        |fl AS (SELECT l_orderkey AS ok, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+        |  FROM lineitem
+        |  WHERE (l_orderkey + l_linenumber) % 13 = 0
+        |     OR (l_orderkey + l_linenumber) % 17 <> 0)
+        |SELECT o_custkey, COUNT(*) AS n_pairs,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+        |FROM fo JOIN fl USING (ok)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // all four inputs are exact conditional counts from ONE scan; the z
     // arithmetic is mirrored node for node (olsFit association precedent)

@@ -218,6 +218,69 @@ object MaintenanceOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** Incremental maintenance of a JOIN view (the [[ivmApply]] algebra
+    * lifted from one table to two): the stored view is the aggregate over
+    * orders ⋈ lineitem — per customer, matched-pair count and exact-
+    * decimal quantity — refreshed under signed deltas on BOTH inputs
+    * without rescanning either base. The delta of a join is the bilinear
+    * expansion (A+ΔA)(B+ΔB) − AB = ΔA·B + A·ΔB + ΔA·ΔB with
+    * multiplicities MULTIPLYING (so a pair losing both sides nets
+    * −1−1+1 = −1, exactly once), and the aggregate merge is the same
+    * full-outer signed merge as [[ivmApply]].
+    *
+    * Delta partitioning (arithmetic, deterministic): orders base is
+    * `o_orderkey % 7 != 0`, inserts `% 7 == 0`, deletes `base && % 11 ==
+    * 0`; lineitem base is `(l_orderkey + l_linenumber) % 13 != 0`,
+    * inserts `% 13 == 0`, deletes `base && % 17 == 0`. The oracle
+    * recomputes the view from the FINAL states of both tables, proving
+    * the bilinear algebra exact — decimal sums stay DECIMAL to the edge.
+    *
+    * 100 TB shape: all three delta joins key on the join column, so they
+    * share one partitioning (bucketed bases make ΔA·B / A·ΔB shuffle-
+    * free probes with O(delta) probe sides — the layout_join_bucketed
+    * upgrade); ΔA·ΔB is delta × delta; the view merge is O(|Δview| +
+    * |view|). Nothing rescans a base table. */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"))
+    val baseO = o.filter(col("ok") % 7 =!= 0)
+    val dO = o.filter(col("ok") % 7 === 0).withColumn("wa", lit(1L))
+      .unionByName(baseO.filter(col("ok") % 11 === 0).withColumn("wa", lit(-1L)))
+    val baseL = l.filter((col("ok") + col("ln")) % 13 =!= 0)
+    val dL = l.filter((col("ok") + col("ln")) % 13 === 0).withColumn("wb", lit(1L))
+      .unionByName(baseL.filter((col("ok") + col("ln")) % 17 === 0)
+        .withColumn("wb", lit(-1L)))
+
+    // the stored view (stands in for the persisted matview)
+    val view = baseO.join(baseL, Seq("ok"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sq"))
+    // ΔA·B + A·ΔB + ΔA·ΔB, weights multiplying
+    val dz = dO.join(baseL, Seq("ok")).select(col("o_custkey"),
+        col("wa").as("w"), col("qty"))
+      .unionByName(baseO.join(dL, Seq("ok")).select(col("o_custkey"),
+        col("wb").as("w"), col("qty")))
+      .unionByName(dO.join(dL, Seq("ok")).select(col("o_custkey"),
+        (col("wa") * col("wb")).as("w"), col("qty")))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("w")).as("dcnt"), sum(col("w") * col("qty")).as("dsq"))
+
+    view.join(dz, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("n_pairs"),
+        (coalesce(col("sq"), lit(BigDecimal(0)).cast(DecimalType(22, 2))) +
+          coalesce(col("dsq"), lit(BigDecimal(0)).cast(DecimalType(22, 2))))
+          .as("sq_dec"))
+      .filter(col("n_pairs") > 0)
+      .select(col("o_custkey"), col("n_pairs"),
+        col("sq_dec").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Zone-map predicate bounds for [[zonemapAudit]] — shared with the
     * oracle SQL so op and oracle cannot drift. */
   private[graft] val ZoneDateLo  = 400L      // day-index window [lo, hi]

@@ -137,6 +137,38 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(base.filter(col("o_orderkey") % 11 === 0).count() > 0) // deletes
   }
 
+  test("ivm join: bilinear signed delta equals a from-scratch recompute, in-engine") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val sf = "/root/testdata/sf0.001"
+    val got = MaintenanceOps.ivmJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // recompute from the FINAL state of BOTH tables inside Spark itself
+    val fo = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("ok"), col("o_custkey"))
+    val fl = graft.Tables.lineitem(spark, sf)
+      .filter((col("l_orderkey") + col("l_linenumber")) % 13 === 0 ||
+        (col("l_orderkey") + col("l_linenumber")) % 17 =!= 0)
+      .select(col("l_orderkey").as("ok"),
+        col("l_quantity").cast(DecimalType(12, 2)).as("qty"))
+    val want = fo.join(fl, Seq("ok"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).cast(DoubleType).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+    // the delta exercised all three bilinear terms, both weight signs
+    val o = graft.Tables.orders(spark, sf).select(col("o_orderkey").as("ok"))
+    val l = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val dOk = o.filter(col("ok") % 7 === 0)
+      .unionByName(o.filter(col("ok") % 7 =!= 0 && col("ok") % 11 === 0))
+    val dLk = l.filter((col("ok") + col("ln")) % 13 === 0)
+      .unionByName(l.filter((col("ok") + col("ln")) % 13 =!= 0 &&
+        (col("ok") + col("ln")) % 17 === 0))
+    assert(dOk.join(dLk.select(col("ok")).distinct(), Seq("ok")).count() > 0,
+      "the dA*dB cross term never fired — weaken the delta rules")
+  }
+
   test("zonemap audit: clustered column prunes, unclustered column cannot") {
     // sf0.01, not sf0.001: the zero-skip claim for the unclustered column
     // needs files with real mass (~190 orders/month; at sf0.001 a 2-order
