@@ -320,6 +320,8 @@ object SparkEntry {
     "q_inverted_index" -> (TextOps.invertedIndex _),
     // oriented triangle census of the part co-purchase graph
     "q_triangles" -> (GraphOps.triangles _),
+    // per-node local clustering coefficient (ego density), top-20
+    "q_lcc" -> (GraphOps.lcc _),
     // CMS inner-product join-size estimate with exact audit (est >= exact)
     "q_join_size_est" -> (ProfileOps.joinSizeEst _),
     // 80% Pareto point per priority: integer cumsum, cross-multiplied test
@@ -4132,6 +4134,26 @@ object SparkEntry {
       s"""WITH ${coEdgeCtes(KtrussEdgeSupport)},
         |$rounds
         |SELECT * FROM ($stats) ORDER BY iteration""".stripMargin
+    },
+    // same unthresholded co-purchase edges; triangles enumerate once via
+    // the shared-lower-endpoint join (a < b < c), per-node counts from
+    // the 3-way union, one mirrored division
+    "q_lcc" -> {
+      import graft.queries.GraphOps.LccTopK
+      s"""WITH ${coEdgeCtes(1L)},
+        |tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  WHERE EXISTS (SELECT 1 FROM e0 e WHERE e.u = e1.v AND e.v = e2.v)),
+        |pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1)
+        |SELECT node AS partkey, deg, n_tri,
+        |  CAST(n_tri * 2 AS DOUBLE) / CAST(deg * (deg - 1) AS DOUBLE) AS lcc
+        |FROM pn JOIN deg USING (node)
+        |ORDER BY n_tri DESC, partkey LIMIT $LccTopK""".stripMargin
     },
     // same symmetric trade edges and seed rule; depths unroll with
     // NOT-IN exclusion of every earlier level — min-hop on both sides

@@ -280,6 +280,46 @@ object GraphOps {
             .as("closure_rate"))
     }
 
+  private[graft] val LccTopK = 20
+
+  /** Local clustering coefficient per node: lcc(v) = 2·t_v / (d_v(d_v−1))
+    * over the UNTHRESHOLDED co-purchase graph (the k-truss precedent —
+    * the support-thresholded graph is nearly triangle-free; probed before
+    * building: 126 K/409 K/1.87 M triangles over 200/2 000/20 000
+    * triangle-bearing nodes at sf0.001/0.01/0.1). The per-node refinement
+    * of [[triangles]]' global closure rate — the ego-density read behind
+    * community seeding and spam/bot detection. Top-[[LccTopK]] by
+    * (n_tri, partkey).
+    *
+    * Shape: ONE degree-oriented wedge enumeration (out-degrees capped
+    * O(√E)) closed by a left-semi probe — each triangle found exactly
+    * once — then a 3-way node explode into a combining count and a
+    * node-scale degree join. The ratio is two exact integers under one
+    * IEEE division, mirrored in the oracle. */
+  def lcc(spark: SparkSession, dir: String): DataFrame =
+    lccFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[lcc]] over any (ok, pk) membership frame — the fixture seam. */
+  private[graft] def lccFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      import org.apache.spark.sql.types.DoubleType
+      val edges = coEdges(raw, scope, minSupport = 1L)
+      val deg = edgeDegrees(edges)
+      val tris = orientedWedges(edges, deg)
+        .join(edges.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"), "left_semi")
+      val perNode = tris
+        .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      perNode.join(deg, Seq("node"))
+        .select(col("node").as("partkey"), col("deg"), col("n_tri"),
+          ((col("n_tri") * 2).cast(DoubleType)
+            / (col("deg") * (col("deg") - 1L)).cast(DoubleType)).as("lcc"))
+        .orderBy(col("n_tri").desc, col("partkey"))
+        .limit(LccTopK)
+    }
+
   /** Fixed-point scale for the quantized 1/ln(deg) Adamic–Adar weights. */
   private[graft] val AaScale = 1L << 20
   private[graft] val CnTopK  = 20

@@ -333,6 +333,23 @@ class GraphOpsSpec extends SparkSpec {
       4L -> (2L, 1 * S + 3 * S)))
   }
 
+  test("lcc: K4 plus a pendant — interior 1.0, attachment diluted to 0.5") {
+    import spark.implicits._
+    // one 2-item basket per edge: K4 on {1,2,3,4} + pendant edge 1-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val raw = edges.zipWithIndex
+      .flatMap { case ((u, v), i) => Seq((i.toLong, u), (i.toLong, v)) }
+      .toDF("ok", "pk")
+    val got = GraphOps.lccFrom(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every K4 node is in 3 triangles; node 1's extra pendant edge
+    // dilutes its ego density: 2*3/(4*3) = 0.5; node 5 has none (absent)
+    assert(got.toSeq === Seq(
+      (1L, 4L, 3L, 0.5),
+      (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0)))
+  }
+
   test("anf: HyperBall invariant — depth-d state equals registers of the exact reach set") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
