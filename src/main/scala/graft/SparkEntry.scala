@@ -516,6 +516,8 @@ object SparkEntry {
     // HyperANF neighborhood function: per-node HLL register-max
     // propagation, quantized-integer estimate sums per depth
     "q_anf" -> (GraphOps.anf _),
+    // MMR diversity re-ranking of each probe's cosine top-10 pool
+    "q_mmr" -> (VectorOps.mmrRerank _),
     // leave-one-segment-out trend influence from additive moments
     "q_loo_influence" -> (StatsOps.looInfluence _),
     // the SPRT cumsum as flatMapGroupsWithState state (batch twin)
@@ -2118,6 +2120,44 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
         |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // same pool (the simTopk shape, rank <= 10), same greedy rounds
+    // unrolled: per round the engine-mirrored cosine MAX against the
+    // picked set, score = rel - maxsim, argmax with cand-id tiebreak
+    "q_mmr" -> {
+      import graft.queries.VectorOps.{MmrK, MmrPoolK, RrfProbes}
+      val rounds = (2 to MmrK).map { k =>
+        s"""sc$k AS (SELECT p.probe_id, p.cand_id, p.rel,
+           |    p.rel - MAX(${cosSql("p.c_emb", "q.c_emb", "p.n")}) AS mmr_score
+           |  FROM pool p
+           |  JOIN sel${k - 1} s ON s.probe_id = p.probe_id
+           |  JOIN pool q ON q.probe_id = s.probe_id AND q.cand_id = s.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+           |    WHERE x.probe_id = p.probe_id AND x.cand_id = p.cand_id)
+           |  GROUP BY 1, 2, 3),
+           |s$k AS (SELECT probe_id, cand_id, rel, mmr_score, $k AS mmr_rank FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY mmr_score DESC, cand_id) AS rn FROM sc$k) WHERE rn = 1),
+           |sel$k AS (SELECT probe_id, cand_id FROM sel${k - 1}
+           |  UNION ALL SELECT probe_id, cand_id FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e
+        |  WHERE vec_id < $RrfProbes),
+        |pool AS MATERIALIZED (SELECT * FROM (
+        |    SELECT pr.probe_id, c.vec_id AS cand_id, c.embedding AS c_emb, c.n,
+        |      ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+        |        ORDER BY ${cosSql("pr.p_emb", "c.embedding", "pr.n")} DESC, c.vec_id) AS rnk
+        |    FROM pr JOIN e c ON c.vec_id <> pr.probe_id)
+        |  WHERE rnk <= $MmrPoolK),
+        |s1 AS (SELECT probe_id, cand_id, rel, rel AS mmr_score, 1 AS mmr_rank
+        |  FROM pool WHERE rnk = 1),
+        |sel1 AS (SELECT probe_id, cand_id FROM s1),
+        |$rounds
+        |SELECT probe_id, mmr_rank, cand_id AS vec_id, rel, mmr_score FROM (
+        |  ${(1 to MmrK).map(k => s"SELECT * FROM s$k").mkString("\n  UNION ALL ")})
+        |ORDER BY probe_id, mmr_rank""".stripMargin
+    },
     "q_retrieval_gated" ->
       s"""WITH g AS (
         |  SELECT doc_id FROM ($lmFamiliarityCore)

@@ -1319,4 +1319,73 @@ object VectorOps {
         col("r_dense"), col("r_lex"), col("rrf_score"))
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  // --------------------------------------------- MMR diversity re-ranking
+  private[graft] val MmrPoolK = 10
+  private[graft] val MmrK = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell–Goldstein 1998) —
+    * the diversity-aware final stage of a retrieval/curation stack:
+    * from each probe's cosine top-[[MmrPoolK]] candidate pool, pick
+    * [[MmrK]] results greedily by argmax of λ·rel(c) − (1−λ)·max_{s ∈
+    * picked} sim(c, s). λ = ½, so the comparison key is the DOUBLED
+    * score rel − maxsim (reported as `mmr_score`; the first pick, with
+    * nothing selected yet, scores its plain relevance). Every cosine is
+    * the engine-mirrored float contract of the similarity tier (same op
+    * tree on both sides), maxsim is an order-free float MAX, the score
+    * is one subtraction, and the per-round argmax tiebreaks on
+    * candidate id — so the greedy trajectory is bit-deterministic in
+    * both engines.
+    *
+    * Shape: ONE corpus scan builds the pool (the simTopk broadcast-probe
+    * baseline — any bucket pruner slots in front unchanged); the
+    * [[MmrK]]−1 greedy rounds then run entirely on the checkpointed
+    * probes×[[MmrPoolK]] pool — probe-scale frames at ANY corpus size,
+    * joined per round against the ≤[[MmrK]]-row picked set. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"))
+    val probes = e.filter(col("vec_id") < RrfProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val wPool = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val pool = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rel",
+        dotd(col("p_emb"), col("embedding")) / (col("p_norm") * col("norm")))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"), col("rel"))
+      .withColumn("rnk", row_number().over(wPool))
+      .filter(col("rnk") <= MmrPoolK)
+      .localCheckpoint() // probe-scale; 4 greedy rounds must not rescan the corpus
+    var selected = pool.filter(col("rnk") === 1)
+      .select(col("probe_id"), col("cand_id"), col("c_emb"), col("c_norm"),
+        lit(1).as("mmr_rank"), col("rel"), col("rel").as("mmr_score"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("probe_id"))
+      .orderBy(col("mmr_score").desc, col("cand_id"))
+    for (k <- 2 to MmrK) {
+      val remaining = pool
+        .join(selected.select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"), "left_anti")
+      val maxsim = remaining
+        .select(col("probe_id"), col("cand_id"), col("c_emb"), col("c_norm"))
+        .join(selected.select(col("probe_id"),
+          col("c_emb").as("s_emb"), col("c_norm").as("s_norm")), Seq("probe_id"))
+        .withColumn("sim",
+          dotd(col("c_emb"), col("s_emb")) / (col("c_norm") * col("s_norm")))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = remaining.join(maxsim, Seq("probe_id", "cand_id"))
+        .withColumn("mmr_score", col("rel") - col("maxsim"))
+        .withColumn("rnk2", row_number().over(wPick))
+        .filter(col("rnk2") === 1)
+        .select(col("probe_id"), col("cand_id"), col("c_emb"), col("c_norm"),
+          lit(k).as("mmr_rank"), col("rel"), col("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("probe_id"), col("mmr_rank"),
+        col("cand_id").as("vec_id"), col("rel"), col("mmr_score"))
+      .orderBy(col("probe_id"), col("mmr_rank"))
+  }
 }

@@ -613,4 +613,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(byId(12L) === 1.0 / 63 + 1.0 / 62)
     assert(byId(10L) === 1.0 / 61)
   }
+
+  test("mmr: diversity demotes the near-duplicate that plain top-k ranks second") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    // probe 0 = (1, 0); 10 and 11 are a near-duplicate pair hugging the
+    // probe (rel ~.990, mutual sim ~1.0); 12 is half as relevant but
+    // nearly orthogonal to the pair. Relevance order: 10, 11, 12.
+    // MMR order: 10, then 12 (11's score .990 - sim(11,10) ~ -0.01 loses
+    // to 12's 0.5 - 0.374 = +0.126), then 11.
+    Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.99f, 0.14f)),
+      (11L, Array(0.989f, 0.141f)),
+      (12L, Array(0.5f, -0.866f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1, 10L), (0L, 2, 12L), (0L, 3, 11L)))
+    // greedy prefix property on the real corpus: every probe's first MMR
+    // pick IS its top-relevance candidate
+    val sf = "/root/testdata/sf0.001"
+    val first = VectorOps.mmrRerank(spark, sf).filter(col("mmr_rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val top1 = VectorOps.simTopk(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first === top1)
+  }
 }
