@@ -350,6 +350,57 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0)))
   }
 
+  test("anf: estimate tracks the exact neighborhood function on real data") {
+    // sf0.001's trade graph has ~160 nodes, so the EXACT all-sources
+    // neighborhood function is computable here (and only here): every
+    // node seeds a layered BFS, NF_exact(d) = |{(v, u) : dist <= d}|.
+    // The raw 16-register estimator is biased high at tiny per-node
+    // cardinalities (no linear-counting correction — the q_hll_distinct
+    // documented trade), so the audit binds the DEEP depths, where
+    // neighborhoods hold hundreds of nodes and the estimator operates
+    // in its design regime.
+    val sf = "/root/testdata/sf0.001"
+    val spk = spark
+    import spk.implicits._
+    val pairs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("ok"), (col("o_custkey") * 2).as("c"))
+      .join(graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), (col("l_suppkey") * 2 + 1).as("s")),
+        Seq("ok"))
+      .select(col("c"), col("s")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache()
+    var visited = edges.select(col("src").as("node")).distinct()
+      .select(col("node").as("s"), col("node"), lit(0).as("depth"))
+      .localCheckpoint()
+    var frontier = visited.select(col("s"), col("node"))
+    for (d <- 1 to GraphOps.AnfMaxDepth) {
+      val next = edges
+        .join(frontier.select(col("s"), col("node").as("src")), Seq("src"))
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
+        .withColumn("depth", lit(d)).localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("s"), col("node"))
+    }
+    val exact = visited.groupBy(col("depth")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exactCum = (0 to GraphOps.AnfMaxDepth)
+      .map(d => d -> (0 to d).map(exact.getOrElse(_, 0L)).sum).toMap
+    val est = GraphOps.anf(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    edges.unpersist()
+    for (d <- 2 to GraphOps.AnfMaxDepth) {
+      val rel = math.abs(est(d) - exactCum(d)) / exactCum(d)
+      assert(rel < 0.35,
+        s"anf depth $d: est ${est(d)} vs exact ${exactCum(d)} (rel $rel)")
+    }
+    // monotone in depth by construction (registers only ever gain mass)
+    for (d <- 1 to GraphOps.AnfMaxDepth)
+      assert(est(d) >= est(d - 1))
+  }
+
   test("anf: HyperBall invariant — depth-d state equals registers of the exact reach set") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
