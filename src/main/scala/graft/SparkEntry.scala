@@ -322,6 +322,8 @@ object SparkEntry {
     "q_triangles" -> (GraphOps.triangles _),
     // per-node local clustering coefficient (ego density), top-20
     "q_lcc" -> (GraphOps.lcc _),
+    // degree assortativity (Pearson of endpoint degrees), one row
+    "q_assortativity" -> (GraphOps.assortativity _),
     // CMS inner-product join-size estimate with exact audit (est >= exact)
     "q_join_size_est" -> (ProfileOps.joinSizeEst _),
     // 80% Pareto point per priority: integer cumsum, cross-multiplied test
@@ -4174,6 +4176,31 @@ object SparkEntry {
       s"""WITH ${coEdgeCtes(KtrussEdgeSupport)},
         |$rounds
         |SELECT * FROM ($stats) ORDER BY iteration""".stripMargin
+    },
+    // same unthresholded edges + symmetrized endpoint-degree pairs; the
+    // six moments in HUGEINT on the VARCHAR detour, the one closed form
+    // mirrored node for node (the corr_matrix contract)
+    "q_assortativity" -> {
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val num = s"(CAST(n AS DOUBLE) * ${hdbl("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val den = s"(sqrt(CAST(n AS DOUBLE) * ${hdbl("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+        s" * sqrt(CAST(n AS DOUBLE) * ${hdbl("syy")} - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+      s"""WITH ${coEdgeCtes(1L)},
+        |sym AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |xy AS (SELECT da.deg AS x, db.deg AS y
+        |  FROM sym JOIN deg da ON da.node = sym.a JOIN deg db ON db.node = sym.b),
+        |mo AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM xy)
+        |SELECT n AS n_endpoints,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_deg,
+        |  $num / nullif($den, 0.0) AS assortativity
+        |FROM mo""".stripMargin
     },
     // same unthresholded co-purchase edges; triangles enumerate once via
     // the shared-lower-endpoint join (a < b < c), per-node counts from

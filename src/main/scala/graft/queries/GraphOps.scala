@@ -320,6 +320,53 @@ object GraphOps {
         .limit(LccTopK)
     }
 
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge list
+    * (each undirected edge contributes (u, v) and (v, u), which is what
+    * makes r symmetric — Newman 2002). Negative r = hubs attach to
+    * leaves (dissortative, the typical purchase/web shape); positive =
+    * hub-hub cores. The number that predicts whether degree-ordered
+    * orientation and hub-caps will pay off before running the heavier
+    * graph entries.
+    *
+    * Exactness and shape: the [[triangles]] corr-discipline — all six
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) ride ONE
+    * map-side-combinable aggregate over the degree-joined edge list,
+    * products in DECIMAL(38,0) (edge counts × squared degrees beat int64
+    * at web scale), the closed form mirrored node for node with the
+    * oracle's HUGEINT moments on the VARCHAR detour. Degree joins are
+    * node-scale. Output is one row at any volume. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityFrom(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[assortativity]] over any (ok, pk) membership frame — fixture seam. */
+  private[graft] def assortativityFrom(raw: DataFrame): DataFrame =
+    releasingCaches(raw.sparkSession) { scope =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+      val edges = coEdges(raw, scope, minSupport = 1L)
+      val deg = edgeDegrees(edges)
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val xy = sym
+        .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+      val mo = xy.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val num = d("n") * d("sxy") - d("sx") * d("sy")
+      val den = sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+        sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+      mo.select(col("n").as("n_endpoints"),
+        (d("sx") / d("n")).as("mean_deg"),
+        (num / nullif(den, lit(0.0))).as("assortativity"))
+    }
+
   /** Fixed-point scale for the quantized 1/ln(deg) Adamic–Adar weights. */
   private[graft] val AaScale = 1L << 20
   private[graft] val CnTopK  = 20

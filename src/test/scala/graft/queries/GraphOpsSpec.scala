@@ -350,6 +350,21 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0)))
   }
 
+  test("assortativity: a star is exactly -1 (perfect dissortativity)") {
+    import spark.implicits._
+    // hub 1 with leaves 2,3,4 — one 2-item basket per edge. Endpoint
+    // degree pairs: (3,1) x3 and (1,3) x3 -> n=6, sx=sy=12, sxy=18,
+    // sxx=syy=30; r = (6*18-144)/(sqrt(36)*sqrt(36)) = -36/36 = -1,
+    // every IEEE op exact, so the assert is equality not tolerance
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L)).zipWithIndex
+      .flatMap { case ((u, v), i) => Seq((i.toLong, u), (i.toLong, v)) }
+      .toDF("ok", "pk")
+    val r = GraphOps.assortativityFrom(raw).collect()(0)
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === 2.0)
+    assert(r.getDouble(2) === -1.0)
+  }
+
   test("anf: estimate tracks the exact neighborhood function on real data") {
     // sf0.001's trade graph has ~160 nodes, so the EXACT all-sources
     // neighborhood function is computable here (and only here): every
