@@ -383,6 +383,18 @@ object SparkEntry {
     "q_ttest_welch" -> (StatsOps.welchTtest _),
     // one-way ANOVA F with order-pinned cross-group float folds
     "q_anova" -> (StatsOps.anova _),
+    // Spearman rank-correlation matrix via exact doubled midranks
+    "q_spearman" -> (StatsOps.spearman _),
+    // Kruskal-Wallis rank H across order priorities, tie-corrected
+    "q_kruskal" -> (StatsOps.kruskal _),
+    // lead-lag cross-correlation between two daily event-count series
+    "q_xcorr" -> (StatsOps.xcorr _),
+    // Theil-Sen median-slope robust monthly revenue trend per segment
+    "q_theilsen" -> (StatsOps.theilsen _),
+    // seed-teleport personalized PageRank over the trade graph
+    "q_ppr" -> (GraphOps.ppr _),
+    // NDCG@10 / MRR / recall@10 of a popularity ranker, exact-int metrics
+    "q_ndcg" -> (BehaviorOps.ndcg _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -3632,6 +3644,182 @@ object SparkEntry {
         |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
         |  ssb / (ssb + ssw) AS eta_sq
         |FROM s""".stripMargin,
+    // same doubled midranks (window cumsum over distinct values replays
+    // the engine's two-level prefix sum exactly), same DECIMAL moments
+    "q_spearman" -> {
+      val cols = Seq("discount", "extendedprice", "quantity")
+      val rts = cols.map { c =>
+        s"""rt_$c AS (SELECT v, 2 * (f - c) + c + 1 AS rank2 FROM (
+           |  SELECT v, c, SUM(c) OVER (ORDER BY v) AS f FROM (
+           |    SELECT $c AS v, COUNT(*) AS c FROM li GROUP BY 1)))""".stripMargin
+      }.mkString(",\n")
+      val joins = cols.map(c => s"JOIN rt_$c ON li.$c = rt_$c.v").mkString(" ")
+      val moments = cols.map(c => s"SUM(CAST(r_$c AS HUGEINT)) AS s_$c") ++
+        (for (x <- cols; y <- cols if x <= y)
+          yield s"SUM(CAST(r_$x AS HUGEINT) * r_$y) AS s_${x}_$y")
+      def dbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val legs = for (x <- cols; y <- cols if x < y) yield {
+        val num = s"(${dbl("n")} * ${dbl(s"s_${x}_$y")} - ${dbl(s"s_$x")} * ${dbl(s"s_$y")})"
+        val dx  = s"(${dbl("n")} * ${dbl(s"s_${x}_$x")} - ${dbl(s"s_$x")} * ${dbl(s"s_$x")})"
+        val dy  = s"(${dbl("n")} * ${dbl(s"s_${y}_$y")} - ${dbl(s"s_$y")} * ${dbl(s"s_$y")})"
+        s"SELECT '$x' AS x, '$y' AS y, n, $num / nullif(sqrt($dx * $dy), 0.0) AS rho FROM m"
+      }
+      s"""WITH li AS (SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS extendedprice,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS discount
+        |  FROM lineitem),
+        |$rts,
+        |j AS (SELECT ${cols.map(c => s"rt_$c.rank2 AS r_$c").mkString(", ")}
+        |  FROM li $joins),
+        |m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")} FROM j)
+        |SELECT * FROM (${legs.mkString(" UNION ALL ")}) ORDER BY x, y""".stripMargin
+    },
+    // same doubled midranks, same grp-ordered float fold (the anova
+    // list_reduce), same exact HUGEINT tie moment via the VARCHAR detour
+    "q_kruskal" -> {
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |pv AS (SELECT v, COUNT(*) AS c FROM o GROUP BY 1),
+        |rt AS (SELECT v, c,
+        |    2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS rank2 FROM pv),
+        |pg AS (SELECT grp, v, COUNT(*) AS cg FROM o GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(SUM(cg) AS BIGINT) AS n_g,
+        |    SUM(CAST(cg AS HUGEINT) * rank2) AS r2_g
+        |  FROM pg JOIN rt USING (v) GROUP BY grp),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list(${hdbl("r2_g")} * ${hdbl("r2_g")}
+        |        / (4.0 * CAST(n_g AS DOUBLE)) ORDER BY grp), (x, y) -> x + y) AS s
+        |  FROM g),
+        |ties AS (SELECT SUM(CAST(c AS HUGEINT) * c * c) - SUM(CAST(c AS HUGEINT)) AS t3 FROM pv),
+        |f AS (SELECT k, n, s, ${hdbl("t3")} AS t3d, CAST(n AS DOUBLE) AS nd
+        |  FROM t CROSS JOIN ties),
+        |h AS (SELECT k, n,
+        |    12.0 * s / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) AS h,
+        |    1.0 - t3d / (nd * nd * nd - nd) AS tie_c
+        |  FROM f)
+        |SELECT k, n, h, tie_c, h / nullif(tie_c, 0.0) AS h_adj FROM h""".stripMargin
+    },
+    // same days-sized lagged equi-join per signed lag, same exact moments
+    "q_xcorr" -> {
+      import graft.queries.StatsOps.{XcMaxLag, XcTypeA, XcTypeB}
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE event_type IN ('$XcTypeA', '$XcTypeB') GROUP BY 1, 2),
+        |a AS (SELECT day, cnt AS x FROM daily WHERE event_type = '$XcTypeA'),
+        |b AS (SELECT day, cnt AS y FROM daily WHERE event_type = '$XcTypeB'),
+        |lagged AS (SELECT lag, day + lag AS probe, x FROM a CROSS JOIN
+        |  (SELECT CAST(unnest(range(-$XcMaxLag, ${XcMaxLag + 1})) AS BIGINT) AS lag)),
+        |m AS (SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lagged JOIN b ON probe = b.day GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  (${dbl("n_pairs")} * ${hdbl("sxy")} - ${dbl("sx")} * ${dbl("sy")})
+        |    / nullif(sqrt((${dbl("n_pairs")} * ${hdbl("sxx")} - ${dbl("sx")} * ${dbl("sx")})
+        |         * (${dbl("n_pairs")} * ${hdbl("syy")} - ${dbl("sy")} * ${dbl("sy")})), 0.0) AS xcorr
+        |FROM m ORDER BY lag""".stripMargin
+    },
+    // same calendar-bounded monthly reduction, same exact-int slope
+    // division, same (slope, mi1, mi2) lower-median rank selection
+    "q_theilsen" ->
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mi,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |pairs AS (SELECT a.seg, a.mi AS mi1, b.mi AS mi2,
+        |    CAST(b.cents - a.cents AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.seg = b.seg AND a.mi < b.mi),
+        |rn AS (SELECT seg, mi1, mi2, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY slope, mi1, mi2) AS rn
+        |  FROM pairs),
+        |sizes AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |    CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs
+        |  FROM monthly GROUP BY 1)
+        |SELECT r.seg AS seg, n_months, n_pairs, slope AS median_slope
+        |FROM rn r JOIN sizes s ON r.seg = s.seg
+        |WHERE rn = (n_pairs + 1) // 2 ORDER BY r.seg""".stripMargin,
+    // the pagerank unroll with teleport mass restricted to the seed set
+    // (suppliers ≡ 0 mod PprSeedMod), same integer fixed point
+    "q_ppr" -> {
+      import graft.queries.GraphOps.{PprSeedMod, PrBaseNum, PrDampNum, PrIters, PrScale}
+      val seedSql = s"node % 2 = 1 AND ((node - 1) // 2) % $PprSeedMod = 0"
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""r$k AS (
+          |  SELECT d.node, d.deg,
+          |    CASE WHEN ${seedSql.replace("node", "d.node")} THEN $PrBaseNum ELSE 0 END
+          |      + ($PrDampNum * COALESCE(SUM(r.pr // r.deg), 0)) // $PrScale AS pr
+          |  FROM deg d
+          |  LEFT JOIN edges e ON e.dst = d.node
+          |  LEFT JOIN r${k - 1} r ON r.node = e.src
+          |  GROUP BY d.node, d.deg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, deg,
+        |    CASE WHEN $seedSql THEN CAST($PrScale AS BIGINT) ELSE 0 END AS pr
+        |  FROM deg),
+        |$iterCtes
+        |SELECT node // 2 AS entity_key,
+        |  CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS kind,
+        |  CAST(pr AS BIGINT) AS ppr
+        |FROM r$PrIters
+        |ORDER BY ppr DESC, kind, entity_key LIMIT 20""".stripMargin
+    },
+    // same parity split, same literal discount weights, same integral
+    // per-user quantization (DCG <= IDCG keeps every metric <= 10^6)
+    "q_ndcg" -> {
+      import graft.queries.BehaviorOps.{NdcgK, NdcgQScale, NdcgWeights}
+      val wvals = NdcgWeights.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      def hdbl(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH li AS (SELECT l_orderkey, l_partkey AS pk,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q
+        |  FROM lineitem),
+        |j AS (SELECT pk, q, o_custkey AS cust, o_orderkey % 2 AS par
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+        |wt AS (SELECT i, w FROM (VALUES $wvals) AS t(i, w)),
+        |train AS (SELECT pk, CAST(SUM(q) AS BIGINT) AS pop
+        |  FROM j WHERE par = 0 GROUP BY 1),
+        |topw AS (SELECT pk, i, w FROM (
+        |    SELECT pk, CAST(ROW_NUMBER() OVER (ORDER BY pop DESC, pk) AS BIGINT) AS i
+        |    FROM train ORDER BY pop DESC, pk LIMIT $NdcgK) t JOIN wt USING (i)),
+        |rel AS (SELECT cust, pk, CAST(SUM(q) AS BIGINT) AS rel
+        |  FROM j WHERE par = 1 GROUP BY 1, 2),
+        |base AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS m FROM rel GROUP BY 1),
+        |idcg AS (SELECT cust, CAST(SUM(rel * w) AS BIGINT) AS idcg FROM (
+        |    SELECT cust, rel, pk,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY cust ORDER BY rel DESC, pk) AS BIGINT) AS rn
+        |    FROM rel) r JOIN wt ON r.rn = wt.i
+        |  GROUP BY cust),
+        |dcg AS (SELECT cust, CAST(SUM(rel * w) AS BIGINT) AS dcg,
+        |    CAST(MIN(t.i) AS BIGINT) AS first_hit, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM rel JOIN topw t USING (pk) GROUP BY cust),
+        |per AS (SELECT
+        |    COALESCE((COALESCE(dcg, 0) * $NdcgQScale) // NULLIF(idcg, 0), 0) AS ndcg_q,
+        |    COALESCE($NdcgQScale // first_hit, 0) AS mrr_q,
+        |    (COALESCE(n_hits, 0) * $NdcgQScale) // LEAST(m, $NdcgK) AS rec_q,
+        |    CASE WHEN dcg IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM base b JOIN idcg USING (cust) LEFT JOIN dcg USING (cust))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  ${hdbl("SUM(ndcg_q)")} / (CAST(COUNT(*) AS DOUBLE) * $NdcgQScale.0) AS mean_ndcg,
+        |  ${hdbl("SUM(mrr_q)")} / (CAST(COUNT(*) AS DOUBLE) * $NdcgQScale.0) AS mean_mrr,
+        |  ${hdbl("SUM(rec_q)")} / (CAST(COUNT(*) AS DOUBLE) * $NdcgQScale.0) AS mean_recall,
+        |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+        |FROM per""".stripMargin
+    },
     // same distinct (source, shingle) reduction, bounded per-shingle
     // fan-out, |A|+|B|-|A∩B| union arithmetic
     "q_source_overlap" -> {

@@ -1290,4 +1290,82 @@ object BehaviorOps {
           .otherwise("continue").as("decision"))
       .orderBy(col("arm"), col("day"))
   }
+
+  // ------------------------------------------- ranked-retrieval evaluation
+  /** Cut depth for [[ndcg]]'s ranked metrics. */
+  private[graft] val NdcgK = 10
+  /** Fixed point for the position-discount weights (2^20). */
+  private[graft] val NdcgWScale = 1L << 20
+  /** Fixed point for the per-user metric quantization. */
+  private[graft] val NdcgQScale = 1000000L
+  /** w_i = round(scale / log2(i+1)) for i = 1..[[NdcgK]] — computed ONCE
+    * here at build time and interpolated as LITERALS into both the Spark
+    * plan and the oracle SQL, so no engine ever evaluates a float log. */
+  private[graft] val NdcgWeights: Seq[Long] = (1 to NdcgK).map(i =>
+    math.floor(NdcgWScale.toDouble / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k / MRR / recall@k / hit-rate of a popularity recommender —
+    * the ranked-metric battery beside [[cfEval]]'s flat hit rate, and the
+    * evaluation shape every retrieval stack (BM25, ANN, hybrid RRF) plugs
+    * its own ranking into. Train/test split by order-key parity; the
+    * "model" ranks parts by train-split quantity (ties by part key); per
+    * test user, graded relevance = quantity bought. All metric arithmetic
+    * is EXACT INTEGER: position discounts are the [[NdcgWeights]]
+    * literals, DCG/IDCG are integer dot products (≤ user-volume·2^20 ≈
+    * 10¹¹ per user — 10⁷ of int64 headroom even ×[[NdcgQScale]]), and
+    * each per-user metric quantizes by ONE integral division (DCG ≤ IDCG
+    * guarantees ndcg_q ≤ 10⁶), so the cross-user mean is a ratio of two
+    * exact sums. Scale shape: two fact-to-(cust, part) reductions, a
+    * 10-row LIMIT-bounded broadcast for the ranking, one partitioned
+    * window capped at k rows per user — nothing data-scale crosses a
+    * driver or a broadcast.
+    */
+  def ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val warr = array(NdcgWeights.map(lit): _*)
+    def qcents(c: Column): Column = (c.cast(DecimalType(12, 2)) * 100).cast(LongType)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey").as("pk"),
+        qcents(col("l_quantity")).as("q"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        (col("o_orderkey") % 2).as("par"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val train = joined.filter(col("par") === 0)
+      .groupBy(col("pk")).agg(sum(col("q")).as("pop"))
+    val topw = train.orderBy(col("pop").desc, col("pk")).limit(NdcgK)
+      .agg(sort_array(collect_list(struct((col("pop") * -1).as("np"), col("pk")))).as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast(LongType).as("i"), col("col.pk").as("pk"))
+      .withColumn("w", element_at(warr, (col("i")).cast(IntegerType)))
+    val rel = joined.filter(col("par") === 1)
+      .groupBy(col("cust"), col("pk")).agg(sum(col("q")).as("rel"))
+    val base = rel.groupBy(col("cust")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("cust")).orderBy(col("rel").desc, col("pk"))
+    val idcgF = rel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NdcgK)
+      .select(col("cust"),
+        (col("rel") * element_at(warr, col("rn"))).as("t"))
+      .groupBy(col("cust")).agg(sum(col("t")).as("idcg"))
+    val dcgF = rel.join(broadcast(topw), Seq("pk"))
+      .groupBy(col("cust"))
+      .agg(sum(col("rel") * col("w")).as("dcg"), min(col("i")).as("first_hit"),
+        count(lit(1)).as("n_hits"))
+    val per = base.join(idcgF, Seq("cust")).join(dcgF, Seq("cust"), "left")
+      .select(
+        expr(s"coalesce((coalesce(dcg, 0L) * $NdcgQScale) div nullif(idcg, 0L), 0L)")
+          .as("ndcg_q"),
+        expr(s"coalesce($NdcgQScale div first_hit, 0L)").as("mrr_q"),
+        expr(s"(coalesce(n_hits, 0L) * $NdcgQScale) div least(m, ${NdcgK}L)").as("rec_q"),
+        when(col("dcg").isNotNull, 1L).otherwise(0L).as("hit"))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    per.agg(count(lit(1)).as("n_users"),
+        sum(dec(col("ndcg_q"))).as("sn"), sum(dec(col("mrr_q"))).as("sm"),
+        sum(dec(col("rec_q"))).as("sr"), sum(col("hit")).as("sh"))
+      .select(col("n_users"),
+        (dbl(col("sn")) / (dbl(col("n_users")) * lit(NdcgQScale.toDouble))).as("mean_ndcg"),
+        (dbl(col("sm")) / (dbl(col("n_users")) * lit(NdcgQScale.toDouble))).as("mean_mrr"),
+        (dbl(col("sr")) / (dbl(col("n_users")) * lit(NdcgQScale.toDouble))).as("mean_recall"),
+        (dbl(col("sh")) / dbl(col("n_users"))).as("hit_rate"))
+  }
 }

@@ -1309,4 +1309,215 @@ object StatsOps {
         col("mean_y_treated"), col("mean_y_control"), col("diff"), col("att"))
       .orderBy(col("stratum"))
   }
+
+  // --------------------------------------- tie-averaged midranks (shared)
+  /** Bucket width for [[midranks2]]'s two-level prefix sum — sized so a
+    * bucket's distinct-value count (≤ width) fits one window partition. */
+  private[graft] val MrBucketWidth = 65536L
+  /** Literal clamp on the bucket id: `least(v div width, cap)` has a
+    * domain of at most cap+1 values BY CONSTRUCTION, so the bucket-total
+    * probe side is provably bounded (the PlanGuard broadcast rule) at any
+    * data volume; cap·width = 2.7e8 cents covers the whole price domain,
+    * so the overflow bucket is empty in practice. */
+  private[graft] val MrBucketCap = 4096L
+
+  /** Doubled tie-averaged midranks over a per-value count frame `(v, c)`
+    * (v a non-negative long): returns `(v, c, rank2)` with
+    * rank2 = 2·F_excl(v) + c + 1 — twice the midrank, so all rank
+    * arithmetic downstream stays EXACT INTEGER (the mannWhitney
+    * discipline). Built with the scalable two-level prefix-sum shape
+    * ([[twoSampleCum]]): in-bucket cumsum is a window partitioned by a
+    * LITERAL-CLAMPED bucket id, cross-bucket offsets come from the
+    * triangular probe over the ≤[[MrBucketCap]]-row bucket-total
+    * aggregate — never a global window, never a data-scale broadcast.
+    */
+  private[graft] def midranks2(perValue: DataFrame): DataFrame = {
+    val pv = perValue.withColumn("bucket",
+      least(expr(s"v div $MrBucketWidth"), lit(MrBucketCap)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pv.withColumn("r", sum(col("c")).over(w))
+    val totals = pv.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    val offsets = totals.select(col("bucket").as("b"))
+      .join(broadcast(totals), col("bucket") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("off"))
+    inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("v"), col("c"),
+        (lit(2L) * (col("off") + col("r") - col("c")) + col("c") + lit(1L))
+          .as("rank2"))
+  }
+
+  // ------------------------------------------- Spearman rank correlation
+  /** Spearman rank-correlation matrix over three lineitem measures —
+    * [[corrMatrix]]'s robust sibling: monotone dependence instead of
+    * linear, immune to the price tail. Ranks are tie-averaged DOUBLED
+    * midranks (exact integers via [[midranks2]]; Pearson is affine-
+    * invariant, so ρ over 2·rank equals ρ over rank), joined back to
+    * rows by value — each rank table is |distinct values| ≤ the price
+    * DOMAIN, so the joins are value-dimension-sized at any corpus scale.
+    * The moment aggregate is ONE scan of exact integers (cross-moments
+    * in DECIMAL(38,0): rank2² ≤ 4N², summed ≤ 4N³ ≈ 4e36 at N = 10¹²,
+    * inside 38 digits), and each ρ is a closed-form double expression
+    * over those moments (the corrMatrix contract).
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("discount", "extendedprice", "quantity")
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast(LongType).as("quantity"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("extendedprice"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100).cast(LongType).as("discount"))
+    val withRanks = cols.foldLeft(li) { (df, c) =>
+      val rt = midranks2(li.groupBy(col(c).as("v")).agg(count(lit(1)).as("c")))
+        .select(col("v").as(c), col("rank2").as(s"r_$c"))
+      df.join(rt, Seq(c))
+    }
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val sums = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(dec(col(s"r_$c"))).as(s"s_$c")) ++
+      (for (x <- cols; y <- cols if x <= y) yield
+        sum(dec(col(s"r_$x")) * col(s"r_$y")).as(s"s_${x}_$y"))
+    val m = withRanks.agg(sums.head, sums.tail: _*)
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val pairs = for (x <- cols; y <- cols if x < y) yield {
+      val num = dbl("n") * dbl(s"s_${x}_$y") - dbl(s"s_$x") * dbl(s"s_$y")
+      val dx  = dbl("n") * dbl(s"s_${x}_$x") - dbl(s"s_$x") * dbl(s"s_$x")
+      val dy  = dbl("n") * dbl(s"s_${y}_$y") - dbl(s"s_$y") * dbl(s"s_$y")
+      struct(lit(x).as("x"), lit(y).as("y"),
+        (num / nullif(sqrt(dx * dy), lit(0.0))).as("rho"))
+    }
+    m.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("n"),
+        col("p.rho").as("rho"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  // ------------------------------------------------ Kruskal–Wallis H test
+  /** Kruskal–Wallis H across the order-priority groups on order-total
+    * cents — the rank-based one-way ANOVA ([[anova]]'s robust sibling;
+    * [[mannWhitney]] generalized past two groups). Per-group rank sums
+    * R_g stay EXACT (doubled midranks from [[midranks2]], accumulated in
+    * DECIMAL(38,0)); H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) folds the ≤5
+    * group terms in grp order (the anova fold, so the float sum is
+    * order-pinned), and the tie correction C = 1 − Σ(t³−t)/(N³−N) reads
+    * one more exact DECIMAL moment off the per-value count frame. Scale
+    * shape: facts reduce to |distinct cents| rows + a 5-row group frame
+    * before any float op; nothing downstream scales with data.
+    */
+  def kruskal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority").as("grp"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("v"))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val rt = midranks2(o.groupBy(col("v")).agg(count(lit(1)).as("c")))
+    val byGrp = o.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cg"))
+      .join(rt.select(col("v"), col("rank2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cg")).as("n_g"), sum(dec(col("cg")) * col("rank2")).as("r2_g"))
+    val ties = rt.agg(
+      (sum(dec(col("c")) * col("c") * col("c")) - sum(dec(col("c")))).as("t3"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    val folded = byGrp.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sort_array(collect_list(struct(col("grp"),
+          (dbl(col("r2_g")) * dbl(col("r2_g"))
+            / (lit(4.0) * dbl(col("n_g")))).as("term")))).as("ts"))
+      .select(col("k"), col("n"),
+        aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("term")).as("s"))
+    folded.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("s"), dbl(col("t3")).as("t3d"),
+        dbl(col("n")).as("nd"))
+      .select(col("k"), col("n"),
+        (lit(12.0) * col("s") / (col("nd") * (col("nd") + 1.0))
+          - lit(3.0) * (col("nd") + 1.0)).as("h"),
+        (lit(1.0) - col("t3d")
+          / (col("nd") * col("nd") * col("nd") - col("nd"))).as("tie_c"))
+      .select(col("k"), col("n"), col("h"), col("tie_c"),
+        (col("h") / nullif(col("tie_c"), lit(0.0))).as("h_adj"))
+  }
+
+  // ------------------------------------------ lead–lag cross-correlation
+  /** Lag window for [[xcorr]] (shared with the oracle SQL). */
+  private[graft] val XcMaxLag = 7L
+  /** The two cross-correlated event streams. */
+  private[graft] val XcTypeA = "view"
+  private[graft] val XcTypeB = "purchase"
+
+  /** Lead–lag cross-correlation between the daily [[XcTypeA]] and
+    * [[XcTypeB]] event-count series at lags −[[XcMaxLag]]..+[[XcMaxLag]]
+    * — [[autocorr]]'s two-series sibling, the "do views lead purchases?"
+    * read. Positive lag correlates x(day) with y(day+lag). Per lag the
+    * Pearson moments are exact int64 (daily counts), assembled by ONE
+    * days-sized lagged equi-join; both daily frames are calendar-bounded
+    * aggregates, so the probe side broadcasts legitimately at any scale.
+    */
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin(XcTypeA, XcTypeB))
+      .select(col("event_type"),
+        datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val a = daily.filter(col("event_type") === XcTypeA)
+      .select(col("day"), col("cnt").as("x"))
+    val b = daily.filter(col("event_type") === XcTypeB)
+      .select(col("day").as("dayb"), col("cnt").as("y"))
+    val lagged = a
+      .select(col("day"), col("x"),
+        explode(sequence(lit(-XcMaxLag), lit(XcMaxLag))).as("lag"))
+      .select(col("lag"), (col("day") + col("lag")).as("probe"), col("x"))
+    val m = lagged.join(broadcast(b), col("probe") === col("dayb"))
+      .groupBy(col("lag")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val num = dbl("n_pairs") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val dx  = dbl("n_pairs") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val dy  = dbl("n_pairs") * dbl("syy") - dbl("sy") * dbl("sy")
+    m.select(col("lag"), col("n_pairs"),
+        (num / nullif(sqrt(dx * dy), lit(0.0))).as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
+  // -------------------------------------------- Theil–Sen robust slope
+  /** Theil–Sen median slope of monthly revenue per market segment — the
+    * outlier-robust trend estimate (breakdown point 29%) beside
+    * [[olsFit]]'s least-squares one. Facts reduce to the (segment,
+    * month) revenue frame FIRST — ≤ segments × months rows, calendar-
+    * bounded — so the triangular month-pair self-join is O(months²) per
+    * segment at any data volume, never data-scale. Each pairwise slope
+    * is ONE double division of exact integer cents/month deltas
+    * (identical in both engines); the median is selected by rank with a
+    * (slope, mi1, mi2) ordering — the lower median at even counts, so
+    * no cross-pair float arithmetic ever happens.
+    */
+  def theilsen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        ((year(col("o_orderdate").cast(DateType)) - 1992) * 12
+          + month(col("o_orderdate").cast(DateType)) - 1).cast(LongType).as("mi"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("seg"), col("mi")).agg(sum(col("cents")).as("cents"))
+    val a = monthly.select(col("seg"), col("mi").as("mi1"), col("cents").as("c1"))
+    val b = monthly.select(col("seg"), col("mi").as("mi2"), col("cents").as("c2"))
+    val pairs = a.join(broadcast(b), Seq("seg")).filter(col("mi1") < col("mi2"))
+      .select(col("seg"), col("mi1"), col("mi2"),
+        ((col("c2") - col("c1")).cast(DoubleType)
+          / (col("mi2") - col("mi1")).cast(DoubleType)).as("slope"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("slope"), col("mi1"), col("mi2"))
+    val counted = pairs.withColumn("rn", row_number().over(w).cast(LongType))
+    val sizes = monthly.groupBy(col("seg")).agg(count(lit(1)).as("n_months"))
+      .withColumn("n_pairs", expr("n_months * (n_months - 1) div 2"))
+    counted.join(broadcast(sizes), Seq("seg"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("seg"), col("n_months"), col("n_pairs"),
+        col("slope").as("median_slope"))
+      .orderBy(col("seg"))
+  }
 }

@@ -645,4 +645,34 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got((1, "1970-01-03")) === ((120L, 0L, cum2.toDouble / sc, "accept_h0")))
     assert(inc(100, 100) >= lnq(19) && cum2 <= -lnq(19)) // boundaries really crossed
   }
+
+  test("ndcg: hand-computed graded metrics over a parity split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndcg").toString
+    // train (even orderkeys): pop 101 -> 500, 102 -> 300, 103 -> 100
+    // so the ranking is 101 (i=1), 102 (i=2), 103 (i=3)
+    Seq((1L, 7L), (2L, 99L), (3L, 8L), (4L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 102L, 2.0), (1L, 999L, 9.0),            // test: cust 7
+        (3L, 101L, 1.0),                             // test: cust 8
+        (2L, 101L, 5.0), (2L, 102L, 3.0), (4L, 103L, 1.0)) // train
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ws = BehaviorOps.NdcgWeights
+    val qs = BehaviorOps.NdcgQScale
+    // cust 7: rel = {999 -> 900, 102 -> 200}; idcg = 900*w1 + 200*w2;
+    //         dcg = 200*w2 (102 ranks at i=2); first hit 2; hits 1 of 2
+    val ndcg7 = 200L * ws(1) * qs / (900L * ws(0) + 200L * ws(1))
+    // cust 8: the single part IS rank 1 -> perfect scores
+    val expN = (ndcg7 + qs).toDouble / (2.0 * qs)
+    val expM = (qs / 2 + qs).toDouble / (2.0 * qs)
+    val expR = (qs / 2 + qs).toDouble / (2.0 * qs)
+    val r = BehaviorOps.ndcg(spark, dir).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === expN)
+    assert(r.getDouble(2) === expM)
+    assert(r.getDouble(3) === expR)
+    assert(r.getDouble(4) === 1.0)
+  }
 }

@@ -446,4 +446,32 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pprRanks: teleport mass stays on the seed, decays elsewhere") {
+    import spark.implicits._
+    // star: supplier node 1 (s = 0, the only seed) linked to customer
+    // nodes 2 and 4; deg 1 -> 2, 2 -> 1, 4 -> 1
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = GraphOps.pprRanks(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // r0: 1 -> 1e6, others 0; 3 iterations by hand:
+    //   i1: 1 = 150000,  2 = 4 = 850000*500000 div 1e6 = 425000
+    //   i2: 1 = 150000 + 850000*850000 div 1e6 = 872500, 2 = 4 = 63750
+    //   i3: 1 = 150000 + 850000*127500 div 1e6 = 258375,
+    //       2 = 4 = 850000*436250 div 1e6 = 370812 (the .5 truncates)
+    assert(got === Map(1L -> 258375L, 2L -> 370812L, 4L -> 370812L))
+  }
+
+  test("ppr: non-seed-reachable mass is exactly zero, seeds anchor") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphOps.ppr(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ordered by rank desc with deterministic tiebreaks
+    val prs = rows.map(_.getLong(2))
+    assert(prs.sameElements(prs.sortBy(-_)))
+    // every positive rank is seed-adjacent mass: rank units stay within
+    // one scale of the seed teleport (mass conservation sanity)
+    assert(prs.head <= GraphOps.PrScale * 2)
+  }
 }

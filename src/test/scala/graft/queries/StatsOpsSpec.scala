@@ -615,4 +615,90 @@ class StatsOpsSpec extends SparkSpec {
       (0, 1L, 1L, 3.0, 1.0, 2.0, 3.0),
       (4, 1L, 1L, 10.0, 6.0, 4.0, 3.0)))
   }
+
+  test("midranks2: doubled midranks across the bucket boundary") {
+    import spark.implicits._
+    // 65535 falls in bucket 0, 65536/65537 in bucket 1 — the cross-bucket
+    // offset path must carry bucket 0's total into bucket 1's ranks
+    val pv = Seq((65535L, 1L), (65536L, 2L), (65537L, 1L)).toDF("v", "c")
+    val got = StatsOps.midranks2(pv).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rank2 = 2*F_excl + c + 1: 65535 -> 2 (rank 1); 65536 -> 2+2+1 = 5
+    // (midrank 2.5); 65537 -> 6+1+1 = 8 (rank 4)
+    assert(got === Map(65535L -> 2L, 65536L -> 5L, 65537L -> 8L))
+  }
+
+  test("spearman: monotone cube is +1, reversal is -1, ties midranked") {
+    import spark.implicits._
+    val dir = tmp("spear")
+    // quantity 1,2,2,3 (tie at 2); extendedprice = quantity^3 (monotone,
+    // nonlinear -> Pearson < 1 but Spearman exactly 1); discount ranks are
+    // the exact reversal (4, 2.5, 2.5, 1)
+    Seq((1.0, 1.0, 0.08), (2.0, 8.0, 0.01), (2.0, 8.0, 0.01), (3.0, 27.0, 0.00))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = StatsOps.spearman(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows(("extendedprice", "quantity")) === 1.0)
+    assert(rows(("discount", "quantity")) === -1.0)
+    assert(rows(("discount", "extendedprice")) === -1.0)
+    assert(rows.size === 3)
+  }
+
+  test("kruskal: hand-computed H and tie correction") {
+    import spark.implicits._
+    val dir = tmp("kw")
+    // groups A: {1, 2}, B: {2, 3}; combined midranks 1, 2.5, 2.5, 4 so
+    // R_A = 3.5, R_B = 6.5; H = 12/(4*5)*(3.5^2/2 + 6.5^2/2) - 3*5 = 1.35;
+    // one tie of size 2 -> C = 1 - 6/60 = 0.9; H/C = 1.5
+    Seq(("A", 1.00), ("A", 2.00), ("B", 2.00), ("B", 3.00))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.kruskal(spark, dir).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 1.35) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.9) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.5) < 1e-12)
+  }
+
+  test("xcorr: a series shifted by exactly two days peaks at lag 2") {
+    import spark.implicits._
+    val dir = tmp("xc")
+    def ts(day: Int): Long = // nanos-long fixture, days from 2024-01-01
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+        + day * 86400L) * 1000000000L
+    val pattern = Seq(1, 3, 1, 3)
+    val rows =
+      pattern.zipWithIndex.flatMap { case (n, d) => Seq.fill(n)((ts(d), "view")) } ++
+      pattern.zipWithIndex.flatMap { case (n, d) => Seq.fill(n)((ts(d + 2), "purchase")) }
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = StatsOps.xcorr(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(m(2L) === ((4L, Some(1.0))))   // full overlap, identical pattern
+    assert(m(0L) === ((2L, Some(1.0))))   // days 2,3 overlap: (1,3) vs (1,3)
+    assert(m(1L) === ((3L, Some(-1.0))))  // (1,3,1) vs (3,1,3)
+    // only lags with >= 1 overlapping day emit a row: -1..5 here
+    assert(m.keySet === (-1L to 5L).toSet)
+  }
+
+  test("theilsen: median of the three pairwise slopes") {
+    import spark.implicits._
+    val dir = tmp("tsen")
+    Seq((1L, "X")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // months 0,1,2 with revenue 1.00, 2.00, 4.00 dollars: slopes in cents
+    // per month are 100, 150, 200 -> median 150
+    Seq(("1995-01-15", 1.00), ("1995-02-15", 2.00), ("1995-03-15", 4.00))
+      .map { case (d, p) => (1L, java.sql.Date.valueOf(d), p) }
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = StatsOps.theilsen(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "X")
+    assert(r(0).getLong(1) === 3L)
+    assert(r(0).getLong(2) === 3L)
+    assert(r(0).getDouble(3) === 150.0)
+  }
 }
