@@ -395,6 +395,10 @@ object SparkEntry {
     "q_ppr" -> (GraphOps.ppr _),
     // NDCG@10 / MRR / recall@10 of a popularity ranker, exact-int metrics
     "q_ndcg" -> (BehaviorOps.ndcg _),
+    // Holt-Winters additive weekly-seasonal smoothing backtest
+    "q_holt_winters" -> (StatsOps.holtWinters _),
+    // Laplace-mechanism noisy count release, deterministic noise replica
+    "q_dp_counts" -> (PrivacyOps.dpCounts _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5318,6 +5322,55 @@ object SparkEntry {
         |  abs(CAST(d.x AS DOUBLE) - f.forecast_cents) AS abs_err
         |FROM f JOIN daily d ON d.day = f.day
         |ORDER BY h""".stripMargin
+    },
+    // the same 10-slot array fold, generated from the SAME hwStepExprs
+    // (1-based here) so both engines run the identical expression tree
+    "q_holt_winters" -> {
+      import graft.queries.StatsOps.{HwHorizon, HwPeriod, hwStepExprs}
+      val zeros = Seq.fill(8)("CAST(0.0 AS DOUBLE)").mkString(", ")
+      val merge = hwStepExprs(1).mkString("[", ", ", "]")
+      s"""WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT MAX(day) - $HwHorizon AS cutoff FROM daily),
+        |arr AS (SELECT cutoff,
+        |    list([CAST(x AS DOUBLE), $zeros, CAST(day AS DOUBLE)] ORDER BY day) AS ss
+        |  FROM daily CROSS JOIN cut WHERE day <= cutoff GROUP BY cutoff),
+        |fit AS (SELECT cutoff,
+        |    list_reduce(ss, (a, e) -> $merge) AS st
+        |  FROM arr),
+        |f AS (SELECT h.range + 1 AS h, cutoff + h.range + 1 AS day,
+        |    st[1] + CAST(h.range + 1 AS DOUBLE) * st[2]
+        |      + st[CAST((cutoff + h.range + 1) % $HwPeriod AS INT) + 3] AS forecast_cents
+        |  FROM fit CROSS JOIN range($HwHorizon) h)
+        |SELECT CAST(f.h AS INT) AS h, f.day, d.x AS actual_cents, f.forecast_cents,
+        |  abs(CAST(d.x AS DOUBLE) - f.forecast_cents) AS abs_err
+        |FROM f JOIN daily d ON d.day = f.day
+        |ORDER BY h""".stripMargin
+    },
+    // same md5-derived symmetric draw, same quantized integer-log
+    // magnitude, same clamp — noise is bit-identical by construction
+    "q_dp_counts" -> {
+      import graft.queries.PrivacyOps.{DpBMilli, DpEpsMilli, DpHalfRange}
+      import graft.queries.StatsOps.LogScale
+      def lnqSql(e: String) =
+        s"CAST(floor(ln(CAST($e AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT source, n_true,
+        |    ${h32Sql("concat('dp|', source)")} % ${2 * DpHalfRange} - $DpHalfRange AS v
+        |  FROM c),
+        |m AS (SELECT source, n_true, v,
+        |    GREATEST(${lnqSql(DpHalfRange.toString)} - ${lnqSql("abs(v) + 1")}, 0) AS mag
+        |  FROM n),
+        |r AS (SELECT source, n_true,
+        |    (CASE WHEN v < 0 THEN -1 ELSE 1 END) * (($DpBMilli * mag) // $LogScale) AS noise_milli
+        |  FROM m)
+        |SELECT source, n_true, noise_milli,
+        |  CAST(n_true * 1000 + noise_milli AS DOUBLE) / 1000.0 AS n_released,
+        |  ${DpEpsMilli.toDouble / 1000.0} AS epsilon
+        |FROM r ORDER BY source""".stripMargin
     },
     // same shifted integer grid (cell = radius), same 9-offset candidate
     // join, same (dist2, id) argmin

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -99,5 +99,47 @@ object PrivacyOps {
         when(col("n_users") >= KAnon, lit(2)).otherwise(lit(0)).as("anon_level"))
     rel1.unionByName(l2)
       .orderBy(col("event_type"), col("hour"), col("dow"))
+  }
+
+  // ------------------------------------ differentially-private counts
+  /** Half-width of the symmetric integer noise grid (2^20). */
+  private[graft] val DpHalfRange = 1L << 20
+  /** Epsilon in milli-units (500 = ε 0.5). */
+  private[graft] val DpEpsMilli = 500L
+  /** L1 sensitivity of a per-source count (docs per contributor). */
+  private[graft] val DpSensitivity = 1L
+  /** Laplace scale b = sensitivity/ε, in milli-counts (2000 = b 2.0). */
+  private[graft] val DpBMilli = DpSensitivity * 1000L * 1000L / DpEpsMilli
+
+  /** DP-style noisy release of the per-source document counts — the
+    * Laplace mechanism with the repo's DETERMINISTIC pseudo-noise replica
+    * (the calibration/bootstrap discipline: an md5-derived symmetric
+    * integer stands in for the RNG draw; a real mechanism's sampler drops
+    * in unchanged). The draw v is uniform on [−M, M−1]; the magnitude
+    * b·ln(M/(|v|+1)) is the inverse-CDF tail with the logarithm QUANTIZED
+    * on integer arguments (lnq discipline — both engines floor the same
+    * integer-log grid, so noise is bit-identical), clamped at 0 for the
+    * |v| = M edge. Scale shape: one enum-keyed combining aggregate, then
+    * O(sources) scalar arithmetic — map-only at any corpus size.
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ls = StatsOps.LogScale
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(ls.toDouble) + lit(0.5)).cast(LongType)
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_true"))
+      .withColumn("v",
+        (TextOps.h32(concat(lit("dp|"), col("source"))) % lit(2 * DpHalfRange))
+          - lit(DpHalfRange))
+      .withColumn("mag",
+        greatest(lnq(lit(DpHalfRange)) - lnq(abs(col("v")) + 1), lit(0L)))
+      .withColumn("noise_milli",
+        when(col("v") < 0, lit(-1L)).otherwise(lit(1L))
+          * expr(s"($DpBMilli * mag) div $ls"))
+      .select(col("source"), col("n_true"), col("noise_milli"),
+        ((col("n_true") * 1000 + col("noise_milli")).cast(DoubleType)
+          / lit(1000.0)).as("n_released"),
+        lit(DpEpsMilli.toDouble / 1000.0).as("epsilon"))
+      .orderBy(col("source"))
   }
 }

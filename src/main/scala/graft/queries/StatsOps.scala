@@ -1520,4 +1520,77 @@ object StatsOps {
         col("slope").as("median_slope"))
       .orderBy(col("seg"))
   }
+
+  // --------------------------- Holt–Winters seasonal smoothing backtest
+  /** Seasonal period (day-of-week) for [[holtWinters]]. */
+  private[graft] val HwPeriod = 7L
+  /** Holdout horizon (days) for the backtest. */
+  private[graft] val HwHorizon = 7L
+
+  /** The Holt–Winters fold-step array elements with the given index base
+    * (0 = Spark arrays, 1 = DuckDB lists) — ONE generator feeds both the
+    * entry and its oracle, so the two engines run the textually-identical
+    * float expression tree. State layout: [level, trend, s₀..s₆, scratch];
+    * each element carries [x, 0×8, day], so the FIRST element doubles as
+    * the seed state (level = x₀, trend and seasons 0 — the holt idiom).
+    * α = β = γ = 1/2 keeps every coefficient an exact binary double.
+    */
+  private[graft] def hwStepExprs(base: Int): Seq[String] = {
+    def a(i: Int) = s"a[${i + base}]"
+    def e(i: Int) = s"e[${i + base}]"
+    val half = "CAST(0.5 AS DOUBLE)"
+    val idx  = s"(CAST(${e(9)} AS BIGINT) % $HwPeriod)"
+    val sold = s"a[CAST($idx AS INT) + ${2 + base}]"
+    val lvlP = s"($half * (${e(0)} - $sold) + $half * (${a(0)} + ${a(1)}))"
+    val trP  = s"($half * ($lvlP - ${a(0)}) + $half * ${a(1)})"
+    val sP   = s"($half * (${e(0)} - $lvlP) + $half * $sold)"
+    Seq(lvlP, trP) ++
+      (0 until HwPeriod.toInt).map(i =>
+        s"CASE WHEN $idx = $i THEN $sP ELSE ${a(2 + i)} END") :+
+      "CAST(0.0 AS DOUBLE)"
+  }
+
+  /** Holt–Winters additive triple-exponential smoothing (level + trend +
+    * day-of-week seasonality, α=β=γ=1/2) backtested on the daily
+    * order-total series — [[holt]] upgraded with the weekly component,
+    * the forecast shape a volume monitor actually needs. The recursion is
+    * the same ordered fold a combining aggregate cannot express: the
+    * calendar-bounded daily series collects into ONE sorted list and
+    * folds once with a 10-slot double-array state (struct states mutate
+    * field-by-field in DuckDB's list_reduce — the holt finding — so the
+    * state stays an array); [[hwStepExprs]] guarantees both engines run
+    * the identical expression tree, so the forecasts hash-match.
+    * Scale shape: facts reduce to O(days) rows FIRST; the fold runs on
+    * one row; the holdout join is days-sized.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("day"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+    val cut = daily.agg((max(col("day")) - HwHorizon).as("cutoff"))
+    val zeros = Seq.fill(8)("CAST(0.0 AS DOUBLE)").mkString(", ")
+    val merge = hwStepExprs(0).mkString("array(", ", ", ")")
+    val fit = daily.join(broadcast(cut))
+      .filter(col("day") <= col("cutoff"))
+      .groupBy(col("cutoff"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .withColumn("ss", expr(
+        s"transform(s, p -> array(CAST(p.x AS DOUBLE), $zeros, CAST(p.day AS DOUBLE)))"))
+      .withColumn("st", expr(
+        s"aggregate(slice(ss, 2, size(ss) - 1), ss[0], (a, e) -> $merge)"))
+    fit
+      .select(col("cutoff"), col("st"),
+        explode(sequence(lit(1L), lit(HwHorizon))).as("h"))
+      .select(col("h"), (col("cutoff") + col("h")).as("day"),
+        (expr("st[0]") + col("h").cast(DoubleType) * expr("st[1]")
+          + expr(s"st[CAST((cutoff + h) % $HwPeriod AS INT) + 2]"))
+          .as("forecast_cents"))
+      .join(daily.select(col("day"), col("x").as("actual_cents")), Seq("day"))
+      .select(col("h").cast(IntegerType).as("h"), col("day"),
+        col("actual_cents"), col("forecast_cents"),
+        abs(col("actual_cents").cast(DoubleType) - col("forecast_cents")).as("abs_err"))
+      .orderBy(col("h"))
+  }
 }

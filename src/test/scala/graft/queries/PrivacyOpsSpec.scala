@@ -78,4 +78,35 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(out.filter(col("anon_level") =!= 1 && col("dow") =!= "*").count() === 0)
     out.unpersist()
   }
+
+  test("dpCounts: scalar replica of the deterministic Laplace draw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp").toString
+    (Seq.fill(3)("alpha") ++ Seq.fill(5)("beta")).map(Tuple1(_))
+      .toDF("source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    def lnq(m: Long): Long =
+      math.floor(math.log(m.toDouble) * (1L << 20) + 0.5).toLong
+    def noiseMilli(src: String): Long = {
+      val m = PrivacyOps.DpHalfRange
+      val v = h32(s"dp|$src") % (2 * m) - m
+      val mag = math.max(lnq(m) - lnq(math.abs(v) + 1), 0L)
+      (if (v < 0) -1L else 1L) * (PrivacyOps.DpBMilli * mag / (1L << 20))
+    }
+    val got = PrivacyOps.dpCounts(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for ((src, n) <- Seq(("alpha", 3L), ("beta", 5L))) {
+      val nm = noiseMilli(src)
+      assert(got(src) === ((n, nm, (n * 1000 + nm).toDouble / 1000.0)), src)
+      // the release really is perturbed but within the Laplace tail
+      assert(math.abs(nm) <= PrivacyOps.DpBMilli * 20)
+    }
+    assert(got.values.exists(_._2 != 0L)) // at least one nonzero draw
+  }
 }

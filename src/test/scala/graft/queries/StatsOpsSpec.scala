@@ -683,6 +683,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(m.keySet === (-1L to 5L).toSet)
   }
 
+  test("holtWinters: scalar fold replica, seed conventions, slot routing") {
+    import spark.implicits._
+    val dir = tmp("hw")
+    val prices = Seq(10.0, 20.0, 15.0, 12.0, 11.0, 13.0, 14.0, 16.0, 18.0, 17.0)
+    prices.zipWithIndex.map { case (p, d) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, d + 1)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // scalar replica of the 10-slot fold: cutoff = 9 - 7 = 2, fit days 0..2
+    var (lvl, tr) = (prices(0) * 100, 0.0)
+    val s = Array.fill(7)(0.0)
+    for (d <- 1 to 2) {
+      val x = prices(d) * 100
+      val sold = s(d % 7)
+      val lvlP = 0.5 * (x - sold) + 0.5 * (lvl + tr)
+      val trP = 0.5 * (lvlP - lvl) + 0.5 * tr
+      s(d % 7) = 0.5 * (x - lvlP) + 0.5 * sold
+      lvl = lvlP; tr = trP
+    }
+    val got = StatsOps.holtWinters(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    for (h <- 1 to 7) {
+      val exp = lvl + h * tr + s((2 + h) % 7)
+      assert(got(h) === (((prices(2 + h) * 100).toLong, exp)), s"h=$h")
+    }
+  }
+
   test("theilsen: median of the three pairwise slopes") {
     import spark.implicits._
     val dir = tmp("tsen")
