@@ -399,6 +399,8 @@ object SparkEntry {
     "q_holt_winters" -> (StatsOps.holtWinters _),
     // Laplace-mechanism noisy count release, deterministic noise replica
     "q_dp_counts" -> (PrivacyOps.dpCounts _),
+    // in-engine Naive Bayes: train on parity split, classify, confusion
+    "q_nb_classify" -> (TextOps.nbClassify _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5371,6 +5373,53 @@ object SparkEntry {
         |  CAST(n_true * 1000 + noise_milli AS DOUBLE) / 1000.0 AS n_released,
         |  ${DpEpsMilli.toDouble / 1000.0} AS epsilon
         |FROM r ORDER BY source""".stripMargin
+    },
+    // same parity split, same Laplace-smoothed quantized-log weights,
+    // same matched-tokens-only normalizer — scores are exact integers
+    "q_nb_classify" -> {
+      import graft.queries.StatsOps.LogScale
+      import graft.queries.TextOps.NbPosLang
+      def lnqSql(e: String) =
+        s"CAST(floor(ln(CAST($e AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id,
+        |    CASE WHEN lang = '$NbPosLang' THEN 1 ELSE 0 END AS y,
+        |    doc_id % 2 AS par,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, y, par, unnest(tk) AS tok FROM d),
+        |tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+        |cnt AS (SELECT tok,
+        |    CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(1 - y) AS BIGINT) AS c0
+        |  FROM tok2 WHERE par = 0 GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+        |pri AS (SELECT CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0
+        |  FROM d WHERE par = 0),
+        |w AS (SELECT tok, ${lnqSql("c1 + 1")} - ${lnqSql("c0 + 1")} AS w FROM cnt),
+        |sc AS (SELECT t.doc_id, CAST(SUM(w.w) AS BIGINT) AS sw,
+        |    CAST(COUNT(*) AS BIGINT) AS nm
+        |  FROM tok2 t JOIN w USING (tok) WHERE t.par = 1 GROUP BY 1),
+        |scored AS (SELECT dd.y,
+        |    (${lnqSql("n1")} - ${lnqSql("n0")}) + COALESCE(sw, 0)
+        |      - COALESCE(nm, 0) * (${lnqSql("t1 + v")} - ${lnqSql("t0 + v")}) AS score,
+        |    n1 + n0 AS n_train, v
+        |  FROM (SELECT doc_id, y FROM d WHERE par = 1) dd
+        |  LEFT JOIN sc USING (doc_id) CROSS JOIN tot CROSS JOIN pri),
+        |m AS (SELECT n_train, v, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT n_train, n_test, v AS vocab, tp, fp, fn, tn,
+        |  CAST(tp + tn AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy,
+        |  CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0) AS precision,
+        |  CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0) AS recall,
+        |  2.0 * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0))
+        |      * (CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0))
+        |    / nullif(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+        |      + CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0), 0.0) AS f1
+        |FROM m""".stripMargin
     },
     // same shifted integer grid (cell = radius), same 9-offset candidate
     // join, same (dist2, id) argmin

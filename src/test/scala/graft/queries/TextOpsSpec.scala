@@ -747,4 +747,29 @@ class TextOpsSpec extends SparkSpec {
       .sortBy(_.getInt(1)).map(_.getLong(4))
     assert(corpus.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("nbClassify: learns a separable fixture; unseen tokens fall to the prior") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    // train (even ids): en doc "apple apple banana", de doc "kirsche banana"
+    // -> c(apple)=(2,0), c(banana)=(1,1), c(kirsche)=(0,1); t1=3 t0=2 v=3;
+    //    priors 1/1 cancel exactly (lnq(1)-lnq(1)=0)
+    // test (odd ids): "apple" -> lnq3 - (lnq6-lnq5) > 0 -> en (tp);
+    //   "kirsche kirsche" -> 2(-lnq2) - 2(lnq6-lnq5) < 0 -> not-en (tn);
+    //   "mango" unseen -> score = prior = 0 -> not-en (tn)
+    Seq(
+      (0L, "en", "apple apple banana"),
+      (2L, "de", "kirsche banana"),
+      (1L, "en", "apple"),
+      (3L, "de", "kirsche kirsche"),
+      (5L, "de", "mango"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.nbClassify(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 3L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      === ((1L, 0L, 0L, 2L)))
+    assert(r.getDouble(7) === 1.0)   // accuracy
+    assert(r.getDouble(10) === 1.0)  // f1
+  }
 }
