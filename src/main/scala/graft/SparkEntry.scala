@@ -401,6 +401,10 @@ object SparkEntry {
     "q_dp_counts" -> (PrivacyOps.dpCounts _),
     // in-engine Naive Bayes: train on parity split, classify, confusion
     "q_nb_classify" -> (TextOps.nbClassify _),
+    // optimal decision-stump split per feature by exact-moment Gini
+    "q_stump" -> (StatsOps.stump _),
+    // Friedman blocked-rank chi2 across event types, tie-corrected
+    "q_friedman" -> (StatsOps.friedman _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5421,6 +5425,71 @@ object SparkEntry {
         |      + CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0), 0.0) AS f1
         |FROM m""".stripMargin
     },
+    // same per-value reduction (window cumsum replays the two-level
+    // prefix sum), same exact-int split objective, same min-v argmax
+    "q_stump" -> {
+      import graft.queries.StatsOps.StumpPosPriority
+      def dbl(c: String) = s"CAST($c AS DOUBLE)"
+      def sq2(a: String, b: String) =
+        s"(${dbl(a)} * ${dbl(a)} + ${dbl(b)} * ${dbl(b)})"
+      def block(tag: String, vcol: String, name: String) = {
+        val score = s"${sq2("f1", "f - f1")} / ${dbl("f")}" +
+          s" + ${sq2("n1 - f1", "(n - f) - (n1 - f1)")} / ${dbl("n - f")}"
+        s"""pv_$tag AS (SELECT $vcol AS v, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS c1
+           |  FROM o GROUP BY 1),
+           |cum_$tag AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS f,
+           |    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1 FROM pv_$tag),
+           |tot_$tag AS (SELECT CAST(MAX(f) AS BIGINT) AS n, CAST(MAX(f1) AS BIGINT) AS n1
+           |  FROM cum_$tag),
+           |sc_$tag AS (SELECT v, n, n1, $score AS score
+           |  FROM cum_$tag CROSS JOIN tot_$tag WHERE f < n),
+           |b_$tag AS (SELECT MAX(score) AS best FROM sc_$tag),
+           |r_$tag AS (SELECT '$name' AS feature, n, n1, CAST(MIN(v) AS BIGINT) AS threshold,
+           |    best / ${dbl("n")} - ${sq2("n1", "n - n1")} / (${dbl("n")} * ${dbl("n")}) AS gini_gain
+           |  FROM sc_$tag CROSS JOIN b_$tag WHERE score = best GROUP BY n, n1, best)""".stripMargin
+      }
+      s"""WITH o AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CASE WHEN o_orderpriority = '$StumpPosPriority' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |${block("a", "cents", "totalprice_cents")},
+        |${block("b", "day", "order_day")}
+        |SELECT * FROM (SELECT * FROM r_a UNION ALL SELECT * FROM r_b)
+        |ORDER BY feature""".stripMargin
+    },
+    // same complete-block restriction, same in-block doubled midranks,
+    // same type-ordered fold and HUGEINT tie moment
+    "q_friedman" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+        |complete AS (SELECT day FROM daily GROUP BY day
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |cells AS (SELECT d.event_type, d.day, d.cnt
+        |  FROM daily d JOIN complete USING (day)),
+        |pv AS (SELECT day, cnt, COUNT(*) AS t FROM cells GROUP BY 1, 2),
+        |pr AS (SELECT day, cnt,
+        |    2 * (SUM(t) OVER (PARTITION BY day ORDER BY cnt) - t) + t + 1 AS rank2
+        |  FROM pv),
+        |ranked AS (SELECT c.event_type, r.rank2
+        |  FROM cells c JOIN pr r ON c.day = r.day AND c.cnt = r.cnt),
+        |bt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(rank2) AS BIGINT) AS r2 FROM ranked GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k2, CAST(MAX(n_blocks) AS BIGINT) AS n,
+        |    list_reduce(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / 4.0
+        |        ORDER BY event_type), (x, y) -> x + y) AS s
+        |  FROM bt),
+        |ties AS (SELECT SUM(CAST(t AS HUGEINT) * t * t) - SUM(CAST(t AS HUGEINT)) AS t3
+        |  FROM pv),
+        |f AS (SELECT k2, n, s, CAST(CAST(t3 AS VARCHAR) AS DOUBLE) AS t3d,
+        |    CAST(k2 AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd
+        |  FROM t CROSS JOIN ties),
+        |h AS (SELECT k2 AS k, n,
+        |    12.0 * s / (nd * kd * (kd + 1.0)) - 3.0 * nd * (kd + 1.0) AS chi2,
+        |    1.0 - t3d / (nd * kd * (kd * kd - 1.0)) AS tie_c
+        |  FROM f)
+        |SELECT k, n, chi2, tie_c, chi2 / nullif(tie_c, 0.0) AS chi2_adj FROM h""".stripMargin,
     // same shifted integer grid (cell = radius), same 9-offset candidate
     // join, same (dist2, id) argmin
     "q_radius_nn" -> {

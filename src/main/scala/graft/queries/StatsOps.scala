@@ -1593,4 +1593,138 @@ object StatsOps {
         abs(col("actual_cents").cast(DoubleType) - col("forecast_cents")).as("abs_err"))
       .orderBy(col("h"))
   }
+
+  // ------------------------------------------ decision stump (best split)
+  /** Positive label for [[stump]]. */
+  private[graft] val StumpPosPriority = "1-URGENT"
+
+  /** Optimal 1-D decision-stump split per feature by Gini impurity — the
+    * first step of every tree learner, run in-engine: for each distinct
+    * feature value v, evaluate the split "x ≤ v" against the binary label
+    * and report the v minimizing weighted Gini (max gain, min-v
+    * tiebreak). Per feature, the fact scan reduces to |distinct values|
+    * (c, c1) rows; inclusive cumulative counts come from the two-level
+    * prefix-sum shape (in-bucket window partitioned by the clamped
+    * bucket id + triangular offset probe — the [[midranks2]] discipline,
+    * keyed by feature); the split objective A/n_L + B/n_R (A, B the
+    * per-side squared class masses) is two correctly-rounded double
+    * divisions of EXACT integers, identical in both engines, and the
+    * argmax resolves by equi-joining the per-feature max back (min-v
+    * tiebreak — the ksTest shape). Gini is rational, so no logarithms
+    * ever enter.
+    */
+  def stump(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"),
+      datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)).cast(LongType).as("day"),
+      when(col("o_orderpriority") === StumpPosPriority, 1L).otherwise(0L).as("y"))
+    stumpFeature(o.select(col("cents").as("v"), col("y")), "totalprice_cents")
+      .unionByName(stumpFeature(o.select(col("day").as("v"), col("y")), "order_day"))
+      .orderBy(col("feature"))
+  }
+
+  /** The single-feature split search over a `(v, y)` frame — run per
+    * feature (not melted) so every broadcast side's grouping key is the
+    * literal-clamped bucket id or a global aggregate, both provably
+    * bounded. */
+  private[graft] def stumpFeature(fv: DataFrame, name: String): DataFrame = {
+    val pv = fv.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      .withColumn("bucket", least(expr(s"v div $MrBucketWidth"), lit(MrBucketCap)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pv
+      .withColumn("r", sum(col("c")).over(w))
+      .withColumn("r1", sum(col("c1")).over(w))
+    val bucketTotals = pv.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("t"), sum(col("c1")).as("t1"))
+    val offsets = bucketTotals.select(col("bucket").as("b"))
+      .join(broadcast(bucketTotals), col("bucket") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("off"),
+        coalesce(sum(col("t1")), lit(0L)).as("off1"))
+    val cum = inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("v"),
+        (col("off") + col("r")).as("f"), (col("off1") + col("r1")).as("f1"))
+    val totals = cum.agg(max(col("f")).as("n"), max(col("f1")).as("n1"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    def sq2(a: Column, b: Column): Column = dbl(a) * dbl(a) + dbl(b) * dbl(b)
+    // nullif, not bare denominators: CombineFilters can substitute this
+    // projection into the f < n predicate and evaluate it on the f = n
+    // row first — a bare ANSI divide would raise there (observed)
+    val scored = cum.crossJoin(broadcast(totals))
+      .filter(col("f") < col("n")) // the all-left "split" is no split
+      .select(col("v"), col("n"), col("n1"), col("f"),
+        (sq2(col("f1"), col("f") - col("f1")) / nullif(dbl(col("f")), lit(0.0))
+          + sq2(col("n1") - col("f1"), (col("n") - col("f")) - (col("n1") - col("f1")))
+            / nullif(dbl(col("n") - col("f")), lit(0.0))).as("score"))
+    val best = scored.agg(max(col("score")).as("best_score"))
+    scored.crossJoin(broadcast(best))
+      .filter(col("score") === col("best_score"))
+      .groupBy(col("n"), col("n1"), col("best_score"))
+      .agg(min(col("v")).as("threshold"))
+      .select(lit(name).as("feature"), col("n"), col("n1"), col("threshold"),
+        // gain = gini(parent) - weighted-child gini
+        //      = score/n - (n1^2 + n0^2)/n^2, both from exact ints
+        (col("best_score") / dbl(col("n"))
+          - sq2(col("n1"), col("n") - col("n1"))
+            / (dbl(col("n")) * dbl(col("n")))).as("gini_gain"))
+  }
+
+  // ------------------------------------------------ Friedman blocked ranks
+  /** Friedman χ² across event types (treatments) blocked by day — the
+    * two-way rank test beside [[kruskal]]'s one-way: does any event type
+    * systematically out-count the others day after day? Blocks are the
+    * calendar-bounded (day × type) count grid restricted to COMPLETE
+    * blocks (all k types present — deterministic in both engines); ranks
+    * within a block are tie-averaged doubled midranks over k ≤ 5 rows (a
+    * window partitioned BY DAY, never global), per-treatment rank sums
+    * stay exact integers, and χ² = 12/(nk(k+1))·ΣR_j² − 3n(k+1) folds the
+    * k treatment terms in type order (the anova fold). Tie correction
+    * C = 1 − Σ(t³−t)/(nk(k²−1)) reads one more exact integer moment.
+    */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(DateType).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val k = daily.agg(countDistinct(col("event_type")).as("k"))
+    val complete = daily.groupBy(col("day")).agg(count(lit(1)).as("nt"))
+      .join(broadcast(k), col("nt") === col("k"))
+      .select(col("day"))
+    val cells = daily.join(broadcast(complete), Seq("day"))
+    val wcnt = Window.partitionBy(col("day")).orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled midrank within the block: per (day, cnt) the tied group
+    // shares 2*F_excl + t + 1
+    val perVal = cells.groupBy(col("day"), col("cnt")).agg(count(lit(1)).as("t"))
+      .withColumn("fincl", sum(col("t")).over(wcnt))
+      .select(col("day"), col("cnt"),
+        (lit(2L) * (col("fincl") - col("t")) + col("t") + lit(1L)).as("rank2"),
+        col("t"))
+    val ranked = cells.join(perVal.select(col("day"), col("cnt"), col("rank2")),
+      Seq("day", "cnt"))
+    val byType = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rank2")).as("r2"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    val folded = byType.agg(
+        count(lit(1)).as("k"), max(col("n_blocks")).as("n"),
+        sort_array(collect_list(struct(col("event_type"),
+          (dbl(col("r2")) * dbl(col("r2")) / lit(4.0)).as("term")))).as("ts"))
+      .select(col("k"), col("n"),
+        aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("term")).as("s"))
+    val ties = perVal.agg(
+      (sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t"))
+        - sum(col("t").cast(DecimalType(38, 0)))).as("t3"))
+    folded.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("s"), dbl(col("t3")).as("t3d"),
+        dbl(col("k")).as("kd"), dbl(col("n")).as("nd"))
+      .select(col("k"), col("n"),
+        (lit(12.0) * col("s") / (col("nd") * col("kd") * (col("kd") + 1.0))
+          - lit(3.0) * col("nd") * (col("kd") + 1.0)).as("chi2"),
+        (lit(1.0) - col("t3d")
+          / (col("nd") * col("kd") * (col("kd") * col("kd") - 1.0))).as("tie_c"))
+      .select(col("k"), col("n"), col("chi2"), col("tie_c"),
+        (col("chi2") / nullif(col("tie_c"), lit(0.0))).as("chi2_adj"))
+  }
 }

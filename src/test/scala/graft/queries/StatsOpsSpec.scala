@@ -710,6 +710,47 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("stump: finds the perfect split on both features, min-v tiebreak") {
+    import spark.implicits._
+    val dir = tmp("stump")
+    // positives cheap and early, negatives dear and late: the perfect
+    // split is totalprice <= 2.00 (threshold 200 cents) / day <= 0
+    Seq(("1-URGENT", 1.00, "1995-01-01"), ("1-URGENT", 2.00, "1995-01-01"),
+        ("5-LOW", 3.00, "1995-01-02"), ("5-LOW", 4.00, "1995-01-02"))
+      .map { case (p, t, d) => (p, t, java.sql.Date.valueOf(d)) }
+      .toDF("o_orderpriority", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = StatsOps.stump(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // perfect split: gain = gini(parent) = 1 - 2*(1/2)^2 = 0.5
+    assert(got("totalprice_cents") === ((4L, 2L, 200L, 0.5)))
+    assert(got("order_day") === ((4L, 2L, 0L, 0.5)))
+  }
+
+  test("friedman: hand-computed blocked ranks, tie and incomplete block") {
+    import spark.implicits._
+    val dir = tmp("fried")
+    def ts(day: Int): Long = day * 86400L * 1000000000L
+    val rows =
+      Seq.fill(1)((ts(0), "a")) ++ Seq.fill(2)((ts(0), "b")) ++  // ranks a<b
+      Seq.fill(1)((ts(1), "a")) ++ Seq.fill(3)((ts(1), "b")) ++  // ranks a<b
+      Seq.fill(2)((ts(2), "a")) ++ Seq.fill(2)((ts(2), "b")) ++  // tied
+      Seq.fill(5)((ts(3), "a"))                                   // incomplete
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsOps.friedman(spark, dir).collect()(0)
+    // R2_a = 2+2+3 = 7, R2_b = 4+4+3 = 11; S = (49+121)/4 = 42.5
+    val s = (7.0 * 7.0 / 4.0) + (11.0 * 11.0 / 4.0)
+    val chi2 = 12.0 * s / (3.0 * 2.0 * (2.0 + 1.0)) - 3.0 * 3.0 * (2.0 + 1.0)
+    val tieC = 1.0 - 6.0 / (3.0 * 2.0 * (2.0 * 2.0 - 1.0))
+    assert(r.getLong(0) === 2L)   // k: the day-3 block is dropped
+    assert(r.getLong(1) === 3L)   // n complete blocks
+    assert(r.getDouble(2) === chi2)
+    assert(r.getDouble(3) === tieC)
+    assert(r.getDouble(4) === chi2 / tieC)
+  }
+
   test("theilsen: median of the three pairwise slopes") {
     import spark.implicits._
     val dir = tmp("tsen")
