@@ -405,6 +405,8 @@ object SparkEntry {
     "q_stump" -> (StatsOps.stump _),
     // Friedman blocked-rank chi2 across event types, tie-corrected
     "q_friedman" -> (StatsOps.friedman _),
+    // oracle-checked recall@3 of multi-probe IVF vs exact brute force
+    "q_ann_recall" -> (VectorOps.annRecall _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5490,6 +5492,46 @@ object SparkEntry {
         |    1.0 - t3d / (nd * kd * (kd * kd - 1.0)) AS tie_c
         |  FROM f)
         |SELECT k, n, chi2, tie_c, chi2 / nullif(tie_c, 0.0) AS chi2_adj FROM h""".stripMargin,
+    // the q_sim_topk and q_sim_ivf_multi chains verbatim, joined: recall
+    // is |approx ∩ exact| / k per probe — the ANN honesty metric itself
+    // cross-engine-checked
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |pr0 AS (SELECT vec_id AS probe_id, embedding AS p_emb, n FROM e WHERE vec_id < 5),
+        |pairs0 AS (
+        |  SELECT pr0.probe_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("pr0.p_emb", "c.embedding", "pr0.n")} AS cos_sim
+        |  FROM pr0 JOIN e c ON c.vec_id <> pr0.probe_id),
+        |exact AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs0) WHERE rnk <= 3),
+        |c AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, e.n, c.cid,
+        |    ${cosSql("e.embedding", "c.c_emb", "e.n")} AS sim
+        |  FROM e JOIN c ON TRUE),
+        |rsims AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+        |  FROM sims),
+        |asg AS (SELECT vec_id, embedding, n, cid AS cell FROM rsims WHERE r = 1),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, embedding AS p_emb, n, cid AS cell
+        |  FROM rsims WHERE r <= ${VectorOps.IvfNProbe} AND vec_id < 5),
+        |pairs AS (
+        |  SELECT pr.probe_id, a.vec_id AS neighbor_id,
+        |    ${cosSql("pr.p_emb", "a.embedding", "pr.n")} AS cos_sim
+        |  FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id <> pr.probe_id),
+        |approx AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |  FROM pairs) WHERE rnk <= 3),
+        |hits AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM exact ex JOIN approx ap
+        |    ON ex.probe_id = ap.probe_id AND ex.neighbor_id = ap.neighbor_id
+        |  GROUP BY 1),
+        |base AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact GROUP BY 1)
+        |SELECT b.probe_id AS probe_id, k, COALESCE(n_hit, 0) AS n_hit,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+        |FROM base b LEFT JOIN hits USING (probe_id) ORDER BY b.probe_id""".stripMargin,
     // same shifted integer grid (cell = radius), same 9-offset candidate
     // join, same (dist2, id) argmin
     "q_radius_nn" -> {

@@ -68,6 +68,31 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // ------------------------------------------------- ANN recall audit
+  /** Measured recall@3 of the multi-probe IVF index against the exact
+    * brute-force top-k, per probe — the honesty metric of the ANN tier
+    * promoted from a spec measurement (VectorOpsSpec, SCALE.md
+    * §Similarity) to an ORACLE-CHECKED entry: both the approximate and
+    * the exact ranking replay in DuckDB, so the recall numbers themselves
+    * are cross-engine-verified, not just asserted. On near-random
+    * synthetic vectors the honest read is low recall (the r7 finding);
+    * the number being STABLE and verified is the point. Cost: the two
+    * rankings the tier already prices, plus a probes-sized semi join.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val approx = simIvfMulti(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(org.apache.spark.sql.types.DoubleType)
+          / col("k").cast(org.apache.spark.sql.types.DoubleType)).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Neighborhood size for [[knnClassify]]. Shared with the oracle SQL. */
   private[graft] val KnnK = 5
   /** [[knnClassify]] holds out every this-many-th vector as a probe. */

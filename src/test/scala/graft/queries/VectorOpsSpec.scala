@@ -98,6 +98,12 @@ class VectorOpsSpec extends SparkSpec {
     info(f"clustered-fixture recall@3: lsh=$rLsh%.3f ivf=$rIvf%.3f")
     assert(rLsh === 1.0)
     assert(rIvf === 1.0)
+    // the oracle-checked entry reads the same fixture: every probe's
+    // per-probe recall row is exactly (k=3, n_hit=3, recall=1.0)
+    val ar = VectorOps.annRecall(spark, dir).collect()
+    assert(ar.length === 3)
+    assert(ar.forall(r => r.getLong(1) === 3L && r.getLong(2) === 3L
+      && r.getDouble(3) === 1.0))
     brute.unpersist()
   }
 
