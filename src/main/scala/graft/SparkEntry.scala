@@ -407,6 +407,10 @@ object SparkEntry {
     "q_friedman" -> (StatsOps.friedman _),
     // oracle-checked recall@3 of multi-probe IVF vs exact brute force
     "q_ann_recall" -> (VectorOps.annRecall _),
+    // decile lift / cumulative gains of the trained NB score
+    "q_lift_curve" -> (TextOps.liftCurve _),
+    // KS separation of the NB score distributions, positives vs negatives
+    "q_ks_classifier" -> (TextOps.ksClassifier _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -855,6 +859,41 @@ object SparkEntry {
     * WITH-body behind q_kmeans, shared with q_semdedup (whose clusters are
     * the SAME trained set by construction). Terminal CTE: a2(vec_id, cid,
     * dist) = the final assignment. */
+  /** The trained-Naive-Bayes scoring CTE chain, ending at
+    * `scored(doc_id, y, score, n_train, v)` — shared by q_nb_classify,
+    * q_lift_curve, and q_ks_classifier so the three oracles cannot
+    * drift from one another (the kmeansCte precedent). */
+  private def nbScoredCtes: String = {
+    import graft.queries.StatsOps.LogScale
+    import graft.queries.TextOps.NbPosLang
+    def lnqSql(e: String) =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+    s"""d AS (SELECT doc_id,
+      |    CASE WHEN lang = '$NbPosLang' THEN 1 ELSE 0 END AS y,
+      |    doc_id % 2 AS par,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, y, par, unnest(tk) AS tok FROM d),
+      |tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+      |cnt AS (SELECT tok,
+      |    CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(1 - y) AS BIGINT) AS c0
+      |  FROM tok2 WHERE par = 0 GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+      |pri AS (SELECT CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0
+      |  FROM d WHERE par = 0),
+      |w AS (SELECT tok, ${lnqSql("c1 + 1")} - ${lnqSql("c0 + 1")} AS w FROM cnt),
+      |sc AS (SELECT t.doc_id, CAST(SUM(w.w) AS BIGINT) AS sw,
+      |    CAST(COUNT(*) AS BIGINT) AS nm
+      |  FROM tok2 t JOIN w USING (tok) WHERE t.par = 1 GROUP BY 1),
+      |scored AS (SELECT dd.doc_id, dd.y,
+      |    (${lnqSql("n1")} - ${lnqSql("n0")}) + COALESCE(sw, 0)
+      |      - COALESCE(nm, 0) * (${lnqSql("t1 + v")} - ${lnqSql("t0 + v")}) AS score,
+      |    n1 + n0 AS n_train, v
+      |  FROM (SELECT doc_id, y FROM d WHERE par = 1) dd
+      |  LEFT JOIN sc USING (doc_id) CROSS JOIN tot CROSS JOIN pri)""".stripMargin
+  }
+
   private val kmeansCte: String =
     """q AS (
       |  SELECT vec_id,
@@ -5383,34 +5422,7 @@ object SparkEntry {
     // same parity split, same Laplace-smoothed quantized-log weights,
     // same matched-tokens-only normalizer — scores are exact integers
     "q_nb_classify" -> {
-      import graft.queries.StatsOps.LogScale
-      import graft.queries.TextOps.NbPosLang
-      def lnqSql(e: String) =
-        s"CAST(floor(ln(CAST($e AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
-      s"""WITH d AS (SELECT doc_id,
-        |    CASE WHEN lang = '$NbPosLang' THEN 1 ELSE 0 END AS y,
-        |    doc_id % 2 AS par,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS tk
-        |  FROM documents),
-        |tok AS (SELECT doc_id, y, par, unnest(tk) AS tok FROM d),
-        |tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
-        |cnt AS (SELECT tok,
-        |    CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(1 - y) AS BIGINT) AS c0
-        |  FROM tok2 WHERE par = 0 GROUP BY tok),
-        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
-        |    CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
-        |pri AS (SELECT CAST(SUM(y) AS BIGINT) AS n1, CAST(SUM(1 - y) AS BIGINT) AS n0
-        |  FROM d WHERE par = 0),
-        |w AS (SELECT tok, ${lnqSql("c1 + 1")} - ${lnqSql("c0 + 1")} AS w FROM cnt),
-        |sc AS (SELECT t.doc_id, CAST(SUM(w.w) AS BIGINT) AS sw,
-        |    CAST(COUNT(*) AS BIGINT) AS nm
-        |  FROM tok2 t JOIN w USING (tok) WHERE t.par = 1 GROUP BY 1),
-        |scored AS (SELECT dd.y,
-        |    (${lnqSql("n1")} - ${lnqSql("n0")}) + COALESCE(sw, 0)
-        |      - COALESCE(nm, 0) * (${lnqSql("t1 + v")} - ${lnqSql("t0 + v")}) AS score,
-        |    n1 + n0 AS n_train, v
-        |  FROM (SELECT doc_id, y FROM d WHERE par = 1) dd
-        |  LEFT JOIN sc USING (doc_id) CROSS JOIN tot CROSS JOIN pri),
+      s"""WITH $nbScoredCtes,
         |m AS (SELECT n_train, v, CAST(COUNT(*) AS BIGINT) AS n_test,
         |    CAST(SUM(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
         |    CAST(SUM(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -5426,6 +5438,46 @@ object SparkEntry {
         |    / nullif(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
         |      + CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0), 0.0) AS f1
         |FROM m""".stripMargin
+    },
+    // same NB scoring chain; global rank replays the engine's exclusive
+    // prefix + within-score rank; same integer decile cut and cumulative
+    "q_lift_curve" -> {
+      s"""WITH $nbScoredCtes,
+        |rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+        |  FROM scored),
+        |dec AS (SELECT ((rn - 1) * 10) // n AS decile, y, n, p
+        |  FROM rk CROSS JOIN nt),
+        |g AS (SELECT decile, n, p, CAST(COUNT(*) AS BIGINT) AS n_d,
+        |    CAST(SUM(y) AS BIGINT) AS pos_d
+        |  FROM dec GROUP BY 1, 2, 3),
+        |cum AS (SELECT g2.decile AS d2, CAST(SUM(g1.pos_d) AS BIGINT) AS cum_pos
+        |  FROM g g1 JOIN g g2 ON g1.decile <= g2.decile GROUP BY 1)
+        |SELECT decile, n_d, pos_d, cum_pos,
+        |  CAST(pos_d AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / nullif(CAST(n_d AS DOUBLE) * CAST(p AS DOUBLE), 0.0) AS lift,
+        |  CAST(cum_pos AS DOUBLE) / nullif(CAST(p AS DOUBLE), 0.0) AS cum_gain
+        |FROM g JOIN cum ON g.decile = cum.d2 ORDER BY decile""".stripMargin
+    },
+    // same NB scoring chain; the ksTest shape over the score column with
+    // per-class cumulatives — exact rational D, min-score location
+    "q_ks_classifier" -> {
+      s"""WITH $nbScoredCtes,
+        |pv AS (SELECT score AS v, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS c0
+        |  FROM scored GROUP BY 1),
+        |cum AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS f1,
+        |    SUM(c0) OVER (ORDER BY v) AS f0 FROM pv),
+        |m AS (SELECT CAST(MAX(f1) AS BIGINT) AS n1, CAST(MAX(f0) AS BIGINT) AS n0
+        |  FROM cum),
+        |dev AS (SELECT v, n1, n0,
+        |    CAST(abs(f1 * n0 - f0 * n1) AS BIGINT) AS dnum
+        |  FROM cum CROSS JOIN m),
+        |b AS (SELECT MAX(dnum) AS d_num FROM dev)
+        |SELECT n1, n0, CAST(MIN(v) AS BIGINT) AS at_score, d_num,
+        |  CAST(d_num AS DOUBLE) / nullif(CAST(n1 * n0 AS DOUBLE), 0.0) AS d_stat
+        |FROM dev JOIN b ON dnum = d_num GROUP BY n1, n0, d_num""".stripMargin
     },
     // same per-value reduction (window cumsum replays the two-level
     // prefix sum), same exact-int split objective, same min-v argmax

@@ -2059,7 +2059,11 @@ object TextOps {
     * recall-on-random-vectors precedent); the fixture spec pins that the
     * estimator really learns when signal exists.
     */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained scorer behind [[nbClassify]] and its evaluation
+    * siblings (lift curve, score-distribution KS): one row per TEST doc
+    * with the truth label and the exact-integer log-odds score, plus the
+    * (constant) train size and vocabulary columns. */
+  private[graft] def nbScored(spark: SparkSession, dir: String): DataFrame = {
     val ls = StatsOps.LogScale
     def lnq(c: Column): Column =
       floor(log(c.cast(DoubleType)) * lit(ls.toDouble) + lit(0.5)).cast(LongType)
@@ -2078,16 +2082,19 @@ object TextOps {
     val w = cnt.select(col("tok"), (lnq(col("c1") + 1) - lnq(col("c0") + 1)).as("w"))
     val sc = tok.filter(col("par") === 1).join(w, Seq("tok"))
       .groupBy(col("doc_id")).agg(sum(col("w")).as("sw"), count(lit(1)).as("nm"))
-    val scored = d.filter(col("par") === 1).select(col("doc_id"), col("y"))
+    d.filter(col("par") === 1).select(col("doc_id"), col("y"))
       .join(sc, Seq("doc_id"), "left")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
-      .select(col("y"),
+      .select(col("doc_id"), col("y"),
         ((lnq(col("n1")) - lnq(col("n0")))
           + coalesce(col("sw"), lit(0L))
           - coalesce(col("nm"), lit(0L))
             * (lnq(col("t1") + col("v")) - lnq(col("t0") + col("v")))).as("score"),
         (col("n1") + col("n0")).as("n_train"), col("v"))
-    val m = scored.groupBy(col("n_train"), col("v")).agg(
+  }
+
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val m = nbScored(spark, dir).groupBy(col("n_train"), col("v")).agg(
       count(lit(1)).as("n_test"),
       sum(when(col("score") > 0 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col("score") > 0 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
@@ -2101,5 +2108,107 @@ object TextOps {
         (dbl(col("tp") + col("tn")) / dbl(col("n_test"))).as("accuracy"),
         prec.as("precision"), rec.as("recall"),
         (lit(2.0) * prec * rec / nullif(prec + rec, lit(0.0))).as("f1"))
+  }
+
+  /** Bucket width / clamp for the score-keyed prefix sums below: NB
+    * log-odds scores are signed, so the bucket id is clamped on BOTH
+    * ends — `greatest(least(k div 2^26, 4096), -4096)` has ≤ 8193 values
+    * by construction, and truncating (vs flooring) division is monotone
+    * non-decreasing, which is all the cross-bucket offset probe needs. */
+  private[graft] val NbScoreBucketWidth = 1L << 26
+  private[graft] val NbScoreBucketCap = 4096L
+
+  private def scoreBucket(name: String): Column =
+    greatest(least(expr(s"$name div $NbScoreBucketWidth"),
+      lit(NbScoreBucketCap)), lit(-NbScoreBucketCap))
+
+  /** Decile lift / cumulative-gains table of the [[nbScored]] classifier
+    * — the campaign-targeting read of a score column: rank test docs by
+    * score (doc-id tiebreak), cut into 10 equal-count deciles, and report
+    * per-decile positive rate vs the base rate. The GLOBAL rank is
+    * assembled without a global window: exclusive cumulative counts over
+    * the distinct-score frame (two-level clamped-bucket prefix sum on the
+    * negated score, so ascending order IS score-descending) plus a
+    * within-score window partitioned by score. Decile cut, counts, and
+    * cumulative positives are exact integers (the 10-row cumulative rides
+    * the sanctioned triangular probe); lift and gain are final double
+    * ratios.
+    */
+  def liftCurve(spark: SparkSession, dir: String): DataFrame = {
+    val s = nbScored(spark, dir)
+      .select(col("doc_id"), col("y"), (col("score") * -1).as("k"))
+    val pv = s.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("bucket", scoreBucket("k"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pv.withColumn("r", sum(col("c")).over(wb))
+    val totals = pv.groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    val offsets = totals.select(col("bucket").as("b"))
+      .join(broadcast(totals), col("bucket") < col("b"), "left")
+      .groupBy(col("b")).agg(coalesce(sum(col("t")), lit(0L)).as("off"))
+    val cumExcl = inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("k"), (col("off") + col("r") - col("c")).as("before"))
+    val wg = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+    val ranked = s.join(cumExcl, Seq("k"))
+      .withColumn("rn", col("before") + row_number().over(wg))
+    val n = s.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val dec = ranked.crossJoin(broadcast(n))
+      .select(expr("((rn - 1) * 10) div n").as("decile"), col("y"),
+        col("n"), col("p"))
+      .groupBy(col("decile"), col("n"), col("p"))
+      .agg(count(lit(1)).as("n_d"), sum(col("y")).as("pos_d"))
+    val cum = dec.select(col("decile").as("d2"))
+      .join(broadcast(dec.select(col("decile"), col("pos_d").as("pp"))),
+        col("decile") <= col("d2"))
+      .groupBy(col("d2")).agg(sum(col("pp")).as("cum_pos"))
+    def dbl(c: Column): Column = c.cast(DoubleType)
+    dec.join(broadcast(cum), col("decile") === col("d2"))
+      .select(col("decile"), col("n_d"), col("pos_d"), col("cum_pos"),
+        (dbl(col("pos_d")) * dbl(col("n"))
+          / nullif(dbl(col("n_d")) * dbl(col("p")), lit(0.0))).as("lift"),
+        (dbl(col("cum_pos")) / nullif(dbl(col("p")), lit(0.0))).as("cum_gain"))
+      .orderBy(col("decile"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov separation of the [[nbScored]] score
+    * distributions (positives vs negatives) — the classifier-quality
+    * statistic credit models report. Exact rational: with per-score
+    * class counts and inclusive cumulatives, D = max|F₁n₀ − F₀n₁|/(n₁n₀),
+    * all integers until the final division; `at_score` is the smallest
+    * score attaining the max. Same clamped-bucket two-level prefix sums
+    * (signed scores, both-end clamp); one |distinct scores|-sized frame,
+    * never a global window.
+    */
+  def ksClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val s = nbScored(spark, dir).select(col("score").as("v"), col("y"))
+    val pv = s.groupBy(col("v")).agg(
+        sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+      .withColumn("bucket", scoreBucket("v"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pv
+      .withColumn("r1", sum(col("c1")).over(wb))
+      .withColumn("r0", sum(col("c0")).over(wb))
+    val totals = pv.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+    val offsets = totals.select(col("bucket").as("b"))
+      .join(broadcast(totals), col("bucket") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("t1")), lit(0L)).as("off1"),
+        coalesce(sum(col("t0")), lit(0L)).as("off0"))
+    val cum = inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("v"),
+        (col("off1") + col("r1")).as("f1"), (col("off0") + col("r0")).as("f0"))
+    val nn = cum.agg(max(col("f1")).as("n1"), max(col("f0")).as("n0"))
+    val dev = cum.crossJoin(broadcast(nn))
+      .select(col("v"), col("n1"), col("n0"),
+        abs(col("f1") * col("n0") - col("f0") * col("n1")).as("dnum"))
+    val dmax = dev.groupBy(col("n1"), col("n0")).agg(max(col("dnum")).as("d_num"))
+    dev.join(broadcast(dmax.select(col("d_num"))), col("dnum") === col("d_num"))
+      .groupBy(col("n1"), col("n0"), col("d_num"))
+      .agg(min(col("v")).as("at_score"))
+      .select(col("n1"), col("n0"), col("at_score"), col("d_num"),
+        (col("d_num").cast(DoubleType)
+          / nullif((col("n1") * col("n0")).cast(DoubleType), lit(0.0))).as("d_stat"))
   }
 }

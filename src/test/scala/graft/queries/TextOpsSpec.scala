@@ -771,5 +771,20 @@ class TextOpsSpec extends SparkSpec {
       === ((1L, 0L, 0L, 2L)))
     assert(r.getDouble(7) === 1.0)   // accuracy
     assert(r.getDouble(10) === 1.0)  // f1
+
+    // the evaluation siblings on the same fixture: scores rank the en
+    // doc first (s > 0), the unseen-token doc at the prior (0), the
+    // kirsche doc last (negative) — n = 3 puts them in deciles 0, 3, 6
+    val lift = TextOps.liftCurve(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(lift(0L) === ((1L, 1L, 1L, 3.0, 1.0))) // top decile: all signal
+    assert(lift(3L) === ((1L, 0L, 1L, 0.0, 1.0)))
+    assert(lift(6L) === ((1L, 0L, 1L, 0.0, 1.0)))
+    // perfect separation: D = 1 at the prior score 0 (the smallest score
+    // attaining the max deviation)
+    val ks = TextOps.ksClassifier(spark, dir).collect()(0)
+    assert((ks.getLong(0), ks.getLong(1), ks.getLong(2), ks.getLong(3),
+      ks.getDouble(4)) === ((1L, 2L, 0L, 2L, 1.0)))
   }
 }
