@@ -411,6 +411,8 @@ object SparkEntry {
     "q_lift_curve" -> (TextOps.liftCurve _),
     // KS separation of the NB score distributions, positives vs negatives
     "q_ks_classifier" -> (TextOps.ksClassifier _),
+    // McNemar paired test: trained NB vs the stopword langid heuristic
+    "q_mcnemar" -> (TextOps.mcnemar _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5478,6 +5480,45 @@ object SparkEntry {
         |SELECT n1, n0, CAST(MIN(v) AS BIGINT) AS at_score, d_num,
         |  CAST(d_num AS DOUBLE) / nullif(CAST(n1 * n0 AS DOUBLE), 0.0) AS d_stat
         |FROM dev JOIN b ON dnum = d_num GROUP BY n1, n0, d_num""".stripMargin
+    },
+    // the NB scoring chain paired with an inline (renamed) copy of the
+    // langid chain on the same test docs; same exact 2x2 cells and
+    // continuity-corrected chi-square
+    "q_mcnemar" -> {
+      import graft.queries.TextOps.NbPosLang
+      s"""WITH $nbScoredCtes,
+        |ld AS (SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |ls AS (SELECT doc_id,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
+        |  FROM ld),
+        |lp AS (SELECT doc_id,
+        |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |         WHEN s_fr > 0 THEN 'fr'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM ls),
+        |jj AS (SELECT s.y,
+        |    CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS pa,
+        |    CASE WHEN lp.pred_lang = '$NbPosLang' THEN 1 ELSE 0 END AS pb
+        |  FROM scored s JOIN lp USING (doc_id)),
+        |ff AS (SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS ca,
+        |    CASE WHEN pb = y THEN 1 ELSE 0 END AS cb FROM jj),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS n11,
+        |    CAST(SUM(ca * (1 - cb)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - ca) * cb) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - ca) * (1 - cb)) AS BIGINT) AS n00
+        |  FROM ff)
+        |SELECT n, n11, n10, n01, n00,
+        |  CAST(GREATEST(abs(n10 - n01) - 1, 0) AS DOUBLE)
+        |    * CAST(GREATEST(abs(n10 - n01) - 1, 0) AS DOUBLE)
+        |    / nullif(CAST(n10 + n01 AS DOUBLE), 0.0) AS chi2_cc
+        |FROM mm""".stripMargin
     },
     // same per-value reduction (window cumsum replays the two-level
     // prefix sum), same exact-int split objective, same min-v argmax

@@ -2170,6 +2170,37 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** McNemar's paired test between the two in-engine classifiers on the
+    * SAME test documents: the trained [[nbScored]] Naive Bayes (en vs
+    * not, score > 0) against the stopword [[langId]] heuristic
+    * (pred_lang = en) — the statistically correct way to compare two
+    * models that saw identical examples (independent-sample tests waste
+    * the pairing). The 2×2 agreement cells are one combining aggregate
+    * over the doc-level join; χ² with continuity correction
+    * max(|n₁₀−n₀₁|−1, 0)²/(n₁₀+n₀₁) is one closed-form double over
+    * exact integers. Scale shape: both classifier frames are per-doc
+    * reductions the tier already pays; the pairing join is doc-keyed.
+    */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val a = nbScored(spark, dir).select(col("doc_id"), col("y"),
+      when(col("score") > 0, 1L).otherwise(0L).as("pa"))
+    val b = langId(spark, dir).select(col("doc_id"),
+      when(col("pred_lang") === NbPosLang, 1L).otherwise(0L).as("pb"))
+    val f = a.join(b, Seq("doc_id"))
+      .select(
+        when(col("pa") === col("y"), 1L).otherwise(0L).as("ca"),
+        when(col("pb") === col("y"), 1L).otherwise(0L).as("cb"))
+    val m = f.agg(count(lit(1)).as("n"),
+      sum(col("ca") * col("cb")).as("n11"),
+      sum(col("ca") * (lit(1L) - col("cb"))).as("n10"),
+      sum((lit(1L) - col("ca")) * col("cb")).as("n01"),
+      sum((lit(1L) - col("ca")) * (lit(1L) - col("cb"))).as("n00"))
+    val d = greatest(abs(col("n10") - col("n01")) - 1, lit(0L)).cast(DoubleType)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (d * d / nullif((col("n10") + col("n01")).cast(DoubleType), lit(0.0)))
+        .as("chi2_cc"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov separation of the [[nbScored]] score
     * distributions (positives vs negatives) — the classifier-quality
     * statistic credit models report. Exact rational: with per-score

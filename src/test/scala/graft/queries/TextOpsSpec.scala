@@ -786,5 +786,13 @@ class TextOpsSpec extends SparkSpec {
     val ks = TextOps.ksClassifier(spark, dir).collect()(0)
     assert((ks.getLong(0), ks.getLong(1), ks.getLong(2), ks.getLong(3),
       ks.getDouble(4)) === ((1L, 2L, 0L, 2L, 1.0)))
+    // McNemar vs the stopword heuristic: no fixture token is a stopword,
+    // so langid predicts 'und' everywhere — right on the two non-en docs
+    // by accident, wrong on the en doc; NB is right on all three.
+    // Cells (NB row-correct first): n11=2, n10=1, n01=0, n00=0;
+    // chi2_cc = max(|1-0|-1, 0)^2 / 1 = 0
+    val mc = TextOps.mcnemar(spark, dir).collect()(0)
+    assert((mc.getLong(0), mc.getLong(1), mc.getLong(2), mc.getLong(3),
+      mc.getLong(4), mc.getDouble(5)) === ((3L, 2L, 1L, 0L, 0L, 0.0)))
   }
 }
