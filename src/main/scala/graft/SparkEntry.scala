@@ -500,6 +500,8 @@ object SparkEntry {
     "q_dim_trunc" -> (VectorOps.dimTruncRecall _),
     // Newman modularity of co-purchase components, exact wide-int terms
     "q_modularity" -> (GraphOps.modularity _),
+    // one-level Louvain: parity-scheduled modularity-ascent moves
+    "q_louvain" -> (GraphOps.louvain _),
     // STL-style daily decomposition: trend + weekday seasonal + residual
     "q_stl" -> (StatsOps.stl _),
     // entity resolution completed: match-pair components + survivorship
@@ -969,27 +971,43 @@ object SparkEntry {
       |  ON c.c_custkey < 100 AND e.props LIKE '%' || CAST(c.c_custkey AS VARCHAR) || '%'
       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
 
+  /** Per-language stopword-score select list, generated from
+    * TextOps.LangStops — the one stopword source of truth (ADVICE r12). */
+  private def langScoreSelects: String =
+    graft.queries.TextOps.LangStops.map { case (code, stops) =>
+      val list = stops.map(s => s"'$s'").mkString(",")
+      s"CAST(len(list_filter(toks, t -> t IN ($list))) AS INT) AS s_$code"
+    }.mkString(",\n    ")
+
+  /** The language-precedence CASE over the s_<code> scores, generated in
+    * TextOps.LangStops order (en > es > de > fr; 'und' when no list hits). */
+  private def langPredCase: String = {
+    val codes = graft.queries.TextOps.LangStops.map(_._1)
+    val branches = codes.zipWithIndex.map { case (c, i) =>
+      val geq = codes.drop(i + 1).map(o => s"AND s_$c >= s_$o ").mkString
+      s"WHEN s_$c > 0 ${geq}THEN '$c'"
+    }.mkString("\n         ")
+    s"CASE $branches\n         ELSE 'und' END"
+  }
+
   /** Shared CTE chain computing per-doc language-ID predictions — prefix
-    * of q_lang_id and q_langid_eval, the DuckDB twin of TextOps.langId. */
-  private val langIdCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    * of q_lang_id and q_langid_eval and the heuristic arm of q_mcnemar,
+    * the DuckDB twin of TextOps.langId. Stopword lists and precedence are
+    * generated from TextOps.LangStops, never hand-copied. */
+  private def langIdCtes: String = {
+    val scoreCols = graft.queries.TextOps.LangStops.map(c => s"s_${c._1}").mkString(", ")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
       |s AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
-      |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
-      |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
-      |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
+      |    $langScoreSelects
       |  FROM d),
       |p AS (
-      |  SELECT doc_id, s_en, s_es, s_de, s_fr,
-      |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-      |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-      |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
-      |         WHEN s_fr > 0 THEN 'fr'
-      |         ELSE 'und' END AS pred_lang,
+      |  SELECT doc_id, $scoreCols,
+      |    $langPredCase AS pred_lang,
       |    lang
       |  FROM s)""".stripMargin
+  }
 
   /** Shared CTE chain computing the per-doc MinHash-LSH (band_id, band_key)
     * rows — prefix of q_dedup_minhash and q_dedup_incremental, the DuckDB
@@ -5306,6 +5324,63 @@ object SparkEntry {
         |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS q_c,
         |  q_total
         |FROM parts CROSS JOIN qt ORDER BY component""".stripMargin,
+    // same singleton start, same exact HUGEINT gain score 2m·k_ic −
+    // k_i·(tot − own k_i), same min-community tiebreak and parity-
+    // alternating move schedule, unrolled to the shared round count
+    "q_louvain" -> {
+      import graft.queries.GraphOps.LouvainIters
+      val rounds = (1 to LouvainIters).map { k =>
+        val p = k - 1
+        s"""tot$k AS (SELECT comm, CAST(SUM(deg) AS BIGINT) AS tot
+          |  FROM l$p JOIN deg USING (node) GROUP BY 1),
+          |kic$k AS (SELECT s.src AS node, l.comm, CAST(COUNT(*) AS BIGINT) AS k_ic
+          |  FROM sym s JOIN l$p l ON s.dst = l.node GROUP BY 1, 2),
+          |cand$k AS (SELECT node, comm, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM
+          |  (SELECT node, comm, k_ic FROM kic$k
+          |   UNION ALL SELECT node, comm, 0 FROM l$p) GROUP BY 1, 2),
+          |sc$k AS (SELECT c.node, c.comm, l.comm AS cur,
+          |    CAST(c.k_ic AS HUGEINT) * 2 * m
+          |      - CAST(d.deg AS HUGEINT) * (t.tot -
+          |          CASE WHEN c.comm = l.comm THEN d.deg ELSE 0 END) AS score
+          |  FROM cand$k c JOIN l$p l ON c.node = l.node
+          |  JOIN deg d ON c.node = d.node
+          |  JOIN tot$k t ON c.comm = t.comm CROSS JOIN mm),
+          |b$k AS (SELECT node, MAX(score) AS best_s FROM sc$k GROUP BY 1),
+          |l$k AS MATERIALIZED (SELECT s.node,
+          |    CASE WHEN s.node % 2 = ${k % 2} THEN MIN(s.comm)
+          |         ELSE MIN(s.cur) END AS comm
+          |  FROM sc$k s JOIN b$k b ON s.node = b.node AND s.score = b.best_s
+          |  GROUP BY s.node)""".stripMargin
+      }.mkString(",\n")
+      val lk = s"l$LouvainIters"
+      s"""WITH ${coEdgeCtes()},
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+        |  UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+        |l0 AS (SELECT node, node AS comm FROM deg),
+        |$rounds,
+        |lab AS (SELECT e0.u, e0.v, cu.comm AS cu, cv.comm AS cv
+        |  FROM e0 JOIN $lk cu ON e0.u = cu.node JOIN $lk cv ON e0.v = cv.node),
+        |intra AS (SELECT cu AS community, COUNT(*) AS e_c FROM lab
+        |  WHERE cu = cv GROUP BY 1),
+        |dc AS (SELECT comm AS community, COUNT(*) AS n_nodes,
+        |    CAST(SUM(deg) AS BIGINT) AS d_c
+        |  FROM deg JOIN $lk USING (node) GROUP BY 1),
+        |parts AS (SELECT dc.community, n_nodes,
+        |    COALESCE(e_c, 0) AS e_c, d_c,
+        |    CAST(COALESCE(e_c, 0) AS HUGEINT) * 4 * m
+        |      - CAST(d_c AS HUGEINT) * d_c AS num,
+        |    CAST(m AS HUGEINT) * m * 4 AS den
+        |  FROM dc LEFT JOIN intra ON dc.community = intra.community CROSS JOIN mm),
+        |qt AS (SELECT CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(MAX(den) AS VARCHAR) AS DOUBLE) AS q_total FROM parts)
+        |SELECT community, n_nodes, e_c AS intra_edges, d_c AS degree_sum,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS q_c,
+        |  q_total
+        |FROM parts CROSS JOIN qt ORDER BY community""".stripMargin
+    },
     // same quantized coordinates and radius (the oracle may take the
     // quadratic candidate join the Spark plan is banned from — the shift
     // cancels in differences), same core rule, recursive-walk components
@@ -5418,7 +5493,8 @@ object SparkEntry {
         |  FROM m)
         |SELECT source, n_true, noise_milli,
         |  CAST(n_true * 1000 + noise_milli AS DOUBLE) / 1000.0 AS n_released,
-        |  ${DpEpsMilli.toDouble / 1000.0} AS epsilon
+        |  ${DpEpsMilli.toDouble / 1000.0} AS epsilon_nominal,
+        |  TRUE AS deterministic_replica
         |FROM r ORDER BY source""".stripMargin
     },
     // same parity split, same Laplace-smoothed quantized-log weights,
@@ -5490,17 +5566,10 @@ object SparkEntry {
         |ld AS (SELECT doc_id, lang,
         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
         |ls AS (SELECT doc_id,
-        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS INT) AS s_en,
-        |    CAST(len(list_filter(toks, t -> t IN ('el','la','los','de','y','que'))) AS INT) AS s_es,
-        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INT) AS s_de,
-        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','une'))) AS INT) AS s_fr
+        |    $langScoreSelects
         |  FROM ld),
         |lp AS (SELECT doc_id,
-        |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-        |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
-        |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
-        |         WHEN s_fr > 0 THEN 'fr'
-        |         ELSE 'und' END AS pred_lang
+        |    $langPredCase AS pred_lang
         |  FROM ls),
         |jj AS (SELECT s.y,
         |    CASE WHEN s.score > 0 THEN 1 ELSE 0 END AS pa,

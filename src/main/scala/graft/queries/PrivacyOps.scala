@@ -139,7 +139,12 @@ object PrivacyOps {
       .select(col("source"), col("n_true"), col("noise_milli"),
         ((col("n_true") * 1000 + col("noise_milli")).cast(DoubleType)
           / lit(1000.0)).as("n_released"),
-        lit(DpEpsMilli.toDouble / 1000.0).as("epsilon"))
+        // epsilon_NOMINAL + deterministic_replica: the output table itself
+        // says no real privacy guarantee is conferred — the noise is an
+        // md5-derived replica, not an RNG draw (ADVICE r12: a downstream
+        // consumer must not read a bare `epsilon` as a real guarantee)
+        lit(DpEpsMilli.toDouble / 1000.0).as("epsilon_nominal"),
+        lit(true).as("deterministic_replica"))
       .orderBy(col("source"))
   }
 }

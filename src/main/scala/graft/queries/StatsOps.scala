@@ -1446,9 +1446,13 @@ object StatsOps {
     * [[XcTypeB]] event-count series at lags −[[XcMaxLag]]..+[[XcMaxLag]]
     * — [[autocorr]]'s two-series sibling, the "do views lead purchases?"
     * read. Positive lag correlates x(day) with y(day+lag). Per lag the
-    * Pearson moments are exact int64 (daily counts), assembled by ONE
-    * days-sized lagged equi-join; both daily frames are calendar-bounded
-    * aggregates, so the probe side broadcasts legitimately at any scale.
+    * Pearson cross-moments accumulate in DECIMAL(38,0) — the oracle
+    * widens to HUGEINT, and at ~3e9 events/day x·x would silently wrap
+    * a non-ANSI int64 while DuckDB stayed exact (ADVICE r12) — so both
+    * engines are exact until the single final double division. Moments
+    * are assembled by ONE days-sized lagged equi-join; both daily frames
+    * are calendar-bounded aggregates, so the probe side broadcasts
+    * legitimately at any scale.
     */
   def xcorr(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -1465,13 +1469,16 @@ object StatsOps {
       .select(col("day"), col("x"),
         explode(sequence(lit(-XcMaxLag), lit(XcMaxLag))).as("lag"))
       .select(col("lag"), (col("day") + col("lag")).as("probe"), col("x"))
+    // DECIMAL(19,0) × int64 → DECIMAL(38,0): exact at any daily volume,
+    // mirroring the oracle's CAST(x AS HUGEINT) * y (ADVICE r12)
+    def wide(c: String): Column = col(c).cast(DecimalType(19, 0))
     val m = lagged.join(broadcast(b), col("probe") === col("dayb"))
       .groupBy(col("lag")).agg(
         count(lit(1)).as("n_pairs"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(wide("x") * col("y")).as("sxy"),
+        sum(wide("x") * col("x")).as("sxx"),
+        sum(wide("y") * col("y")).as("syy"))
     def dbl(c: String): Column = col(c).cast(DoubleType)
     val num = dbl("n_pairs") * dbl("sxy") - dbl("sx") * dbl("sy")
     val dx  = dbl("n_pairs") * dbl("sxx") - dbl("sx") * dbl("sx")

@@ -930,7 +930,12 @@ object TextOps {
       .orderBy(col("chunk_hash"))
 
   // -------------------------------------------------------------- language ID
-  private val LangStops: Seq[(String, Seq[String])] = Seq(
+  /** Stopword lists in precedence order (en > es > de > fr) — the ONE
+    * source of truth: the Spark scorer below and the q_lang_id /
+    * q_langid_eval / q_mcnemar oracle CTEs in SparkEntry all generate
+    * from this seq (ADVICE r12: a hand-renamed third copy in the
+    * q_mcnemar oracle could silently desynchronize). */
+  private[graft] val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in"),
     "es" -> Seq("el", "la", "los", "de", "y", "que"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

@@ -268,6 +268,34 @@ class GraphOpsSpec extends SparkSpec {
       (4L, 3L, 3L, 6L, 0.25, 0.5)))
   }
 
+  test("louvain: bridge-joined triangles ascend to the two-community split") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4 (m = 7). Hand
+    // trace of the parity-alternating semi-synchronous moves (round r
+    // moves nodes with id % 2 == r % 2; gain score 2m·k_ic − k_i·(tot −
+    // own k_i), tie → min community):
+    //   r1 (odd):  1→{2}, 3→{1} (tie 8/8 of comms 1,2 → min), 5→{6}
+    //   r2 (even): 4→comm6 (k=2 to {5,6}: 28−3·4=16); 2 and 6 stay
+    //   r3 (odd):  3→comm2 (k=2 to {1,2}: 28−3·4=16); 1 and 5 stay
+    //   r4 (even): all stay — converged at the ideal split
+    // (fully SYNCHRONOUS moves oscillate on this graph: 1 and 2 adopt
+    // each other's singleton forever — the parity schedule is what makes
+    // the round budget productive). Final: {1,2,3} as community 2,
+    // {4,5,6} as community 6, e_c = 3, d_c = 7 each ->
+    // q_c = (4·7·3 − 49)/196 = 35/196, q_total = 70/196.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val raw = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("ok", "pk")
+    val got = GraphOps.louvainFrom(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (2L, 3L, 3L, 7L, 35.0 / 196.0, 70.0 / 196.0),
+      (6L, 3L, 3L, 7L, 35.0 / 196.0, 70.0 / 196.0)))
+  }
+
   test("bfsReach: min-hop levels on a hand-drawn chain with an island") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString

@@ -108,5 +108,12 @@ class PrivacyOpsSpec extends SparkSpec {
       assert(math.abs(nm) <= PrivacyOps.DpBMilli * 20)
     }
     assert(got.values.exists(_._2 != 0L)) // at least one nonzero draw
+    // the output table itself signals there is no real privacy guarantee:
+    // epsilon is NOMINAL and the noise a deterministic replica (ADVICE r12)
+    val cols = PrivacyOps.dpCounts(spark, dir).columns
+    assert(cols.contains("epsilon_nominal") && cols.contains("deterministic_replica"))
+    assert(!cols.contains("epsilon"))
+    assert(PrivacyOps.dpCounts(spark, dir)
+      .select("deterministic_replica").collect().forall(_.getBoolean(0)))
   }
 }
