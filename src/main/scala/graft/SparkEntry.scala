@@ -187,6 +187,8 @@ object SparkEntry {
     // multimodal frame sampling: stride Generate over per-payload frame
     // counts, per-frame digests, payload never travels with the frames
     "q_frame_sample" -> (TextOps.frameSample _),
+    // pHash near-dup: integer DCT sign bits, Hamming-banded LSH cluster
+    "q_media_neardup" -> (TextOps.mediaNeardup _),
     // §2.I: the streaming window aggregation run in batch mode (the
     // transform is mode-agnostic; the watermark is a no-op on batch)
     "q_hourly_counts" -> ((s: SparkSession, dir: String) =>
@@ -2130,6 +2132,40 @@ object SparkEntry {
         |  sha256(concat(content_sha, ':', CAST(frame_idx AS VARCHAR))) AS frame_sha,
         |  frame_idx = 0 AS is_key_frame
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // same token-hash luma grid, same build-time-literal integer DCT
+    // sign bits, same 7×9-bit banding and bucket-min cluster (the
+    // dedup_simhash_cluster idiom); phashExprs emits BOTH trees
+    "q_media_neardup" -> {
+      import graft.queries.TextOps.{PhBandBits, PhBands, PhGrid}
+      val n = PhGrid * PhGrid
+      val (rowPassSql, colPassSql) = graft.queries.TextOps.dctExprs(
+        "g", "t", (a, i) => s"$a[${i + 1}]", es => es.mkString("[", ", ", "]"))
+      s"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(toks, tk -> ${h32Sql("tk")} % 256) AS hs FROM d),
+        |grid AS (SELECT doc_id, list_transform(range($n), c ->
+        |    coalesce(CAST(list_sum(list_transform(range(len(hs)),
+        |        i -> CASE WHEN i % $n = c THEN hs[i+1] ELSE 0 END)) AS BIGINT), 0)
+        |      // greatest(len(list_filter(range(len(hs)), i -> i % $n = c)), 1)) AS g
+        |  FROM h),
+        |tp AS (SELECT doc_id, $rowPassSql AS t FROM grid),
+        |cp AS (SELECT doc_id, $colPassSql AS dd FROM tp),
+        |ph AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, $n),
+        |      k -> CASE WHEN dd[k+1] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(k - 1 AS INT)) ELSE 0 END)), 0)
+        |    AS BIGINT) AS phash FROM cp),
+        |banded AS (SELECT doc_id, phash, band_id,
+        |    (phash // CAST(power(2, band_id * $PhBandBits) AS BIGINT))
+        |      % ${1 << PhBandBits} AS band_key
+        |  FROM ph CROSS JOIN (SELECT unnest(range($PhBands)) AS band_id)),
+        |rep AS (SELECT band_id, band_key, min(doc_id) AS bucket_rep
+        |  FROM banded GROUP BY band_id, band_key)
+        |SELECT b.doc_id, min(b.phash) AS phash, min(r.bucket_rep) AS cluster_id,
+        |  CAST(b.doc_id <> min(r.bucket_rep) AS INT) AS is_dup
+        |FROM banded b JOIN rep r USING (band_id, band_key)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
     },
     "q_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

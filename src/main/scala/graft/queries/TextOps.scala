@@ -1115,6 +1115,108 @@ object TextOps {
         (col("frame_idx") === 0).as("is_key_frame"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  // ----------------------------------------- media perceptual-hash near-dup
+  /** Grid side for the pHash stub decode (8×8 luma grid). */
+  private[graft] val PhGrid = 8
+  /** Quantized DCT-II cosine table C[u][i] = round(cos((2i+1)·u·π/16)
+    * · 2^12) — BUILD-TIME literals embedded identically in both engines'
+    * expression trees (the q_ndcg discount / hwStepExprs discipline), so
+    * the transform is exact integer arithmetic with no runtime
+    * transcendental whose last ulp could differ between engines. */
+  private[graft] val PhCosTable: Seq[Seq[Long]] =
+    (0 until PhGrid).map(u => (0 until PhGrid).map(i =>
+      math.round(math.cos((2 * i + 1) * u * math.Pi / (2.0 * PhGrid)) * 4096.0)))
+  /** Hamming bands over the 63 AC sign bits: docs within Hamming
+    * distance [[PhBands]]−1 = 6 share an intact band by pigeonhole. */
+  private[graft] val PhBands = 7
+  private[graft] val PhBandBits = 9
+
+  /** The separable integer DCT over a [[PhGrid]]²-long grid array column
+    * — ONE generator emits the 1024-multiply expression trees for BOTH
+    * engines ([[StatsOps]]' hwStepExprs precedent: textually-parallel
+    * trees cannot drift). Returns (row-pass array t[u·8+j] = Σ_i
+    * C[u][i]·g[i·8+j], column-pass array d[u·8+v] = Σ_j C[v][j]·t[u·8+j])
+    * — ARRAYS, not one flat 63-term sign sum: the flat sum inlined
+    * ~570 integer ops into one Janino method and blew the 64 KB codegen
+    * limit (observed — Spark fell back to interpreted); per-element
+    * array children split into their own methods. `ix` is the engine's
+    * array indexer (Spark brackets are 0-based, DuckDB 1-based),
+    * `arrayOf` its array constructor. Magnitudes: cell ≤ 255, row pass
+    * ≤ 8·2^12·255 ≈ 8.4e6, coefficient ≤ 2.8e11 — int64-exact in both.
+    */
+  private[graft] def dctExprs(g: String, t: String,
+      ix: (String, Int) => String,
+      arrayOf: Seq[String] => String): (String, String) = {
+    val n = PhGrid
+    val rowPass = arrayOf(
+      for (u <- 0 until n; j <- 0 until n) yield
+        (0 until n).map(i => s"${PhCosTable(u)(i)} * ${ix(g, i * n + j)}")
+          .mkString("(", " + ", ")"))
+    val colPass = arrayOf(
+      for (u <- 0 until n; v <- 0 until n) yield
+        (0 until n).map(j => s"${PhCosTable(v)(j)} * ${ix(t, u * n + j)}")
+          .mkString("(", " + ", ")"))
+    (rowPass, colPass)
+  }
+
+  /** Perceptual-hash near-dup clustering over the multimodal payload —
+    * the media column's first JOINING operator (VERDICT r12 #6): the
+    * [[multimodalMeta]] decode stub is extended to a deterministic 8×8
+    * "luma" grid (cell c = mean token-hash byte over token positions ≡ c
+    * mod 64 — locality-preserving by construction: payloads differing in
+    * a few tokens differ in few cells, exactly the property a real
+    * decoded-and-resized image grid has), then the REAL pHash pipeline
+    * runs unchanged: quantized integer 2-D DCT ([[PhCosTable]] sign
+    * bits, DC dropped) → 63-bit hash → [[PhBands]]×[[PhBandBits]]-bit
+    * Hamming-banded LSH → bucket-min cluster propagation. A real image
+    * decoder replaces only the grid derivation; the DCT, banding, and
+    * clustering are production-shaped.
+    *
+    * Scale shape: grid + DCT + hash are MAP-ONLY column expressions
+    * riding the scan (1024 integer multiply-adds per payload, no
+    * shuffle, no UDF); banding explodes ×7 into a LITERAL-bounded
+    * (7 × 512) bucket domain; clustering is [[dedupSimhashCluster]]'s
+    * one window-partitioned min + one groupBy — O(N), never pair
+    * enumeration, the discipline that survives 3000-doc buckets and a
+    * 100 TB corpus alike.
+    */
+  def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val n = PhGrid * PhGrid
+    val gridSql =
+      s"""transform(sequence(0, ${n - 1}), c ->
+         |  aggregate(filter(hs, (x, i) -> i % $n = c), 0L, (a, x) -> a + x)
+         |    div greatest(size(filter(hs, (x, i) -> i % $n = c)), 1))""".stripMargin
+    val (rowPassSql, colPassSql) =
+      dctExprs("g", "t", (a, i) => s"$a[$i]", es => es.mkString("array(", ", ", ")"))
+    // AC sign bits folded over the coefficient ARRAY (compact HOF — the
+    // unrolled flat sum blew Janino's 64 KB method limit); bit k−1 set
+    // when d[k] > 0, k = 1..63 (DC d[0] dropped)
+    val phashSql =
+      s"""aggregate(sequence(1, ${n - 1}), 0L, (acc, k) ->
+         |  acc + (CASE WHEN dd[k] > 0
+         |    THEN shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))
+         |    ELSE 0L END))""".stripMargin
+    val banded = Tables.documents(spark, dir)
+      .select(col("doc_id"), toksAll.as("toks"))
+      .withColumn("hs", transform(col("toks"), tk => h32(tk) % 256))
+      .withColumn("g", expr(gridSql))
+      .withColumn("t", expr(rowPassSql))
+      .withColumn("dd", expr(colPassSql))
+      .select(col("doc_id"), expr(phashSql).as("phash"))
+      .withColumn("band_id", explode(array((0 until PhBands).map(lit): _*)))
+      .withColumn("band_key",
+        expr(s"(phash div CAST(power(2, band_id * $PhBandBits) AS BIGINT))" +
+          s" % ${1 << PhBandBits}"))
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    banded
+      .withColumn("bucket_rep", min(col("doc_id")).over(bucketW))
+      .groupBy(col("doc_id"))
+      .agg(min(col("phash")).as("phash"), min(col("bucket_rep")).as("cluster_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("cluster_id")).cast(IntegerType))
+      .select(col("doc_id"), col("phash"), col("cluster_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------- corpus vocabulary profile
   /** Vocabulary profile per corpus slice (source): token volume, distinct
     * vocabulary, hapax legomena (terms seen exactly once — the classic

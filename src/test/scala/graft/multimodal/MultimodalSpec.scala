@@ -66,4 +66,68 @@ class MultimodalSpec extends SparkSpec {
     assert(sql.filter(col("frame_idx") % 2 =!= 0).count() === 0)
     assert(sql.filter(col("is_key_frame") =!= (col("frame_idx") === 0)).count() === 0)
   }
+
+  test("mediaNeardup: pHash replica, copy clustering, Hamming pigeonhole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    val original = (0 until 128).map(i => s"tok$i").mkString(" ")
+    // one substituted token -> exactly cells 5 (positions 5 and 69 share
+    // it; only position 5 changes) differ in the decoded grid
+    val edited = (0 until 128)
+      .map(i => if (i == 5) "edited" else s"tok$i").mkString(" ")
+    val unrelated = (0 until 128).map(i => s"other$i").mkString(" ")
+    Seq((1L, original), (2L, original), (3L, edited), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.mediaNeardup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+
+    // independent Scala replica of the WHOLE chain: md5 token hash ->
+    // interleaved-mean grid -> quantized integer DCT -> AC sign bits
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    def phashOf(text: String): Long = {
+      val hs = text.toLowerCase.trim.split("\\s+").map(h32(_) % 256)
+      val g = Array.tabulate(64) { c =>
+        val sel = hs.indices.filter(_ % 64 == c).map(hs)
+        if (sel.isEmpty) 0L else sel.sum / sel.size
+      }
+      val ct = TextOps.PhCosTable
+      val t = Array.tabulate(64)(k =>
+        (0 until 8).map(i => ct(k / 8)(i) * g(i * 8 + k % 8)).sum)
+      val d = Array.tabulate(64)(k =>
+        (0 until 8).map(j => ct(k % 8)(j) * t(k / 8 * 8 + j)).sum)
+      (1 until 64).map(k => if (d(k) > 0) 1L << (k - 1) else 0L).sum
+    }
+    assert(rows(1L)._1 === phashOf(original))
+    assert(rows(3L)._1 === phashOf(edited))
+    assert(rows(4L)._1 === phashOf(unrelated))
+
+    // exact copies: identical phash, doc 2 clusters under rep 1
+    assert(rows(1L)._1 === rows(2L)._1)
+    assert(rows(1L) === ((rows(1L)._1, 1L, 0)))
+    assert(rows(2L) === ((rows(1L)._1, 1L, 1)))
+    // locality: the single-cell edit moves FAR fewer sign bits than a
+    // full rewrite
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(rows(1L)._1, rows(3L)._1) < hamming(rows(1L)._1, rows(4L)._1))
+    // pigeonhole invariant of the 7x9-bit banding: any pair within
+    // Hamming PhBands-1 shares at least one intact band
+    def bands(p: Long): Seq[Long] = (0 until TextOps.PhBands)
+      .map(b => (p >> (b * TextOps.PhBandBits)) & ((1 << TextOps.PhBandBits) - 1))
+    for (a <- rows.keys; b <- rows.keys if a < b) {
+      val share = bands(rows(a)._1).zip(bands(rows(b)._1)).exists(p => p._1 == p._2)
+      if (hamming(rows(a)._1, rows(b)._1) <= TextOps.PhBands - 1)
+        assert(share, s"pigeonhole violated for ($a, $b)")
+    }
+    // cluster ids are bucket-min reps: never above the member's own id,
+    // and self exactly when not a dup
+    rows.foreach { case (id, (_, cl, dup)) =>
+      assert(cl <= id && ((cl == id) == (dup == 0)))
+    }
+  }
 }
