@@ -1,6 +1,57 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Committed-quiet-baseline comparison for [[Bench]] (VERDICT r12 #2): the
+  * calibration probes have a proven blind spot — steady PARTIAL CPU
+  * subscription squeezes 32-way-parallel heavy legs while tiny probes slip
+  * into free slots and read quiet (the six-round etl-phantom class: driver
+  * artifacts carried etl 43.1 s vs 18.0 isolated with `epoch_suspect`
+  * empty). The evidence that CAN see it is a committed quiet baseline:
+  * any ≥ [[MinSec]]-second leg whose median sits > [[Thresh]]× its
+  * baseline median (after box-factor normalization via the two runs'
+  * quiet calibrations) is annotated in the artifact as
+  * "baseline_suspect" — listed, not patched, the spread/epoch_suspect
+  * discipline. Benchgate then adjudicates with an isolated re-run.
+  */
+private[graft] object BenchBaseline {
+  val MinSec = 5.0
+  val Thresh = 1.4
+
+  /** (queries median map, sf dir string, quiet calibration = min of
+    * start/mid medians — benchgate's quiet_cal contract). */
+  def parse(json: String): (Map[String, Double], String, Double) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val qs = Option(root.get("queries")).map { q =>
+      val it = q.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+      b.result()
+    }.getOrElse(Map.empty[String, Double])
+    val sf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+    val cal = Option(root.get("calibration")).map { c =>
+      val vals = Seq("start", "mid")
+        .flatMap(k => Option(c.get(k)).flatMap(n => Option(n.get("median"))))
+        .map(_.asDouble(-1.0)).filter(_ > 0)
+      if (vals.isEmpty) -1.0 else vals.min
+    }.getOrElse(-1.0)
+    (qs, sf, cal)
+  }
+
+  /** Suspect map {leg -> ratio vs box-scaled baseline} over legs whose
+    * current median is ≥ [[MinSec]] and > [[Thresh]] × baseline×box.
+    * `boxFactor` = current quiet cal / baseline quiet cal, clamped ≥ 1
+    * (a faster current box must not hide a regression). */
+  def suspects(cur: Map[String, Double], base: Map[String, Double],
+      boxFactor: Double): Map[String, Double] = {
+    val f = math.max(boxFactor, 1.0)
+    cur.collect {
+      case (leg, med) if med >= MinSec && base.get(leg).exists(_ > 0) &&
+          med > Thresh * base(leg) * f =>
+        leg -> math.round(med / (base(leg) * f) * 1000.0) / 1000.0
+    }
+  }
+}
+
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
   * Methodology (VERDICT r2 "What's wrong" #5, r3 #4): one untimed warmup
@@ -366,8 +417,33 @@ object Bench {
       case (k, t) if t.median >= 1.0 && bracketRatio(t) > 1.4 =>
         "\"" + k + "\":" + round3(bracketRatio(t))
     }.mkString("{", ",", "}")
+    // Baseline self-annotation (VERDICT r12 #2): probes cannot feel steady
+    // partial-CPU subscription (tiny jobs slip into free slots while the
+    // 32-way legs are squeezed — the etl-phantom class's last hideout), so
+    // every ≥5 s leg is ALSO compared against the committed quiet baseline,
+    // box-factor-normalized via the two runs' quiet calibrations. Listed,
+    // not patched; benchgate adjudicates the named legs isolated.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    val curMedians = finalResults.map { case (k, t) => k -> t.median }.toMap
+    val (baselineSuspect, baselineNote) =
+      try {
+        val (bq, bsf, bcal) = BenchBaseline.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
+        if (bsf != sfDir) (Map.empty[String, Double], s"sf mismatch ($bsf)")
+        else {
+          val box = if (bcal > 0 && calFloor > 0) calFloor / bcal else 1.0
+          (BenchBaseline.suspects(curMedians, bq, box),
+            s"box ${round3(math.max(box, 1.0))}")
+        }
+      } catch { case _: Throwable =>
+        (Map.empty[String, Double], "no baseline")
+      }
+    val baselineSuspectJson = baselineSuspect.toSeq.sortBy(_._1)
+      .map { case (k, r) => "\"" + k + "\":" + round3(r) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"baseline_note":"$baselineNote","sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

@@ -1172,9 +1172,13 @@ object TextOps {
     * decoder replaces only the grid derivation; the DCT, banding, and
     * clustering are production-shaped.
     *
-    * Scale shape: grid + DCT + hash are MAP-ONLY column expressions
-    * riding the scan (1024 integer multiply-adds per payload, no
-    * shuffle, no UDF); banding explodes ×7 into a LITERAL-bounded
+    * Scale shape: the grid build is ONE token-scale map-side-combined
+    * aggregation into a ≤64-cell map per doc (the tf discipline — the
+    * first draft built cells with interpreted higher-order filters, 128
+    * array scans per payload, and measured 18.6 s at sf0.1; the
+    * relational build rides whole-stage codegen); the DCT + banding are
+    * map-only column expressions (1024 codegen'd integer multiply-adds
+    * per payload, no UDF); banding explodes ×7 into a LITERAL-bounded
     * (7 × 512) bucket domain; clustering is [[dedupSimhashCluster]]'s
     * one window-partitioned min + one groupBy — O(N), never pair
     * enumeration, the discipline that survives 3000-doc buckets and a
@@ -1182,10 +1186,6 @@ object TextOps {
     */
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
     val n = PhGrid * PhGrid
-    val gridSql =
-      s"""transform(sequence(0, ${n - 1}), c ->
-         |  aggregate(filter(hs, (x, i) -> i % $n = c), 0L, (a, x) -> a + x)
-         |    div greatest(size(filter(hs, (x, i) -> i % $n = c)), 1))""".stripMargin
     val (rowPassSql, colPassSql) =
       dctExprs("g", "t", (a, i) => s"$a[$i]", es => es.mkString("array(", ", ", ")"))
     // AC sign bits folded over the coefficient ARRAY (compact HOF — the
@@ -1196,10 +1196,19 @@ object TextOps {
          |  acc + (CASE WHEN dd[k] > 0
          |    THEN shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))
          |    ELSE 0L END))""".stripMargin
-    val banded = Tables.documents(spark, dir)
-      .select(col("doc_id"), toksAll.as("toks"))
-      .withColumn("hs", transform(col("toks"), tk => h32(tk) % 256))
-      .withColumn("g", expr(gridSql))
+    val cells = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toksAll).as(Seq("pos", "tk")))
+      .select(col("doc_id"), pmod(col("pos"), lit(n)).as("c"),
+        (h32(col("tk")) % 256).as("hv"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("hv")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("c"),
+        expr("s div cnt")))).as("cm"))
+    val banded = cells
+      .withColumn("g", expr(
+        s"transform(sequence(0, ${n - 1}), c -> " +
+          "coalesce(element_at(cm, CAST(c AS INT)), 0L))"))
       .withColumn("t", expr(rowPassSql))
       .withColumn("dd", expr(colPassSql))
       .select(col("doc_id"), expr(phashSql).as("phash"))

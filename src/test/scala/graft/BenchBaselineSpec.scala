@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The committed-quiet-baseline annotation (VERDICT r12 #2) must flag the
+  * etl/ktruss-class inflation the calibration probes proved blind to —
+  * replayed here with the ROUND-12 NUMBERS: the driver artifact read
+  * etl 43.1 s / ktruss 24.0 s while the judge's isolated medians were
+  * 17.98 / 13.98, and every probe read quiet.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  test("parse: queries, sf, and quiet calibration from a bench artifact") {
+    val json =
+      """{"metric":"total","value":10.0,"queries":{"a":1.5,"b":20.0},
+        |"calibration":{"start":{"median":0.12,"span":[0,1]},
+        |"mid":{"median":0.109,"span":[5,6]},
+        |"end":{"median":0.5,"span":[9,10]},"spread":1.1},
+        |"sf":"/root/testdata/sf0.1"}""".stripMargin.replace("\n", "")
+    val (qs, sf, cal) = BenchBaseline.parse(json)
+    assert(qs === Map("a" -> 1.5, "b" -> 20.0))
+    assert(sf === "/root/testdata/sf0.1")
+    // quiet cal = min(start, mid); the degraded end checkpoint is ignored
+    assert(cal === 0.109)
+  }
+
+  test("suspects: replay of the round-12 driver phantoms the probes passed") {
+    // committed quiet baseline ~= the judge's isolated medians
+    val base = Map("etl_pipeline" -> 17.98, "q_ktruss" -> 13.98,
+      "q_betweenness" -> 14.97, "q_stl" -> 0.71)
+    // the contaminated driver run (probes read quiet -> box factor ~1)
+    val cur = Map("etl_pipeline" -> 43.141, "q_ktruss" -> 24.032,
+      "q_betweenness" -> 19.318, "q_stl" -> 0.80)
+    val out = BenchBaseline.suspects(cur, base, boxFactor = 1.0)
+    // etl at 2.4x and ktruss at 1.7x MUST be flagged (epoch_suspect was
+    // empty on exactly this run — the blind spot this annotation closes)
+    assert(out.contains("etl_pipeline") && out("etl_pipeline") > 2.0)
+    assert(out.contains("q_ktruss") && out("q_ktruss") > 1.5)
+    // betweenness at 1.29x sits under the 1.4 threshold; stl is sub-5s
+    assert(!out.contains("q_betweenness"))
+    assert(!out.contains("q_stl"))
+  }
+
+  test("suspects: box factor scales the baseline, clamped at 1") {
+    val base = Map("heavy" -> 10.0)
+    // a 1.6x slower box epoch legitimately inflates the leg to 16 s:
+    // with the box factor applied it is NOT a suspect...
+    assert(BenchBaseline.suspects(Map("heavy" -> 16.0), base, 1.6).isEmpty)
+    // ...while the same reading on a quiet box is
+    assert(BenchBaseline.suspects(Map("heavy" -> 16.0), base, 1.0)
+      === Map("heavy" -> 1.6))
+    // a FASTER current box (factor < 1) must not hide a regression:
+    // clamped to 1, so 15 s vs baseline 10 still flags
+    assert(BenchBaseline.suspects(Map("heavy" -> 15.0), base, 0.5)
+      === Map("heavy" -> 1.5))
+  }
+
+  test("suspects: legs without a baseline entry are skipped") {
+    assert(BenchBaseline.suspects(Map("new_leg" -> 50.0), Map.empty, 1.0).isEmpty)
+    assert(BenchBaseline.suspects(Map("z" -> 50.0), Map("z" -> -1.0), 1.0).isEmpty)
+  }
+}

@@ -110,6 +110,32 @@ def nearest_cal(leg_span, pts):
     return best, round(span_gap(leg_span, best["span"]), 1)
 
 
+def epoch_scale(rerun_cal, quiet_floor):
+    """How much to DEFLATE an isolated re-run's reading before judging it:
+    when the re-run's own calibration ran slower than the reference run's
+    quiet floor, the whole re-run epoch was that much slower, and judging
+    the raw number mints false confirmed-regressions (round 12: q_cube /
+    q_forecast_eval / q_knn_classify were 'confirmed' in a x1.28 slower
+    rerun epoch although their code was untouched — VERDICT r12 #3).
+    Never scale UP (a faster rerun epoch must not manufacture phantoms):
+    the factor is min(1, quiet_floor / rerun_cal)."""
+    if not rerun_cal or not quiet_floor or rerun_cal <= 0 or quiet_floor <= 0:
+        return 1.0
+    return min(1.0, quiet_floor / rerun_cal)
+
+
+def adjudicate(iso, prev_scaled, threshold, rerun_cal, quiet_floor):
+    """Verdict for one isolated re-run reading: (verdict, iso_scaled).
+    The reading is epoch-scaled by [[epoch_scale]] before the threshold
+    compare; the RAW value stays in provenance ('isolated')."""
+    if iso is None or iso < 0:
+        return "rerun-failed", None
+    iso_scaled = round(iso * epoch_scale(rerun_cal, quiet_floor), 3)
+    if iso_scaled <= prev_scaled * threshold:
+        return "phantom (isolated %.2fs, epoch-scaled %.2fs)" % (iso, iso_scaled), iso_scaled
+    return "CONFIRMED regression", iso_scaled
+
+
 def isolated_rerun(names, sf_dir):
     """Re-run the named legs through graft.Bench in isolation; returns their
     fresh median map (the run's own quiesce + warmup discipline applies)."""
@@ -207,18 +233,20 @@ def main():
             [r["leg"] for r in flagged], args.sf_dir)
         if rerun_cal and cal_quiet_min:
             print(f"[benchgate] re-run epoch calibration {rerun_cal} vs "
-                  f"current artifact quiet {cal_quiet_min} — adjudications "
-                  "below are judged in the re-run's own epoch")
+                  f"current artifact quiet {cal_quiet_min} — isolated "
+                  f"readings epoch-scaled by "
+                  f"{epoch_scale(rerun_cal, cal_quiet_min):.3f} before "
+                  "adjudication (a loaded rerun epoch must not mint "
+                  "confirmed regressions)")
         for r in flagged:
             r["rerun_cal"] = rerun_cal
             iso = fresh.get(r["leg"])
             r["isolated"] = iso
-            if iso is None or iso < 0:
-                r["verdict"] = "rerun-failed"
-            elif iso <= prev[r["leg"]] * args.threshold:
-                r["verdict"] = "phantom (isolated %.2fs)" % iso
-            else:
-                r["verdict"] = "CONFIRMED regression"
+            verdict, iso_scaled = adjudicate(
+                iso, prev[r["leg"]], args.threshold, rerun_cal, cal_quiet_min)
+            r["isolated_scaled"] = iso_scaled
+            r["verdict"] = verdict
+            if verdict == "CONFIRMED regression":
                 confirmed.append(r["leg"])
         if args.patch:
             # Patch ONLY phantom-adjudicated legs (ADVICE r10): for those,

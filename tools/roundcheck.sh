@@ -12,7 +12,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 OUT_DIR="${OUT_DIR:-/tmp/roundcheck}"
-PREV_BENCH="${PREV_BENCH:-BENCH_FULL.json}"   # previous round's artifact
+# The benchgate reference is the COMMITTED quiet-close baseline (VERDICT
+# r12 #1: the repo-root BENCH_FULL.json was .gitignore'd AND overwritten
+# by a contaminated driver run — gating against an untracked file means
+# gating against phantoms on a dirty box and nothing on a fresh clone).
+# Refresh it only from a quiet close (cal spread <= ~1.15, epoch_suspect
+# empty): cp $OUT_DIR/BENCH_FULL.json BENCH_BASELINE.json && git commit.
+PREV_BENCH="${PREV_BENCH:-BENCH_BASELINE.json}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 mkdir -p "$OUT_DIR"
 
@@ -43,6 +49,15 @@ echo "== [4/5] benchgate vs $PREV_BENCH"
 # via set -e twice in round 12); record the gate result, keep going, and
 # surface it in the script's own exit code at the end
 GATE_RC=0
+# refuse to gate against an UNTRACKED reference: an untracked file is
+# whatever the last (possibly contaminated) run left on disk, not a
+# reviewed baseline — the exact r12 failure mode (VERDICT r12 #1)
+if [ -f "$PREV_BENCH" ] && ! git ls-files --error-unmatch "$PREV_BENCH" >/dev/null 2>&1; then
+  echo "FATAL: $PREV_BENCH exists but is not git-tracked — commit a quiet"
+  echo "close as the baseline (cp \$OUT_DIR/BENCH_FULL.json BENCH_BASELINE.json"
+  echo "&& git add) or point PREV_BENCH at a tracked artifact."
+  exit 1
+fi
 if [ -f "$PREV_BENCH" ]; then
   # --patch: each flagged leg's isolated (quiet-epoch) re-run replaces its
   # contaminated median in the round artifact, with provenance under
@@ -53,7 +68,9 @@ if [ -f "$PREV_BENCH" ]; then
       --rerun --patch || GATE_RC=$?
   [ "$GATE_RC" = "0" ] || echo "(benchgate flagged legs — rc $GATE_RC; see report)"
 else
-  echo "(no previous artifact at $PREV_BENCH — skipping gate)"
+  echo "(no committed baseline at $PREV_BENCH — skipping gate; seed one"
+  echo " from THIS run if its calibration is quiet: cp $OUT_DIR/BENCH_FULL.json"
+  echo " $PREV_BENCH && git add $PREV_BENCH)"
 fi
 
 echo "== [5/5] full sbt test"
