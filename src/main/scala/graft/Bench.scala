@@ -37,13 +37,24 @@ private[graft] object BenchBaseline {
     (qs, sf, cal)
   }
 
+  /** Max box-factor allowance: mild epoch drift (~15%) scales the
+    * baseline; anything above is CONTAMINATION evidence, not legitimacy.
+    * Measured live (r13): 28 CPU spinners inflated the tiny probes 2.2×
+    * while the 32-way legs inflated only 1.2–1.3× — an UNCLAMPED box
+    * factor scaled the baseline by the probes' 2.2× and masked the legs
+    * entirely, reintroducing the exact blind spot this annotation
+    * exists to close. Probes and legs do not feel load equally, in
+    * EITHER direction; only a small drift allowance is safe. */
+  val BoxCap = 1.15
+
   /** Suspect map {leg -> ratio vs box-scaled baseline} over legs whose
     * current median is ≥ [[MinSec]] and > [[Thresh]] × baseline×box.
-    * `boxFactor` = current quiet cal / baseline quiet cal, clamped ≥ 1
-    * (a faster current box must not hide a regression). */
+    * `boxFactor` = current quiet cal / baseline quiet cal, clamped into
+    * [1, [[BoxCap]]] (a faster current box must not hide a regression;
+    * a slower probe reading must not excuse the legs). */
   def suspects(cur: Map[String, Double], base: Map[String, Double],
       boxFactor: Double): Map[String, Double] = {
-    val f = math.max(boxFactor, 1.0)
+    val f = math.min(math.max(boxFactor, 1.0), BoxCap)
     cur.collect {
       case (leg, med) if med >= MinSec && base.get(leg).exists(_ > 0) &&
           med > Thresh * base(leg) * f =>

@@ -41,14 +41,21 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(!out.contains("q_stl"))
   }
 
-  test("suspects: box factor scales the baseline, clamped at 1") {
+  test("suspects: box factor clamped into [1, BoxCap]") {
     val base = Map("heavy" -> 10.0)
-    // a 1.6x slower box epoch legitimately inflates the leg to 16 s:
-    // with the box factor applied it is NOT a suspect...
-    assert(BenchBaseline.suspects(Map("heavy" -> 16.0), base, 1.6).isEmpty)
-    // ...while the same reading on a quiet box is
-    assert(BenchBaseline.suspects(Map("heavy" -> 16.0), base, 1.0)
-      === Map("heavy" -> 1.6))
+    // mild epoch drift (within BoxCap) scales the baseline: 15.5 s vs
+    // 10 s at box 1.1 is ratio 1.41 -> just flags; at box 1.15 it's
+    // 1.348 -> passes
+    assert(BenchBaseline.suspects(Map("heavy" -> 15.5), base, 1.15).isEmpty)
+    assert(BenchBaseline.suspects(Map("heavy" -> 15.5), base, 1.1)
+      === Map("heavy" -> 1.409))
+    // a probe reading FAR above the baseline's is contamination, not
+    // legitimacy — the live r13 replay: 28 spinners inflated probes
+    // 2.18x but legs only ~1.3x, and an unclamped factor (x2.18 on the
+    // baseline) masked a 1.7x-inflated leg entirely. Capped at BoxCap,
+    // the 1.7x leg still flags.
+    assert(BenchBaseline.suspects(Map("heavy" -> 17.0), base, 2.18)
+      === Map("heavy" -> math.round(17.0 / 11.5 * 1000.0) / 1000.0))
     // a FASTER current box (factor < 1) must not hide a regression:
     // clamped to 1, so 15 s vs baseline 10 still flags
     assert(BenchBaseline.suspects(Map("heavy" -> 15.0), base, 0.5)
