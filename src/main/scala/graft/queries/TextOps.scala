@@ -1190,12 +1190,18 @@ object TextOps {
       dctExprs("g", "t", (a, i) => s"$a[$i]", es => es.mkString("array(", ", ", ")"))
     // AC sign bits folded over the coefficient ARRAY (compact HOF — the
     // unrolled flat sum blew Janino's 64 KB method limit); bit k−1 set
-    // when d[k] > 0, k = 1..63 (DC d[0] dropped)
+    // when dd[k] > 0, k = 1..63 (DC dd[0] masked by the index guard).
+    // dd sits in the COLLECTION-ARGUMENT position, never inside a
+    // lambda body: CollapseProject inlines the whole 1024-term DCT
+    // CreateArray into this expression, and a lambda-body reference
+    // (`aggregate(sequence(1,63), .., (acc,k) -> ..dd[k]..)`) re-derives
+    // it at EVERY fold step — measured 7.96 s vs 1.45 s at sf0.1 for the
+    // identical integers. A collection argument is evaluated once.
     val phashSql =
-      s"""aggregate(sequence(1, ${n - 1}), 0L, (acc, k) ->
-         |  acc + (CASE WHEN dd[k] > 0
-         |    THEN shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT))
-         |    ELSE 0L END))""".stripMargin
+      """aggregate(
+        |  transform(dd, (x, k) -> CASE WHEN k >= 1 AND x > 0
+        |    THEN shiftleft(CAST(1 AS BIGINT), CAST(k - 1 AS INT)) ELSE 0L END),
+        |  0L, (a, x) -> a + x)""".stripMargin
     val cells = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toksAll).as(Seq("pos", "tk")))
       .select(col("doc_id"), pmod(col("pos"), lit(n)).as("c"),
