@@ -415,6 +415,8 @@ object SparkEntry {
     "q_ks_classifier" -> (TextOps.ksClassifier _),
     // McNemar paired test: trained NB vs the stopword langid heuristic
     "q_mcnemar" -> (TextOps.mcnemar _),
+    // exact Mann-Whitney ROC-AUC of the NB score, ties half-credited
+    "q_auc_roc" -> (TextOps.aucRoc _),
     // pairwise source shingle-Jaccard contamination matrix
     "q_source_overlap" -> (TextOps.sourceOverlap _),
     // semi-supervised majority-vote label spread over near-dup components
@@ -5592,6 +5594,26 @@ object SparkEntry {
         |SELECT n1, n0, CAST(MIN(v) AS BIGINT) AS at_score, d_num,
         |  CAST(d_num AS DOUBLE) / nullif(CAST(n1 * n0 AS DOUBLE), 0.0) AS d_stat
         |FROM dev JOIN b ON dnum = d_num GROUP BY n1, n0, d_num""".stripMargin
+    },
+    // same per-score class counts, same Mann-Whitney doubled-U identity
+    // U*2 = sum c1*(2*F0 - c0) in HUGEINT, one final division
+    "q_auc_roc" -> {
+      s"""WITH $nbScoredCtes,
+        |pv AS (SELECT score AS v, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - y) AS BIGINT) AS c0
+        |  FROM scored GROUP BY 1),
+        |cum AS (SELECT c1, c0,
+        |    CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS f0 FROM pv),
+        |u AS (SELECT SUM(CAST(c1 AS HUGEINT) * (2 * f0 - c0)) AS u2,
+        |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0
+        |  FROM cum)
+        |SELECT n1, n0, CAST(CAST(u2 AS VARCHAR) AS DOUBLE) AS u2,
+        |  CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+        |    / nullif(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0) AS auc,
+        |  CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+        |    / nullif(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0) * 2 - 1
+        |    AS gini_coeff
+        |FROM u""".stripMargin
     },
     // the NB scoring chain paired with an inline (renamed) copy of the
     // langid chain on the same test docs; same exact 2x2 cells and

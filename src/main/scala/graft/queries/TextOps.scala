@@ -2364,4 +2364,50 @@ object TextOps {
         (col("d_num").cast(DoubleType)
           / nullif((col("n1") * col("n0")).cast(DoubleType), lit(0.0))).as("d_stat"))
   }
+
+  /** Exact ROC-AUC of the [[nbScored]] classifier via the Mann–Whitney
+    * identity — the threshold-free companion that completes the score
+    * battery ([[nbClassify]] confusion, [[liftCurve]] deciles,
+    * [[ksClassifier]] separation, [[mcnemar]] pairing): AUC = P(score⁺ >
+    * score⁻) + ½P(tie) = U/(n₁n₀), with U computed from per-score class
+    * counts — never from pairs, never from a global rank: U·2 = Σ_v
+    * c₁(v)·(2·F₀(v) − c₀(v)) over the |distinct scores|-sized frame
+    * (F₀ inclusive cumulative negatives — each positive at v beats the
+    * negatives strictly below and half-ties the c₀ at v). The doubled
+    * sum stays an exact integer in DECIMAL(38,0)/HUGEINT (c₁·F₀ ≤ n₁n₀
+    * overflows int64 at ~3e9 test docs per class), divided once at the
+    * edge; `gini_coeff` = 2·AUC − 1 rides along. Cumulatives use the
+    * same literal-clamped two-level prefix sums as [[ksClassifier]] —
+    * one bucket-partitioned window + a ≤(2·cap+1)²-row offset join,
+    * never a global window.
+    */
+  def aucRoc(spark: SparkSession, dir: String): DataFrame =
+    aucFrom(nbScored(spark, dir).select(col("score").as("v"), col("y")))
+
+  /** [[aucRoc]] over any (v, y) score frame — factored so the spec can
+    * pin AUC on a hand-computed tie-bearing fixture. */
+  private[graft] def aucFrom(s: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pv = s.groupBy(col("v")).agg(
+        sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+      .withColumn("bucket", scoreBucket("v"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = pv.withColumn("r0", sum(col("c0")).over(wb))
+    val totals = pv.groupBy(col("bucket")).agg(sum(col("c0")).as("t0"))
+    val offsets = totals.select(col("bucket").as("b"))
+      .join(broadcast(totals), col("bucket") < col("b"), "left")
+      .groupBy(col("b")).agg(coalesce(sum(col("t0")), lit(0L)).as("off0"))
+    val cum = inBucket.join(broadcast(offsets), col("bucket") === col("b"))
+      .select(col("c1"), col("c0"), (col("off0") + col("r0")).as("f0"))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val u = cum.agg(
+      sum(dec(col("c1")) * (col("f0") * 2 - col("c0"))).as("u2"),
+      sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val auc = col("u2").cast(DoubleType) /
+      nullif(lit(2.0) * col("n1").cast(DoubleType) * col("n0").cast(DoubleType),
+        lit(0.0))
+    u.select(col("n1"), col("n0"), col("u2").cast(DoubleType).as("u2"),
+      auc.as("auc"), (auc * 2 - 1).as("gini_coeff"))
+  }
 }

@@ -794,5 +794,24 @@ class TextOpsSpec extends SparkSpec {
     val mc = TextOps.mcnemar(spark, dir).collect()(0)
     assert((mc.getLong(0), mc.getLong(1), mc.getLong(2), mc.getLong(3),
       mc.getLong(4), mc.getDouble(5)) === ((3L, 2L, 1L, 0L, 0L, 0.0)))
+    // AUC on the same separable fixture: the one positive outranks both
+    // negatives -> U = 2, U*2 = 4, AUC = 4/(2*1*2) = 1, Gini = 1
+    val auc = TextOps.aucRoc(spark, dir).collect()(0)
+    assert((auc.getLong(0), auc.getLong(1), auc.getDouble(2),
+      auc.getDouble(3), auc.getDouble(4)) === ((1L, 2L, 4.0, 1.0, 1.0)))
+  }
+
+  test("aucFrom: Mann-Whitney identity with half-credited ties, by hand") {
+    import spark.implicits._
+    // scores: pos {2, 1}, neg {1, 0}. Pairs: 2>1, 2>0, 1=1 (half), 1>0
+    // -> U = 3.5, U*2 = 7, AUC = 7/8 = 0.875, Gini = 0.75
+    val s = Seq((2L, 1L), (1L, 1L), (1L, 0L), (0L, 0L)).toDF("v", "y")
+    val r = TextOps.aucFrom(s).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 7.0)))
+    assert(r.getDouble(3) === 0.875 && r.getDouble(4) === 0.75)
+    // degenerate single-class frames: AUC is NULL (n1*n0 = 0), never a
+    // divide-by-zero
+    val one = Seq((5L, 1L), (3L, 1L)).toDF("v", "y")
+    assert(TextOps.aucFrom(one).collect()(0).isNullAt(3))
   }
 }
