@@ -444,8 +444,12 @@ object Bench {
         if (bsf != sfDir) (Map.empty[String, Double], s"sf mismatch ($bsf)")
         else {
           val box = if (bcal > 0 && calFloor > 0) calFloor / bcal else 1.0
+          // report the factor ACTUALLY applied — suspects() clamps into
+          // [1, BoxCap], so an unclamped note (e.g. "box 2.18" when 1.15
+          // was applied) misrepresents the normalization (ADVICE r13)
           (BenchBaseline.suspects(curMedians, bq, box),
-            s"box ${round3(math.max(box, 1.0))}")
+            s"box ${round3(math.min(math.max(box, 1.0), BenchBaseline.BoxCap))}" +
+              s" (raw ${round3(box)})")
         }
       } catch { case _: Throwable =>
         (Map.empty[String, Double], "no baseline")

@@ -136,6 +136,26 @@ def adjudicate(iso, prev_scaled, threshold, rerun_cal, quiet_floor):
     return "CONFIRMED regression", iso_scaled
 
 
+def patch_values(iso, iso_scaled, fresh_min_val):
+    """Values a phantom-patched artifact records (ADVICE r13): the
+    EPOCH-SCALED isolated reading becomes the recorded median — it is the
+    number that justified the phantom verdict, and patching the raw iso
+    re-inflates the artifact whenever the rerun epoch itself was loaded
+    (the r12 replay: iso 0.93, scaled 0.729, prev 0.58 — raw 0.93 would
+    sit above prev*threshold, inflating any baseline later seeded from
+    the artifact and re-flagging the same leg on the next gate). The raw
+    reading stays in provenance per the adjudicate() docstring's
+    raw-stays-in-provenance contract. The rerun's min — measured in the
+    same epoch — deflates by the same factor. Returns (now, now_min)."""
+    if iso_scaled is None:
+        iso_scaled = iso
+    scale = (iso_scaled / iso) if iso and iso > 0 else 1.0
+    now_min = (round(fresh_min_val * scale, 3)
+               if fresh_min_val is not None and fresh_min_val >= 0
+               else fresh_min_val)
+    return iso_scaled, now_min
+
+
 def isolated_rerun(names, sf_dir):
     """Re-run the named legs through graft.Bench in isolation; returns their
     fresh median map (the run's own quiesce + warmup discipline applies)."""
@@ -271,13 +291,16 @@ def main():
                         "isolated": iso,
                         "reason": "confirmed regression — honest median kept"}
                     continue
+                now, now_min = patch_values(
+                    iso, r.get("isolated_scaled"), fresh_min.get(r["leg"]))
                 patched[r["leg"]] = {"was": cur_doc["queries"][r["leg"]],
                                      "was_min": cur_min.get(r["leg"]),
-                                     "now": iso,
-                                     "now_min": fresh_min.get(r["leg"])}
-                cur_doc["queries"][r["leg"]] = iso
-                if r["leg"] in cur_min and fresh_min.get(r["leg"]) is not None:
-                    cur_doc["queries_min"][r["leg"]] = fresh_min[r["leg"]]
+                                     "now": now, "now_min": now_min,
+                                     "isolated_raw": iso,
+                                     "isolated_min_raw": fresh_min.get(r["leg"])}
+                cur_doc["queries"][r["leg"]] = now
+                if r["leg"] in cur_min and now_min is not None:
+                    cur_doc["queries_min"][r["leg"]] = now_min
             if patched or unpatched:
                 if patched and isinstance(cur_doc.get("value"), (int, float)):
                     delta = sum(p["now"] - p["was"] for p in patched.values())

@@ -6,7 +6,7 @@ rerun epoch must not manufacture phantoms. Run: python3 tools/test_benchgate.py
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from benchgate import adjudicate, epoch_scale  # noqa: E402
+from benchgate import adjudicate, epoch_scale, patch_values  # noqa: E402
 
 FAILED = []
 
@@ -59,6 +59,27 @@ v, s = adjudicate(None, 0.58, 1.5, 0.139, 0.109)
 check("missing isolated reading is rerun-failed", v == "rerun-failed" and s is None)
 v, s = adjudicate(-1.0, 0.58, 1.5, 0.139, 0.109)
 check("negative isolated reading is rerun-failed", v == "rerun-failed")
+
+# --- patch_values (ADVICE r13) ---------------------------------------------
+# The r12 replay: iso 0.93 in a loaded rerun epoch, epoch-scaled 0.729.
+# The artifact must record 0.729 (the value that justified the phantom
+# verdict), NOT the loaded-epoch 0.93 — which sits above prev*threshold
+# (0.58*1.5=0.87) and would re-flag the leg on the next gate AND inflate
+# any baseline seeded from the patched artifact.
+now, now_min = patch_values(0.93, 0.729, 0.90)
+check("patched median is the epoch-scaled reading", now == 0.729)
+check("patched min deflates by the same epoch factor",
+      abs(now_min - round(0.90 * 0.729 / 0.93, 3)) < 1e-12)
+# quiet rerun epoch: scaled == raw, values pass through
+now, now_min = patch_values(0.80, 0.80, 0.78)
+check("quiet-epoch patch passes raw values through",
+      now == 0.80 and now_min == 0.78)
+# no scaled value available (older report rows): raw is used
+now, now_min = patch_values(0.80, None, 0.78)
+check("missing scaled value falls back to raw", now == 0.80 and now_min == 0.78)
+# missing rerun min stays missing
+now, now_min = patch_values(0.93, 0.729, None)
+check("missing rerun min stays None", now == 0.729 and now_min is None)
 
 print(f"\n{len(FAILED)} failed")
 sys.exit(1 if FAILED else 0)
