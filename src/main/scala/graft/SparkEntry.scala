@@ -570,6 +570,8 @@ object SparkEntry {
     "q_elasticity" -> (StatsOps.elasticity _),
     // LSH (bands, rows) tuning table over the one 12-signature pass
     "q_lsh_tuning" -> (TextOps.lshTuning _),
+    // URL canonicalization collapse report (pre-dedup crawl normalize)
+    "q_url_canon" -> (CurationOps.urlCanon _),
   )
 
   private val revenueSql =
@@ -6069,6 +6071,37 @@ object SparkEntry {
     // precedent): the streaming-shaped single-aggregation window form
     // must reproduce the batch per-day PSI row for row
     "q_stream_psi" -> psiDailySql,
+    // same generated raw URLs (shared rawUrlSql generator), same scalar
+    // canonicalization battery, same three cascading group-bys
+    "q_url_canon" -> {
+      val raw = graft.queries.CurationOps.rawUrlSql(x => s"CAST($x AS VARCHAR)")
+      s"""WITH raw AS (SELECT source, $raw AS raw_url FROM documents),
+        |q AS (SELECT source, raw_url,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+        |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '') AS qn
+        |  FROM raw),
+        |c AS (SELECT source, raw_url, concat('https://',
+        |    regexp_replace(regexp_replace(lower(
+        |      regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      ':(443|80)$$', ''), '^www\\.', ''),
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+        |      '/index\\.html$$', ''), '/$$', ''),
+        |    CASE WHEN qn = '' THEN '' ELSE concat('?', qn) END) AS canonical_url
+        |  FROM q),
+        |g1 AS (SELECT source, raw_url, canonical_url, COUNT(*) AS cnt
+        |  FROM c GROUP BY 1, 2, 3),
+        |g2 AS (SELECT source, canonical_url, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_raw
+        |  FROM g1 GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_raw) AS BIGINT) AS n_raw_urls,
+        |  CAST(COUNT(*) AS BIGINT) AS n_canonical_urls,
+        |  CAST(CAST(SUM(n_raw) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS collapse_ratio
+        |FROM g2 GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 
   /** The per-day PSI oracle shared by q_psi_daily (batch spine/fold form)

@@ -547,4 +547,55 @@ class CurationOpsSpec extends SparkSpec {
       ("S", 1L, 2L, -(lnq(3) - lnq(4) - lnq(3)).toDouble / 2.0 / sc),
       ("S2", 1L, 1L, lnq(2).toDouble / sc)))
   }
+
+  test("url canon: the canonicalization table, each axis alone and composed") {
+    import spark.implicits._
+    // (raw, expected canonical) — one row per noise axis + composites
+    val cases = Seq(
+      // identity: an already-canonical URL survives unchanged
+      ("https://site.example/a/1?a=1&b=2", "https://site.example/a/1?a=1&b=2"),
+      // scheme fold
+      ("http://site.example/a/1", "https://site.example/a/1"),
+      // host case
+      ("https://SITE.Example/a/1", "https://site.example/a/1"),
+      // www strip
+      ("https://www.site.example/a/1", "https://site.example/a/1"),
+      // default ports (both), non-default kept
+      ("https://site.example:443/a/1", "https://site.example/a/1"),
+      ("http://site.example:80/a/1", "https://site.example/a/1"),
+      ("https://site.example:8443/a/1", "https://site.example:8443/a/1"),
+      // index.html resolve + trailing slash
+      ("https://site.example/a/1/index.html", "https://site.example/a/1"),
+      ("https://site.example/a/1/", "https://site.example/a/1"),
+      // tracking-param purge + key sort; fragment drop
+      ("https://site.example/a/1?utm_source=f&b=2&a=1", "https://site.example/a/1?a=1&b=2"),
+      ("https://site.example/a/1?b=2&a=1#frag", "https://site.example/a/1?a=1&b=2"),
+      // query of ONLY tracking params collapses to no query at all
+      ("https://site.example/a/1?utm_source=f&utm_campaign=c", "https://site.example/a/1"),
+      // utm_ is a PREFIX compare, not a LIKE pattern: utmx is a real param
+      ("https://site.example/a/1?utmx=1", "https://site.example/a/1?utmx=1"),
+      // all axes at once
+      ("HTTP://WWW.Site.Example:80/a/1/index.html?utm_source=f&b=2&a=1#s",
+        "https://site.example/a/1?a=1&b=2"),
+      // bare root: no path survives canonicalization
+      ("http://www.site.example/", "https://site.example"))
+    val got = cases.map(_._1).toDF("raw")
+      .withColumn("canon", CurationOps.canonicalizeUrl(col("raw")))
+      .select("canon").as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("url canon report: counts consistent and collapse is real") {
+    val out = CurationOps.urlCanon(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (docs, raws, canons) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_raw_urls"), r.getAs[Long]("n_canonical_urls"))
+      assert(canons <= raws && raws <= docs)
+      // the derivation's noise axes guarantee real collapse per source
+      assert(raws > canons)
+      assert(math.abs(r.getAs[Double]("collapse_ratio")
+        - raws.toDouble / canons) < 1e-12)
+    }
+  }
 }
