@@ -506,6 +506,8 @@ object SparkEntry {
     "q_modularity" -> (GraphOps.modularity _),
     // one-level Louvain: parity-scheduled modularity-ascent moves
     "q_louvain" -> (GraphOps.louvain _),
+    // two-level Louvain: contraction into the weighted supergraph + re-run
+    "q_louvain2" -> (GraphOps.louvain2 _),
     // STL-style daily decomposition: trend + weekday seasonal + residual
     "q_stl" -> (StatsOps.stl _),
     // entity resolution completed: match-pair components + survivorship
@@ -616,6 +618,53 @@ object SparkEntry {
       |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)""".stripMargin
+  }
+
+  /** One parity-alternating WEIGHTED Louvain move phase, unrolled
+    * (GraphOps.louvainMovePhase): `iters` rounds of tot/k_ic/cand/score/
+    * argmax CTEs prefixed `p`, over symmetric weighted adjacency
+    * `sym(src, dst, w)` and node weights `deg(node, deg)`, seeded from
+    * `${p}0`. Shared by q_louvain (unit weights) and q_louvain2 (both
+    * levels), so the two engines' move dynamics cannot drift. */
+  private def louvainMoveRoundsSql(iters: Int, p: String, sym: String,
+      deg: String, parityExpr: String = "s.node % 2"): String =
+    (1 to iters).map { k =>
+      val prev = s"$p${k - 1}"
+      s"""${p}tot$k AS (SELECT comm, CAST(SUM(deg) AS BIGINT) AS tot
+        |  FROM $prev JOIN $deg USING (node) GROUP BY 1),
+        |${p}kic$k AS (SELECT e.src AS node, l.comm, CAST(SUM(e.w) AS BIGINT) AS k_ic
+        |  FROM $sym e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+        |${p}cand$k AS (SELECT node, comm, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM
+        |  (SELECT node, comm, k_ic FROM ${p}kic$k
+        |   UNION ALL SELECT node, comm, 0 FROM $prev) GROUP BY 1, 2),
+        |${p}sc$k AS (SELECT c.node, c.comm, l.comm AS cur,
+        |    CAST(c.k_ic AS HUGEINT) * 2 * m
+        |      - CAST(d.deg AS HUGEINT) * (t.tot -
+        |          CASE WHEN c.comm = l.comm THEN d.deg ELSE 0 END) AS score
+        |  FROM ${p}cand$k c JOIN $prev l ON c.node = l.node
+        |  JOIN $deg d ON c.node = d.node
+        |  JOIN ${p}tot$k t ON c.comm = t.comm CROSS JOIN mm),
+        |${p}b$k AS (SELECT node, MAX(score) AS best_s FROM ${p}sc$k GROUP BY 1),
+        |$p$k AS MATERIALIZED (SELECT s.node,
+        |    CASE WHEN $parityExpr = ${k % 2} THEN MIN(s.comm)
+        |         ELSE MIN(s.cur) END AS comm
+        |  FROM ${p}sc$k s JOIN ${p}b$k b ON s.node = b.node AND s.score = b.best_s
+        |  GROUP BY s.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** The level-1 Louvain CTE chain shared by q_louvain and q_louvain2:
+    * coEdges, unit-weight symmetric adjacency, degrees, edge mass, and
+    * LouvainIters unrolled move rounds ending at `l$LouvainIters`. */
+  private lazy val louvainL1Ctes: String = {
+    import graft.queries.GraphOps.LouvainIters
+    s"""${coEdgeCtes()},
+      |sym AS MATERIALIZED (SELECT u AS src, v AS dst, 1 AS w FROM e0
+      |  UNION ALL SELECT v AS src, u AS dst, 1 AS w FROM e0),
+      |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+      |l0 AS (SELECT node, node AS comm FROM deg),
+      |${louvainMoveRoundsSql(LouvainIters, "l", "sym", "deg")}""".stripMargin
   }
 
   /** The item-item CF CTE chain (capped baskets → co-counts → quantized
@@ -1127,6 +1176,59 @@ object SparkEntry {
       |      AS INT) AS passes_repetition
       |  FROM tt t JOIN bi b USING (doc_id))""".stripMargin
 
+  /** The Hamming-verified LSH clustering tail shared by
+    * q_dedup_simhash_cluster and q_media_neardup (TextOps.
+    * hammingClustersFrom): band into `nBands` × `bandBits`-bit keys,
+    * cap-guarded candidate pairs per bucket, exact
+    * `bit_count(xor) <= hammingMax` edge verification, then components
+    * over the verified edges (= Spark's converged min-label
+    * propagation): one HOOKING round first (every node contracts to its
+    * min verified neighbor — near-dup cliques collapse to their min
+    * member outright), recursive walk only on the contracted quotient
+    * graph. Walking the raw edge set is quadratic in clique size
+    * (measured: 711 s at sf0.1 over the 607k-edge verified graph; the
+    * hooked quotient walks in seconds) while the quotient preserves
+    * components exactly — the component's min doc id is its own hook
+    * root, so cluster ids are unchanged. `sigTable(doc_id, sigCol)` is
+    * the upstream CTE. */
+  private def hammingClusterSql(sigTable: String, sigCol: String,
+      nBands: Int, bandBits: Int, hammingMax: Int): String =
+    s"""banded AS MATERIALIZED (SELECT doc_id, $sigCol, band_id,
+      |    ($sigCol // CAST(power(2, band_id * $bandBits) AS BIGINT))
+      |      % ${1L << bandBits} AS band_key
+      |  FROM $sigTable CROSS JOIN (SELECT unnest(range($nBands)) AS band_id)),
+      |bkt AS MATERIALIZED (SELECT band_id, band_key, count(*) AS bsz
+      |  FROM banded GROUP BY 1, 2),
+      |ib AS MATERIALIZED (SELECT b.band_id, b.band_key, b.doc_id, b.$sigCol
+      |  FROM banded b JOIN bkt k USING (band_id, band_key)
+      |  WHERE k.bsz <= ${graft.queries.TextOps.LshBucketCap}),
+      |hv AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+      |  FROM ib a JOIN ib c USING (band_id, band_key)
+      |  WHERE a.doc_id < c.doc_id
+      |    AND bit_count(xor(a.$sigCol, c.$sigCol)) <= $hammingMax),
+      |edges AS MATERIALIZED (SELECT src, dst FROM hv
+      |  UNION SELECT dst AS src, src AS dst FROM hv),
+      |nmin AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS p
+      |  FROM edges GROUP BY src),
+      |lab0 AS MATERIALIZED (SELECT s.doc_id, COALESCE(n.p, s.doc_id) AS p
+      |  FROM $sigTable s LEFT JOIN nmin n USING (doc_id)),
+      |ec AS MATERIALIZED (SELECT DISTINCT la.p AS src, lb.p AS dst
+      |  FROM edges e JOIN lab0 la ON e.src = la.doc_id
+      |  JOIN lab0 lb ON e.dst = lb.doc_id
+      |  WHERE la.p <> lb.p),
+      |walk AS (
+      |  WITH RECURSIVE wr(id, reach) AS (
+      |    SELECT DISTINCT p, p FROM lab0
+      |    UNION
+      |    SELECT w.id, e.dst FROM wr w JOIN ec e ON e.src = w.reach)
+      |  SELECT * FROM wr),
+      |croot AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
+      |comp AS (SELECT l.doc_id, c.root AS cluster_id
+      |  FROM lab0 l JOIN croot c ON l.p = c.id)
+      |SELECT c.doc_id, s.$sigCol, c.cluster_id,
+      |  CAST(c.doc_id <> c.cluster_id AS INT) AS is_dup
+      |FROM comp c JOIN $sigTable s USING (doc_id) ORDER BY c.doc_id""".stripMargin
+
   /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
     * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
   private def simhashSqlCtes: String =
@@ -1139,7 +1241,7 @@ object SparkEntry {
       |  SELECT doc_id, b,
       |    SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote_sum
       |  FROM bits GROUP BY doc_id, b),
-      |sig AS (
+      |sig AS MATERIALIZED (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN vote_sum > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
@@ -1655,20 +1757,12 @@ object SparkEntry {
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // same signatures, then the shared Hamming-verified clustering tail:
+    // cap-guarded star candidates, bit_count(xor) <= 3 verify, walk
     "q_dedup_simhash_cluster" ->
       s"""$simhashSqlCtes,
-        |banded AS (
-        |  SELECT doc_id, simhash, band_id,
-        |    (simhash // CAST(power(256, band_id) AS BIGINT)) % 256 AS band_key
-        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
-        |rep AS (
-        |  SELECT band_id, band_key, min(doc_id) AS bucket_rep
-        |  FROM banded GROUP BY band_id, band_key)
-        |SELECT b.doc_id, min(b.simhash) AS simhash, min(r.bucket_rep) AS cluster_id,
-        |  CAST(b.doc_id <> min(r.bucket_rep) AS INT) AS is_dup
-        |FROM banded b JOIN rep r USING (band_id, band_key)
-        |GROUP BY b.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+        |${hammingClusterSql("sig", "simhash", nBands = 4, bandBits = 8,
+          hammingMax = graft.queries.TextOps.SimhashHammingMax)}""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents),
@@ -2156,20 +2250,13 @@ object SparkEntry {
         |  FROM h),
         |tp AS (SELECT doc_id, $rowPassSql AS t FROM grid),
         |cp AS (SELECT doc_id, $colPassSql AS dd FROM tp),
-        |ph AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, $n),
+        |ph AS MATERIALIZED (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, $n),
         |      k -> CASE WHEN dd[k+1] > 0
         |        THEN (CAST(1 AS BIGINT) << CAST(k - 1 AS INT)) ELSE 0 END)), 0)
         |    AS BIGINT) AS phash FROM cp),
-        |banded AS (SELECT doc_id, phash, band_id,
-        |    (phash // CAST(power(2, band_id * $PhBandBits) AS BIGINT))
-        |      % ${1 << PhBandBits} AS band_key
-        |  FROM ph CROSS JOIN (SELECT unnest(range($PhBands)) AS band_id)),
-        |rep AS (SELECT band_id, band_key, min(doc_id) AS bucket_rep
-        |  FROM banded GROUP BY band_id, band_key)
-        |SELECT b.doc_id, min(b.phash) AS phash, min(r.bucket_rep) AS cluster_id,
-        |  CAST(b.doc_id <> min(r.bucket_rep) AS INT) AS is_dup
-        |FROM banded b JOIN rep r USING (band_id, band_key)
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+        |${hammingClusterSql("ph", "phash", nBands = PhBands,
+          bandBits = PhBandBits,
+          hammingMax = graft.queries.TextOps.PhHammingMax)}""".stripMargin
     },
     "q_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -5369,38 +5456,8 @@ object SparkEntry {
     // alternating move schedule, unrolled to the shared round count
     "q_louvain" -> {
       import graft.queries.GraphOps.LouvainIters
-      val rounds = (1 to LouvainIters).map { k =>
-        val p = k - 1
-        s"""tot$k AS (SELECT comm, CAST(SUM(deg) AS BIGINT) AS tot
-          |  FROM l$p JOIN deg USING (node) GROUP BY 1),
-          |kic$k AS (SELECT s.src AS node, l.comm, CAST(COUNT(*) AS BIGINT) AS k_ic
-          |  FROM sym s JOIN l$p l ON s.dst = l.node GROUP BY 1, 2),
-          |cand$k AS (SELECT node, comm, CAST(SUM(k_ic) AS BIGINT) AS k_ic FROM
-          |  (SELECT node, comm, k_ic FROM kic$k
-          |   UNION ALL SELECT node, comm, 0 FROM l$p) GROUP BY 1, 2),
-          |sc$k AS (SELECT c.node, c.comm, l.comm AS cur,
-          |    CAST(c.k_ic AS HUGEINT) * 2 * m
-          |      - CAST(d.deg AS HUGEINT) * (t.tot -
-          |          CASE WHEN c.comm = l.comm THEN d.deg ELSE 0 END) AS score
-          |  FROM cand$k c JOIN l$p l ON c.node = l.node
-          |  JOIN deg d ON c.node = d.node
-          |  JOIN tot$k t ON c.comm = t.comm CROSS JOIN mm),
-          |b$k AS (SELECT node, MAX(score) AS best_s FROM sc$k GROUP BY 1),
-          |l$k AS MATERIALIZED (SELECT s.node,
-          |    CASE WHEN s.node % 2 = ${k % 2} THEN MIN(s.comm)
-          |         ELSE MIN(s.cur) END AS comm
-          |  FROM sc$k s JOIN b$k b ON s.node = b.node AND s.score = b.best_s
-          |  GROUP BY s.node)""".stripMargin
-      }.mkString(",\n")
       val lk = s"l$LouvainIters"
-      s"""WITH ${coEdgeCtes()},
-        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
-        |  UNION ALL SELECT v AS src, u AS dst FROM e0),
-        |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
-        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
-        |l0 AS (SELECT node, node AS comm FROM deg),
-        |$rounds,
+      s"""WITH $louvainL1Ctes,
         |lab AS (SELECT e0.u, e0.v, cu.comm AS cu, cv.comm AS cv
         |  FROM e0 JOIN $lk cu ON e0.u = cu.node JOIN $lk cv ON e0.v = cv.node),
         |intra AS (SELECT cu AS community, COUNT(*) AS e_c FROM lab
@@ -5420,6 +5477,87 @@ object SparkEntry {
         |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS q_c,
         |  q_total
         |FROM parts CROSS JOIN qt ORDER BY community""".stripMargin
+    },
+    // same level-1 chain, contraction into the weighted supergraph (edge
+    // weight = inter-community count, self rows = intra mass, supernode
+    // weight = level-1 tot, m invariant), the SAME move-round template
+    // re-run weighted, final partition = labels2 ∘ labels1
+    "q_louvain2" -> {
+      import graft.queries.GraphOps.LouvainIters
+      val lk = s"l$LouvainIters"
+      // per-round EXACT supergraph modularity numerators (rn$k) + the
+      // best-round pick — the Spark side's acceptance guard, mirrored:
+      // E_c = intra supergraph mass/2 + self-loops, num = Σ 4m·E_c − D_c²
+      val roundNums = (0 to LouvainIters).map { k =>
+        s"""ei$k AS (SELECT la.comm AS community,
+          |    CAST(SUM(e.w) AS HUGEINT) // 2 AS e_pair
+          |  FROM sym2 e JOIN s$k la ON e.src = la.node
+          |  JOIN s$k lb ON e.dst = lb.node
+          |  WHERE la.comm = lb.comm GROUP BY 1),
+          |mb$k AS (SELECT l.comm AS community, CAST(SUM(d.deg) AS HUGEINT) AS d_c,
+          |    CAST(SUM(COALESCE(sl.w, 0)) AS HUGEINT) AS e_self
+          |  FROM s$k l JOIN sdeg d ON l.node = d.node
+          |  LEFT JOIN (SELECT a AS node, w FROM ce WHERE a = b) sl
+          |    ON l.node = sl.node
+          |  GROUP BY 1),
+          |rn$k AS (SELECT $k AS rk,
+          |    SUM((COALESCE(e.e_pair, 0) + m2.e_self) * 4 * m
+          |      - m2.d_c * m2.d_c) AS num
+          |  FROM mb$k m2 LEFT JOIN ei$k e USING (community) CROSS JOIN mm)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rqUnion = (0 to LouvainIters).map(k => s"SELECT * FROM rn$k")
+        .mkString(" UNION ALL ")
+      val allUnion = (0 to LouvainIters)
+        .map(k => s"SELECT $k AS rk, node, comm FROM s$k")
+        .mkString(" UNION ALL ")
+      s"""WITH $louvainL1Ctes,
+        |ce AS MATERIALIZED (SELECT cu.comm AS a, cv.comm AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM e0 JOIN $lk cu ON e0.u = cu.node JOIN $lk cv ON e0.v = cv.node
+        |  GROUP BY 1, 2),
+        |sym2 AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT a AS src, b AS dst, w FROM ce WHERE a <> b
+        |    UNION ALL SELECT b AS src, a AS dst, w FROM ce WHERE a <> b)
+        |  GROUP BY 1, 2),
+        |sdeg AS MATERIALIZED (SELECT l.comm AS node, CAST(SUM(d.deg) AS BIGINT) AS deg
+        |  FROM $lk l JOIN deg d ON l.node = d.node GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT node, node AS comm FROM sdeg),
+        |${louvainMoveRoundsSql(LouvainIters, "s", "sym2", "sdeg",
+          parityExpr = h32Sql("CAST(s.node AS VARCHAR)") + " % 2")},
+        |$roundNums,
+        |rq AS ($rqUnion),
+        |bestrk AS (SELECT rk FROM rq ORDER BY num DESC, rk LIMIT 1),
+        |sbest AS MATERIALIZED (SELECT node, comm
+        |  FROM ($allUnion) a JOIN bestrk USING (rk)),
+        |q1 AS (SELECT CAST(CAST(SUM(CAST(COALESCE(i.w, 0) AS HUGEINT) * 4 * m
+        |      - CAST(d.deg AS HUGEINT) * d.deg) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(MAX(CAST(m AS HUGEINT) * m * 4) AS VARCHAR) AS DOUBLE)
+        |      AS q_level1
+        |  FROM sdeg d LEFT JOIN (SELECT a, w FROM ce WHERE a = b) i ON d.node = i.a
+        |  CROSS JOIN mm),
+        |fl AS MATERIALIZED (SELECT l1.node, lv.comm FROM $lk l1
+        |  JOIN sbest lv ON l1.comm = lv.node),
+        |flab AS (SELECT e0.u, e0.v, cu.comm AS cu, cv.comm AS cv
+        |  FROM e0 JOIN fl cu ON e0.u = cu.node JOIN fl cv ON e0.v = cv.node),
+        |fintra AS (SELECT cu AS community, COUNT(*) AS e_c FROM flab
+        |  WHERE cu = cv GROUP BY 1),
+        |fdc AS (SELECT comm AS community, COUNT(*) AS n_nodes,
+        |    CAST(SUM(deg) AS BIGINT) AS d_c
+        |  FROM deg JOIN fl USING (node) GROUP BY 1),
+        |parts AS (SELECT fdc.community, n_nodes,
+        |    COALESCE(e_c, 0) AS e_c, d_c,
+        |    CAST(COALESCE(e_c, 0) AS HUGEINT) * 4 * m
+        |      - CAST(d_c AS HUGEINT) * d_c AS num,
+        |    CAST(m AS HUGEINT) * m * 4 AS den
+        |  FROM fdc LEFT JOIN fintra ON fdc.community = fintra.community
+        |  CROSS JOIN mm),
+        |qt AS (SELECT CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(MAX(den) AS VARCHAR) AS DOUBLE) AS q_total FROM parts)
+        |SELECT community, n_nodes, e_c AS intra_edges, d_c AS degree_sum,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS q_c,
+        |  q_total, q_level1
+        |FROM parts CROSS JOIN qt CROSS JOIN q1 ORDER BY community""".stripMargin
     },
     // same quantized coordinates and radius (the oracle may take the
     // quadratic candidate join the Spark plan is banned from — the shift

@@ -296,6 +296,58 @@ class GraphOpsSpec extends SparkSpec {
       (6L, 3L, 3L, 7L, 35.0 / 196.0, 70.0 / 196.0)))
   }
 
+  /** Membership frame drawing exactly `edges` (each pair in two baskets —
+    * the co-purchase support threshold). */
+  private def rawOf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("ok", "pk")
+  }
+
+  test("louvain2: already-optimal level-1 partition survives contraction") {
+    // bridge-joined triangles: level 1 converges to the ideal two-
+    // community split; the contracted supergraph is two supernodes with
+    // one bridge (merge gain 2m·1 − 7·7 < 0), so level 2 keeps the
+    // partition and q_total == q_level1 == the louvain fixture's 70/196
+    val raw = rawOf(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)))
+    val got = GraphOps.louvain2From(raw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (2L, 3L, 3L, 7L, 35.0 / 196.0, 70.0 / 196.0, 70.0 / 196.0),
+      (6L, 3L, 3L, 7L, 35.0 / 196.0, 70.0 / 196.0, 70.0 / 196.0)))
+  }
+
+  test("louvain2: ring of 16 triangles — contraction merges what moves cannot") {
+    // the classic multilevel case: per-triangle communities are a local
+    // optimum for NODE moves (a single node never gains by leaving its
+    // triangle), but merging ADJACENT triangle-communities gains
+    // ΔQ = 1/m − 2·(8/2m)² > 0 once the ring is long enough (n = 16:
+    // 1/64 − 2/256 > 0 per merge) — only the contracted supergraph's
+    // move phase can take it
+    val n = 16
+    val tri = (0 until n).flatMap { t =>
+      val (a, b, c) = (3L * t + 1, 3L * t + 2, 3L * t + 3)
+      Seq((a, b), (a, c), (b, c))
+    }
+    val bridges = (0 until n).map { t =>
+      (3L * t + 3, if (t == n - 1) 1L else 3L * t + 4)
+    }
+    val raw = rawOf(tri ++ bridges.map { case (u, v) => (math.min(u, v), math.max(u, v)) })
+    val l1 = GraphOps.louvainFrom(raw).collect()
+    val l2 = GraphOps.louvain2From(raw).collect()
+    // the level-1 modularity reported by louvain2 IS louvain's q_total
+    // (same labels, same arithmetic — the two entries may not drift)
+    assert(math.abs(l2.head.getDouble(6) - l1.head.getDouble(5)) < 1e-12)
+    // contraction strictly ascends and strictly coarsens
+    assert(l2.head.getDouble(5) > l2.head.getDouble(6))
+    assert(l2.length < l1.length)
+    // still a partition of all 48 nodes
+    assert(l2.map(_.getLong(1)).sum === 48L)
+  }
+
   test("bfsReach: min-hop levels on a hand-drawn chain with an island") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString

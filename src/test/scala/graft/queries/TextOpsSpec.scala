@@ -72,6 +72,31 @@ class TextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hamming verify: band collision alone does not merge; cap guards hot buckets") {
+    import spark.implicits._
+    // 32-bit signatures under 4×8-bit banding, Hamming radius 3:
+    //   A=0, C=1, D=3 are mutual near-dups (Hamming <= 2);
+    //   B=0xFF00 SHARES bands 0, 2, 3 with A (all zero) but sits at
+    //   Hamming 8 — the false-positive class band-collision clustering
+    //   merged and the verify stage must reject.
+    val sigs = Seq((1L, 0L), (2L, 0xFF00L), (3L, 1L), (4L, 3L))
+      .toDF("doc_id", "simhash")
+    val out = TextOps.hammingClustersFrom(sigs, "simhash",
+        nBands = 4, bandBits = 8, hammingMax = 3, bucketCap = 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((1L, 0)))
+    assert(out(3L) === ((1L, 1)))
+    assert(out(4L) === ((1L, 1)))
+    // shares three of four bands with the cluster, still no merge
+    assert(out(2L) === ((2L, 0)))
+    // stop-bucket mechanism (cap 1): every shared bucket is "hot", so
+    // even true near-dups emit no candidates — all singletons
+    val capped = TextOps.hammingClustersFrom(sigs, "simhash",
+        nBands = 4, bandBits = 8, hammingMax = 3, bucketCap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("fingerprint: at most 5 ranked ascending hashes per doc") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     assert(fp.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
