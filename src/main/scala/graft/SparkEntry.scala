@@ -518,6 +518,8 @@ object SparkEntry {
     "q_cf_eval" -> (BehaviorOps.cfEval _),
     // tokenizer fertility per source: learned merges applied + measured
     "q_bpe_fertility" -> (TextOps.bpeFertility _),
+    // tokenizer application: the corpus encoded with the learned merges
+    "q_bpe_encode" -> (TextOps.bpeEncode _),
     // Simpson's screen: per-segment vs pooled slope, moments re-aggregated
     "q_simpsons" -> (StatsOps.simpsons _),
     // multi-probe IVF x PQ: both recall knobs in one composed query path
@@ -4679,6 +4681,37 @@ object SparkEntry {
         |  CAST(CAST(SUM(freq * n_chars) AS BIGINT) AS DOUBLE)
         |    / CAST(CAST(SUM(freq * n_sym) AS BIGINT) AS DOUBLE) AS chars_per_token
         |FROM fin GROUP BY source ORDER BY source""".stripMargin
+    },
+    // same trained merges applied to the DISTINCT-WORD table, the corpus
+    // re-joined on the word key; per-doc exact integer sums
+    "q_bpe_encode" -> {
+      import graft.queries.TextOps.BpeIters
+      val applies = (1 to BpeIters).map { i =>
+        s"""e$i AS MATERIALIZED (SELECT w, n_chars, replace(repr,
+          |    '|' || (SELECT l FROM m$i) || '|' || (SELECT r FROM m$i),
+          |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i)) AS repr
+          |  FROM e${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeChainSql,
+        |u3 AS MATERIALIZED (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+        |dw AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM u3 WHERE w NOT LIKE '%|%' GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT w, CAST(len(w) AS BIGINT) AS n_chars,
+        |    regexp_replace(w, '(.)', '|\\1', 'g') AS repr
+        |  FROM (SELECT DISTINCT w FROM dw)),
+        |$applies,
+        |esym AS (SELECT w, n_chars,
+        |    CAST(len(repr) - len(replace(repr, '|', '')) AS BIGINT) AS n_sym
+        |  FROM e$BpeIters)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(CAST(SUM(cnt * n_sym) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS bpe_per_word,
+        |  CAST(CAST(SUM(cnt * n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt * n_sym) AS BIGINT) AS DOUBLE) AS chars_per_bpe_token
+        |FROM dw JOIN esym USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // same lowest-id seeds, one integer Lloyd update and argmin encode per
     // subspace (the kmeansCte recipe sliced); HUGEINT distortions through

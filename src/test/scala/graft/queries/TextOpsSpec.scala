@@ -695,6 +695,33 @@ class TextOpsSpec extends SparkSpec {
       "sy" -> ((1L, 3L, 3.0, 7.0 / 3.0))))
   }
 
+  test("bpeEncode: per-doc encoding, hand-checked and fertility-consistent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    // the bpeFertility fixture corpus: merges collapse "aaaa" to 1 token
+    // (rounds 1-2) and "bcdefgh" to |bcdef|g|h = 3 (rounds 3-6)
+    val docs = Seq(
+      (1L, Seq.fill(10)("aaaa").mkString(" "), "sx"),
+      (2L, "bcdefgh", "sy"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((10L, 10L, 1.0, 4.0)),
+      2L -> ((1L, 3L, 3.0, 7.0 / 3.0))))
+    // corpus totals equal the per-source fertility totals (one model,
+    // two reports — they may not drift)
+    val sf001 = "/root/testdata/sf0.001"
+    val enc = TextOps.bpeEncode(spark, sf001)
+      .agg(sum("n_ws_tokens"), sum("n_bpe_tokens")).head()
+    val fert = TextOps.bpeFertility(spark, sf001)
+      .agg(sum("n_word_occurrences"), sum("n_tokens")).head()
+    assert(enc.getLong(0) === fert.getLong(0))
+    assert(enc.getLong(1) === fert.getLong(1))
+  }
+
   test("plagiarismPairs: shared passage pairs up, df-capped boilerplate cannot") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-plag").toString
