@@ -61,6 +61,38 @@ private[graft] object BenchBaseline {
         leg -> math.round(med / (base(leg) * f) * 1000.0) / 1000.0
     }
   }
+
+  /** Epoch deflation for an isolated re-reading (benchgate's epoch_scale
+    * ported, VERDICT r13 #3): when the re-run's own bracketing
+    * calibration ran slower than the run's quiet floor, the whole re-run
+    * epoch was that much slower and the raw number would mint false
+    * confirmations. Never scale UP — a faster epoch must not
+    * manufacture phantoms: the factor is min(1, quietFloor / rerunCal). */
+  def epochScale(rerunCal: Double, quietFloor: Double): Double =
+    if (rerunCal <= 0 || quietFloor <= 0) 1.0
+    else math.min(1.0, quietFloor / rerunCal)
+
+  /** Verdict for one isolated re-reading of a baseline_suspect leg:
+    * (verdict, epoch-scaled reading). `iso` should be the re-run's
+    * MIN-of-3, not its median: the in-run rerun shares the box with
+    * whatever external load contaminated the sweep in the first place,
+    * and external load only ever ADDS time — the min acquits the code
+    * (measured in the r14 live replay: isolated median 50.1 s on a
+    * still-degraded box vs min 21.8 s ≈ the 20.0 s baseline), while a
+    * REAL code regression inflates the min identically. The scaled
+    * reading is judged against the SAME box-clamped threshold
+    * [[suspects]] flagged with, so "phantom" means exactly "would not
+    * have been flagged". */
+  def adjudicate(iso: Double, base: Double, boxFactor: Double,
+      rerunCal: Double, quietFloor: Double): (String, Double) = {
+    if (iso < 0) ("rerun-failed", -1.0)
+    else {
+      val f = math.min(math.max(boxFactor, 1.0), BoxCap)
+      val scaled = iso * epochScale(rerunCal, quietFloor)
+      (if (base > 0 && scaled <= Thresh * base * f) "phantom"
+       else "confirmed-suspect", scaled)
+    }
+  }
 }
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
@@ -188,6 +220,11 @@ object Bench {
     // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
+    // every timed leg registers its run thunk so the end-of-run isolated
+    // re-verification (VERDICT r13 #3) can re-drive ANY suspect leg —
+    // query, etl, family, or layout — without duplicating its setup
+    val runners = scala.collection.mutable.Map.empty[String, () => Boolean]
+    names.foreach(n => runners(n) = () => materialize(n))
     names.foreach(materialize) // warmup, untimed
     // calStart runs AFTER the global warmup pass so the three checkpoints
     // bracket exactly the timed window — measured before: a start
@@ -246,6 +283,7 @@ object Bench {
     // consecutive driver artifacts; running it immediately after calStart
     // with its own bracketing checkpoint (post_etl) pins its wall-clock
     // window between two calibration readings.
+    runners("etl_pipeline") = runEtl _
     val etlResults = if (!runEtlLeg) Seq.empty[(String, Timing)]
       else Seq("etl_pipeline" -> timed3(runEtl _))
     val calPostEtl = calibrate()
@@ -286,6 +324,8 @@ object Bench {
           System.err.println(s"[bench] dedup shared leg failed: ${e.getMessage}")
           false
         }
+      runners("dedup_family_recompute") = recomputeRun _
+      runners("dedup_family_shared") = sharedRun _
       Seq(
         "dedup_family_recompute" -> timed3(recomputeRun _),
         "dedup_family_shared" -> timed3(sharedRun _))
@@ -315,6 +355,8 @@ object Bench {
           true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] kmeans shared leg failed: ${e.getMessage}"); false }
+      runners("kmeans_family_recompute") = recomputeRun _
+      runners("kmeans_family_shared") = sharedRun _
       Seq(
         "kmeans_family_recompute" -> timed3(recomputeRun _),
         "kmeans_family_shared" -> timed3(sharedRun _))
@@ -331,15 +373,25 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         graft.olap.Layout.writeBucketedPair(spark, sfDir, numBuckets = cpus.toInt)
-        def legOf(mk: () => org.apache.spark.sql.DataFrame): Timing = timed3(() =>
+        // isolated-rerun thunks carry the leg's no-broadcast config with
+        // them (the sweep's surrounding try/finally is long gone by then)
+        def runOf(mk: () => org.apache.spark.sql.DataFrame): () => Boolean = () => {
+          val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           try { mk().write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false })
+            System.err.println(s"[bench] layout leg failed: ${e.getMessage}"); false }
+          finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+        }
+        val plain = runOf(() => graft.olap.Layout.orderRevenue(
+          Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+        val bucketed = runOf(() => graft.olap.Layout.orderRevenue(
+          spark.table("orders_bkt"), spark.table("lineitem_bkt")))
+        runners("layout_join_plain") = plain
+        runners("layout_join_bucketed") = bucketed
         Seq(
-          "layout_join_plain" -> legOf(() => graft.olap.Layout.orderRevenue(
-            Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))),
-          "layout_join_bucketed" -> legOf(() => graft.olap.Layout.orderRevenue(
-            spark.table("orders_bkt"), spark.table("lineitem_bkt"))))
+          "layout_join_plain" -> timed3(plain),
+          "layout_join_bucketed" -> timed3(bucketed))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
     val calMid = calibrate()
@@ -437,11 +489,13 @@ object Bench {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_BASELINE.json")
     val curMedians = finalResults.map { case (k, t) => k -> t.median }.toMap
-    val (baselineSuspect, baselineNote) =
+    val (baselineSuspect, baselineNote, baseQ, baseBox) =
       try {
         val (bq, bsf, bcal) = BenchBaseline.parse(
           java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
-        if (bsf != sfDir) (Map.empty[String, Double], s"sf mismatch ($bsf)")
+        if (bsf != sfDir)
+          (Map.empty[String, Double], s"sf mismatch ($bsf)",
+            Map.empty[String, Double], 1.0)
         else {
           val box = if (bcal > 0 && calFloor > 0) calFloor / bcal else 1.0
           // report the factor ACTUALLY applied — suspects() clamps into
@@ -449,16 +503,43 @@ object Bench {
           // was applied) misrepresents the normalization (ADVICE r13)
           (BenchBaseline.suspects(curMedians, bq, box),
             s"box ${round3(math.min(math.max(box, 1.0), BenchBaseline.BoxCap))}" +
-              s" (raw ${round3(box)})")
+              s" (raw ${round3(box)})",
+            bq, box)
         }
       } catch { case _: Throwable =>
-        (Map.empty[String, Double], "no baseline")
+        (Map.empty[String, Double], "no baseline", Map.empty[String, Double], 1.0)
       }
     val baselineSuspectJson = baselineSuspect.toSeq.sortBy(_._1)
       .map { case (k, r) => "\"" + k + "\":" + round3(r) }
       .mkString("{", ",", "}")
+    // In-run isolated re-verification (VERDICT r13 #3): the r13 driver
+    // artifact shipped etl 92.3 s raw with only an annotation — benchgate
+    // could adjudicate it, but only in the builder's roundcheck, so every
+    // external reader of the driver artifact saw the phantom as the
+    // headline. Now the artifact SELF-corrects: each baseline_suspect leg
+    // re-runs ONCE at the very end of the run (external load that squeezed
+    // the sweep has often passed by then), bracketed by its own fresh
+    // calibration, and the reading is epoch-scaled before the verdict
+    // (the benchgate epoch_scale port — a still-loaded rerun epoch must
+    // not mint confirmations). Both readings ship: "queries" stays the
+    // honest raw sweep; "queries_isolated" carries the re-verification
+    // with its verdict per leg.
+    val isolatedJson =
+      if (baselineSuspect.isEmpty) "{}"
+      else baselineSuspect.keys.toSeq.sorted.flatMap { leg =>
+        runners.get(leg).map { run =>
+          val cal = calibrate()
+          val t = timed3(run, warmup = false)
+          // verdict on the epoch-scaled MIN (see adjudicate's doc)
+          val (verdict, scaled) = BenchBaseline.adjudicate(
+            t.min, baseQ.getOrElse(leg, -1.0), baseBox, cal.median, calFloor)
+          "\"" + leg + "\":{\"median\":" + round3(t.median) +
+            ",\"min\":" + round3(t.min) + ",\"cal\":" + round3(cal.median) +
+            ",\"scaled\":" + round3(scaled) + ",\"verdict\":\"" + verdict + "\"}"
+        }
+      }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"baseline_note":"$baselineNote","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"queries_isolated":$isolatedJson,"baseline_note":"$baselineNote","sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

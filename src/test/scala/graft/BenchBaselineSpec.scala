@@ -66,4 +66,33 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(BenchBaseline.suspects(Map("new_leg" -> 50.0), Map.empty, 1.0).isEmpty)
     assert(BenchBaseline.suspects(Map("z" -> 50.0), Map("z" -> -1.0), 1.0).isEmpty)
   }
+
+  test("epochScale: deflates a loaded rerun epoch, never inflates") {
+    // the r12 benchgate case: rerun cal 0.139 vs quiet floor 0.109
+    assert(math.abs(BenchBaseline.epochScale(0.139, 0.109) - 0.109 / 0.139) < 1e-12)
+    assert(BenchBaseline.epochScale(0.08, 0.109) === 1.0) // faster epoch: clamp
+    assert(BenchBaseline.epochScale(-1.0, 0.109) === 1.0) // missing cal
+    assert(BenchBaseline.epochScale(0.1, 0.0) === 1.0)    // missing floor
+  }
+
+  test("adjudicate: the r13 etl phantom self-corrects in-artifact") {
+    // r13 driver: etl raw 92.3 vs baseline 20.0 (flagged 4.6x). The
+    // end-of-run isolated reading on the judge's quiet box: 21.7 with a
+    // quiet rerun cal -> scaled 21.7 <= 1.4 * 20.0 * box -> phantom.
+    val (v, s) = BenchBaseline.adjudicate(
+      iso = 21.7, base = 20.0, boxFactor = 1.0,
+      rerunCal = 0.099, quietFloor = 0.099)
+    assert(v === "phantom" && math.abs(s - 21.7) < 1e-9)
+    // a REAL regression survives: isolated 35 s stays confirmed even
+    // under the BoxCap'd allowance
+    val (v2, _) = BenchBaseline.adjudicate(35.0, 20.0, 1.15, 0.099, 0.099)
+    assert(v2 === "confirmed-suspect")
+    // a loaded RERUN epoch deflates the reading before the verdict: raw
+    // 33.6 in a 1.28x slower epoch scales to 26.25 < 28.0 -> phantom
+    val (v3, s3) = BenchBaseline.adjudicate(33.6, 20.0, 1.0, 0.128, 0.1)
+    assert(v3 === "phantom" && math.abs(s3 - 33.6 * 0.1 / 0.128) < 1e-9)
+    // failed rerun is named, not silently mixed
+    assert(BenchBaseline.adjudicate(-1.0, 20.0, 1.0, 0.1, 0.1)._1
+      === "rerun-failed")
+  }
 }

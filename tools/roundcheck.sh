@@ -16,8 +16,11 @@ OUT_DIR="${OUT_DIR:-/tmp/roundcheck}"
 # r12 #1: the repo-root BENCH_FULL.json was .gitignore'd AND overwritten
 # by a contaminated driver run — gating against an untracked file means
 # gating against phantoms on a dirty box and nothing on a fresh clone).
-# Refresh it only from a quiet close (cal spread <= ~1.15, epoch_suspect
-# empty): cp $OUT_DIR/BENCH_FULL.json BENCH_BASELINE.json && git commit.
+# Refresh it via the CODIFIED seeding rule (VERDICT r13 #4 — never a raw
+# cp, which re-mints lucky-fast sub-second seeds):
+#   python3 tools/benchgate.py $OUT_DIR/BENCH_FULL.json BENCH_BASELINE.json \
+#     --seed-out BENCH_BASELINE.json   # refuses cal spread > 1.15
+#   git add BENCH_BASELINE.json && git commit
 PREV_BENCH="${PREV_BENCH:-BENCH_BASELINE.json}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 mkdir -p "$OUT_DIR"

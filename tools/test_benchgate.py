@@ -6,7 +6,7 @@ rerun epoch must not manufacture phantoms. Run: python3 tools/test_benchgate.py
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from benchgate import adjudicate, epoch_scale, patch_values  # noqa: E402
+from benchgate import adjudicate, epoch_scale, patch_values, seed_baseline  # noqa: E402
 
 FAILED = []
 
@@ -80,6 +80,47 @@ check("missing scaled value falls back to raw", now == 0.80 and now_min == 0.78)
 # missing rerun min stays missing
 now, now_min = patch_values(0.93, 0.729, None)
 check("missing rerun min stays None", now == 0.729 and now_min is None)
+
+# --- seed_baseline (VERDICT r13 wrong #2) ------------------------------------
+# Replay of the r13 hand-resets: the committed baseline carried lucky-fast
+# sub-second seeds (q_audience_overlap 0.585, q_simpsons 0.437,
+# q_top_location_months 0.561) that min-of-medians kept re-minting; the
+# fresh quiet close read 0.805/0.607/0.708. The rule takes the FRESH
+# reading for sub-second legs and the MIN for heavy legs.
+new = {"queries": {"q_audience_overlap": 0.805, "q_simpsons": 0.607,
+                   "q_top_location_months": 0.708,
+                   "etl_pipeline": 21.7, "q_new_leg": 2.0},
+       "queries_min": {"etl_pipeline": 20.9, "q_new_leg": 1.9},
+       "calibration": {"start": {"median": 0.101}, "mid": {"median": 0.099},
+                       "spread": 1.05},
+       "sf": "/root/testdata/sf0.1"}
+prev = {"queries": {"q_audience_overlap": 0.585, "q_simpsons": 0.437,
+                    "q_top_location_months": 0.561,
+                    "etl_pipeline": 20.0, "q_gone_leg": 3.0},
+        "queries_min": {"etl_pipeline": 19.5}}
+merged, notes = seed_baseline(new, prev)
+check("sub-second legs take the fresh quiet reading",
+      merged["queries"]["q_audience_overlap"] == 0.805
+      and merged["queries"]["q_simpsons"] == 0.607
+      and merged["queries"]["q_top_location_months"] == 0.708)
+check("heavy legs keep the min-of-medians",
+      merged["queries"]["etl_pipeline"] == 20.0
+      and merged["queries_min"]["etl_pipeline"] == 19.5)
+check("new legs seed from the fresh run", merged["queries"]["q_new_leg"] == 2.0)
+check("gone legs are dropped and reported",
+      "q_gone_leg" not in merged["queries"]
+      and any("q_gone_leg" in n for n in notes))
+check("seeded doc carries only the quiet floor",
+      merged["calibration"]["start"]["median"] == 0.099
+      and "spread" not in merged["calibration"]
+      and "epoch_suspect" not in merged)
+check("seeded total re-sums the merged medians",
+      abs(merged["value"] - (0.805 + 0.607 + 0.708 + 20.0 + 2.0)) < 1e-9)
+# a failed fresh leg keeps the previous reference rather than poisoning it
+new2 = dict(new, queries=dict(new["queries"], etl_pipeline=-1.0))
+merged2, _ = seed_baseline(new2, prev)
+check("failed fresh leg keeps the previous reference",
+      merged2["queries"]["etl_pipeline"] == 20.0)
 
 print(f"\n{len(FAILED)} failed")
 sys.exit(1 if FAILED else 0)
