@@ -121,6 +121,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (TextOps.dedupIncremental _),
     // transitive closure of the band graph: connected-component clusters
     "q_dedup_cc" -> (TextOps.dedupCC _),
+    // CC with the exact-Jaccard verify stage (band collision = recall only)
+    "q_dedup_cc_verified" -> (TextOps.dedupCCVerified _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
@@ -1208,12 +1210,24 @@ object SparkEntry {
       |  FROM ib a JOIN ib c USING (band_id, band_key)
       |  WHERE a.doc_id < c.doc_id
       |    AND bit_count(xor(a.$sigCol, c.$sigCol)) <= $hammingMax),
-      |edges AS MATERIALIZED (SELECT src, dst FROM hv
+      |${hookedComponentsSql(sigTable)}
+      |SELECT c.doc_id, s.$sigCol, c.cluster_id,
+      |  CAST(c.doc_id <> c.cluster_id AS INT) AS is_dup
+      |FROM comp c JOIN $sigTable s USING (doc_id) ORDER BY c.doc_id""".stripMargin
+
+  /** Hooked min-label component CTEs over a verified edge CTE
+    * `hv(src, dst)`, seeded from `$seed(doc_id, ...)` — the shared tail
+    * of the verified clusterers (TextOps.hookedComponents): one hooking
+    * round collapses near-dup cliques to their min member, the
+    * recursive walk runs on the contracted quotient graph only.
+    * Terminal CTE `comp(doc_id, cluster_id)`. */
+  private def hookedComponentsSql(seed: String): String =
+    s"""edges AS MATERIALIZED (SELECT src, dst FROM hv
       |  UNION SELECT dst AS src, src AS dst FROM hv),
       |nmin AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS p
       |  FROM edges GROUP BY src),
       |lab0 AS MATERIALIZED (SELECT s.doc_id, COALESCE(n.p, s.doc_id) AS p
-      |  FROM $sigTable s LEFT JOIN nmin n USING (doc_id)),
+      |  FROM $seed s LEFT JOIN nmin n USING (doc_id)),
       |ec AS MATERIALIZED (SELECT DISTINCT la.p AS src, lb.p AS dst
       |  FROM edges e JOIN lab0 la ON e.src = la.doc_id
       |  JOIN lab0 lb ON e.dst = lb.doc_id
@@ -1226,10 +1240,7 @@ object SparkEntry {
       |  SELECT * FROM wr),
       |croot AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
       |comp AS (SELECT l.doc_id, c.root AS cluster_id
-      |  FROM lab0 l JOIN croot c ON l.p = c.id)
-      |SELECT c.doc_id, s.$sigCol, c.cluster_id,
-      |  CAST(c.doc_id <> c.cluster_id AS INT) AS is_dup
-      |FROM comp c JOIN $sigTable s USING (doc_id) ORDER BY c.doc_id""".stripMargin
+      |  FROM lab0 l JOIN croot c ON l.p = c.id)""".stripMargin
 
   /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
     * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
@@ -1756,6 +1767,33 @@ object SparkEntry {
         |SELECT doc_id, component_id,
         |  CAST(doc_id <> component_id AS INT) AS is_dup
         |FROM comp ORDER BY doc_id""".stripMargin,
+    // same band buckets (cap-guarded), exact token-hash-set Jaccard
+    // verify by integer cross-multiply, hooked-component tail
+    "q_dedup_cc_verified" -> {
+      import graft.queries.TextOps.{CcJaccardTauDen, CcJaccardTauNum, LshBucketCap}
+      s"""$minhashBandedCtes,
+        |bkt2 AS (SELECT band_id, band_key, count(*) AS bsz
+        |  FROM banded GROUP BY 1, 2),
+        |ib2 AS MATERIALIZED (SELECT b.band_id, b.band_key, b.doc_id
+        |  FROM banded b JOIN bkt2 USING (band_id, band_key)
+        |  WHERE bsz <= $LshBucketCap),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a,
+        |    c.doc_id AS doc_id_b
+        |  FROM ib2 a JOIN ib2 c USING (band_id, band_key)
+        |  WHERE a.doc_id < c.doc_id),
+        |ts AS MATERIALIZED (SELECT doc_id, list_distinct(th) AS th FROM h),
+        |hv AS MATERIALIZED (SELECT doc_id_a AS src, doc_id_b AS dst FROM (
+        |    SELECT doc_id_a, doc_id_b,
+        |      len(list_intersect(ta.th, tb.th)) AS ni,
+        |      len(ta.th) AS na, len(tb.th) AS nb
+        |    FROM cand JOIN ts ta ON cand.doc_id_a = ta.doc_id
+        |    JOIN ts tb ON cand.doc_id_b = tb.doc_id)
+        |  WHERE ni * $CcJaccardTauDen >= (na + nb - ni) * $CcJaccardTauNum),
+        |${hookedComponentsSql("ts")}
+        |SELECT doc_id, cluster_id AS component_id,
+        |  CAST(doc_id <> cluster_id AS INT) AS is_dup
+        |FROM comp ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

@@ -334,6 +334,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-Jaccard floor for a VERIFIED MinHash near-dup edge (τ = 4/5):
+    * with 12 signatures in 4×3 bands, a J = 0.8 pair collides in some
+    * band with p = 1−(1−0.8³)⁴ ≈ 0.94 — banding recall and verify
+    * precision quote the same similarity. Compared by exact integer
+    * cross-multiplication (5·|A∩B| ≥ 4·|A∪B|), never a float. */
+  private[graft] val CcJaccardTauNum = 4
+  private[graft] val CcJaccardTauDen = 5
+
+  /** Jaccard-VERIFIED connected-component clustering — the r14 verify
+    * discipline ([[hammingClustersFrom]]) applied to the MinHash CC path:
+    * [[dedupCC]] clusters on raw band collision, which is recall
+    * machinery only — at web-scale bucket occupancy a hot band key
+    * merges its whole bucket. Here candidates come from the SAME band
+    * buckets ([[LshBucketCap]]-guarded, the stop-bucket discipline),
+    * but an edge exists only when the pair's exact DISTINCT-TOKEN-HASH
+    * set Jaccard — the quantity MinHash estimates — clears
+    * [[CcJaccardTauNum]]/[[CcJaccardTauDen]], and clustering is
+    * [[hookedComponents]] over verified edges.
+    *
+    * Scale shape: candidates are the bucket self-join on the literal
+    * 12-signature band keys (pair volume ≤ cap × members per band); the
+    * token-hash sets join onto the id-only candidate pairs by TWO
+    * partitioned hash joins (the [[dedupNgram]] shape — arrays never
+    * ride the bucket shuffle); the verify predicate is exact integer
+    * arithmetic on three size() calls; clustering is hook + quotient
+    * propagation.
+    */
+  def dedupCCVerified(spark: SparkSession, dir: String): DataFrame = {
+    val tokSets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(toksSet, tk => h32(tk))).as("th"))
+      .repartition(col("doc_id"))
+      .persist()
+    val banded = minhashBands(spark, dir)
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    val inBucket = banded
+      .withColumn("bsz", count(lit(1)).over(bucketW))
+      .filter(col("bsz") <= LshBucketCap)
+      .select(col("band_id"), col("band_key"), col("doc_id"))
+    val cand = inBucket.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_id_a"))
+      .join(inBucket.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_id_b")), Seq("band_id", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val verified = cand
+      .join(tokSets.select(col("doc_id").as("doc_id_a"), col("th").as("th_a")),
+        Seq("doc_id_a"))
+      .join(tokSets.select(col("doc_id").as("doc_id_b"), col("th").as("th_b")),
+        Seq("doc_id_b"))
+      .withColumn("n_inter", size(array_intersect(col("th_a"), col("th_b"))))
+      .filter(col("n_inter") * CcJaccardTauDen >=
+        (size(col("th_a")) + size(col("th_b")) - col("n_inter")) * CcJaccardTauNum)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val out = hookedComponents(tokSets.select(col("doc_id")), verified)
+      .select(col("doc_id"), col("comp").as("component_id"),
+        (col("doc_id") =!= col("comp")).cast(IntegerType).as("is_dup"))
+      .localCheckpoint()
+    tokSets.unpersist(blocking = false)
+    out.orderBy(col("doc_id"))
+  }
+
   /** Dedup ROI profile: the CLUSTER-SIZE histogram of the connected-
     * component near-dup clustering — how much of the corpus is
     * duplicated how many times (size 1 = unique mass; the tail = the
@@ -674,23 +737,42 @@ object TextOps {
         bit_count(col("h_src").bitwiseXOR(col("h_dst"))) <= hammingMax)
       .select(col("src"), col("dst"))
       .distinct()
+    // materialize the O(docs) result into its own checkpoint while the
+    // signature frame is still pinned, then release the pins — the
+    // returned frame must not silently re-pay the signature pass per
+    // downstream action (the dedup_family_recompute lesson)
+    val out = hookedComponents(sigsP.select(col("doc_id")), verified)
+      .join(sigsP.select(col("doc_id"), col(sigCol)), Seq("doc_id"))
+      .select(col("doc_id"), col(sigCol), col("comp").as("cluster_id"),
+        (col("doc_id") =!= col("comp")).cast(IntegerType).as("is_dup"))
+      .localCheckpoint()
+    sigsP.unpersist(blocking = false)
+    out.orderBy(col("doc_id"))
+  }
+
+  /** Min-label connected components over a VERIFIED (src, dst) edge
+    * list, with a HOOKING contraction first: every node hooks to
+    * min(self, min verified neighbor) — a near-dup CLIQUE (the dominant
+    * component shape; measured 607k verified edges over 5000 docs at
+    * sf0.1) collapses to its min member in this ONE aggregate, so the
+    * iterative [[ccRound]] loop runs on the contracted quotient graph
+    * instead of re-joining the full edge set every round. Components
+    * are preserved exactly and the component min is its own hook root,
+    * so cluster ids are unchanged. The oracles mirror the same hook
+    * (the raw-edge recursive walk measured 711 s at sf0.1; hooked it
+    * walks in seconds). `docs` seeds the label set (isolated docs stay
+    * singletons); returns (doc_id, comp), checkpoint-backed.
+    */
+  private[graft] def hookedComponents(docs: DataFrame,
+      verified: DataFrame): DataFrame = {
     // persisted: the hook aggregate AND the quotient-edge build both
-    // consume the full verified pair pipeline (sig pass + bucket window
-    // + self-join); without the pin it runs twice
+    // consume the full verified pair pipeline; without the pin it runs twice
     val sym = verified
       .union(verified.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // HOOKING contraction before the propagation loop: every node hooks
-    // to min(self, min verified neighbor) — a near-dup CLIQUE (the
-    // dominant component shape; measured 607k verified edges over 5000
-    // docs at sf0.1) collapses to its min member in this ONE aggregate,
-    // so the iterative loop runs on the contracted quotient graph
-    // instead of re-joining the full edge set every round. Components
-    // are preserved exactly and the component min is its own hook root,
-    // so cluster ids are unchanged. The oracle mirrors the same hook.
     val nmin = sym.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nbr_min"))
-    val lab0 = sigsP.select(col("doc_id"))
+    val lab0 = docs
       .join(nmin, Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id"))).as("p"))
@@ -714,21 +796,14 @@ object TextOps {
       rounds += 1
     }
     require(changed == 0,
-      s"hammingClusters: label propagation not converged after $rounds rounds")
-    // materialize the O(docs) result into its own checkpoint while the
-    // signature frame is still pinned, then release the pins — the
-    // returned frame must not silently re-pay the signature pass per
-    // downstream action (the dedup_family_recompute lesson)
+      s"hookedComponents: label propagation not converged after $rounds rounds")
     val out = lab0
       .join(labels.select(col("doc_id").as("p"), col("comp")), Seq("p"))
-      .join(sigsP.select(col("doc_id"), col(sigCol)), Seq("doc_id"))
-      .select(col("doc_id"), col(sigCol), col("comp").as("cluster_id"),
-        (col("doc_id") =!= col("comp")).cast(IntegerType).as("is_dup"))
+      .select(col("doc_id"), col("comp"))
       .localCheckpoint()
-    sigsP.unpersist(blocking = false)
     sym.unpersist(blocking = false)
     ec.unpersist(blocking = false)
-    out.orderBy(col("doc_id"))
+    out
   }
 
   /** SimHash near-dup clustering, Hamming-VERIFIED: 4×8-bit banding for

@@ -97,6 +97,44 @@ class TextOpsSpec extends SparkSpec {
     assert(capped === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("dedup cc verified: refines the collision components, rejects weak pairs") {
+    val ccv = TextOps.dedupCCVerified(spark, sf).cache()
+    val cc = TextOps.dedupCC(spark, sf)
+      .select(col("doc_id"), col("component_id").as("cc_comp"))
+    // a verified edge implies a shared bucket, so verified components
+    // REFINE the collision components: each maps into exactly one
+    val joined = ccv.select(col("doc_id"), col("component_id").as("v_comp"))
+      .join(cc, Seq("doc_id")).cache()
+    assert(joined.groupBy("v_comp")
+      .agg(countDistinct("cc_comp").as("n")).filter(col("n") > 1).count() === 0)
+    // and the verify stage actually rejects pairs on this corpus: some
+    // collision component splits into several verified components
+    assert(joined.groupBy("cc_comp")
+      .agg(countDistinct("v_comp").as("n")).filter(col("n") > 1).count() > 0)
+    // precision audit on the members the output lets us pin exactly: a
+    // 2-member verified component's pair IS a verified edge, so its
+    // exact token-set Jaccard must clear the tau = 4/5 floor
+    assert(ccv.filter(col("is_dup") === 1).count() > 0)
+    val twos = ccv.groupBy("component_id").count().filter(col("count") === 2)
+      .select(col("component_id"))
+    val members = ccv.join(twos, Seq("component_id"))
+      .select(col("component_id"), col("doc_id"))
+    val tokSets = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(org.apache.spark.sql.functions
+        .transform(array_distinct(split(lower(trim(col("text"))), "\\s+")),
+          tk => TextOps.h32(tk))).as("th"))
+    val pairJ = members.groupBy("component_id")
+      .agg(min("doc_id").as("a"), max("doc_id").as("b"))
+      .join(tokSets.select(col("doc_id").as("a"), col("th").as("th_a")), Seq("a"))
+      .join(tokSets.select(col("doc_id").as("b"), col("th").as("th_b")), Seq("b"))
+      .withColumn("ni", size(array_intersect(col("th_a"), col("th_b"))))
+      .withColumn("bad", col("ni") * TextOps.CcJaccardTauDen <
+        (size(col("th_a")) + size(col("th_b")) - col("ni")) * TextOps.CcJaccardTauNum)
+    assert(pairJ.count() > 0)
+    assert(pairJ.filter(col("bad")).count() === 0)
+    joined.unpersist(); ccv.unpersist()
+  }
+
   test("fingerprint: at most 5 ranked ascending hashes per doc") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     assert(fp.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
