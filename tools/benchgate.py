@@ -156,7 +156,7 @@ def patch_values(iso, iso_scaled, fresh_min_val):
     return iso_scaled, now_min
 
 
-def seed_baseline(new_doc, prev_doc=None, min_sec=1.0):
+def seed_baseline(new_doc, prev_doc=None, min_sec=1.0, reset_legs=()):
     """Merge a fresh QUIET close into the committed baseline (VERDICT r13
     wrong #2, codified): legs at or above `min_sec` take the per-leg
     MIN-OF-MEDIANS across the two documents (external load only ever adds
@@ -167,9 +167,13 @@ def seed_baseline(new_doc, prev_doc=None, min_sec=1.0):
     q_top_location_months, each hand-reset by 0.14–0.22 s) because their
     absolute noise floor is the same order as their runtime. Legs absent
     from the fresh artifact are dropped (the baseline tracks the current
-    surface); new legs seed from the fresh run. The output carries ONLY
-    the quiet calibration floor (no per-run contamination blocks — the
-    r14 hygiene rule) plus a 'seeded' provenance note.
+    surface); new legs seed from the fresh run. `reset_legs` names legs
+    whose SEMANTICS changed this round (an operator doing strictly more
+    work): they take the fresh reading outright — min-merging would
+    resurrect the pre-change baseline and flag the intended cost
+    forever. The output carries ONLY the quiet calibration floor (no
+    per-run contamination blocks — the r14 hygiene rule) plus a 'seeded'
+    provenance note.
     Returns (merged_doc, notes)."""
     new_q, new_min = new_doc["queries"], new_doc.get("queries_min", {})
     prev_q = (prev_doc or {}).get("queries", {})
@@ -185,6 +189,12 @@ def seed_baseline(new_doc, prev_doc=None, min_sec=1.0):
                     merged_min[leg] = prev_min[leg]
             continue
         pv = prev_q.get(leg)
+        if leg in reset_legs:
+            merged[leg] = med
+            merged_min[leg] = new_min.get(leg)
+            notes.append(f"{leg}: RESET to fresh {med} (semantics changed; "
+                         f"prev {pv})")
+            continue
         if med >= min_sec and pv is not None and 0 <= pv < med:
             merged[leg] = pv
             merged_min[leg] = prev_min.get(leg, new_min.get(leg))
@@ -261,6 +271,12 @@ def main():
     ap.add_argument("--force-seed", action="store_true",
                     help="with --seed-out: accept a CURRENT whose calibration "
                          "spread exceeds the quiet-close bar (1.15)")
+    ap.add_argument("--reset-legs", default="",
+                    help="with --seed-out: comma-separated legs whose "
+                         "semantics changed this round — they take the fresh "
+                         "reading outright instead of the min-of-medians "
+                         "merge (which would resurrect the pre-change "
+                         "baseline and flag the intended cost forever)")
     args = ap.parse_args()
 
     cur_doc = load_queries(args.current)
@@ -272,7 +288,8 @@ def main():
             sys.exit(f"[benchgate] refusing to seed from {args.current}: "
                      f"calibration spread {spread} exceeds the quiet-close "
                      "bar (1.15) — rerun on a quiet box or pass --force-seed")
-        merged, notes = seed_baseline(cur_doc, prev_doc)
+        resets = {x.strip() for x in args.reset_legs.split(",") if x.strip()}
+        merged, notes = seed_baseline(cur_doc, prev_doc, reset_legs=resets)
         for n in notes:
             print(f"[seed] {n}")
         with open(args.seed_out, "w") as f:

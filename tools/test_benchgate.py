@@ -121,6 +121,14 @@ new2 = dict(new, queries=dict(new["queries"], etl_pipeline=-1.0))
 merged2, _ = seed_baseline(new2, prev)
 check("failed fresh leg keeps the previous reference",
       merged2["queries"]["etl_pipeline"] == 20.0)
+# a semantics-changed leg RESETS to the fresh reading (the r14 LSH
+# verify stage made the clusterers do strictly more work; min-merging
+# would resurrect the pre-change 2.8 s seed and flag the intended cost
+# forever)
+merged3, notes3 = seed_baseline(new, prev, reset_legs={"etl_pipeline"})
+check("reset leg takes the fresh reading over the historical min",
+      merged3["queries"]["etl_pipeline"] == 21.7
+      and any("RESET" in n for n in notes3))
 
 print(f"\n{len(FAILED)} failed")
 sys.exit(1 if FAILED else 0)
