@@ -105,8 +105,15 @@ object TextOps {
     tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
-  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
+  private[graft] def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsFromSigs(minhashSigs(spark, dir))
+
+  /** The 4×3 band tiling over a 12-signature frame — factored so every
+    * consumer (the corpus band table, [[dedupCCVerified]]'s
+    * class-contracted signatures) tiles identically; `keep` carries
+    * extra per-doc columns (class sizes, set sizes) through the explode. */
+  private[graft] def bandsFromSigs(sigs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until NumBands).map { j =>
       struct(
         lit(j).as("band_id"),
@@ -114,7 +121,8 @@ object TextOps {
     }
     sigs
       .withColumn("band", explode(array(bandStructs: _*)))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .select(col("doc_id") +: col("band.band_id") +: col("band.band_key") +:
+        keep.map(col): _*)
   }
 
   /** [[dedupMinhash]] from an ALREADY-BUILT band table — the seam the
@@ -353,46 +361,88 @@ object TextOps {
     * [[CcJaccardTauNum]]/[[CcJaccardTauDen]], and clustering is
     * [[hookedComponents]] over verified edges.
     *
-    * Scale shape: candidates are the bucket self-join on the literal
-    * 12-signature band keys (pair volume ≤ cap × members per band); the
-    * token-hash sets join onto the id-only candidate pairs by TWO
-    * partitioned hash joins (the [[dedupNgram]] shape — arrays never
-    * ride the bucket shuffle); the verify predicate is exact integer
-    * arithmetic on three size() calls; clustering is hook + quotient
-    * propagation.
+    * Scale shape (three compounding cuts over the naive form, each
+    * semantics-preserving):
+    *  - TOKEN-SET-CLASS CONTRACTION ([[hammingClustersFrom]]'s
+    *    discipline): every stage below is a pure function of the hashed
+    *    token set `th` — identical-th docs have identical signatures,
+    *    identical buckets, and mutual J = 1 — so classes collapse to
+    *    their min-doc rep before pair enumeration, class sizes keep the
+    *    bucket cap counting DOCS, and only classes alive in ≥1
+    *    surviving bucket self-merge (capped-everywhere classes stay
+    *    singletons, as their members did uncontracted). At web scale
+    *    exact-duplicate mass dominates, and it is exactly the mass this
+    *    removes from the quadratic stage.
+    *  - SIGNATURES FROM `th`, not a second corpus pass: the md5 token
+    *    hash is this operator's dominant linear cost and minhashBands
+    *    would pay it again; min over the distinct hash set equals min
+    *    over the raw token multiset, so the 12 signatures (and hence the
+    *    bands) are bit-identical.
+    *  - SIZE PREFILTER on candidates: J = |∩|/|∪| ≤ min(n)/max(n), so a
+    *    pair with τden·min(n) < τnum·max(n) can never verify — two ints
+    *    already riding the bucket exchange kill it BEFORE the distinct
+    *    and the array joins (the [[dedupNgram]] shape — arrays never
+    *    ride the bucket shuffle).
+    * The verify predicate is exact integer arithmetic on three size()
+    * calls; clustering is hook + quotient propagation at class scale.
     */
   def dedupCCVerified(spark: SparkSession, dir: String): DataFrame = {
     val tokSets = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(toksSet, tk => h32(tk))).as("th"))
-      .repartition(col("doc_id"))
       .persist()
-    val banded = minhashBands(spark, dir)
+    val reps = tokSets.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("class_n"))
+      .withColumn("n", size(col("th")))
+      .persist()
+    val sigAggs = (0 until 12).map { i =>
+      min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))
+        .as(s"sig$i")
+    }
+    val sigs = reps
+      .select(col("doc_id"), col("class_n"), col("n"), explode(col("th")).as("h"))
+      .groupBy(col("doc_id"), col("class_n"), col("n"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = bandsFromSigs(sigs, keep = Seq("class_n", "n"))
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     val inBucket = banded
-      .withColumn("bsz", count(lit(1)).over(bucketW))
+      .withColumn("bsz", sum(col("class_n")).over(bucketW))
       .filter(col("bsz") <= LshBucketCap)
-      .select(col("band_id"), col("band_key"), col("doc_id"))
+      .select(col("band_id"), col("band_key"), col("doc_id"), col("n"))
+      .persist()
     val cand = inBucket.select(col("band_id"), col("band_key"),
-        col("doc_id").as("doc_id_a"))
+        col("doc_id").as("doc_id_a"), col("n").as("n_a"))
       .join(inBucket.select(col("band_id"), col("band_key"),
-        col("doc_id").as("doc_id_b")), Seq("band_id", "band_key"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
+        col("doc_id").as("doc_id_b"), col("n").as("n_b")), Seq("band_id", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        least(col("n_a"), col("n_b")) * CcJaccardTauDen >=
+          greatest(col("n_a"), col("n_b")) * CcJaccardTauNum)
       .select(col("doc_id_a"), col("doc_id_b"))
       .distinct()
+    val repSets = reps.select(col("doc_id"), col("th"))
     val verified = cand
-      .join(tokSets.select(col("doc_id").as("doc_id_a"), col("th").as("th_a")),
+      .join(repSets.select(col("doc_id").as("doc_id_a"), col("th").as("th_a")),
         Seq("doc_id_a"))
-      .join(tokSets.select(col("doc_id").as("doc_id_b"), col("th").as("th_b")),
+      .join(repSets.select(col("doc_id").as("doc_id_b"), col("th").as("th_b")),
         Seq("doc_id_b"))
       .withColumn("n_inter", size(array_intersect(col("th_a"), col("th_b"))))
       .filter(col("n_inter") * CcJaccardTauDen >=
         (size(col("th_a")) + size(col("th_b")) - col("n_inter")) * CcJaccardTauNum)
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-    val out = hookedComponents(tokSets.select(col("doc_id")), verified)
-      .select(col("doc_id"), col("comp").as("component_id"),
-        (col("doc_id") =!= col("comp")).cast(IntegerType).as("is_dup"))
+    val alive = inBucket.select(col("doc_id").as("rep"))
+      .distinct().withColumn("alive", lit(true))
+    val compReps = hookedComponents(reps.select(col("doc_id")), verified)
+    val out = tokSets
+      .join(reps.select(col("th"), col("doc_id").as("rep")), Seq("th"))
+      .join(compReps.select(col("doc_id").as("rep"), col("comp")), Seq("rep"))
+      .join(alive, Seq("rep"), "left")
+      .withColumn("component_id",
+        when(col("alive"), col("comp")).otherwise(col("doc_id")))
+      .select(col("doc_id"), col("component_id"),
+        (col("doc_id") =!= col("component_id")).cast(IntegerType).as("is_dup"))
       .localCheckpoint()
+    inBucket.unpersist(blocking = false)
+    reps.unpersist(blocking = false)
     tokSets.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }
@@ -704,29 +754,50 @@ object TextOps {
     * not express (spec-pinned) — while identical signatures in any
     * surviving bucket meet directly and always merge.
     *
-    * Scale shape: banding is one ×nBands explode into a literal-bounded
-    * key domain; the bucket-size guard rides a window count INSIDE the
-    * bucket exchange the pair join needs anyway; the pair join is a
-    * self-join on the bucket key with the Hamming verify fused into its
-    * post-filter; propagation is node-scale per round with
-    * localCheckpoint lineage truncation. The signature frame is
-    * persisted across its consumers and released after the final frame
-    * materializes into its checkpoint.
+    * Scale shape: the corpus is first CONTRACTED to signature CLASSES —
+    * Hamming distance is a pure function of the signature, so docs
+    * sharing one are indistinguishable to every stage below the
+    * signature build (identical band keys, identical verify outcomes,
+    * mutual distance 0); each class collapses to its min-doc
+    * representative BEFORE pair enumeration, with the class size riding
+    * along so bucket caps still count DOCS. Semantics are byte-identical
+    * to the uncontracted form: a class alive in ≥1 surviving bucket
+    * merges internally exactly as its members' distance-0 edges would,
+    * and a class capped out of EVERY bucket never met itself in the
+    * uncontracted pair join either, so its members stay singletons (the
+    * `alive` flag below). The win is quadratic where it hurts — sf0.1
+    * simhash holds 2949 classes over 5000 docs, so surviving-bucket
+    * pair volume falls ~(5000/2949)² ≈ 2.9× and the dominant
+    * distance-0 clique edges vanish entirely (identical sigs share a
+    * rep instead of emitting edges). Banding is one ×nBands explode
+    * into a literal-bounded key domain; the bucket-size guard rides a
+    * window sum INSIDE the bucket exchange the pair join needs anyway;
+    * the pair join is a self-join on the bucket key with the Hamming
+    * verify fused into its post-filter; propagation is class-scale per
+    * round with localCheckpoint lineage truncation. The signature frame
+    * is persisted across its consumers and released after the final
+    * frame materializes into its checkpoint.
     */
   private[graft] def hammingClustersFrom(sigs: DataFrame, sigCol: String,
       nBands: Int, bandBits: Int, hammingMax: Int,
       bucketCap: Int): DataFrame = {
     val sigsP = sigs.persist()
-    val banded = sigsP
+    val reps = sigsP.groupBy(col(sigCol))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("class_n"))
+      .persist()
+    val banded = reps
       .withColumn("band_id", explode(array((0 until nBands).map(lit): _*)))
       .withColumn("band_key",
         expr(s"($sigCol div CAST(power(2, band_id * $bandBits) AS BIGINT))" +
           s" % ${1L << bandBits}"))
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    // bsz sums class sizes: the cap counts DOCS, exactly as when every
+    // doc carried its own band row (class members share all band keys)
     val inBucket = banded
-      .withColumn("bsz", count(lit(1)).over(bucketW))
+      .withColumn("bsz", sum(col("class_n")).over(bucketW))
       .filter(col("bsz") <= bucketCap)
       .select(col("band_id"), col("band_key"), col("doc_id"), col(sigCol))
+      .persist()
     val verified = inBucket
       .select(col("band_id"), col("band_key"),
         col("doc_id").as("src"), col(sigCol).as("h_src"))
@@ -737,15 +808,29 @@ object TextOps {
         bit_count(col("h_src").bitwiseXOR(col("h_dst"))) <= hammingMax)
       .select(col("src"), col("dst"))
       .distinct()
+    // a rep present in ≥1 surviving bucket: its class self-merges (the
+    // distance-0 edges the uncontracted form would have drawn there)
+    val alive = inBucket.select(col("doc_id").as("rep"))
+      .distinct().withColumn("alive", lit(true))
+    // component ids are unchanged by contraction: the component's global
+    // min doc is the min doc of its own signature class, hence a rep,
+    // hence the min over reps that min-label propagation returns
+    val compReps = hookedComponents(reps.select(col("doc_id")), verified)
     // materialize the O(docs) result into its own checkpoint while the
     // signature frame is still pinned, then release the pins — the
     // returned frame must not silently re-pay the signature pass per
     // downstream action (the dedup_family_recompute lesson)
-    val out = hookedComponents(sigsP.select(col("doc_id")), verified)
-      .join(sigsP.select(col("doc_id"), col(sigCol)), Seq("doc_id"))
-      .select(col("doc_id"), col(sigCol), col("comp").as("cluster_id"),
-        (col("doc_id") =!= col("comp")).cast(IntegerType).as("is_dup"))
+    val out = sigsP
+      .join(reps.select(col(sigCol), col("doc_id").as("rep")), Seq(sigCol))
+      .join(compReps.select(col("doc_id").as("rep"), col("comp")), Seq("rep"))
+      .join(alive, Seq("rep"), "left")
+      .withColumn("cluster_id",
+        when(col("alive"), col("comp")).otherwise(col("doc_id")))
+      .select(col("doc_id"), col(sigCol), col("cluster_id"),
+        (col("doc_id") =!= col("cluster_id")).cast(IntegerType).as("is_dup"))
       .localCheckpoint()
+    inBucket.unpersist(blocking = false)
+    reps.unpersist(blocking = false)
     sigsP.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }
