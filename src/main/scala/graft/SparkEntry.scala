@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions.col
 
-import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, GraphOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, StatsOps, TextOps, VectorOps}
+import graft.queries.{Analytics, BehaviorOps, CoreOps, CurationOps, FactOps, GeoOps, GraphOps, MaintenanceOps, OlapOps, PrivacyOps, ProfileOps, ScaleOps, StatsOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -578,6 +578,13 @@ object SparkEntry {
     "q_lsh_tuning" -> (TextOps.lshTuning _),
     // URL canonicalization collapse report (pre-dedup crawl normalize)
     "q_url_canon" -> (CurationOps.urlCanon _),
+    // per-host politeness scheduling over the canonical URL frontier
+    "q_crawl_frontier" -> (CurationOps.crawlFrontier _),
+    // grid-bucketed spatial radius self-join, exact-verified (3×3
+    // literal cell fan-out; never a cross join)
+    "q_geo_neighbors" -> (GeoOps.geoNeighbors _),
+    // cumulative distinct-user curve from max-merged daily HLL partials
+    "q_hll_sliding" -> (ProfileOps.hllSliding _),
   )
 
   private val revenueSql =
@@ -6310,6 +6317,93 @@ object SparkEntry {
         |  CAST(CAST(SUM(n_raw) AS BIGINT) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS collapse_ratio
         |FROM g2 GROUP BY source ORDER BY source""".stripMargin
+    },
+    // same canonical URLs, same per-host ROW_NUMBER politeness rank,
+    // same hash-derived crawl delay — all integer ms arithmetic
+    "q_crawl_frontier" -> {
+      import graft.queries.CurationOps.{CrawlBaseDelayMs, CrawlDelaySpanMs}
+      val raw = graft.queries.CurationOps.rawUrlSql(x => s"CAST($x AS VARCHAR)")
+      s"""WITH raw AS (SELECT $raw AS raw_url FROM documents),
+        |q AS (SELECT raw_url,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+        |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '') AS qn
+        |  FROM raw),
+        |c AS (SELECT concat('https://',
+        |    regexp_replace(regexp_replace(lower(
+        |      regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      ':(443|80)$$', ''), '^www\\.', ''),
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+        |      '/index\\.html$$', ''), '/$$', ''),
+        |    CASE WHEN qn = '' THEN '' ELSE concat('?', qn) END) AS url
+        |  FROM q),
+        |u AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_docs FROM c GROUP BY 1),
+        |h AS (SELECT url, n_docs,
+        |    regexp_extract(url, '^https://([^/?#]+)', 1) AS host FROM u),
+        |s AS (SELECT host, url, n_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_docs DESC, url) AS pos,
+        |    $CrawlBaseDelayMs + ${h32Sql("host")} % $CrawlDelaySpanMs AS delay_ms
+        |  FROM h)
+        |SELECT host, CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(MAX((pos - 1) * delay_ms) AS BIGINT) AS makespan_ms,
+        |  MAX(CASE WHEN pos = 1 THEN url END) AS first_url
+        |FROM s GROUP BY 1, 2 ORDER BY host""".stripMargin
+    },
+    // same md5-derived integer points, the same 3×3 cell-neighborhood
+    // candidate cover (BETWEEN ±1 on both cell axes), same exact int64
+    // Euclidean verify — a true neighbor is never farther than one cell
+    "q_geo_neighbors" -> {
+      import graft.queries.GeoOps.{GeoRadius, GeoSpan}
+      val r2 = GeoRadius * GeoRadius
+      s"""WITH p AS (SELECT c_custkey AS k,
+        |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % $GeoSpan AS x,
+        |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % $GeoSpan AS y
+        |  FROM customer),
+        |c AS (SELECT k, x, y, x // $GeoRadius AS cx, y // $GeoRadius AS cy FROM p),
+        |n AS (SELECT a.k AS ka, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        |    MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS nn_dist_sq
+        |  FROM c a JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |    AND a.k <> b.k
+        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= $r2
+        |  GROUP BY 1)
+        |SELECT p.k AS custkey, p.x, p.y,
+        |  COALESCE(n.n_neighbors, 0) AS n_neighbors, n.nn_dist_sq
+        |FROM p LEFT JOIN n ON n.ka = p.k ORDER BY custkey""".stripMargin
+    },
+    // the q_hll_distinct register contract, cumulated: per-day register
+    // partials max-merged through each day by a window, the exact curve
+    // from first-seen-day prefix sums — identical integer algebra
+    "q_hll_sliding" -> {
+      import graft.queries.ProfileOps.{HllEstNum, HllRegisters}
+      val estSql =
+        s"$HllEstNum / CAST(s_present + ($HllRegisters - n_registers) * 8589934592 AS DOUBLE)"
+      s"""WITH e0 AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |e AS (SELECT day,
+        |    ${h32Sql("CAST(user_id AS VARCHAR)")} % $HllRegisters AS r,
+        |    CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rk
+        |  FROM (SELECT *,
+        |      CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+        |    FROM e0)),
+        |daily AS (SELECT day, r, MAX(rk) AS m_r FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e0),
+        |grid AS (SELECT day, r.range AS r FROM days CROSS JOIN range($HllRegisters) r),
+        |cum AS (SELECT g.day, g.r, MAX(d.m_r) OVER (PARTITION BY g.r
+        |      ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.r = g.r),
+        |est AS (SELECT day, COUNT(cm) AS n_registers,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - cm AS INT)) AS BIGINT) AS s_present
+        |  FROM cum GROUP BY 1),
+        |fc AS (SELECT first_day, COUNT(*) AS n_new FROM
+        |    (SELECT user_id, MIN(day) AS first_day FROM e0 GROUP BY 1) GROUP BY 1),
+        |ex AS (SELECT d.day, CAST(SUM(fc.n_new) AS BIGINT) AS n_exact
+        |  FROM days d JOIN fc ON fc.first_day <= d.day GROUP BY 1)
+        |SELECT day, n_exact, n_registers, $estSql AS hll_est,
+        |  ($estSql - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+        |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin
     },
   )
 

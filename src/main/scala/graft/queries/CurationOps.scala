@@ -987,4 +987,55 @@ object CurationOps {
           / col("n_canonical_urls").cast(DoubleType)).as("collapse_ratio"))
       .orderBy(col("source"))
   }
+
+  // ------------------------------------------------ crawl frontier schedule
+  /** Politeness delay per host: a deterministic per-host crawl-delay in
+    * [[CrawlBaseDelayMs]], +[[CrawlDelaySpanMs]]) ms — the robots.txt
+    * Crawl-delay a real frontier reads, stubbed hash-deterministically
+    * (the geoPoint discipline: synthetic value, real plumbing). */
+  private[graft] val CrawlBaseDelayMs = 500L
+  private[graft] val CrawlDelaySpanMs = 1500L
+
+  /** Crawl-frontier scheduling — the stage between [[urlCanon]] and the
+    * fetcher fleet in every crawl-scale pipeline: canonical URLs are
+    * queued PER HOST (politeness forces per-host serial fetching),
+    * ordered by priority (here: how many documents cite the URL, the
+    * in-corpus demand signal; ties broken lexically for determinism),
+    * and the k-th URL of a host is dispatched at (k−1) · crawl_delay.
+    * The report is the per-host frontier economics a crawl operator
+    * reads: queue depth, the host's delay, the makespan of its queue,
+    * and the URL its fetcher touches first.
+    *
+    * Scale shape: canonicalization is map-only; the demand groupBy is
+    * URL-domain-scale and map-side combines; the rank is a window
+    * PARTITIONED BY HOST — per-host sequential order is inherent to
+    * politeness, so the window partition IS the semantic unit, never a
+    * global sort (a host with 10⁸ queued URLs is one fat partition, and
+    * the real fix is the same frontier sharding a fetcher fleet does —
+    * by (host, priority band) — not a different operator); the final
+    * per-host aggregate is |hosts| rows. All integer ms arithmetic.
+    */
+  def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val urls = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr(rawUrlSql(x => s"CAST($x AS STRING)")).as("raw_url"))
+      .withColumn("url", canonicalizeUrl(col("raw_url")))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/?#]+)", 1))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_docs").desc, col("url"))
+    val sched = urls
+      .withColumn("pos", row_number().over(w))
+      .withColumn("delay_ms",
+        lit(CrawlBaseDelayMs) + h32(col("host")) % CrawlDelaySpanMs)
+      .withColumn("sched_ms", (col("pos") - 1) * col("delay_ms"))
+    sched.groupBy(col("host"), col("delay_ms"))
+      .agg(count(lit(1)).as("n_urls"),
+        max(col("sched_ms")).as("makespan_ms"),
+        max(when(col("pos") === 1, col("url"))).as("first_url"))
+      .select(col("host"), col("delay_ms"), col("n_urls"),
+        col("makespan_ms"), col("first_url"))
+      .orderBy(col("host"))
+  }
 }

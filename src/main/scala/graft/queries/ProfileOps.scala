@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -498,6 +499,58 @@ object ProfileOps {
         .otherwise(lit(33L) - length(bin(w)).cast(LongType)).as("rk")): _*)
     sel.groupBy(sel.columns.dropRight(1).map(col): _*)
       .agg(max(col("rk")).as("m_r"))
+  }
+
+  /** Sliding (users-to-date) HLL curve: the distinct-user count THROUGH
+    * each day, estimated by merging the per-day register partials
+    * cumulatively — the incremental-state story [[hllDistinct]] tells
+    * once, told as a TIME SERIES. At 100 TB this is how "cumulative
+    * uniques" dashboards actually run: the nightly job appends one
+    * 64-row register table and max-merges it into yesterday's state;
+    * nothing ever re-scans history, while the exact curve would carry
+    * O(users) distinct state per day.
+    *
+    * Shapes: the cumulative register merge is a window MAX partitioned
+    * by register index over a (days × 64)-row literal-bounded grid
+    * (the explode keeps absent registers visible as NULLs so each
+    * day's estimate sees exactly the registers present SO FAR); the
+    * exact comparison curve never windows the corpus either — each
+    * user collapses to a first-seen day (one combining aggregate),
+    * first-day counts collapse to O(days) rows, and the ≤-theta join
+    * against the day list is a broadcast nested loop over two
+    * day-scale frames (the clamped-bucket prefix-sum discipline).
+    * Arithmetic is the [[hllDistinct]] contract unchanged: integer
+    * ranks, exact power-of-two sums, one final division by the
+    * digit-identical [[HllEstNum]].
+    */
+  def hllSliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = hllRegisters(e, col("user_id"), col("day"))
+    val days = e.select(col("day")).distinct()
+    val grid = days.withColumn("r",
+      explode(expr(s"sequence(0L, ${HllRegisters - 1}L)")))
+    val w = Window.partitionBy(col("r")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(daily, Seq("day", "r"), "left")
+      .withColumn("cm", max(col("m_r")).over(w))
+    val est = cum.groupBy(col("day"))
+      .agg(count(col("cm")).as("n_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - cm AS INT))"))
+          .as("s_present"))
+      .withColumn("denom",
+        col("s_present") + (lit(HllRegisters) - col("n_registers")) * lit(8589934592L))
+      .withColumn("hll_est", lit(HllEstNum) / col("denom").cast(DoubleType))
+    val firstCounts = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
+    val exact = days.join(firstCounts, col("first_day") <= col("day"))
+      .groupBy(col("day")).agg(sum(col("n_new")).as("n_exact"))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("n_exact"), col("n_registers"), col("hll_est"),
+        ((col("hll_est") - col("n_exact").cast(DoubleType))
+          / col("n_exact").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("day"))
   }
 
   /** Fixed-point scale for [[entropyProfile]]'s per-value log2 terms:
