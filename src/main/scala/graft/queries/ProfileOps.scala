@@ -528,7 +528,9 @@ object ProfileOps {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val daily = hllRegisters(e, col("user_id"), col("day"))
-    val days = e.select(col("day")).distinct()
+    // day spine from the day-scale register table, NOT a third corpus
+    // scan (every day has events, hence >= 1 register row)
+    val days = daily.select(col("day")).distinct()
     val grid = days.withColumn("r",
       explode(expr(s"sequence(0L, ${HllRegisters - 1}L)")))
     val w = Window.partitionBy(col("r")).orderBy(col("day"))
@@ -544,7 +546,7 @@ object ProfileOps {
       .withColumn("hll_est", lit(HllEstNum) / col("denom").cast(DoubleType))
     val firstCounts = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
-    val exact = days.join(firstCounts, col("first_day") <= col("day"))
+    val exact = days.join(broadcast(firstCounts), col("first_day") <= col("day"))
       .groupBy(col("day")).agg(sum(col("n_new")).as("n_exact"))
     est.join(exact, Seq("day"))
       .select(col("day"), col("n_exact"), col("n_registers"), col("hll_est"),

@@ -598,4 +598,24 @@ class CurationOpsSpec extends SparkSpec {
         - raws.toDouble / canons) < 1e-12)
     }
   }
+
+  test("crawl frontier: makespan law, delay bounds, queue totals") {
+    val out = CurationOps.crawlFrontier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalUrls = out.map(_.getAs[Long]("n_urls")).sum
+    // one frontier row per host; queue totals cover every canonical URL
+    val nCanon = CurationOps.urlCanon(spark, sf)
+      .agg(sum(col("n_canonical_urls"))).head().getLong(0)
+    assert(totalUrls === nCanon)
+    out.foreach { r =>
+      val (delay, n, makespan) = (r.getAs[Long]("delay_ms"),
+        r.getAs[Long]("n_urls"), r.getAs[Long]("makespan_ms"))
+      // per-host serial dispatch: k-th URL at (k-1)*delay, so the queue's
+      // makespan is exactly (n-1)*delay
+      assert(makespan === (n - 1) * delay)
+      assert(delay >= CurationOps.CrawlBaseDelayMs &&
+        delay < CurationOps.CrawlBaseDelayMs + CurationOps.CrawlDelaySpanMs)
+      assert(r.getAs[String]("first_url").startsWith("https://"))
+    }
+  }
 }

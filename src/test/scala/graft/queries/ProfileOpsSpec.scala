@@ -227,6 +227,32 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("hll sliding: monotone curves and final day equals the global merge") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ProfileOps.hllSliding(spark, sf)
+      .collect()
+    assert(rows.length > 1)
+    // cumulative register max-merge only ever raises ranks: n_exact,
+    // n_registers, and the raw estimate are all non-decreasing in day
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_exact") <= b.getAs[Long]("n_exact"))
+      assert(a.getAs[Long]("n_registers") <= b.getAs[Long]("n_registers"))
+      assert(a.getAs[Double]("hll_est") <= b.getAs[Double]("hll_est"))
+    }
+    // the last day's state is the merge of ALL partials = the registers
+    // built over the whole corpus at once (the hllDistinct merge law)
+    val e = graft.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val whole = ProfileOps.hllRegisters(e, col("user_id"))
+      .agg(count(lit(1)).as("n_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m_r AS INT))")).as("s"))
+      .head()
+    val last = rows.last
+    assert(last.getAs[Long]("n_registers") === whole.getAs[Long]("n_registers"))
+    assert(last.getAs[Long]("n_exact") ===
+      e.select(col("user_id")).distinct().count())
+  }
+
   test("join-size estimate: one-sided (est >= exact) and depth-min tightens") {
     val r = ProfileOps.joinSizeEst(spark, "/root/testdata/sf0.001").collect()(0)
     val (est, exact) = (r.getLong(1), r.getLong(2))
