@@ -585,6 +585,10 @@ object SparkEntry {
     "q_geo_neighbors" -> (GeoOps.geoNeighbors _),
     // cumulative distinct-user curve from max-merged daily HLL partials
     "q_hll_sliding" -> (ProfileOps.hllSliding _),
+    // cell-scale density smoothing + exact-integer hotspot flags
+    "q_geo_density" -> (GeoOps.geoDensity _),
+    // right-to-be-forgotten cascade audit (map-only cohort predicate)
+    "q_forget_user" -> (PrivacyOps.forgetUser _),
   )
 
   private val revenueSql =
@@ -6404,6 +6408,54 @@ object SparkEntry {
         |SELECT day, n_exact, n_registers, $estSql AS hll_est,
         |  ($estSql - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
         |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin
+    },
+    // same per-cell aggregation-first shape: the ×9 kernel fan-out runs
+    // on the CELL table; the hotspot flag is one integer cross-multiply
+    "q_geo_density" -> {
+      import graft.queries.GeoOps.{GeoHotDen, GeoHotNum, GeoRadius, GeoSpan}
+      val axis = GeoSpan / GeoRadius
+      val nCells = axis * axis
+      val offs = (for (dx <- -1 to 1; dy <- -1 to 1) yield s"($dx, $dy)")
+        .mkString(", ")
+      s"""WITH p AS (SELECT
+        |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % $GeoSpan AS x,
+        |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % $GeoSpan AS y
+        |  FROM customer),
+        |cells AS (SELECT x // $GeoRadius AS cx, y // $GeoRadius AS cy,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells),
+        |probe AS (SELECT cells.cx + d.dx AS cx, cells.cy + d.dy AS cy, n
+        |  FROM cells CROSS JOIN (VALUES $offs) d(dx, dy)
+        |  WHERE cells.cx + d.dx BETWEEN 0 AND ${axis - 1}
+        |    AND cells.cy + d.dy BETWEEN 0 AND ${axis - 1}),
+        |sm AS (SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS smoothed
+        |  FROM probe GROUP BY 1, 2),
+        |w AS (SELECT c.cx, c.cy, c.n, s.smoothed,
+        |    (LEAST(c.cx + 1, ${axis - 1}) - GREATEST(c.cx - 1, 0) + 1)
+        |      * (LEAST(c.cy + 1, ${axis - 1}) - GREATEST(c.cy - 1, 0) + 1) AS n_window
+        |  FROM cells c JOIN sm s USING (cx, cy))
+        |SELECT w.cx, w.cy, w.n, w.smoothed, w.n_window,
+        |  CAST(w.smoothed * $nCells * $GeoHotDen > t.n_total * w.n_window * $GeoHotNum AS INT) AS is_hot
+        |FROM w CROSS JOIN total t ORDER BY cx, cy""".stripMargin
+    },
+    // cohort membership is the same keyed hash on the fact's own user
+    // column — no side table; the audit is one combining aggregate over
+    // the (type, user, purged) pre-aggregation in both engines
+    "q_forget_user" -> {
+      import graft.queries.PrivacyOps.ForgetMod
+      s"""WITH pu AS (SELECT event_type, user_id,
+        |    CASE WHEN ${h32Sql("concat('forget|', CAST(user_id AS VARCHAR))")}
+        |      % $ForgetMod = 0 THEN 1 ELSE 0 END AS purged,
+        |    COUNT(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN purged = 1 THEN n ELSE 0 END) AS BIGINT) AS rows_purged,
+        |  CAST(SUM(CASE WHEN purged = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_kept,
+        |  CAST(SUM(purged) AS BIGINT) AS users_purged,
+        |  CAST(SUM(1 - purged) AS BIGINT) AS users_kept,
+        |  CAST(SUM(CASE WHEN purged = 1 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS purge_frac
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
     },
   )
 

@@ -100,4 +100,62 @@ object GeoOps {
         col("nn_dist_sq"))
       .orderBy(col("custkey"))
   }
+
+  /** Grid-density hotspot report: per-cell point counts smoothed over the
+    * 3×3 cell neighborhood (the discrete kernel every density heatmap
+    * starts from), with the hotspot score as an exact integer ratio —
+    * cells whose 9-cell neighborhood mass exceeds
+    * [[GeoHotNum]]/[[GeoHotDen]] × the expected uniform mass are flagged.
+    * This is [[geoNeighbors]]' aggregation dual: neighbors asks "who is
+    * near THIS point", density asks "where is everyone" — and because it
+    * aggregates FIRST, every stage after the one corpus-scale groupBy
+    * runs at CELL scale (the occupied-cell count, bounded by
+    * (span/radius)² — a few thousand at any data volume), so the
+    * neighborhood join is a bounded self-join however large the input.
+    * The smoothing explode is the same literal ×9 fan-out, on the
+    * cell table instead of the point table.
+    */
+  private[graft] val GeoHotNum = 2L
+  private[graft] val GeoHotDen = 1L
+
+  def geoDensity(spark: SparkSession, dir: String): DataFrame = {
+    val (px, py) = geoPoint(col("c_custkey"))
+    val cellsPerAxis = GeoSpan / GeoRadius // exact: span is a multiple
+    val nCells = cellsPerAxis * cellsPerAxis
+    val cells = Tables.customer(spark, dir)
+      .select(px.as("x"), py.as("y"))
+      .select(expr(s"x div $GeoRadius").as("cx"), expr(s"y div $GeoRadius").as("cy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    val probe = cells
+      .withColumn("dxy", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)))
+      .select((col("cx") + col("dxy.dx")).as("cx"),
+        (col("cy") + col("dxy.dy")).as("cy"), col("n").as("nn"))
+      // mass never smears off the grid edge: out-of-domain cells are
+      // dropped so every smoothed count is a sum of REAL cells
+      .filter(col("cx") >= 0 && col("cx") < cellsPerAxis &&
+        col("cy") >= 0 && col("cy") < cellsPerAxis)
+      .groupBy(col("cx"), col("cy"))
+      .agg(sum(col("nn")).as("smoothed"))
+    cells.join(probe, Seq("cx", "cy"))
+      .crossJoin(broadcast(total))
+      // the kernel window clips at the grid edge: its true size is a pure
+      // function of position (4 at corners, 6 at edges, 9 interior)
+      .withColumn("n_window",
+        (least(col("cx") + 1, lit(cellsPerAxis - 1))
+          - greatest(col("cx") - 1, lit(0L)) + 1) *
+          (least(col("cy") + 1, lit(cellsPerAxis - 1))
+            - greatest(col("cy") - 1, lit(0L)) + 1))
+      // hotspot iff smoothed/n_window > factor × total/cells:
+      // cross-multiplied, so the flag is exact integer arithmetic
+      .withColumn("is_hot",
+        (col("smoothed") * lit(nCells) * GeoHotDen >
+          col("n_total") * col("n_window") * GeoHotNum).cast("int"))
+      .select(col("cx"), col("cy"), col("n"), col("smoothed"),
+        col("n_window"), col("is_hot"))
+      .orderBy(col("cx"), col("cy"))
+  }
 }

@@ -147,4 +147,47 @@ object PrivacyOps {
         lit(true).as("deterministic_replica"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic erasure cohort: 1-in-[[ForgetMod]] users by the keyed
+    * hash — the batch of right-to-be-forgotten requests a compliance run
+    * processes (hash-derived like every other synthetic driver here, so
+    * both engines agree on the cohort without a side table). */
+  private[graft] val ForgetMod = 20L
+
+  /** Right-to-be-forgotten cascade audit (GDPR Art. 17): given the
+    * erasure cohort, purge every event row belonging to a forgotten user
+    * and report, per event type, what the purge did — rows purged, rows
+    * kept, distinct users purged, distinct users kept — plus the
+    * purge fraction. This is the COMPLIANCE EVIDENCE a deletion job must
+    * emit: not just the post-delete table but an auditable account of
+    * what was removed, at the grain regulators ask for.
+    *
+    * Scale shape: the cohort predicate is a pure hash expression on the
+    * fact's own user column, so there is NO join at all — the cascade
+    * "set" never materializes, the purge classification is map-only, and
+    * one combining aggregate produces the audit (distinct-user counts
+    * ride two-level groupBys, never an Expand). A real deployment with
+    * an explicit request TABLE swaps the predicate for a semi-join
+    * against user-scale keys — the [[graft.queries.CoreOps]] quarantine
+    * shape — without touching the audit.
+    */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    val purge = (TextOps.h32(concat(lit("forget|"),
+      col("user_id").cast(StringType))) % ForgetMod === 0L).cast(IntegerType)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("purged", purge)
+      .groupBy(col("event_type"), col("user_id"), col("purged"))
+      .agg(count(lit(1)).as("n"))
+    perUser.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("purged") === 1, col("n")).otherwise(0L)).as("rows_purged"),
+        sum(when(col("purged") === 0, col("n")).otherwise(0L)).as("rows_kept"),
+        sum(col("purged").cast(LongType)).as("users_purged"),
+        sum(lit(1L) - col("purged")).as("users_kept"))
+      .withColumn("purge_frac",
+        col("rows_purged").cast(DoubleType)
+          / (col("rows_purged") + col("rows_kept")).cast(DoubleType))
+      .orderBy(col("event_type"))
+  }
 }

@@ -51,4 +51,26 @@ class GeoOpsSpec extends SparkSpec {
     assert(deg % 2 === 0)
     out.unpersist()
   }
+
+  test("geo density: totals, window clipping, and hotspot law") {
+    val out = GeoOps.geoDensity(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nPts = graft.Tables.customer(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum === nPts)
+    val axis = GeoOps.GeoSpan / GeoOps.GeoRadius
+    out.foreach { r =>
+      val (cx, cy, n, sm, w) = (r.getAs[Long]("cx"), r.getAs[Long]("cy"),
+        r.getAs[Long]("n"), r.getAs[Long]("smoothed"), r.getAs[Long]("n_window"))
+      assert(cx >= 0 && cx < axis && cy >= 0 && cy < axis)
+      assert(sm >= n) // the window always contains the cell itself
+      // clipped kernel size is positional: 4 corners, 6 edges, 9 interior
+      val wx = math.min(cx + 1, axis - 1) - math.max(cx - 1, 0) + 1
+      val wy = math.min(cy + 1, axis - 1) - math.max(cy - 1, 0) + 1
+      assert(w === wx * wy && Set(4L, 6L, 9L).contains(w))
+      // the flag is exactly the documented cross-multiplied inequality
+      val hot = sm * axis * axis * GeoOps.GeoHotDen >
+        nPts * w * GeoOps.GeoHotNum
+      assert(r.getAs[Int]("is_hot") === (if (hot) 1 else 0))
+    }
+  }
 }

@@ -116,4 +116,25 @@ class PrivacyOpsSpec extends SparkSpec {
     assert(PrivacyOps.dpCounts(spark, dir)
       .select("deterministic_replica").collect().forall(_.getBoolean(0)))
   }
+
+  test("forget user: audit reconciles with direct cohort counts") {
+    import graft.Tables
+    val out = PrivacyOps.forgetUser(spark, sf).collect()
+    assert(out.nonEmpty)
+    val e = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val cohort = (TextOps.h32(concat(lit("forget|"),
+      col("user_id").cast("string"))) % PrivacyOps.ForgetMod) === 0L
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val et = e.filter(col("event_type") === t)
+      // row counts reconcile with a direct purge classification
+      assert(r.getAs[Long]("rows_purged") === et.filter(cohort).count())
+      assert(r.getAs[Long]("rows_kept") === et.filter(!cohort).count())
+      // user counts partition the type's distinct users
+      val users = et.select(col("user_id")).distinct().count()
+      assert(r.getAs[Long]("users_purged") + r.getAs[Long]("users_kept") === users)
+      val frac = r.getAs[Double]("purge_frac")
+      assert(frac >= 0.0 && frac < 0.5) // ~1/20 cohort, loose envelope
+    }
+  }
 }
