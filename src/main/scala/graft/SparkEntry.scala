@@ -589,6 +589,8 @@ object SparkEntry {
     "q_geo_density" -> (GeoOps.geoDensity _),
     // right-to-be-forgotten cascade audit (map-only cohort predicate)
     "q_forget_user" -> (PrivacyOps.forgetUser _),
+    // Flesch reading-ease per source (exact count sums, one final formula)
+    "q_readability" -> (TextOps.readability _),
   )
 
   private val revenueSql =
@@ -6456,6 +6458,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN purged = 1 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(n) AS DOUBLE) AS purge_frac
         |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // the same three regex counts summed exactly per source; the Flesch
+    // arithmetic runs once per source row on the integer sums
+    "q_readability" -> {
+      s"""WITH d AS (SELECT source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(s) AS BIGINT) AS sentences,
+        |    CAST(SUM(y) AS BIGINT) AS syllables
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, words, sentences, syllables,
+        |  CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE) AS words_per_sentence,
+        |  CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE) AS syllables_per_word,
+        |  206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
+        |FROM a ORDER BY source""".stripMargin
     },
   )
 

@@ -1104,6 +1104,46 @@ object TextOps {
           lit(1.0) - col("stopword_ratio")).otherwise(0.0))
       .orderBy(col("doc_id"))
 
+  // -------------------------------------------------------------- readability
+  /** Flesch reading-ease per source — the classic readability gate a
+    * curation tier runs next to [[textStats]]' quality score (very low
+    * ease flags legalese/boilerplate, implausibly high ease flags token
+    * soup). Counts are the standard proxies, each a codegen'd regex over
+    * the text: words = whitespace tokens, sentences = terminator runs
+    * ([.!?]+, floored at 1 so headline-only docs don't divide by zero),
+    * syllables = vowel-group runs ([aeiouy]+, the textbook heuristic).
+    *
+    * Exactness discipline: all three counts aggregate as exact integer
+    * SUMS per source (one map-side-combinable groupBy — the lm_score
+    * ratio-of-sums shape), and the Flesch formula runs ONCE per source
+    * row on those sums — two IEEE divisions and two literal
+    * multiplications, bit-identical in any engine that parses the same
+    * decimal literals. Never a per-doc float average of floats.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toksAll).cast(LongType).as("w"),
+        greatest(lit(1),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+          .cast(LongType).as("s"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast(LongType).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"))
+    agg.select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        (col("words").cast(DoubleType) / col("sentences").cast(DoubleType))
+          .as("words_per_sentence"),
+        (col("syllables").cast(DoubleType) / col("words").cast(DoubleType))
+          .as("syllables_per_word"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------ TF-IDF
   /** Top-3 characteristic terms per document by TF-IDF. The idf factor is
     * LINEAR (1/df) rather than log(N/df): for a fixed document the two

@@ -904,4 +904,36 @@ class TextOpsSpec extends SparkSpec {
     val one = Seq((5L, 1L), (3L, 1L)).toDF("v", "y")
     assert(TextOps.aucFrom(one).collect()(0).isNullAt(3))
   }
+
+  test("readability: count heuristics and Flesch formula by hand") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextOps.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s, y) = (r.getAs[Long]("words"), r.getAs[Long]("sentences"),
+        r.getAs[Long]("syllables"))
+      assert(w > 0 && s > 0 && y > 0)
+      val wps = w.toDouble / s
+      val spw = y.toDouble / w
+      assert(r.getAs[Double]("words_per_sentence") === wps)
+      assert(r.getAs[Double]("flesch") === 206.835 - 1.015 * wps - 84.6 * spw)
+    }
+    // the three regex counts, pinned on hand strings through the same
+    // expressions the operator uses
+    val probe = spark.createDataFrame(Seq(
+      // 6 words; "Hi there. It works! Right?" -> 3 terminator runs;
+      // vowel groups: i, e, e, i, o, i (y counts as a vowel) -> 7 with "works"->o; count below
+      (1L, "Hi there. It works! Right?", "s1"),
+      (2L, "no terminator here", "s1")
+    )).toDF("doc_id", "text", "source").select(
+      size(split(lower(trim(col("text"))), "\\s+")).as("w"),
+      greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).as("s"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).as("y"))
+      .collect()
+    assert(probe(0).getInt(0) === 5 && probe(0).getInt(1) === 3)
+    // vowel groups: hi=1, there=2 (e,e split by r), it=1, works=1, right=1
+    assert(probe(0).getInt(2) === 6)
+    assert(probe(1).getInt(1) === 1) // sentence floor
+  }
 }
