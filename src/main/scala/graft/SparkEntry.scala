@@ -591,6 +591,8 @@ object SparkEntry {
     "q_forget_user" -> (PrivacyOps.forgetUser _),
     // Flesch reading-ease per source (exact count sums, one final formula)
     "q_readability" -> (TextOps.readability _),
+    // report-noisy-max DP median selection over the value-bin spine
+    "q_dp_median" -> (PrivacyOps.dpMedian _),
   )
 
   private val revenueSql =
@@ -6477,6 +6479,54 @@ object SparkEntry {
         |  206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
         |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
         |FROM a ORDER BY source""".stripMargin
+    },
+    // same bin spine, same prefix-sum utility, same truncated-Laplace
+    // replica keyed 'dpm|type|bin', same multiplied-through integer
+    // score (u*1000 + noise*2Δ — no signed division anywhere)
+    "q_dp_median" -> {
+      import graft.queries.PrivacyOps.{DpBMilli, DpEpsMilli, DpHalfRange, DpUSens}
+      import graft.queries.StatsOps.{LogScale, PsiBinCents, PsiBins}
+      def lnqSql(e: String) =
+        s"CAST(floor(ln(CAST($e AS DOUBLE)) * $LogScale.0 + 0.5) AS BIGINT)"
+      s"""WITH e AS (SELECT event_type,
+        |    greatest(least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // $PsiBinCents,
+        |      ${PsiBins - 1}), 0) AS bin
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |spine AS (SELECT event_type, r.range AS bin
+        |  FROM (SELECT DISTINCT event_type FROM c) CROSS JOIN range($PsiBins) r),
+        |s AS (SELECT spine.event_type, spine.bin, COALESCE(c.c, 0) AS c
+        |  FROM spine LEFT JOIN c USING (event_type, bin)),
+        |u AS (SELECT event_type, bin, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM s),
+        |sc AS (SELECT event_type, bin, n, -abs(cum * 2 - n) AS u,
+        |    ${h32Sql(s"concat('dpm|', event_type, '|', CAST(bin AS VARCHAR))")}
+        |      % ${2 * DpHalfRange} - $DpHalfRange AS v
+        |  FROM u),
+        |m AS (SELECT event_type, bin, n, u,
+        |    (CASE WHEN v < 0 THEN -1 ELSE 1 END)
+        |      * (($DpBMilli * GREATEST(${lnqSql(DpHalfRange.toString)}
+        |          - ${lnqSql("abs(v) + 1")}, 0)) // $LogScale) AS noise_milli
+        |  FROM sc),
+        |r AS (SELECT event_type, bin, n, u,
+        |    u * 1000 + noise_milli * ${2 * DpUSens} AS noisy_milli
+        |  FROM m),
+        |w AS (SELECT event_type, bin, n, u, noisy_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY noisy_milli DESC, bin) AS rn_noisy,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY u DESC, bin) AS rn_true
+        |  FROM r)
+        |SELECT rel.event_type, rel.n, tru.bin AS true_median_bin,
+        |  rel.bin AS released_bin, CAST($PsiBinCents AS BIGINT) AS bin_width_cents,
+        |  ${DpEpsMilli.toDouble / 1000.0} AS epsilon_nominal,
+        |  TRUE AS deterministic_replica
+        |FROM (SELECT * FROM w WHERE rn_noisy = 1) rel
+        |JOIN (SELECT * FROM w WHERE rn_true = 1) tru USING (event_type)
+        |ORDER BY event_type""".stripMargin
     },
   )
 

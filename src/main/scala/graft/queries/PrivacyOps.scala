@@ -148,6 +148,80 @@ object PrivacyOps {
       .orderBy(col("source"))
   }
 
+  /** Nominal sensitivity of the median utility u = −|2·cum − n| (one
+    * record moves cum by ≤1 and n by 1). Shares [[DpEpsMilli]]'s
+    * NOMINAL honesty contract. */
+  private[graft] val DpUSens = 2L
+
+  /** DP median selection per event type — report-noisy-max over the
+    * value-bin domain (the selection-query complement to [[dpCounts]]'
+    * counting query; together they are the two primitive DP shapes):
+    * utility u(bin) = −|2·cum(bin) − n| peaks at the median bin, each
+    * candidate's score gets the [[dpCounts]] deterministic truncated-
+    * Laplace replica at scale 2·Δu/ε (Laplace noisy-max), and the
+    * released value is the argmax. The released and true median bins are
+    * reported side by side with `epsilon_nominal` + `deterministic_
+    * replica` — the same no-real-guarantee honesty flags as dpCounts.
+    *
+    * Scale shape: one corpus-scale combining groupBy to (type, bin)
+    * counts; everything after runs on the literal (types × [[graft.
+    * queries.StatsOps.PsiBins]]) spine — prefix sums, utilities, noise,
+    * and BOTH argmaxes are windows PARTITIONED BY TYPE over ≤8 rows
+    * each. All integer arithmetic: the score comparison is
+    * u·1000 + noise_milli·2Δu (the ε/(2Δu) factor multiplied through,
+    * so no division — signed integer division is the one op the two
+    * engines round differently).
+    */
+  def dpMedian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.StatsOps.{LogScale, PsiBinCents, PsiBins}
+    import org.apache.spark.sql.expressions.Window
+    def lnq(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * lit(LogScale.toDouble) + lit(0.5)).cast(LongType)
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("bin", greatest(least(
+        expr(s"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div $PsiBinCents"),
+        lit(PsiBins - 1)), lit(0L)))
+    val c = e.groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    val spine = c.select(col("event_type")).distinct()
+      .withColumn("bin", explode(expr(s"sequence(0L, ${PsiBins - 1}L)")))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = spine.join(c, Seq("event_type", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("u", -abs(col("cum") * 2 - col("n")))
+      .withColumn("v",
+        (TextOps.h32(concat(lit("dpm|"), col("event_type"), lit("|"),
+          col("bin").cast(StringType))) % lit(2 * DpHalfRange)) - lit(DpHalfRange))
+      .withColumn("mag",
+        greatest(lnq(lit(DpHalfRange)) - lnq(abs(col("v")) + 1), lit(0L)))
+      .withColumn("noise_milli",
+        when(col("v") < 0, lit(-1L)).otherwise(lit(1L))
+          * expr(s"($DpBMilli * mag) div $LogScale"))
+      .withColumn("noisy_milli",
+        col("u") * 1000L + col("noise_milli") * lit(2 * DpUSens))
+    // both argmaxes read ONE evaluation of the scored spine: the two
+    // rank windows ride the same type partition, and a conditional
+    // aggregate extracts both winners without a second pass (a filter
+    // per winner would re-run the corpus groupBy per branch)
+    val win = scored
+      .withColumn("rn_noisy", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("noisy_milli").desc, col("bin"))))
+      .withColumn("rn_true", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("u").desc, col("bin"))))
+    win.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn_true") === 1, col("bin"))).as("true_median_bin"),
+        max(when(col("rn_noisy") === 1, col("bin"))).as("released_bin"))
+      .select(col("event_type"), col("n"), col("true_median_bin"),
+        col("released_bin"), lit(PsiBinCents).as("bin_width_cents"),
+        lit(DpEpsMilli.toDouble / 1000.0).as("epsilon_nominal"),
+        lit(true).as("deterministic_replica"))
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic erasure cohort: 1-in-[[ForgetMod]] users by the keyed
     * hash — the batch of right-to-be-forgotten requests a compliance run
     * processes (hash-derived like every other synthetic driver here, so

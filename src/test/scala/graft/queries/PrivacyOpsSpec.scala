@@ -117,6 +117,39 @@ class PrivacyOpsSpec extends SparkSpec {
       .select("deterministic_replica").collect().forall(_.getBoolean(0)))
   }
 
+  test("dp median: true bin is the exact median bin; flags honest") {
+    import graft.Tables
+    import graft.queries.StatsOps.{PsiBinCents, PsiBins}
+    val out = PrivacyOps.dpMedian(spark, sf).collect()
+    assert(out.nonEmpty)
+    val e = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("bin", greatest(least(
+        expr(s"CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div $PsiBinCents"),
+        lit(PsiBins - 1)), lit(0L)))
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val bins = e.filter(col("event_type") === t)
+        .select(col("bin")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      val n = bins.length.toLong
+      assert(r.getAs[Long]("n") === n)
+      // the utility-argmax bin minimizes |2*cum - n| (min bin on ties) —
+      // recompute it directly from the sorted bin multiset
+      val trueBin = (0L until PsiBins).minBy { b =>
+        (math.abs(2 * bins.count(_ <= b) - n), b)
+      }
+      assert(r.getAs[Long]("true_median_bin") === trueBin)
+      val rel = r.getAs[Long]("released_bin")
+      assert(rel >= 0 && rel < PsiBins)
+      assert(r.getAs[Double]("epsilon_nominal") > 0)
+      assert(r.getAs[Boolean]("deterministic_replica"))
+    }
+    // deterministic: identical release on re-run
+    val again = PrivacyOps.dpMedian(spark, sf).collect()
+    assert(out.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("forget user: audit reconciles with direct cohort counts") {
     import graft.Tables
     val out = PrivacyOps.forgetUser(spark, sf).collect()
