@@ -546,7 +546,13 @@ object ProfileOps {
       .withColumn("hll_est", lit(HllEstNum) / col("denom").cast(DoubleType))
     val firstCounts = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
-    val exact = days.join(broadcast(firstCounts), col("first_day") <= col("day"))
+    // broadcast the DAY SPINE, not the first-day counts: both are
+    // day-scale, but the spine's key domain is PROVABLY calendar-bounded
+    // (a cast-to-date grouping key), while first_day flows through a
+    // min() whose boundedness a plan audit cannot see (PlanGuardSpec's
+    // aggregate-result dead end — the audit is the contract, so the plan
+    // carries the side it can prove)
+    val exact = firstCounts.join(broadcast(days), col("first_day") <= col("day"))
       .groupBy(col("day")).agg(sum(col("n_new")).as("n_exact"))
     est.join(exact, Seq("day"))
       .select(col("day"), col("n_exact"), col("n_registers"), col("hll_est"),
