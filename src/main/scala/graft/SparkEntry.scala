@@ -593,6 +593,8 @@ object SparkEntry {
     "q_readability" -> (TextOps.readability _),
     // report-noisy-max DP median selection over the value-bin spine
     "q_dp_median" -> (PrivacyOps.dpMedian _),
+    // KMV theta-sketch union/intersection estimates vs exact overlap
+    "q_kmv_overlap" -> (ProfileOps.kmvOverlap _),
   )
 
   private val revenueSql =
@@ -6527,6 +6529,53 @@ object SparkEntry {
         |FROM (SELECT * FROM w WHERE rn_noisy = 1) rel
         |JOIN (SELECT * FROM w WHERE rn_true = 1) tru USING (event_type)
         |ORDER BY event_type""".stripMargin
+    },
+    // same k-min sketches (rank windows over the same h32 hashes), same
+    // combined-sketch membership algebra, same two mirrored divisions
+    "q_kmv_overlap" -> {
+      import graft.queries.ProfileOps.KmvK
+      val unionNum = (KmvK - 1).toDouble * 4294967296.0
+      s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |hashed AS (SELECT DISTINCT event_type,
+        |    ${h32Sql("concat('kmv|', CAST(user_id AS VARCHAR))")} AS h FROM tu),
+        |sk AS (SELECT event_type, h FROM (SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM hashed)
+        |  WHERE rk <= $KmvK),
+        |pairs AS (SELECT a.event_type AS type_a, a.n AS n_a,
+        |    b.event_type AS type_b, b.n AS n_b
+        |  FROM sizes a JOIN sizes b ON a.event_type < b.event_type),
+        |su AS (SELECT p.type_a, p.type_b, s.h, 'a' AS src
+        |    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        |  UNION ALL SELECT p.type_a, p.type_b, s.h, 'b'
+        |    FROM pairs p JOIN sk s ON s.event_type = p.type_b),
+        |comb AS (SELECT type_a, type_b, h,
+        |    MAX(CASE WHEN src = 'a' THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS in_b
+        |  FROM su GROUP BY 1, 2, 3),
+        |est0 AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS sk_k,
+        |    MAX(h) AS hk, CAST(SUM(in_a * in_b) AS BIGINT) AS sk_inter
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+        |      ORDER BY h) AS rk FROM comb)
+        |  WHERE rk <= $KmvK GROUP BY 1, 2),
+        |est AS (SELECT type_a, type_b, sk_k, sk_inter,
+        |    CASE WHEN sk_k < $KmvK THEN CAST(sk_k AS DOUBLE)
+        |      ELSE $unionNum / CAST(hk AS DOUBLE) END AS est_union
+        |  FROM est0),
+        |exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_a + p.n_b - x.n_inter AS n_union,
+        |  x.n_inter, e.sk_k, e.est_union,
+        |  (CAST(e.sk_inter AS DOUBLE) / CAST(e.sk_k AS DOUBLE)) * e.est_union
+        |    AS est_inter,
+        |  (e.est_union - CAST(p.n_a + p.n_b - x.n_inter AS DOUBLE))
+        |    / CAST(p.n_a + p.n_b - x.n_inter AS DOUBLE) AS rel_err_union
+        |FROM pairs p JOIN exact x USING (type_a, type_b)
+        |  JOIN est e USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin
     },
   )
 

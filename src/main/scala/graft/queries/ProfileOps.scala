@@ -561,6 +561,96 @@ object ProfileOps {
       .orderBy(col("day"))
   }
 
+  /** KMV sketch size (k minimum values). 64 keeps the set-algebra error
+    * visible (~1/√62 ≈ 13%, matching [[HllRegisters]]' deliberate
+    * smallness) and the per-group state at 64 longs. */
+  private[graft] val KmvK = 64L
+
+  /** KMV (k-minimum-values / theta) sketch set algebra — the sketch that
+    * completes the quintet: CMS answers frequency, HLL cardinality,
+    * MinHash pairwise similarity, q-digest quantiles; KMV is the one
+    * that supports UNION AND INTERSECTION estimates between groups,
+    * which HLL registers cannot express. Per event type the sketch is
+    * the [[KmvK]] smallest distinct user hashes; for every type pair the
+    * combined k-min sketch estimates |A∪B| = (k−1)·2³²/h₍ₖ₎ and
+    * |A∩B| = ĵ·|A∪B| where ĵ is the fraction of combined-sketch values
+    * present in both sides' sketches. Both estimates are audited
+    * against the exact overlap (the `q_audience_overlap` self-join).
+    *
+    * Scale shape: the sketch build is ONE distinct + one rank window
+    * per type whose `rank ≤ k` filter Spark pushes into the sort as a
+    * WindowGroupLimit (per-partition top-k before the exchange — the
+    * engine's bounded-top-k path); everything pairwise runs on the
+    * |types|² × 2k sketch-row frame — group-domain scale, like the
+    * source×source KL matrix. A sketch with fewer than k values IS its
+    * exact set, so small groups take the exact count path (CASE on the
+    * sketch size). Hashes are h32-uniform on [0, 2³²); the only floats
+    * are the two mirrored final divisions and their product.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextOps.h32
+    // the distinct (type, user) frame feeds FOUR consumers (sizes, the
+    // sketch build, and both sides of the exact self-join) — persisted so
+    // the corpus is scanned once, released after the |types|²-row result
+    // materializes into its checkpoint (the hammingClustersFrom pattern)
+    val tu = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val hashed = tu
+      .select(col("event_type"),
+        h32(concat(lit("kmv|"), col("user_id").cast(StringType))).as("h"))
+      .distinct()
+    val rkW = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = hashed.withColumn("rk", row_number().over(rkW))
+      .filter(col("rk") <= KmvK)
+      .select(col("event_type"), col("h"))
+    // |types| rows per side: the non-equi pair frame is the sanctioned
+    // bounded-key broadcast (the source×source KL-matrix shape)
+    val pairs = sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        col("type_a") < col("type_b"))
+    val su = pairs.select(col("type_a"), col("type_b"))
+      .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+      .withColumn("src", lit("a"))
+      .unionByName(pairs.select(col("type_a"), col("type_b"))
+        .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("h"))
+        .withColumn("src", lit("b")))
+    val comb = su.groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(when(col("src") === "a", 1).otherwise(0)).as("in_a"),
+        max(when(col("src") === "b", 1).otherwise(0)).as("in_b"))
+    val pw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val est = comb.withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= KmvK)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("sk_k"), max(col("h")).as("hk"),
+        sum((col("in_a") * col("in_b")).cast(LongType)).as("sk_inter"))
+      .withColumn("est_union",
+        when(col("sk_k") < KmvK, col("sk_k").cast(DoubleType))
+          .otherwise(lit((KmvK - 1).toDouble * 4294967296.0)
+            / col("hk").cast(DoubleType)))
+      .withColumn("est_inter",
+        (col("sk_inter").cast(DoubleType) / col("sk_k").cast(DoubleType))
+          * col("est_union"))
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = pairs.join(exact, Seq("type_a", "type_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_union"), col("n_inter"),
+        col("sk_k"), col("est_union"), col("est_inter"),
+        ((col("est_union") - col("n_union").cast(DoubleType))
+          / col("n_union").cast(DoubleType)).as("rel_err_union"))
+      .localCheckpoint()
+    tu.unpersist(blocking = false)
+    out.orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Fixed-point scale for [[entropyProfile]]'s per-value log2 terms:
     * 2²⁰ micro-bits. Shared with the oracle SQL. */
   private[graft] val EntScale = 1048576L

@@ -253,6 +253,40 @@ class ProfileOpsSpec extends SparkSpec {
       e.select(col("user_id")).distinct().count())
   }
 
+  test("kmv overlap: merge law, exact-path identity, error envelope") {
+    import graft.queries.TextOps
+    val sf = "/root/testdata/sf0.01"
+    val out = ProfileOps.kmvOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ground truth user-hash sets per type, straight from the table
+    val tu = graft.Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        TextOps.h32(concat(lit("kmv|"), col("user_id").cast("string"))).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val k = ProfileOps.KmvK.toInt
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val union = tu(a) ++ tu(b)
+      // MERGE LAW: the k smallest of the union equal the k smallest of
+      // (k-min(A) ∪ k-min(B)) — recompute the combined sketch directly
+      val skA = tu(a).toSeq.sorted.take(k).toSet
+      val skB = tu(b).toSeq.sorted.take(k).toSet
+      val combined = (skA ++ skB).toSeq.sorted.take(k)
+      assert(combined === union.toSeq.sorted.take(math.min(k, combined.size)))
+      assert(r.getAs[Long]("sk_k") === combined.size.toLong)
+      val estU = r.getAs[Double]("est_union")
+      if (combined.size < k) // exact path: the sketch IS the union set
+        assert(estU === union.size.toDouble &&
+          r.getAs[Long]("n_union") === union.size.toLong)
+      else // sketch path: k=64 => sigma ~ 13%; generous 4-sigma envelope
+        assert(math.abs(r.getAs[Double]("rel_err_union")) < 0.6)
+      // intersection estimate replays the membership fraction
+      val jHat = combined.count(h => skA(h) && skB(h)).toDouble / combined.size
+      assert(math.abs(r.getAs[Double]("est_inter") - jHat * estU) < 1e-9)
+    }
+  }
+
   test("join-size estimate: one-sided (est >= exact) and depth-min tightens") {
     val r = ProfileOps.joinSizeEst(spark, "/root/testdata/sf0.001").collect()(0)
     val (est, exact) = (r.getLong(1), r.getLong(2))
