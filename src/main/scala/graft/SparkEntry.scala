@@ -6567,13 +6567,15 @@ object SparkEntry {
         |    CAST(COUNT(*) AS BIGINT) AS n_inter
         |  FROM tu a JOIN tu b ON a.user_id = b.user_id
         |    AND a.event_type < b.event_type GROUP BY 1, 2)
-        |SELECT p.type_a, p.type_b, p.n_a + p.n_b - x.n_inter AS n_union,
-        |  x.n_inter, e.sk_k, e.est_union,
+        |SELECT p.type_a, p.type_b,
+        |  p.n_a + p.n_b - COALESCE(x.n_inter, 0) AS n_union,
+        |  COALESCE(x.n_inter, 0) AS n_inter, e.sk_k, e.est_union,
         |  (CAST(e.sk_inter AS DOUBLE) / CAST(e.sk_k AS DOUBLE)) * e.est_union
         |    AS est_inter,
-        |  (e.est_union - CAST(p.n_a + p.n_b - x.n_inter AS DOUBLE))
-        |    / CAST(p.n_a + p.n_b - x.n_inter AS DOUBLE) AS rel_err_union
-        |FROM pairs p JOIN exact x USING (type_a, type_b)
+        |  (e.est_union - CAST(p.n_a + p.n_b - COALESCE(x.n_inter, 0) AS DOUBLE))
+        |    / CAST(p.n_a + p.n_b - COALESCE(x.n_inter, 0) AS DOUBLE)
+        |    AS rel_err_union
+        |FROM pairs p LEFT JOIN exact x USING (type_a, type_b)
         |  JOIN est e USING (type_a, type_b)
         |ORDER BY type_a, type_b""".stripMargin
     },

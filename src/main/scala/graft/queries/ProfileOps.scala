@@ -588,15 +588,34 @@ object ProfileOps {
     * are the two mirrored final divisions and their product.
     */
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
-    import graft.queries.TextOps.h32
     // the distinct (type, user) frame feeds FOUR consumers (sizes, the
     // sketch build, and both sides of the exact self-join) — persisted so
     // the corpus is scanned once, released after the |types|²-row result
     // materializes into its checkpoint (the hammingClustersFrom pattern)
-    val tu = Tables.events(spark, dir)
+    val tu = kmvTu(spark, dir).persist()
+    val out = kmvOverlapFrom(tu).localCheckpoint()
+    tu.unpersist(blocking = false)
+    out.orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** The distinct (event_type, user_id) frame [[kmvOverlap]] sketches. */
+  private def kmvTu(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id")).distinct()
-      .persist()
+
+  /** Pre-checkpoint shape for plan audits (ADVICE r14): [[kmvOverlap]]'s
+    * final frame digests as an RDDScan because the localCheckpoint (which
+    * exists to release the persisted `tu`) truncates the plan, so the
+    * committed digest in `plan_digests.json` cannot see the documented
+    * scale shape. The WindowGroupLimit top-k and broadcast pair-frame
+    * claims are audited HERE (ProfileOpsSpec's shape test), on the exact
+    * frame [[kmvOverlap]] checkpoints. */
+  private[graft] def kmvOverlapUnchecked(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapFrom(kmvTu(spark, dir)).orderBy(col("type_a"), col("type_b"))
+
+  private def kmvOverlapFrom(tu: DataFrame): DataFrame = {
+    import graft.queries.TextOps.h32
     val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val hashed = tu
       .select(col("event_type"),
@@ -639,16 +658,18 @@ object ProfileOps {
       .filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val out = pairs.join(exact, Seq("type_a", "type_b"))
+    // LEFT join (ADVICE r14): a type pair with zero shared users has no
+    // exact row — dropping it would silently omit disjoint pairs from a
+    // "for every type pair" result. n_inter coalesces to 0; n_union is
+    // then n_a + n_b ≥ 2 > 0, so the rel_err division stays safe.
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .join(est, Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("n_union"), col("n_inter"),
         col("sk_k"), col("est_union"), col("est_inter"),
         ((col("est_union") - col("n_union").cast(DoubleType))
           / col("n_union").cast(DoubleType)).as("rel_err_union"))
-      .localCheckpoint()
-    tu.unpersist(blocking = false)
-    out.orderBy(col("type_a"), col("type_b"))
   }
 
   /** Fixed-point scale for [[entropyProfile]]'s per-value log2 terms:

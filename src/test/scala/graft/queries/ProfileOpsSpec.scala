@@ -287,6 +287,48 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmv overlap pre-checkpoint plan: WindowGroupLimit top-k + broadcast pair frame") {
+    // ADVICE r14: the committed digest for q_kmv_overlap is RDDScan+Sort
+    // (localCheckpoint truncates the plan), so the documented scale shape
+    // is audited here on the exact frame kmvOverlap checkpoints — under
+    // the PlanShapeSpec discipline (no size-based broadcasts).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ProfileOps.kmvOverlapUnchecked(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      val kinds = plan.collect { case p => p.getClass.getSimpleName }
+      // two rank-window top-k sites: the per-type sketch build and the
+      // combined-sketch re-rank both plan as WindowGroupLimit
+      assert(kinds.count(_ == "WindowGroupLimitExec") >= 2,
+        s"expected WindowGroupLimit top-k in: ${kinds.distinct.sorted}")
+      // the |types|² pair frame rides an explicit broadcast theta join
+      assert(kinds.exists(_.startsWith("BroadcastNestedLoopJoin")),
+        s"expected broadcast pair frame in: ${kinds.distinct.sorted}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("kmv overlap keeps disjoint type pairs with n_inter = 0") {
+    // ADVICE r14: the exact-overlap join is LEFT — a pair of types with
+    // zero shared users must still appear, with n_inter 0 and
+    // n_union = n_a + n_b. Fixture: three users, two disjoint types.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv-disjoint").toString
+    Seq(
+      ("click", "u1", "2024-01-01T00:00:00", 1.0),
+      ("click", "u2", "2024-01-01T00:00:00", 1.0),
+      ("view", "u3", "2024-01-01T00:00:00", 1.0))
+      .toDF("event_type", "user_id", "ts", "value")
+      .selectExpr("event_type", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = ProfileOps.kmvOverlap(spark, tmp).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("type_a") === "click")
+    assert(rows(0).getAs[String]("type_b") === "view")
+    assert(rows(0).getAs[Long]("n_inter") === 0L)
+    assert(rows(0).getAs[Long]("n_union") === 3L)
+  }
+
   test("join-size estimate: one-sided (est >= exact) and depth-min tightens") {
     val r = ProfileOps.joinSizeEst(spark, "/root/testdata/sf0.001").collect()(0)
     val (est, exact) = (r.getLong(1), r.getLong(2))
