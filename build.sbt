@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED (VERDICT r14 #1 /
+// every round's "parsed: null"): sbt's default LoggedOutput strategy
+// prefixes each forked-process line with "[info] ", so the one-line JSON
+// artifact contract Bench prints ("{"metric":...}" as the last stdout
+// line) was never machine-parseable in any driver artifact — every
+// BENCH_r*.json carries "parsed": null. StdoutOutput hands the child's
+// stdout/stderr straight through, so the bench summary line reaches the
+// driver's tail capture as raw JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,13 +97,21 @@ private[graft] object BenchBaseline {
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Methodology (VERDICT r2 "What's wrong" #5, r3 #4): one untimed warmup
-  * pass over all queries first (JVM/JIT/codegen + page cache), then each
-  * query timed THREE times and reported as the median — single-shot timings
-  * on this box swing ±50% on unchanged plans, swamping real deltas. Each
+  * Methodology (VERDICT r2 "What's wrong" #5, r3 #4; iterations made
+  * adaptive in r15 after BENCH_r14 blew the driver's wall-clock window —
+  * VERDICT r14 #1): each leg gets one untimed warmup execution adjacent
+  * to its timed runs (JVM/JIT/codegen + page cache), one timed run, and —
+  * only when its readings reach HeavyCut — a second timed run; "median"
+  * is the mean of the timed runs and "min" the floor over ALL executions
+  * (warmup included: warmup can only ever be slower than steady state).
+  * The heavy legs are exactly the ones the baseline_suspect adjudication
+  * tier reads, so they keep multi-run statistics; sub-second legs are
+  * noise-class by the artifact's own doctrine and pay one timed run. Each
   * run is a FULL materialization via the noop sink — every row and column
   * is produced, unlike `.count()` which lets Catalyst prune the work the
-  * verify path actually pays for.
+  * verify path actually pays for. A soft SPARK_GRAFT_BENCH_BUDGET_SEC
+  * degrades iteration counts (then warmups) instead of letting the
+  * driver's hard timeout kill the run with no artifact at all.
   *
   * Between legs the harness quiesces (clearCache + GC) so one leg's
   * leftover blocks/garbage cannot inflate a neighbor's time, and the
@@ -177,7 +185,8 @@ object Bench {
     // intersect a suspect wall-clock window with exactly the legs inside it.
     val runEpoch = System.nanoTime()
     def nowOff(): Double = (System.nanoTime() - runEpoch) / 1e9
-    case class Timing(median: Double, min: Double, t0: Double, t1: Double)
+    case class Timing(median: Double, min: Double, t0: Double, t1: Double,
+        runs: Int = 3)
     def timed3(run: () => Boolean, warmup: Boolean = true): Timing = {
       val t0 = nowOff()
       quiesce()
@@ -190,6 +199,67 @@ object Bench {
       if (times.exists(_ < 0)) Timing(-1.0, -1.0, t0, t1)
       else Timing(times.sorted.apply(1), times.min, t0, t1)
     }
+    // Wall-clock budget + adaptive iterations (VERDICT r14 #1): the
+    // 287-leg sweep at warmup+3-timed-per-leg (plus a global warmup pass)
+    // outgrew the driver's window — BENCH_r14.json is rc=124 with NO
+    // number, the round's only gate failure. Iterations now scale with
+    // the leg's own readings:
+    //   - every leg gets ONE warmup execution (JIT/codegen + page cache;
+    //     its wall-clock still feeds "min" — warmup can only ever be
+    //     SLOWER than steady state, so min over all executions stays a
+    //     valid contention-robust floor) and ONE timed run;
+    //   - only legs whose warmup or first timed run reads >= HeavyCut
+    //     earn a SECOND timed run — they are the only legs the
+    //     baseline_suspect tier adjudicates (MinSec = 5) and the only
+    //     ones whose absolute error matters by the artifact's own
+    //     doctrine (sub-second legs are noise-class, Bench epoch notes).
+    // "median" (the name every artifact consumer parses) is the mean of
+    // the timed runs; "min" is the min over ALL executions. Projected
+    // from the committed sf0.1 baseline: ~1600 s of leg executions drop
+    // to ~900 s quiet; measured after landing in ROUNDLOG.
+    val HeavyCut = 4.0
+    // SPARK_GRAFT_BENCH_BUDGET_SEC (VERDICT r14 #1d): a soft wall-clock
+    // target the run degrades against instead of dying at the driver's
+    // hard kill. Past 60% of it, heavy legs stop earning the second
+    // timed run; past 85%, remaining legs run once, cold — a complete
+    // low-fidelity artifact beats a truncated high-fidelity one. The
+    // default leaves ample headroom inside the driver's observed ~60-min
+    // window even on a contended box.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    def tierNow(): Int = {
+      val e = nowOff()
+      if (e > 0.85 * budgetSec) 2 else if (e > 0.60 * budgetSec) 1 else 0
+    }
+    def timedAdaptive(run: () => Boolean): Timing = {
+      val tier = tierNow()
+      val t0 = nowOff()
+      quiesce()
+      def one(): Double = {
+        val s = System.nanoTime()
+        if (run()) (System.nanoTime() - s) / 1e9 else -1.0
+      }
+      val w = if (tier >= 2) -1.0 else one() // warmup (skipped at tier 2)
+      if (tier < 2 && w < 0) return Timing(-1.0, -1.0, t0, nowOff(), 0)
+      val t1v = one()
+      if (t1v < 0) return Timing(-1.0, -1.0, t0, nowOff(), 0)
+      val extra =
+        if (tier == 0 && math.max(w, t1v) >= HeavyCut) Some(one()) else None
+      val t1 = nowOff()
+      if (extra.exists(_ < 0)) return Timing(-1.0, -1.0, t0, t1, 0)
+      val timed = Seq(t1v) ++ extra
+      val all = (if (w >= 0) Seq(w) else Nil) ++ timed
+      Timing(timed.sum / timed.size, all.min, t0, t1, timed.size)
+    }
+    // Heartbeat (VERDICT r14 #1c): Bench printed NOTHING between Spark
+    // startup and the final JSON, so the r14 kill left a ~59-minute
+    // silent window — a slow run indistinguishable from a hang, and the
+    // timeout point unattributable. One small line per phase/chunk makes
+    // any killed run leave a parseable progress prefix.
+    def round3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+    def heartbeat(phase: String, done: Int, of: Int): Unit =
+      println(s"""{"heartbeat":"$phase","done":$done,"of":$of,""" +
+        s""""elapsed":${round3(nowOff())},"tier":${tierNow()}}""")
     // Contention calibration (VERDICT r7 next-round #1): a CONSTANT
     // workload — fixed 200M-row in-memory aggregate (~0.5 s, long enough to amortize scheduling noise), zero disk, zero
     // dependence on SPARK_GRAFT_SF_DIR — timed at the start, middle and
@@ -207,12 +277,18 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] calibration failed: ${e.getMessage}"); false
       }
-    // 3 untimed iterations before the 3 timed ones: the calibration job is
-    // short enough that JIT tiering alone moved a single-warmup first
-    // checkpoint ~1.7x vs later ones (measured), which would read as fake
-    // contention; with deep warmup + the 200M-row size, spread ~1.1 quiet
+    // 3 untimed iterations before the 3 timed ones on the FIRST
+    // calibration only: the calibration job is short enough that JIT
+    // tiering alone moved a single-warmup first checkpoint ~1.7x vs later
+    // ones (measured), which would read as fake contention; with deep
+    // warmup + the 200M-row size, spread ~1.1 quiet. Later checkpoints
+    // run in an already-tiered JVM — one warmup keeps them honest at a
+    // third of the cost (budget discipline, VERDICT r14 #1).
+    var calWarmed = false
     def calibrate(): Timing = {
-      (1 to 3).foreach(_ => calRun())
+      val n = if (calWarmed) 1 else 3
+      calWarmed = true
+      (1 to n).foreach(_ => calRun())
       timed3(calRun _, warmup = false)
     }
     // Optional dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
@@ -220,16 +296,23 @@ object Bench {
     // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
+    // Isolated re-runs (benchgate adjudication / dev loop) keep the full
+    // warmup+3 discipline regardless of leg size: they time a handful of
+    // legs, their min-of-3 is the adjudication currency, and wall-clock
+    // budget pressure only exists on the full 287-leg sweep.
+    def timedLeg(run: () => Boolean): Timing =
+      if (only.isDefined) timed3(run) else timedAdaptive(run)
     // every timed leg registers its run thunk so the end-of-run isolated
     // re-verification (VERDICT r13 #3) can re-drive ANY suspect leg —
     // query, etl, family, or layout — without duplicating its setup
     val runners = scala.collection.mutable.Map.empty[String, () => Boolean]
     names.foreach(n => runners(n) = () => materialize(n))
-    names.foreach(materialize) // warmup, untimed
-    // calStart runs AFTER the global warmup pass so the three checkpoints
-    // bracket exactly the timed window — measured before: a start
-    // calibration in a cold JVM reads ~2x the end value from JIT alone,
-    // which would false-flag every clean run as contaminated
+    // No global warmup pass (VERDICT r14 #1b): it cost a full extra
+    // sweep (~one execution of every leg) and its only jobs — JIT,
+    // per-query codegen, page-cache warmth — are all covered by each
+    // leg's OWN warmup execution in timedAdaptive, adjacent to the timed
+    // runs instead of hundreds of seconds earlier. calibrate()'s deep
+    // warmup keeps the start checkpoint honest in the cold JVM.
     val calStart = calibrate()
     // EP1+EP2 end-to-end (VERDICT r3 next-round #1): CSV ingest → validate/
     // quarantine → OLTP → star dims → 3 fact builds over a generated
@@ -285,7 +368,7 @@ object Bench {
     // window between two calibration readings.
     runners("etl_pipeline") = runEtl _
     val etlResults = if (!runEtlLeg) Seq.empty[(String, Timing)]
-      else Seq("etl_pipeline" -> timed3(runEtl _))
+      else Seq("etl_pipeline" -> timedLeg(runEtl _))
     val calPostEtl = calibrate()
     // Dedup signature-table reuse (VERDICT r6 #3): the family's dominant
     // cost at 100 TB is the MinHash signature pass, and the three
@@ -327,8 +410,8 @@ object Bench {
       runners("dedup_family_recompute") = recomputeRun _
       runners("dedup_family_shared") = sharedRun _
       Seq(
-        "dedup_family_recompute" -> timed3(recomputeRun _),
-        "dedup_family_shared" -> timed3(sharedRun _))
+        "dedup_family_recompute" -> timedLeg(recomputeRun _),
+        "dedup_family_shared" -> timedLeg(sharedRun _))
     }
     // K-means centroid reuse (VERDICT r7 next-round #3, same story as the
     // dedup family): the Lloyd pass (seed collect + assignment + K·d-cell
@@ -358,8 +441,8 @@ object Bench {
       runners("kmeans_family_recompute") = recomputeRun _
       runners("kmeans_family_shared") = sharedRun _
       Seq(
-        "kmeans_family_recompute" -> timed3(recomputeRun _),
-        "kmeans_family_shared" -> timed3(sharedRun _))
+        "kmeans_family_recompute" -> timedLeg(recomputeRun _),
+        "kmeans_family_shared" -> timedLeg(sharedRun _))
     }
     // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
     // join over plain parquet vs bucketBy'd tables — the bucketed number is
@@ -390,15 +473,16 @@ object Bench {
         runners("layout_join_plain") = plain
         runners("layout_join_bucketed") = bucketed
         Seq(
-          "layout_join_plain" -> timed3(plain),
-          "layout_join_bucketed" -> timed3(bucketed))
+          "layout_join_plain" -> timedLeg(plain),
+          "layout_join_bucketed" -> timedLeg(bucketed))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
     val calMid = calibrate()
-    // Per-query sweep AFTER the heavy block: each leg's 3 timed runs skip
-    // timed3's warmup because the global pass above already materialized
-    // every query once (JIT + page cache), and the heavy legs touch the
-    // same input files so the OS cache stays warm.
+    heartbeat("heavy", etlResults.size + dedupResults.size +
+      kmeansResults.size + layoutResults.size, names.size)
+    // Per-query sweep AFTER the heavy block, each leg timed adaptively
+    // (its own adjacent warmup + 1 timed run, a second timed run only at
+    // HeavyCut — see timedAdaptive; VERDICT r14 #1a/b).
     // The sweep runs in thirds with a calibration probe between chunks
     // (VERDICT r11 #2): mid→end was one ~200 s unprobed window, so a
     // contaminated tail epoch could not be attributed tighter than "half
@@ -406,10 +490,13 @@ object Bench {
     // exactly this reason. Two extra ~3 s probes buy per-third brackets.
     val sweepCals = scala.collection.mutable.ArrayBuffer.empty[(String, Timing)]
     val chunks = names.grouped(math.max(1, (names.size + 2) / 3)).toSeq
+    var sweepDone = 0
     val results = chunks.zipWithIndex.flatMap { case (chunk, i) =>
       val rs = chunk.map { name =>
-        name -> timed3(() => materialize(name), warmup = false)
+        name -> timedLeg(() => materialize(name))
       }
+      sweepDone += chunk.size
+      heartbeat(s"sweep_${i + 1}", sweepDone, names.size)
       if (i < chunks.size - 1) sweepCals += (s"sweep_${i + 1}" -> calibrate())
       rs
     }
@@ -421,8 +508,9 @@ object Bench {
     // twin; "calibration" is the constant-workload checkpoint trio. A
     // clean run has cal spread ~1.0 and median/min per leg close; a
     // contaminated run shows it in one or both, in the artifact itself.
-    def round3(d: Double): Double = math.round(d * 1000.0) / 1000.0
     val qs = finalResults.map { case (k, t) => "\"" + k + "\":" + round3(t.median) }
+      .mkString("{", ",", "}")
+    val qsRuns = finalResults.map { case (k, t) => "\"" + k + "\":" + t.runs }
       .mkString("{", ",", "}")
     val qsMin = finalResults.map { case (k, t) => "\"" + k + "\":" + round3(t.min) }
       .mkString("{", ",", "}")
@@ -449,8 +537,12 @@ object Bench {
     // the etl phantom every round. Listed, not patched: the medians stay
     // honest raw measurements; "spread_suspect" tells any consumer which
     // ones to re-read via queries_min or an isolated re-run.
+    // (>= 1 s guard matches the epoch_suspect doctrine below: with
+    // adaptive iterations a sub-second leg has one timed run whose
+    // "median" vs the warmup-fed min is pure noise-class jitter)
     val spreadSuspect = finalResults.collect {
-      case (k, t) if t.min > 0 && t.median > 1.5 * t.min => "\"" + k + "\""
+      case (k, t) if t.min > 0 && t.median >= 1.0 && t.median > 1.5 * t.min =>
+        "\"" + k + "\""
     }.mkString("[", ",", "]")
     // Epoch self-annotation (VERDICT r11 #2): spread_suspect cannot see
     // contamination that inflates all 3 iterations EQUALLY (etl_pipeline
@@ -524,9 +616,16 @@ object Bench {
     // not mint confirmations). Both readings ship: "queries" stays the
     // honest raw sweep; "queries_isolated" carries the re-verification
     // with its verdict per leg.
+    // Budget discipline (VERDICT r14 #1): the tail is adjudication, not
+    // measurement — cap it at the 3 worst-ratio legs and skip it entirely
+    // when the run is already at 90% of its wall-clock budget (a complete
+    // artifact with raw suspects beats a killed run with none).
+    val isolatedLegs =
+      if (nowOff() > 0.9 * budgetSec) Seq.empty[String]
+      else baselineSuspect.toSeq.sortBy(-_._2).take(3).map(_._1).sorted
     val isolatedJson =
-      if (baselineSuspect.isEmpty) "{}"
-      else baselineSuspect.keys.toSeq.sorted.flatMap { leg =>
+      if (isolatedLegs.isEmpty) "{}"
+      else isolatedLegs.flatMap { leg =>
         runners.get(leg).map { run =>
           val cal = calibrate()
           val t = timed3(run, warmup = false)
@@ -539,7 +638,7 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"queries_isolated":$isolatedJson,"baseline_note":"$baselineNote","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"queries_isolated":$isolatedJson,"baseline_note":"$baselineNote","queries_runs":$qsRuns,"budget_sec":$budgetSec,"elapsed_sec":${round3(nowOff())},"sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

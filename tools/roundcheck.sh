@@ -77,8 +77,26 @@ else
 fi
 
 echo "== [5/5] full sbt test"
-sbt -batch test > "$OUT_DIR/test.log" 2>&1
-grep -E "Tests: succeeded|All tests passed" "$OUT_DIR/test.log" | tail -2
+TEST_RC=0
+sbt -batch test > "$OUT_DIR/test.log" 2>&1 || TEST_RC=$?
+# Hard-fail on truncated evidence (VERDICT r14 #3): the r14 close shipped
+# a test.log that ended in a SparkContext-shutdown cascade mid-suite and
+# was still recorded as "ran to completion". A close is only valid when
+# sbt exited 0 AND the log carries the aggregate full-suite summary with
+# zero failures AND zero aborted suites — anything less is not evidence.
+TEST_SUMMARY=$(grep -E "Tests: succeeded [0-9]+, failed 0, canceled 0" \
+  "$OUT_DIR/test.log" | tail -1 || true)
+SUITES_OK=$(grep -E "Suites: completed [0-9]+, aborted 0" \
+  "$OUT_DIR/test.log" | tail -1 || true)
+if [ "$TEST_RC" != "0" ] || [ -z "$TEST_SUMMARY" ] || [ -z "$SUITES_OK" ]; then
+  echo "FATAL: full-suite evidence incomplete (sbt rc $TEST_RC;"
+  echo " summary='$TEST_SUMMARY'; suites='$SUITES_OK') — a truncated or"
+  echo " failing test.log does not close a round. Last lines:"
+  tail -5 "$OUT_DIR/test.log"
+  exit 1
+fi
+echo "$TEST_SUMMARY"
+echo "$SUITES_OK"
 
 echo "== roundcheck complete; artifacts in $OUT_DIR (benchgate rc $GATE_RC)"
 exit "$GATE_RC"
