@@ -123,6 +123,10 @@ object SparkEntry {
     "q_dedup_cc" -> (TextOps.dedupCC _),
     // CC with the exact-Jaccard verify stage (band collision = recall only)
     "q_dedup_cc_verified" -> (TextOps.dedupCCVerified _),
+    // incremental verified dedup: batch probes the persisted band table,
+    // exact-Jaccard verify, component UPDATE at (touched comps + batch)
+    // scale — fixture-proven equal to the full recompute
+    "q_dedup_inc_verified" -> (TextOps.dedupIncVerified _),
     "q_dedup_simhash" -> (TextOps.dedupSimhash _),
     "q_dedup_simhash_cluster" -> (TextOps.dedupSimhashCluster _),
     "q_dedup_ngram" -> (TextOps.dedupNgram _),
@@ -237,6 +241,9 @@ object SparkEntry {
     "q_retrieval_gated" -> (VectorOps.retrievalGated _),
     "q_sim_lsh" -> (VectorOps.simLsh _),
     "q_sim_ivf" -> (VectorOps.simIvf _),
+    // NSW-class graph ANN: bucketed top-Deg neighbor graph + unrolled
+    // greedy beam search (recall@3 measured in VectorOpsSpec)
+    "q_graph_ann" -> (VectorOps.graphAnn _),
     // multi-probe IVF: each probe searches its nprobe nearest cells —
     // the recall/cost knob (curve measured in VectorOpsSpec)
     "q_sim_ivf_multi" -> (VectorOps.simIvfMulti _),
@@ -587,6 +594,9 @@ object SparkEntry {
     "q_hll_sliding" -> (ProfileOps.hllSliding _),
     // cell-scale density smoothing + exact-integer hotspot flags
     "q_geo_density" -> (GeoOps.geoDensity _),
+    // real-coordinate (lat/lon degree) radius census: quantized-
+    // equirectangular metric, shared literal cos table, degree-scaled cells
+    "q_geo_latlon" -> (GeoOps.geoLatLon _),
     // right-to-be-forgotten cascade audit (map-only cohort predicate)
     "q_forget_user" -> (PrivacyOps.forgetUser _),
     // Flesch reading-ease per source (exact count sums, one final formula)
@@ -1238,26 +1248,27 @@ object SparkEntry {
     * round collapses near-dup cliques to their min member, the
     * recursive walk runs on the contracted quotient graph only.
     * Terminal CTE `comp(doc_id, cluster_id)`. */
-  private def hookedComponentsSql(seed: String): String =
-    s"""edges AS MATERIALIZED (SELECT src, dst FROM hv
-      |  UNION SELECT dst AS src, src AS dst FROM hv),
-      |nmin AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS p
-      |  FROM edges GROUP BY src),
-      |lab0 AS MATERIALIZED (SELECT s.doc_id, COALESCE(n.p, s.doc_id) AS p
-      |  FROM $seed s LEFT JOIN nmin n USING (doc_id)),
-      |ec AS MATERIALIZED (SELECT DISTINCT la.p AS src, lb.p AS dst
-      |  FROM edges e JOIN lab0 la ON e.src = la.doc_id
-      |  JOIN lab0 lb ON e.dst = lb.doc_id
+  private def hookedComponentsSql(seed: String, pfx: String = "",
+      hv: String = "hv"): String =
+    s"""${pfx}edges AS MATERIALIZED (SELECT src, dst FROM $hv
+      |  UNION SELECT dst AS src, src AS dst FROM $hv),
+      |${pfx}nmin AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS p
+      |  FROM ${pfx}edges GROUP BY src),
+      |${pfx}lab0 AS MATERIALIZED (SELECT s.doc_id, COALESCE(n.p, s.doc_id) AS p
+      |  FROM $seed s LEFT JOIN ${pfx}nmin n USING (doc_id)),
+      |${pfx}ec AS MATERIALIZED (SELECT DISTINCT la.p AS src, lb.p AS dst
+      |  FROM ${pfx}edges e JOIN ${pfx}lab0 la ON e.src = la.doc_id
+      |  JOIN ${pfx}lab0 lb ON e.dst = lb.doc_id
       |  WHERE la.p <> lb.p),
-      |walk AS (
+      |${pfx}walk AS (
       |  WITH RECURSIVE wr(id, reach) AS (
-      |    SELECT DISTINCT p, p FROM lab0
+      |    SELECT DISTINCT p, p FROM ${pfx}lab0
       |    UNION
-      |    SELECT w.id, e.dst FROM wr w JOIN ec e ON e.src = w.reach)
+      |    SELECT w.id, e.dst FROM wr w JOIN ${pfx}ec e ON e.src = w.reach)
       |  SELECT * FROM wr),
-      |croot AS (SELECT id, MIN(reach) AS root FROM walk GROUP BY id),
-      |comp AS (SELECT l.doc_id, c.root AS cluster_id
-      |  FROM lab0 l JOIN croot c ON l.p = c.id)""".stripMargin
+      |${pfx}croot AS (SELECT id, MIN(reach) AS root FROM ${pfx}walk GROUP BY id),
+      |${pfx}comp AS (SELECT l.doc_id, c.root AS cluster_id
+      |  FROM ${pfx}lab0 l JOIN ${pfx}croot c ON l.p = c.id)""".stripMargin
 
   /** Shared CTE chain computing the per-doc 32-bit SimHash signature —
     * prefix of both q_dedup_simhash and q_dedup_simhash_cluster. */
@@ -1810,6 +1821,66 @@ object SparkEntry {
         |SELECT doc_id, cluster_id AS component_id,
         |  CAST(doc_id <> cluster_id AS INT) AS is_dup
         |FROM comp ORDER BY doc_id""".stripMargin
+    },
+    // doc-level reference of the incremental update: existing-only
+    // clustering (the persisted state), combined-bucket batch candidates
+    // (>= 1 batch endpoint), exact-Jaccard verify, then a SECOND hooked
+    // pass over the CONTRACTED (labels + batch ids) graph. The size
+    // prefilter is an optimization (can never change what verifies) and
+    // is deliberately absent here, as in the cc_verified oracle.
+    "q_dedup_inc_verified" -> {
+      import graft.queries.TextOps.{CcJaccardTauDen, CcJaccardTauNum, LshBucketCap}
+      def verifySql(cand: String, out: String) =
+        s"""$out AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM (
+          |    SELECT doc_id_a, doc_id_b,
+          |      len(list_intersect(ta.th, tb.th)) AS ni,
+          |      len(ta.th) AS na, len(tb.th) AS nb
+          |    FROM $cand JOIN ts ta ON $cand.doc_id_a = ta.doc_id
+          |    JOIN ts tb ON $cand.doc_id_b = tb.doc_id)
+          |  WHERE ni * $CcJaccardTauDen >= (na + nb - ni) * $CcJaccardTauNum)""".stripMargin
+      s"""$minhashBandedCtes,
+        |ts AS MATERIALIZED (SELECT doc_id, list_distinct(th) AS th FROM h),
+        |tsE AS (SELECT doc_id, th FROM ts WHERE doc_id % 10 <> 0),
+        |bktE AS (SELECT band_id, band_key, count(*) AS bsz FROM banded
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |ibE AS MATERIALIZED (SELECT b.band_id, b.band_key, b.doc_id
+        |  FROM banded b JOIN bktE USING (band_id, band_key)
+        |  WHERE bsz <= $LshBucketCap AND b.doc_id % 10 <> 0),
+        |candE AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a,
+        |    c.doc_id AS doc_id_b
+        |  FROM ibE a JOIN ibE c USING (band_id, band_key)
+        |  WHERE a.doc_id < c.doc_id),
+        |${verifySql("candE", "hvE")},
+        |${hookedComponentsSql("tsE", "e", "hvE")},
+        |bktA AS (SELECT band_id, band_key, count(*) AS bsz FROM banded
+        |  GROUP BY 1, 2),
+        |ibA AS MATERIALIZED (SELECT b.band_id, b.band_key, b.doc_id
+        |  FROM banded b JOIN bktA USING (band_id, band_key)
+        |  WHERE bsz <= $LshBucketCap),
+        |candN AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a,
+        |    c.doc_id AS doc_id_b
+        |  FROM ibA a JOIN ibA c USING (band_id, band_key)
+        |  WHERE a.doc_id < c.doc_id
+        |    AND (a.doc_id % 10 = 0 OR c.doc_id % 10 = 0)),
+        |${verifySql("candN", "hvN")},
+        |hvU AS (SELECT DISTINCT COALESCE(ea.cluster_id, v.src) AS src,
+        |    COALESCE(eb.cluster_id, v.dst) AS dst
+        |  FROM hvN v LEFT JOIN ecomp ea ON v.src = ea.doc_id
+        |  LEFT JOIN ecomp eb ON v.dst = eb.doc_id
+        |  WHERE COALESCE(ea.cluster_id, v.src) <> COALESCE(eb.cluster_id, v.dst)),
+        |nodesU AS (SELECT DISTINCT cluster_id AS doc_id FROM ecomp
+        |  UNION SELECT doc_id FROM ts WHERE doc_id % 10 = 0),
+        |${hookedComponentsSql("nodesU", "u", "hvU")}
+        |SELECT doc_id, component_id,
+        |  CAST(doc_id <> component_id AS INT) AS is_dup, is_batch
+        |FROM (
+        |  SELECT e.doc_id, u.cluster_id AS component_id, 0 AS is_batch
+        |  FROM ecomp e JOIN ucomp u ON e.cluster_id = u.doc_id
+        |  UNION ALL
+        |  SELECT t.doc_id, u.cluster_id AS component_id, 1 AS is_batch
+        |  FROM ts t JOIN ucomp u ON t.doc_id = u.doc_id
+        |  WHERE t.doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_simhash" ->
       s"""$simhashSqlCtes
@@ -2460,6 +2531,64 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
         |  FROM pairs)
         |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // two-table bucketed candidate pairs, per-node top-Deg neighbor
+    // graph (UNION-symmetrized), probe's-own-bucket beam seeds, then the
+    // unrolled beam hops — expansion (UNION dedupes, matching
+    // .distinct()), rescoring, per-probe top-B
+    "q_graph_ann" -> {
+      import graft.queries.VectorOps.{GraphAnnBeam, GraphAnnDeg,
+        GraphAnnEntries, GraphAnnHops}
+      def bucketSql(j0: Int) =
+        s"""CAST((CASE WHEN ${planeDotSql(j0)} > 0 THEN 8 ELSE 0 END)
+           |       + (CASE WHEN ${planeDotSql(j0 + 1)} > 0 THEN 4 ELSE 0 END)
+           |       + (CASE WHEN ${planeDotSql(j0 + 2)} > 0 THEN 2 ELSE 0 END)
+           |       + (CASE WHEN ${planeDotSql(j0 + 3)} > 0 THEN 1 ELSE 0 END) AS INT)""".stripMargin
+      val hops = (1 to GraphAnnHops).map { k =>
+        val prev = s"bm${k - 1}"
+        s"""x$k AS (SELECT probe_id, cand FROM $prev
+          |  UNION SELECT p.probe_id, ed.dst AS cand FROM $prev p
+          |    JOIN ed ON ed.src = p.cand WHERE ed.dst <> p.probe_id),
+          |s$k AS (SELECT x.probe_id, x.cand,
+          |    ${cosSql("pr.p_emb", "c.embedding", "pr.n")} AS cos
+          |  FROM x$k x JOIN e c ON c.vec_id = x.cand
+          |  JOIN pr ON pr.probe_id = x.probe_id),
+          |bm$k AS (SELECT probe_id, cand FROM (SELECT *,
+          |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand) AS rk
+          |  FROM s$k) WHERE rk <= $GraphAnnBeam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding, len(embedding) AS n FROM embeddings),
+        |b AS (SELECT vec_id, embedding, n, ${bucketSql(0)} AS b1,
+        |    ${bucketSql(4)} AS b2 FROM e),
+        |mp AS (SELECT vec_id, 1 AS tbl, b1 AS bk FROM b
+        |  UNION ALL SELECT vec_id, 2 AS tbl, b2 AS bk FROM b),
+        |cd AS (SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+        |  FROM mp a JOIN mp c ON c.tbl = a.tbl AND c.bk = a.bk
+        |    AND c.vec_id <> a.vec_id),
+        |tk AS (SELECT src, dst FROM (
+        |  SELECT cd.src, cd.dst,
+        |    ROW_NUMBER() OVER (PARTITION BY cd.src
+        |      ORDER BY ${cosSql("sa.embedding", "sb.embedding", "sa.n")} DESC,
+        |        cd.dst) AS rk
+        |  FROM cd JOIN e sa ON sa.vec_id = cd.src JOIN e sb ON sb.vec_id = cd.dst)
+        |  WHERE rk <= $GraphAnnDeg),
+        |ed AS MATERIALIZED (SELECT src, dst FROM tk
+        |  UNION SELECT dst AS src, src AS dst FROM tk),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p_emb, n, b1 FROM b
+        |  WHERE vec_id < 5),
+        |bm0 AS (SELECT probe_id, cand FROM (
+        |  SELECT pr.probe_id, c.vec_id AS cand,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.probe_id ORDER BY c.vec_id) AS rk
+        |  FROM pr JOIN b c ON c.b1 = pr.b1 AND c.vec_id <> pr.probe_id)
+        |  WHERE rk <= $GraphAnnEntries),
+        |$hops
+        |SELECT probe_id, CAST(rnk AS INT) AS rank, cand AS neighbor_id,
+        |  cos AS cos_sim FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand) AS rnk
+        |  FROM s$GraphAnnHops s
+        |  WHERE EXISTS (SELECT 1 FROM bm$GraphAnnHops f
+        |    WHERE f.probe_id = s.probe_id AND f.cand = s.cand))
+        |WHERE rnk <= 3 ORDER BY probe_id, rank""".stripMargin
+    },
     "q_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding, len(embedding) AS n FROM embeddings),
         |bk AS (
@@ -6417,6 +6546,36 @@ object SparkEntry {
     },
     // same per-cell aggregation-first shape: the ×9 kernel fan-out runs
     // on the CELL table; the hotspot flag is one integer cross-multiply
+    // same grid kernel in degree space: the cos table is GENERATED from
+    // the same Scala Seq the Spark plan embeds, so trig rounding cannot
+    // drift between engines; the midpoint-band metric is mirrored term
+    // by term (both latitude offsets nonnegative -> div/// agree)
+    "q_geo_latlon" -> {
+      import graft.queries.GeoOps.{GeoCosQ, GeoCosScale, GeoLLRadius,
+        GeoLatSpanU, GeoLonSpanU}
+      val lonCell = 2L * GeoLLRadius
+      val r2 = GeoLLRadius * GeoLLRadius
+      val cosList = GeoCosQ.mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT c_custkey AS k,
+        |    CAST(concat('0x', substr(md5(concat('geo|', CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % $GeoLatSpanU AS latu,
+        |    CAST(concat('0x', substr(md5(concat('geo|', CAST(c_custkey AS VARCHAR))), 9, 8)) AS BIGINT) % $GeoLonSpanU AS lonu
+        |  FROM customer),
+        |c AS (SELECT k, latu, lonu, latu // $GeoLLRadius AS clat,
+        |    lonu // $lonCell AS clon FROM p),
+        |d AS (SELECT a.k AS ka,
+        |    (a.latu - b.latu) * (a.latu - b.latu)
+        |      + ((abs(a.lonu - b.lonu) * ($cosList)[CAST((a.latu + b.latu) // 2 // 1000000 AS INT) + 1]) // $GeoCosScale)
+        |      * ((abs(a.lonu - b.lonu) * ($cosList)[CAST((a.latu + b.latu) // 2 // 1000000 AS INT) + 1]) // $GeoCosScale) AS d2
+        |  FROM c a JOIN c b ON b.clat BETWEEN a.clat - 1 AND a.clat + 1
+        |    AND b.clon BETWEEN a.clon - 1 AND a.clon + 1
+        |    AND a.k <> b.k),
+        |n AS (SELECT ka, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        |    MIN(d2) AS nn_dist2
+        |  FROM d WHERE d2 <= $r2 GROUP BY 1)
+        |SELECT p.k AS custkey, p.latu, p.lonu,
+        |  COALESCE(n.n_neighbors, 0) AS n_neighbors, n.nn_dist2
+        |FROM p LEFT JOIN n ON n.ka = p.k ORDER BY custkey""".stripMargin
+    },
     "q_geo_density" -> {
       import graft.queries.GeoOps.{GeoHotDen, GeoHotNum, GeoRadius, GeoSpan}
       val axis = GeoSpan / GeoRadius

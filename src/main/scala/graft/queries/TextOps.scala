@@ -386,11 +386,20 @@ object TextOps {
     * The verify predicate is exact integer arithmetic on three size()
     * calls; clustering is hook + quotient propagation at class scale.
     */
-  def dedupCCVerified(spark: SparkSession, dir: String): DataFrame = {
-    val tokSets = Tables.documents(spark, dir)
+  def dedupCCVerified(spark: SparkSession, dir: String): DataFrame =
+    dedupCCVerifiedFrom(docTokSets(spark, dir))
+
+  /** Per-doc distinct token-hash sets — the shared substrate of the
+    * verified dedup family ([[dedupCCVerified]], [[dedupIncVerified]]). */
+  private[graft] def docTokSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_distinct(transform(toksSet, tk => h32(tk))).as("th"))
-      .persist()
+
+  /** [[dedupCCVerified]] over any (doc_id, th) frame — factored so the
+    * incremental variant and fixture specs share the exact clustering. */
+  private[graft] def dedupCCVerifiedFrom(tokSets0: DataFrame): DataFrame = {
+    val tokSets = tokSets0.persist()
     val reps = tokSets.groupBy(col("th"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("class_n"))
       .withColumn("n", size(col("th")))
@@ -443,6 +452,119 @@ object TextOps {
       .localCheckpoint()
     inBucket.unpersist(blocking = false)
     reps.unpersist(blocking = false)
+    tokSets.unpersist(blocking = false)
+    out.orderBy(col("doc_id"))
+  }
+
+  // --------------------------------- dedup: incremental + verified (update)
+  /** INCREMENTAL Jaccard-verified dedup (VERDICT r14 #7) — the
+    * [[dedupIncremental]] batch-probe shape upgraded with the r14 verify
+    * discipline, and component UPDATE instead of recompute: the
+    * production loop for a growing 100 TB corpus, where each arriving
+    * batch must join the persisted cluster state without re-touching
+    * history.
+    *
+    * Split: existing corpus = `doc_id % 10 != 0`, arriving batch =
+    * `doc_id % 10 == 0` (the [[dedupIncremental]] convention). The
+    * existing state — the band table and the verified component labels
+    * ([[dedupCCVerifiedFrom]] over the existing docs) — is what a real
+    * pipeline persists between batches (write-once/read-back
+    * demonstrated in TextOpsSpec for the band table).
+    *
+    * Batch step: candidates are pairs inside [[LshBucketCap]]-guarded
+    * band buckets with AT LEAST ONE batch endpoint (existing–existing
+    * pairs are settled history), size-prefiltered, then verified by the
+    * exact token-hash-set Jaccard ≥ [[CcJaccardTauNum]]/[[CcJaccardTauDen]]
+    * — identical predicates to the full recompute. The component UPDATE
+    * runs [[hookedComponents]] on the CONTRACTED graph: nodes are the
+    * existing component labels plus the batch doc ids, edges are the
+    * verified pairs with existing endpoints mapped to their persisted
+    * label — so the propagation works at (touched components + batch)
+    * scale, never corpus scale, and a batch doc bridging two existing
+    * components merges them exactly as a full recompute would.
+    *
+    * Equivalence (proven on the fixture in TextOpsSpec): batch ∪ corpus
+    * components ≡ [[dedupCCVerifiedFrom]] over the full corpus, as long
+    * as no band bucket crosses the cap between runs — history is
+    * immutable by design (a production pipeline never unmerges), so a
+    * bucket newly capped by batch mass keeps its pre-existing merges;
+    * that monotonicity is the documented, intended semantics.
+    */
+  def dedupIncVerified(spark: SparkSession, dir: String): DataFrame =
+    dedupIncVerifiedFrom(docTokSets(spark, dir))
+
+  /** [[dedupIncVerified]] over any (doc_id, th) frame. */
+  private[graft] def dedupIncVerifiedFrom(tokSets0: DataFrame): DataFrame = {
+    val tokSets = tokSets0.persist()
+    val isBatch = col("doc_id") % 10 === 0
+    // persisted existing state (recomputed here; production reads it back)
+    val exLabels = dedupCCVerifiedFrom(tokSets.filter(!isBatch))
+      .select(col("doc_id"), col("component_id")).persist()
+    // doc-level signatures/bands from the SAME th sets (one corpus pass)
+    val sigAggs = (0 until 12).map { i =>
+      min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))
+        .as(s"sig$i")
+    }
+    val sigs = tokSets
+      .select(col("doc_id"), size(col("th")).as("n"), explode(col("th")).as("h"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = bandsFromSigs(sigs, keep = Seq("n"))
+    val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
+    val inBucket = banded
+      .withColumn("bsz", count(lit(1)).over(bucketW))
+      .filter(col("bsz") <= LshBucketCap)
+      .select(col("band_id"), col("band_key"), col("doc_id"), col("n"))
+      .persist()
+    val cand = inBucket.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_id_a"), col("n").as("n_a"))
+      .join(inBucket.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_id_b"), col("n").as("n_b")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        (col("doc_id_a") % 10 === 0 || col("doc_id_b") % 10 === 0) &&
+        least(col("n_a"), col("n_b")) * CcJaccardTauDen >=
+          greatest(col("n_a"), col("n_b")) * CcJaccardTauNum)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+    val verified = cand
+      .join(tokSets.select(col("doc_id").as("doc_id_a"), col("th").as("th_a")),
+        Seq("doc_id_a"))
+      .join(tokSets.select(col("doc_id").as("doc_id_b"), col("th").as("th_b")),
+        Seq("doc_id_b"))
+      .withColumn("n_inter", size(array_intersect(col("th_a"), col("th_b"))))
+      .filter(col("n_inter") * CcJaccardTauDen >=
+        (size(col("th_a")) + size(col("th_b")) - col("n_inter")) * CcJaccardTauNum)
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    // contracted update graph: existing endpoints ride as their labels
+    val exMap = exLabels.select(col("doc_id"), col("component_id").as("node"))
+    val edges2 = verified
+      .join(exMap.select(col("doc_id").as("src"), col("node").as("nsrc")),
+        Seq("src"), "left")
+      .join(exMap.select(col("doc_id").as("dst"), col("node").as("ndst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("nsrc"), col("src")).as("src"),
+        coalesce(col("ndst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = exLabels.select(col("component_id").as("doc_id")).distinct()
+      .unionByName(tokSets.filter(isBatch).select(col("doc_id")))
+    val comp2 = hookedComponents(nodes, edges2)
+    val exFinal = exLabels
+      .join(comp2.select(col("doc_id").as("component_id"), col("comp")),
+        Seq("component_id"))
+      .select(col("doc_id"), col("comp").as("component_id"),
+        lit(0).as("is_batch"))
+    val batchFinal = tokSets.filter(isBatch)
+      .join(comp2.select(col("doc_id"), col("comp")), Seq("doc_id"))
+      .select(col("doc_id"), col("comp").as("component_id"),
+        lit(1).as("is_batch"))
+    val out = exFinal.unionByName(batchFinal)
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("component_id")).cast(IntegerType))
+      .select(col("doc_id"), col("component_id"), col("is_dup"), col("is_batch"))
+      .localCheckpoint()
+    inBucket.unpersist(blocking = false)
+    exLabels.unpersist(blocking = false)
     tokSets.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }

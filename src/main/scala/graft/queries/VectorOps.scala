@@ -210,6 +210,13 @@ object VectorOps {
       when(planeDot(j, emb) > 0, lit(1 << (3 - j))).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Second independent 4-bit table (planes 4-7) — [[graphAnn]]'s
+    * cross-bucket connectivity source. */
+  private def lshBucket2(emb: Column): Column =
+    (4 until 8).map { j =>
+      when(planeDot(j, emb) > 0, lit(1 << (7 - j))).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Cosine top-k per probe via LSH bucket pruning: vectors are assigned a
     * 4-bit random-hyperplane signature; each probe searches ONLY its own
     * bucket (expected 1/16 of the corpus). This is the scale path — the
@@ -1047,6 +1054,121 @@ object VectorOps {
       .filter(col("rank") <= HardNegK)
       .select(col("probe_id"), col("p_label"), col("rank"), col("neighbor_id"),
         col("n_label"), col("cos_sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  // ------------------------------------------------- graph-ANN beam search
+  /** Out-degree cap of the neighbor graph (per node, within-bucket). */
+  private[graft] val GraphAnnDeg = 6
+  /** Beam width kept per probe per hop. */
+  private[graft] val GraphAnnBeam = 8
+  /** Unrolled greedy hops. */
+  private[graft] val GraphAnnHops = 3
+  /** Fixed entry points: the vectors with vec_id < this. */
+  private[graft] val GraphAnnEntries = 4L
+
+  /** Graph-based ANN (VERDICT r14 #6 — the HNSW/NSW-class shape the
+    * IVF/PQ/LSH tier doesn't cover): a bounded-degree proximity graph +
+    * greedy beam search.
+    *
+    * Index build: candidate pairs come from TWO independent 4-bit
+    * hyperplane tables (planes 0–3 = [[simLsh]]'s buckets, planes 4–7 a
+    * second view) — never corpus-quadratic, and crucially CONNECTED
+    * across table-1 buckets: a one-table graph is a disjoint union of
+    * bucket subgraphs and beam search could never leave its seed bucket
+    * (caught at design time on the clustered fixture). Each node keeps
+    * its [[GraphAnnDeg]] most-cosine-similar candidates (the rank window
+    * plans as WindowGroupLimit) and edges are symmetrized (NSW's
+    * bidirectional links) — a one-off index artifact, like the IVF
+    * centroids or the minhash band table.
+    *
+    * Search: each probe seeds its beam with the [[GraphAnnEntries]]
+    * lowest-id vectors of its OWN table-1 bucket (the coarse-quantizer
+    * bootstrap every graph index needs) and runs [[GraphAnnHops]]
+    * unrolled hops — expand across graph edges, score against the probe,
+    * keep the [[GraphAnnBeam]] best (cos desc, id tie-break) — then
+    * reports top-3 of the final beam. Every hop is probe-bounded: ≤ beam
+    * × (1 + 2·deg) rows per probe join the partitioned edge table;
+    * probes broadcast; the corpus is touched only by vec_id equi-joins.
+    * Recall@3 vs the exact [[simTopk]] is measured in VectorOpsSpec (the
+    * IVF/LSH honesty discipline).
+    */
+  def graphAnn(spark: SparkSession, dir: String): DataFrame = {
+    // the bucketed vector table and the edge list are INDEX ARTIFACTS —
+    // a production pipeline materializes both once and serves every
+    // query from them (the minhash-band-table seam). localCheckpoint is
+    // the in-session stand-in; without it the lazy plan re-reads the
+    // corpus parquet 88 times (measured in the plan digest) because
+    // every beam hop re-derives the index from scratch.
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normd(col("embedding")).as("norm"),
+        lshBucket(col("embedding")).as("b1"), lshBucket2(col("embedding")).as("b2"))
+      .localCheckpoint()
+    // ---- index: two hash tables melt into (tbl, bucket) keys; a pair
+    // sharing both tables appears twice -> distinct before ranking
+    def melted(side: String): DataFrame = e
+      .withColumn("tb", explode(array(
+        struct(lit(1).as("tbl"), col("b1").as("bk")),
+        struct(lit(2).as("tbl"), col("b2").as("bk")))))
+      .select(col("vec_id").as(side), col("tb.tbl").as("tbl"), col("tb.bk").as("bk"))
+    val cand2 = melted("src").join(melted("dst"), Seq("tbl", "bk"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val wDeg = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val topk = cand2
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), Seq("dst"))
+      .withColumn("cos", dotd(col("a_emb"), col("b_emb"))
+        / (col("a_norm") * col("b_norm")))
+      .withColumn("rk", row_number().over(wDeg))
+      .filter(col("rk") <= GraphAnnDeg)
+      .select(col("src"), col("dst"))
+    val edges = topk
+      .unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // ---- search
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"), col("b1").as("p_b1"))
+    val corpus = e.select(col("vec_id").as("cand"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(corpus, Seq("cand"))
+      .join(broadcast(probes.select(col("probe_id"), col("p_emb"), col("p_norm"))),
+        Seq("probe_id"))
+      .withColumn("cos", dotd(col("p_emb"), col("c_emb"))
+        / (col("p_norm") * col("c_norm")))
+      .select(col("probe_id"), col("cand"), col("cos"))
+    val wBeam = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand"))
+    val wSeed = Window.partitionBy(col("probe_id")).orderBy(col("cand"))
+    var beam = broadcast(probes.select(col("probe_id"), col("p_b1")))
+      .join(e.select(col("vec_id").as("cand"), col("b1").as("p_b1")), Seq("p_b1"))
+      .filter(col("cand") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= GraphAnnEntries)
+      .select(col("probe_id"), col("cand"))
+    for (_ <- 1 to GraphAnnHops) {
+      val expanded = beam.select(col("probe_id"), col("cand"))
+        .unionByName(beam
+          .join(edges, beam("cand") === edges("src"))
+          .select(col("probe_id"), col("dst").as("cand")))
+        .filter(col("cand") =!= col("probe_id"))
+        .distinct()
+      beam = scored(expanded)
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= GraphAnnBeam)
+        .select(col("probe_id"), col("cand"))
+    }
+    scored(beam)
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("cos").as("cos_sim"))
       .orderBy(col("probe_id"), col("rank"))
   }
 

@@ -52,6 +52,73 @@ class GeoOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("geo latlon: grid join equals the quadratic brute force") {
+    val out = GeoOps.geoLatLon(spark, sf).cache()
+    val pts = out.select(col("custkey"), col("latu"), col("lonu")).cache()
+    val s = GeoOps.GeoCosScale
+    val r2 = GeoOps.GeoLLRadius * GeoOps.GeoLLRadius
+    val cosArr = array(GeoOps.GeoCosQ.map(lit): _*)
+    val brute = pts
+      .select(col("custkey").as("ka"), col("latu").as("lata"), col("lonu").as("lona"))
+      .crossJoin(pts.select(col("custkey").as("kb"), col("latu").as("latb"),
+        col("lonu").as("lonb")))
+      .filter(col("ka") =!= col("kb"))
+      .withColumn("cosq", cosArr)
+      .withColumn("band", expr("(lata + latb) div 2 div 1000000"))
+      .withColumn("qlon",
+        expr(s"(abs(lona - lonb) * element_at(cosq, cast(band as int) + 1)) div $s"))
+      .withColumn("d2",
+        (col("lata") - col("latb")) * (col("lata") - col("latb"))
+          + col("qlon") * col("qlon"))
+      .filter(col("d2") <= lit(r2))
+      .groupBy(col("ka").as("custkey"))
+      .agg(count(lit(1)).as("bn"), min(col("d2")).as("bd"))
+    val joined = out.join(brute, Seq("custkey"), "left")
+    assert(joined.filter(
+      coalesce(col("bn"), lit(0L)) =!= col("n_neighbors") ||
+        (col("bd").isNotNull && col("bd") =!= col("nn_dist2")) ||
+        (col("bd").isNull && col("nn_dist2").isNotNull)).count() === 0)
+    out.unpersist(); pts.unpersist()
+  }
+
+  test("geo latlon: boundary pairs at the cell edge are found exactly") {
+    import spark.implicits._
+    val r = GeoOps.GeoLLRadius
+    // band 60 (equatorial center 0.5 deg): cosq/2^20 ~ 0.99996 — a pure-
+    // latitude pair exactly r apart sits ON the radius AND spans a lat
+    // cell boundary; one microdegree more falls outside. A pure-longitude
+    // pair at high latitude (band 119, cos ~ 0.5075) shows the degree
+    // scaling: lon gap r/0.5075 ~ 1.97r crosses a lon cell edge (width
+    // 2r) yet is an in-radius TRUE neighbor the cover must find.
+    val latEq = 60000000L // 0 deg true latitude, exactly a cell boundary
+    val latHi = 119000000L // 59-60 deg band
+    val cosHi = GeoOps.GeoCosQ(119)
+    // largest lon gap still inside the radius at band 119
+    val lonGap = ((r + 1) * GeoOps.GeoCosScale - 1) / cosHi
+    val pts = Seq(
+      (1L, latEq - 1L, 1000L),  // A: one microdeg below the lat cell edge
+      (2L, latEq - 1L + r, 1000L), // B: exactly r above A (adjacent cell)
+      (3L, latEq - 1L + r + 1L, 1000L), // F: r+1 above A — just outside
+      (4L, latHi, 10000000L),   // C
+      (5L, latHi, 10000000L + lonGap), // D: max in-radius lon gap from C
+      (6L, latHi, 10000000L + lonGap + lonGap) // E: out of radius from C
+    ).toDF("k", "latu", "lonu")
+    val out = GeoOps.geoLatLonFrom(pts).collect()
+      .map(row => row.getAs[Long]("custkey") ->
+        (row.getAs[Long]("n_neighbors"), Option(row.getAs[Any]("nn_dist2"))))
+      .toMap
+    assert(out(1L)._1 === 1L && out(1L)._2.contains(r * r)) // A-B on the edge
+    assert(out(2L)._1 === 2L && out(2L)._2.contains(1L)) // B: A at r, F at 1
+    assert(out(3L)._1 === 1L && out(3L)._2.contains(1L)) // F: only B (A is r+1)
+    // C-D inside (the scaled lon distance floors to <= r), D-E inside too
+    // (same gap), C-E outside (double gap)
+    val qGap = lonGap * cosHi / GeoOps.GeoCosScale
+    assert(qGap <= r && 2 * lonGap * cosHi / GeoOps.GeoCosScale > r)
+    assert(out(4L)._1 === 1L && out(4L)._2.contains(qGap * qGap))
+    assert(out(5L)._1 === 2L)
+    assert(out(6L)._1 === 1L)
+  }
+
   test("geo density: totals, window clipping, and hotspot law") {
     val out = GeoOps.geoDensity(spark, sf).collect()
     assert(out.nonEmpty)

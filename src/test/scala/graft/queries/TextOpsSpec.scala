@@ -135,6 +135,57 @@ class TextOpsSpec extends SparkSpec {
     joined.unpersist(); ccv.unpersist()
   }
 
+  test("incremental verified dedup: batch update == full recompute; bridge merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    def txt(toks: Seq[String]) = toks.mkString(" ")
+    val a = (1 to 40).map(i => s"t$i")  // cluster-A token universe
+    val u = (1 to 40).map(i => s"u$i")  // bridge universe (disjoint)
+    val z = (1 to 25).map(i => s"z$i")  // exact-dup universe
+    val w = (1 to 30).map(i => s"w$i")  // batch-batch universe
+    // ids: % 10 == 0 -> batch, else existing (the dedupIncremental split)
+    val docs = Seq(
+      1L -> txt(a),                                   // existing
+      2L -> txt(a.take(38) ++ Seq("a1", "a2")),       // J(1,2)=38/42≈.905
+      10L -> txt(a.take(39) :+ "b1"),                 // batch, J(1,10)≈.951
+      // bridge: 3 and 7 are NOT near-dups of each other (J≈.739) but
+      // batch doc 20 is a near-dup of BOTH -> components must merge
+      3L -> txt(u.take(37) ++ Seq("c1", "c2", "c3")), // J(3,20)=37/43≈.860
+      7L -> txt(u.drop(3) ++ Seq("d1", "d2", "d3")),  // J(7,20)=37/43≈.860
+      // J(3,7) = |u4..u37| / 46 = 34/46 ≈ .739 < 4/5 — no direct edge
+      20L -> txt(u),                                  // batch bridge
+      30L -> txt((1 to 20).map(i => s"v$i")),         // batch, no match
+      5L -> txt(z),                                   // existing
+      60L -> txt(z),                                  // batch exact dup of 5
+      40L -> txt(w),                                  // batch
+      50L -> txt(w.take(29) :+ "x1")                  // batch, J(40,50)≈.935
+    )
+    docs.map { case (id, t) => (id, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = TextOps.dedupCCVerified(spark, dir)
+      .select(col("doc_id"), col("component_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incRows = TextOps.dedupIncVerified(spark, dir).collect()
+    val inc = incRows.map(r => r.getAs[Long]("doc_id")
+      -> r.getAs[Long]("component_id")).toMap
+    // the update path reproduces the full recompute EXACTLY
+    assert(inc === full)
+    // the bridge actually merged: 3, 7, 20 share min-id component 3
+    assert(inc(3L) === 3L && inc(7L) === 3L && inc(20L) === 3L)
+    // cluster A absorbed the batch member; exact dup pair collapsed
+    assert(inc(10L) === inc(1L) && inc(60L) === inc(5L))
+    // unmatched batch doc founds its own singleton
+    assert(inc(30L) === 30L)
+    // within-batch near-dups cluster too
+    assert(inc(50L) === inc(40L))
+    // is_batch labels the split, is_dup the non-representatives
+    val flags = incRows.map(r => r.getAs[Long]("doc_id")
+      -> (r.getAs[Int]("is_batch"), r.getAs[Int]("is_dup"))).toMap
+    assert(flags.forall { case (id, (b, _)) => (id % 10 == 0) == (b == 1) })
+    assert(flags(20L)._2 === 1 && flags(1L)._2 === 0 && flags(30L)._2 === 0)
+  }
+
   test("fingerprint: at most 5 ranked ascending hashes per doc") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     assert(fp.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)

@@ -52,9 +52,14 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("probe_id"), col("neighbor_id")).cache()
     val rLsh = recallOf(VectorOps.simLsh(spark, sf), brute)
     val rIvf = recallOf(VectorOps.simIvf(spark, sf), brute)
-    info(f"recall@3 at $sf: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    val rGraph = recallOf(VectorOps.graphAnn(spark, sf), brute)
+    info(f"recall@3 at $sf: lsh=$rLsh%.3f ivf=$rIvf%.3f graph=$rGraph%.3f")
     assert(rIvf >= 0.5, f"IVF recall collapsed: $rIvf%.3f")
     assert(rLsh >= 0.0 && rLsh <= 1.0 && rIvf <= 1.0)
+    // the beam can leave its seed bucket via table-2 edges, so graph-ANN
+    // recall must never fall below plain one-bucket LSH on any corpus
+    assert(rGraph >= rLsh, f"graph-ANN ($rGraph%.3f) under LSH ($rLsh%.3f)")
+    assert(rGraph <= 1.0)
     brute.unpersist()
   }
 
@@ -95,9 +100,15 @@ class VectorOpsSpec extends SparkSpec {
       .filter(col("pc") =!= col("nc")).count() === 0)
     val rLsh = recallOf(VectorOps.simLsh(spark, dir), brute)
     val rIvf = recallOf(VectorOps.simIvf(spark, dir), brute)
-    info(f"clustered-fixture recall@3: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    // graph-ANN: cluster-mates share both hash tables (scale-invariant
+    // sign bits), so the probe's seed bucket contains a mate, the mate's
+    // graph edges are its cluster (cos exactly 1.0), and the beam must
+    // surface the true top-3 deterministically
+    val rGraph = recallOf(VectorOps.graphAnn(spark, dir), brute)
+    info(f"clustered-fixture recall@3: lsh=$rLsh%.3f ivf=$rIvf%.3f graph=$rGraph%.3f")
     assert(rLsh === 1.0)
     assert(rIvf === 1.0)
+    assert(rGraph === 1.0)
     // the oracle-checked entry reads the same fixture: every probe's
     // per-probe recall row is exactly (k=3, n_hit=3, recall=1.0)
     val ar = VectorOps.annRecall(spark, dir).collect()
