@@ -5700,68 +5700,85 @@ object SparkEntry {
     // weight = level-1 tot, m invariant), the SAME move-round template
     // re-run weighted, final partition = labels2 ∘ labels1
     "q_louvain2" -> {
-      import graft.queries.GraphOps.LouvainIters
+      import graft.queries.GraphOps.{LouvainIters, LouvainLevelsMax}
       val lk = s"l$LouvainIters"
-      // per-round EXACT supergraph modularity numerators (rn$k) + the
-      // best-round pick — the Spark side's acceptance guard, mirrored:
-      // E_c = intra supergraph mass/2 + self-loops, num = Σ 4m·E_c − D_c²
-      val roundNums = (0 to LouvainIters).map { k =>
-        s"""ei$k AS (SELECT la.comm AS community,
-          |    CAST(SUM(e.w) AS HUGEINT) // 2 AS e_pair
-          |  FROM sym2 e JOIN s$k la ON e.src = la.node
-          |  JOIN s$k lb ON e.dst = lb.node
-          |  WHERE la.comm = lb.comm GROUP BY 1),
-          |mb$k AS (SELECT l.comm AS community, CAST(SUM(d.deg) AS HUGEINT) AS d_c,
-          |    CAST(SUM(COALESCE(sl.w, 0)) AS HUGEINT) AS e_self
-          |  FROM s$k l JOIN sdeg d ON l.node = d.node
-          |  LEFT JOIN (SELECT a AS node, w FROM ce WHERE a = b) sl
-          |    ON l.node = sl.node
-          |  GROUP BY 1),
-          |rn$k AS (SELECT $k AS rk,
-          |    SUM((COALESCE(e.e_pair, 0) + m2.e_self) * 4 * m
-          |      - m2.d_c * m2.d_c) AS num
-          |  FROM mb$k m2 LEFT JOIN ei$k e USING (community) CROSS JOIN mm)"""
-          .stripMargin
-      }.mkString(",\n")
-      val rqUnion = (0 to LouvainIters).map(k => s"SELECT * FROM rn$k")
-        .mkString(" UNION ALL ")
-      val allUnion = (0 to LouvainIters)
-        .map(k => s"SELECT $k AS rk, node, comm FROM s$k")
-        .mkString(" UNION ALL ")
+      // One contraction LEVEL, mirrored (GraphOps.louvain2From's level
+      // loop): contract the composed partition fl{v-1} into the weighted
+      // supergraph, re-run the shared move-round template with hash
+      // parity, score every round's EXACT supergraph modularity
+      // numerator, pick the best round (rk tie -> earliest = identity
+      // round 0), compose into fl{v}. A stable level picks the identity
+      // and every later level replays it — the Scala side's level-
+      // stability stop is a no-op here by the fixed-point argument.
+      def levelCtes(v: Int): String = {
+        val prev = s"fl${v - 1}"
+        val p = s"s${v}_"
+        val roundNums = (0 to LouvainIters).map { k =>
+          s"""ei${v}_$k AS (SELECT la.comm AS community,
+            |    CAST(SUM(e.w) AS HUGEINT) // 2 AS e_pair
+            |  FROM sym2$v e JOIN $p$k la ON e.src = la.node
+            |  JOIN $p$k lb ON e.dst = lb.node
+            |  WHERE la.comm = lb.comm GROUP BY 1),
+            |mb${v}_$k AS (SELECT l.comm AS community,
+            |    CAST(SUM(d.deg) AS HUGEINT) AS d_c,
+            |    CAST(SUM(COALESCE(sl.w, 0)) AS HUGEINT) AS e_self
+            |  FROM $p$k l JOIN sdeg$v d ON l.node = d.node
+            |  LEFT JOIN (SELECT a AS node, w FROM ce$v WHERE a = b) sl
+            |    ON l.node = sl.node
+            |  GROUP BY 1),
+            |rn${v}_$k AS (SELECT $k AS rk,
+            |    SUM((COALESCE(e.e_pair, 0) + m2.e_self) * 4 * m
+            |      - m2.d_c * m2.d_c) AS num
+            |  FROM mb${v}_$k m2 LEFT JOIN ei${v}_$k e USING (community)
+            |  CROSS JOIN mm)""".stripMargin
+        }.mkString(",\n")
+        val rqUnion = (0 to LouvainIters).map(k => s"SELECT * FROM rn${v}_$k")
+          .mkString(" UNION ALL ")
+        val allUnion = (0 to LouvainIters)
+          .map(k => s"SELECT $k AS rk, node, comm FROM $p$k")
+          .mkString(" UNION ALL ")
+        s"""ce$v AS MATERIALIZED (SELECT cu.comm AS a, cv.comm AS b,
+          |    CAST(COUNT(*) AS BIGINT) AS w
+          |  FROM e0 JOIN $prev cu ON e0.u = cu.node
+          |  JOIN $prev cv ON e0.v = cv.node
+          |  GROUP BY 1, 2),
+          |sym2$v AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+          |    SELECT a AS src, b AS dst, w FROM ce$v WHERE a <> b
+          |    UNION ALL SELECT b AS src, a AS dst, w FROM ce$v WHERE a <> b)
+          |  GROUP BY 1, 2),
+          |sdeg$v AS MATERIALIZED (SELECT l.comm AS node,
+          |    CAST(SUM(d.deg) AS BIGINT) AS deg
+          |  FROM $prev l JOIN deg d ON l.node = d.node GROUP BY 1),
+          |${p}0 AS MATERIALIZED (SELECT node, node AS comm FROM sdeg$v),
+          |${louvainMoveRoundsSql(LouvainIters, p, s"sym2$v", s"sdeg$v",
+            parityExpr = h32Sql("CAST(s.node AS VARCHAR)") + " % 2")},
+          |$roundNums,
+          |rq$v AS ($rqUnion),
+          |bestrk$v AS (SELECT rk FROM rq$v ORDER BY num DESC, rk LIMIT 1),
+          |sbest$v AS MATERIALIZED (SELECT node, comm
+          |  FROM ($allUnion) a JOIN bestrk$v USING (rk)),
+          |fl$v AS MATERIALIZED (SELECT f.node, lv.comm FROM $prev f
+          |  JOIN sbest$v lv ON f.comm = lv.node)""".stripMargin
+      }
+      val levels = (2 to LouvainLevelsMax).map(levelCtes).mkString(",\n")
+      val flLast = s"fl$LouvainLevelsMax"
       s"""WITH $louvainL1Ctes,
-        |ce AS MATERIALIZED (SELECT cu.comm AS a, cv.comm AS b,
-        |    CAST(COUNT(*) AS BIGINT) AS w
-        |  FROM e0 JOIN $lk cu ON e0.u = cu.node JOIN $lk cv ON e0.v = cv.node
-        |  GROUP BY 1, 2),
-        |sym2 AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
-        |    SELECT a AS src, b AS dst, w FROM ce WHERE a <> b
-        |    UNION ALL SELECT b AS src, a AS dst, w FROM ce WHERE a <> b)
-        |  GROUP BY 1, 2),
-        |sdeg AS MATERIALIZED (SELECT l.comm AS node, CAST(SUM(d.deg) AS BIGINT) AS deg
-        |  FROM $lk l JOIN deg d ON l.node = d.node GROUP BY 1),
-        |s0 AS MATERIALIZED (SELECT node, node AS comm FROM sdeg),
-        |${louvainMoveRoundsSql(LouvainIters, "s", "sym2", "sdeg",
-          parityExpr = h32Sql("CAST(s.node AS VARCHAR)") + " % 2")},
-        |$roundNums,
-        |rq AS ($rqUnion),
-        |bestrk AS (SELECT rk FROM rq ORDER BY num DESC, rk LIMIT 1),
-        |sbest AS MATERIALIZED (SELECT node, comm
-        |  FROM ($allUnion) a JOIN bestrk USING (rk)),
+        |fl1 AS (SELECT node, comm FROM $lk),
+        |$levels,
         |q1 AS (SELECT CAST(CAST(SUM(CAST(COALESCE(i.w, 0) AS HUGEINT) * 4 * m
         |      - CAST(d.deg AS HUGEINT) * d.deg) AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(MAX(CAST(m AS HUGEINT) * m * 4) AS VARCHAR) AS DOUBLE)
         |      AS q_level1
-        |  FROM sdeg d LEFT JOIN (SELECT a, w FROM ce WHERE a = b) i ON d.node = i.a
+        |  FROM sdeg2 d LEFT JOIN (SELECT a, w FROM ce2 WHERE a = b) i ON d.node = i.a
         |  CROSS JOIN mm),
-        |fl AS MATERIALIZED (SELECT l1.node, lv.comm FROM $lk l1
-        |  JOIN sbest lv ON l1.comm = lv.node),
         |flab AS (SELECT e0.u, e0.v, cu.comm AS cu, cv.comm AS cv
-        |  FROM e0 JOIN fl cu ON e0.u = cu.node JOIN fl cv ON e0.v = cv.node),
+        |  FROM e0 JOIN $flLast cu ON e0.u = cu.node
+        |  JOIN $flLast cv ON e0.v = cv.node),
         |fintra AS (SELECT cu AS community, COUNT(*) AS e_c FROM flab
         |  WHERE cu = cv GROUP BY 1),
         |fdc AS (SELECT comm AS community, COUNT(*) AS n_nodes,
         |    CAST(SUM(deg) AS BIGINT) AS d_c
-        |  FROM deg JOIN fl USING (node) GROUP BY 1),
+        |  FROM deg JOIN $flLast USING (node) GROUP BY 1),
         |parts AS (SELECT fdc.community, n_nodes,
         |    COALESCE(e_c, 0) AS e_c, d_c,
         |    CAST(COALESCE(e_c, 0) AS HUGEINT) * 4 * m
