@@ -720,14 +720,14 @@ object GraphOps {
   /** Fixed number of semi-synchronous move rounds (shared with the
     * oracle — both engines unroll exactly this many; two full parity
     * cycles). */
-  private[graft] val LouvainIters = 8
+  private[graft] val LouvainIters = 6
 
   /** Hard level cap for [[louvain2From]]'s contraction loop (level 1 =
-    * node moves + up to 3 contraction levels). Levels past the first
+    * node moves + up to 2 contraction levels). Levels past the first
     * contraction run at COMMUNITY scale; the cap exists to bound the
     * unrolled oracle, and the stability stop exits as soon as a level
     * merges nothing. */
-  private[graft] val LouvainLevelsMax = 4
+  private[graft] val LouvainLevelsMax = 3
 
   /** One-level Louvain community moves over the co-purchase graph — the
     * modularity-ASCENT sibling of [[modularity]] (which only scores a
@@ -814,10 +814,15 @@ object GraphOps {
     val moved = scored.join(best, Seq("node"))
       .filter(col("score") === col("best_s"))
       .groupBy(col("node"), col("cur")).agg(min(col("comm")).as("pick"))
+    // the changed-flag rides the round's own materialization (the
+    // hookedComponents ccRound discipline): the convergence check is a
+    // one-column agg over the checkpointed frame, never a second join
     moved
       .select(col("node"),
         when(parity(col("node")) === lit(r % 2), col("pick"))
-          .otherwise(col("cur")).as("comm"))
+          .otherwise(col("cur")).as("comm"),
+        (parity(col("node")) === lit(r % 2) && col("pick") =!= col("cur"))
+          .cast(org.apache.spark.sql.types.LongType).as("chg"))
       .localCheckpoint()
   }
 
@@ -842,11 +847,10 @@ object GraphOps {
     var r = 1
     while (r <= iters && stable < 2) {
       val next = louvainMoveRound(labels, sym, deg, m, r)
-      val changed = next
-        .join(labels.select(col("node"), col("comm").as("prev")), Seq("node"))
-        .filter(col("comm") =!= col("prev")).limit(1).count()
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head().getLong(0)
       stable = if (changed == 0L) stable + 1 else 0
-      labels = next
+      labels = next.drop("chg")
       r += 1
     }
     labels
@@ -1036,11 +1040,10 @@ object GraphOps {
         var r = 1
         while (r <= LouvainIters && stable < 2) {
           val next = louvainMoveRound(lbl2, sym2c, sdeg, m, r, hashParity)
-          val changed = next
-            .join(lbl2.select(col("node"), col("comm").as("prev")), Seq("node"))
-            .filter(col("comm") =!= col("prev")).limit(1).count()
+          val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+            .head().getLong(0)
           stable = if (changed == 0L) stable + 1 else 0
-          lbl2 = next
+          lbl2 = next.drop("chg")
           if (changed > 0L) {
             val n = contractedNum(lbl2)
             if (n.compareTo(bestNum) > 0) { bestNum = n; bestLabels = lbl2 }
