@@ -639,7 +639,11 @@ object GraphOps {
       val prop = TextOps.ccRound(labels, edges)
       // path-halving: every comp value IS a labeled node id (labels seed
       // as own-id and only ever take neighbor label values), so the inner
-      // self-join is total
+      // self-join is total. (r15 note: fusing TWO propagate+halve steps
+      // per materialization was tried and REVERTED — without a
+      // checkpoint between them the nested lazy round re-executes the
+      // inner subtree per reference, the hits 2^rounds blowup; measured
+      // dbscan 7 → 16 s, modularity 9.5 → 14 s at sf0.1.)
       val next = prop
         .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")),
           Seq("comp"))
@@ -810,10 +814,15 @@ object GraphOps {
             - when(col("comm") === col("cur"), col("deg"))
               .otherwise(lit(0L))))
           .as("score"))
-    val best = scored.groupBy(col("node")).agg(max(col("score")).as("best_s"))
-    val moved = scored.join(best, Seq("node"))
-      .filter(col("score") === col("best_s"))
-      .groupBy(col("node"), col("cur")).agg(min(col("comm")).as("pick"))
+    // argmax as ONE combining aggregate (r15): max score then min comm is
+    // exactly max(struct(score, −comm)) — the old max-aggregate → join-back
+    // → min-aggregate shape paid two extra exchanges per round for the
+    // same bit-identical pick (guide §2.4: two operations keyed the same
+    // way share one exchange; here they fuse into one operator outright)
+    val moved = scored
+      .groupBy(col("node"), col("cur"))
+      .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
+      .select(col("node"), col("cur"), (-col("m.nc")).as("pick"))
     // the changed-flag rides the round's own materialization (the
     // hookedComponents ccRound discipline): the convergence check is a
     // one-column agg over the checkpointed frame, never a second join
@@ -823,7 +832,10 @@ object GraphOps {
           .otherwise(col("cur")).as("comm"),
         (parity(col("node")) === lit(r % 2) && col("pick") =!= col("cur"))
           .cast(org.apache.spark.sql.types.LongType).as("chg"))
-      .localCheckpoint()
+      // LAZY checkpoint (r15, the dedupCC ccRound idiom): the caller's
+      // convergence collect materializes the round's blocks — an eager
+      // checkpoint here was a whole extra job per round
+      .localCheckpoint(eager = false)
   }
 
   /** Convergence-driven move phase (VERDICT r14 #4): rounds run until
@@ -1002,8 +1014,12 @@ object GraphOps {
         // ON THE SUPERGRAPH (community-scale, never re-touching the
         // original edges): E_c = intra supergraph mass/2 + self-loop
         // mass, so Σ_c (4m·E_c − D_c²) — one O(1) collect per round,
-        // the Lloyd-centroid model-artifact class
-        def contractedNum(lbl: DataFrame): java.math.BigDecimal = {
+        // the Lloyd-centroid model-artifact class. Returned as a LAZY
+        // 1-row frame so the round loop can ride it on the SAME collect
+        // as the convergence count (r15 — the ccRound fused-flag
+        // discipline applied to the scoring job: one driver sync per
+        // round instead of two).
+        def contractedNumPlan(lbl: DataFrame): DataFrame = {
           val pairIntra = sym2c
             .join(lbl.select(col("node").as("src"), col("comm").as("ca")), Seq("src"))
             .join(lbl.select(col("node").as("dst"), col("comm").as("cb")), Seq("dst"))
@@ -1019,8 +1035,10 @@ object GraphOps {
             .crossJoin(broadcast(m))
             .select((dec(coalesce(col("e_pair"), lit(0L)) + col("e_self")) * 4
               * col("m") - dec(col("d_c")) * col("d_c")).as("num"))
-            .agg(sum(col("num")).as("n")).head().getDecimal(0)
+            .agg(sum(col("num")).as("n"))
         }
+        def contractedNum(lbl: DataFrame): java.math.BigDecimal =
+          contractedNumPlan(lbl).head().getDecimal(0)
         // per-round ACCEPTANCE (the monotonicity guard BSP moves need):
         // semi-synchronous simultaneous moves are not individually
         // sequential, so a round CAN regress Q on symmetric structures
@@ -1040,12 +1058,22 @@ object GraphOps {
         var r = 1
         while (r <= LouvainIters && stable < 2) {
           val next = louvainMoveRound(lbl2, sym2c, sdeg, m, r, hashParity)
-          val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
-            .head().getLong(0)
+          val lblNext = next.drop("chg")
+          // ONE collect per round (r15): the convergence count and the
+          // round's exact score cross-joined into a single 1-row action
+          // — the old shape paid two driver syncs per round. Scoring an
+          // UNCHANGED round is a no-op semantically (identical labels
+          // re-score to the already-considered number, and compareTo
+          // strictly-greater keeps the earlier best), so computing it
+          // unconditionally trades a community-scale aggregate for a
+          // whole job dispatch.
+          val row = next.agg(coalesce(sum(col("chg")), lit(0L)).as("chg"))
+            .crossJoin(contractedNumPlan(lblNext)).head()
+          val changed = row.getLong(0)
           stable = if (changed == 0L) stable + 1 else 0
-          lbl2 = next.drop("chg")
+          lbl2 = lblNext
           if (changed > 0L) {
-            val n = contractedNum(lbl2)
+            val n = row.getDecimal(1)
             if (n.compareTo(bestNum) > 0) { bestNum = n; bestLabels = lbl2 }
           }
           r += 1
@@ -1325,19 +1353,25 @@ object GraphOps {
     val seeds = edges
       .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $BfsSeedMod") === 1)
       .select(col("src").as("node")).distinct()
-    var visited = seeds.withColumn("depth", lit(0)).localCheckpoint()
-    var frontier = visited.select(col("node"))
+    // depth-parity anti-join cut + per-depth layers (see [[harmonic]] —
+    // same bipartite-by-encoding argument): round 1 needs no anti-join,
+    // later rounds probe only same-parity layers
+    val layers = scala.collection.mutable.ArrayBuffer(seeds.localCheckpoint())
     for (d <- 1 to BfsMaxDepth) {
-      val next = edges
-        .join(broadcast(frontier.select(col("node").as("src"))), Seq("src"))
+      val prior = (d % 2 until d by 2).map(layers(_))
+      val cand = edges
+        .join(broadcast(layers(d - 1).select(col("node").as("src"))), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
-        .withColumn("depth", lit(d))
+      val next = (if (prior.isEmpty) cand
+        else cand.join(broadcast(prior.reduce(_ unionByName _)),
+          Seq("node"), "left_anti"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select(col("node"))
+      layers += next
     }
-    visited.groupBy(col("depth"))
+    (0 to BfsMaxDepth)
+      .map(d => layers(d).withColumn("depth", lit(d)))
+      .reduce(_ unionByName _)
+      .groupBy(col("depth"))
       .agg(
         sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
@@ -1378,20 +1412,28 @@ object GraphOps {
     val seeds = edges
       .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $HarmonicSeedMod") === 1)
       .select(col("src").as("s")).distinct()
-    var visited = seeds.select(col("s"), col("s").as("node"))
-      .withColumn("depth", lit(0)).localCheckpoint()
-    var frontier = visited.select(col("s"), col("node"))
+    // layered frontier with the DEPTH-PARITY anti-join cut (see
+    // [[betweennessFrom]]'s bipartite doc — the 2c/2s+1 encoding makes
+    // this graph bipartite by construction): depth-d candidates can only
+    // collide with layers d−2, d−4, …, so round 1 skips its anti-join
+    // and later rounds probe half the visited mass. Layers stay separate
+    // checkpointed frames — the old growing `visited` union re-wrote
+    // every prior layer's blocks once per round.
+    val layer0 = seeds.select(col("s"), col("s").as("node")).localCheckpoint()
+    val layers = scala.collection.mutable.ArrayBuffer(layer0)
     for (d <- 1 to HarmonicMaxDepth) {
-      val next = edges
-        .join(frontier.select(col("s"), col("node").as("src")), Seq("src"))
+      val prior = (d % 2 until d by 2).map(layers(_))
+      val cand = edges
+        .join(layers(d - 1).select(col("s"), col("node").as("src")), Seq("src"))
         .select(col("s"), col("dst").as("node")).distinct()
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
-        .withColumn("depth", lit(d))
+      val next = (if (prior.isEmpty) cand
+        else cand.join(prior.reduce(_ unionByName _), Seq("s", "node"), "left_anti"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select(col("s"), col("node"))
+      layers += next
     }
-    visited.filter(col("depth") > 0)
+    (1 to HarmonicMaxDepth)
+      .map(d => layers(d).withColumn("depth", lit(d)))
+      .reduce(_ unionByName _)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"$HarmonicLcm div depth")).as("hc"))
@@ -1444,7 +1486,7 @@ object GraphOps {
       val seeds = edges
         .filter(col("src") % 2 === 0 && expr(s"(src div 2) % $HarmonicSeedMod") === 1)
         .select(col("src").as("s")).distinct()
-      betweennessFrom(edges, seeds)
+      betweennessFrom(edges, seeds, bipartite = true)
         .select(
           when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
             .as("kind"),
@@ -1459,40 +1501,56 @@ object GraphOps {
     * the fixture seam (the spec feeds hand graphs with exactly known δ).
     * Returns (node, n_sources, betw_q): n_sources counts sources whose
     * dependency reached the node (δ > 0 by construction — a node enters
-    * the accumulator only through a DAG successor term, each ≥ 1). */
-  private[graft] def betweennessFrom(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    * the accumulator only through a DAG successor term, each ≥ 1).
+    *
+    * `bipartite = true` (the trade-graph entry) enables the depth-parity
+    * anti-join cut: a bipartite graph admits no odd closed walk, so the
+    * depth at which a node is reachable from a fixed source has FIXED
+    * parity — a candidate at depth d can only collide with layers
+    * d−2, d−4, … (and with none at all at d = 1). The anti-join probes
+    * half the visited mass, and round 1 drops its anti-join entirely
+    * (guide §2.3/§2.4: shuffle fewer bytes, remove shuffles outright).
+    * Layers are kept as separate checkpointed frames instead of one
+    * growing re-checkpointed `visited` union: the old shape re-wrote
+    * every prior layer's blocks once per round, and the backward
+    * [[dagLevel]] joins want exactly one depth each anyway. */
+  private[graft] def betweennessFrom(edges: DataFrame, seeds: DataFrame,
+      bipartite: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def dec(c: Column): Column = c.cast(DecimalType(38, 0))
-    // forward: layered multi-source BFS carrying σ
-    var visited = seeds.select(col("s"), col("s").as("node"))
-      .withColumn("depth", lit(0)).withColumn("sigma", dec(lit(1L)))
+    // forward: layered multi-source BFS carrying σ, one checkpointed
+    // frame per depth
+    val layer0 = seeds.select(col("s"), col("s").as("node"))
+      .withColumn("sigma", dec(lit(1L)))
       .localCheckpoint()
-    var frontier = visited.select(col("s"), col("node"), col("sigma"))
+    val layers = scala.collection.mutable.ArrayBuffer(layer0)
     for (d <- 1 to BetwMaxDepth) {
-      val next = edges
-        .join(frontier.select(col("s"), col("node").as("src"), col("sigma")),
+      val prior =
+        if (bipartite) (d % 2 until d by 2).map(layers(_))
+        else layers.take(d).toSeq
+      val cand = edges
+        .join(layers(d - 1).select(col("s"), col("node").as("src"), col("sigma")),
           Seq("src"))
         .groupBy(col("s"), col("dst"))
         .agg(dec(sum(col("sigma"))).as("sigma"))
         .select(col("s"), col("dst").as("node"), col("sigma"))
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"), "left_anti")
-        .withColumn("depth", lit(d))
-        .select(col("s"), col("node"), col("depth"), col("sigma"))
+      val next = (if (prior.isEmpty) cand
+        else cand.join(
+          prior.map(_.select(col("s"), col("node"))).reduce(_ unionByName _),
+          Seq("s", "node"), "left_anti"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select(col("s"), col("node"), col("sigma"))
+      layers += next
     }
     // shortest-path DAG, built LAZILY one level at a time: edge v -> w
-    // with depth(v) = k, depth(w) = k+1 — the depth filters push into the
-    // (checkpointed) visited sides, so each backward round joins only its
-    // two layers; materializing the full (sources × edges-in-reach) DAG
-    // once cost more than the three layer joins it saved (measured 30.7 s
-    // vs ~half at sf0.1)
+    // with depth(v) = k, depth(w) = k+1 — each backward round joins only
+    // its two (checkpointed) layers; materializing the full (sources ×
+    // edges-in-reach) DAG once cost more than the three layer joins it
+    // saved (measured 30.7 s vs ~half at sf0.1)
     def dagLevel(k: Int): DataFrame = edges
-      .join(visited.filter(col("depth") === k)
+      .join(layers(k)
         .select(col("s"), col("node").as("src"), col("sigma").as("sigma_v")),
         Seq("src"))
-      .join(visited.filter(col("depth") === k + 1)
+      .join(layers(k + 1)
         .select(col("s"), col("node").as("dst"), col("sigma").as("sigma_w")),
         Seq("s", "dst"))
       .select(col("s"), col("src").as("v"), col("dst").as("w"),

@@ -796,7 +796,7 @@ object ProfileOps {
       .select(expr(s"greatest(nmass div $QdK, 1)").as("t"))
     var state = combined.crossJoin(broadcast(tot))
       .select(col("level"), col("bin"), col("c"), lit(false).as("done"), col("t"))
-    for (_ <- 0 until QdLevels) {
+    for (lvl <- 0 until QdLevels) {
       // level >= QdLevels forces done at the ROOT: on mixed-level MERGE
       // input a light root node must accumulate there, not step to a
       // phantom level 17+ where done/not-done groups never recombine —
@@ -812,6 +812,15 @@ object ProfileOps {
       state = stepped.groupBy(col("level"), col("bin"), col("done"))
         .agg(sum(col("c")).as("c"), max(col("t")).as("t"))
         .select(col("level"), col("bin"), col("c"), col("done"), col("t"))
+      // lineage truncation every 4 levels (r15): the unbroken 16-level
+      // chain planned as ONE ~33-stage tree whose Catalyst optimization
+      // + whole-stage codegen dominated the leg at universe-bounded
+      // state sizes (the per-row work is trivial — ≤ 2^16 rows by the
+      // clamp); four bounded checkpoint jobs replace a 170 KB plan.
+      // Values are untouched — a checkpoint is a materialization
+      // boundary, not an operator — and the state is universe-bounded
+      // at ANY corpus volume, so this is not a local[32] constant.
+      if ((lvl + 1) % 4 == 0) state = state.localCheckpoint()
     }
     state.groupBy(col("level"), col("bin")).agg(sum(col("c")).as("c"))
   }
@@ -888,7 +897,12 @@ object ProfileOps {
     * truth audit: per decile φ, the digest's estimate, the exact quantile,
     * the estimate's true rank, and the 2·L·T error guarantee. */
   def qdigest(spark: SparkSession, dir: String): DataFrame = {
-    val h0 = qdigestH0(spark, dir)
+    // ONE events pass (r15): the digest build and the report's exact
+    // reference both consume h0 — uncheckpointed, each re-scanned the
+    // corpus (2 full scans for a ≤ 2^16-row histogram). The checkpoint
+    // is universe-bounded at any data volume (guide §1.2 step 1 /
+    // §5 caching: reused and expensive to recompute).
+    val h0 = qdigestH0(spark, dir).localCheckpoint()
     qdigestReport(spark, h0,
       qdigestCompress(h0.select(lit(0).as("level"), col("bin"), col("c"))))
   }
@@ -906,7 +920,7 @@ object ProfileOps {
     var state = nodes.join(broadcast(tot), Seq(key))
       .select(col(key), col("level"), col("bin"), col("c"),
         lit(false).as("done"), col("t"))
-    for (_ <- 0 until QdLevels) {
+    for (lvl <- 0 until QdLevels) {
       val keep = col("done") || col("c") >= col("t") || col("level") >= QdLevels
       val stepped = state.select(col(key),
         when(keep, col("level")).otherwise(col("level") + 1).as("level"),
@@ -915,6 +929,10 @@ object ProfileOps {
       state = stepped.groupBy(col(key), col("level"), col("bin"), col("done"))
         .agg(sum(col("c")).as("c"), max(col("t")).as("t"))
         .select(col(key), col("level"), col("bin"), col("c"), col("done"), col("t"))
+      // same 4-level lineage truncation as [[qdigestCompress]] (r15):
+      // state is ≤ |keys|·2^16 rows — bounded — while the unbroken
+      // chain's planning/codegen cost is what the leg actually paid
+      if ((lvl + 1) % 4 == 0) state = state.localCheckpoint()
     }
     state.groupBy(col(key), col("level"), col("bin")).agg(sum(col("c")).as("c"))
   }
@@ -931,12 +949,17 @@ object ProfileOps {
     * is 2× it (shard sweeps inherit ≤ 2·L·(ΣT_i) ≤ 2·L·T_m, the
     * recompress adds ≤ 2·L·T_m — ProfileOpsSpec asserts it). */
   def qdigestMerge(spark: SparkSession, dir: String): DataFrame = {
+    // ONE events pass (r15, the [[qdigest]] note): the per-type sweep
+    // and the merged audit's exact histogram both consume h0ByType —
+    // uncheckpointed, each paid its own full corpus scan. The
+    // checkpoint is ≤ |types|·2^16 rows, bounded at any volume.
     val h0ByType = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         greatest(least((col("value").cast(DecimalType(12, 2)) * 100)
           .cast(LongType), lit(QdUniverse - 1)), lit(0L)).as("bin"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val perType = qdigestCompressBy(
       h0ByType.select(col("event_type"), lit(0).as("level"), col("bin"), col("c")),
       "event_type")

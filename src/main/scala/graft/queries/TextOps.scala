@@ -397,8 +397,18 @@ object TextOps {
         array_distinct(transform(toksSet, tk => h32(tk))).as("th"))
 
   /** [[dedupCCVerified]] over any (doc_id, th) frame — factored so the
-    * incremental variant and fixture specs share the exact clustering. */
-  private[graft] def dedupCCVerifiedFrom(tokSets0: DataFrame): DataFrame = {
+    * incremental variant and fixture specs share the exact clustering.
+    *
+    * `docSigs`, when given, is a precomputed (doc_id, sig0..sig11) frame
+    * covering at least every doc in `tokSets0`: signatures are a pure
+    * function of `th`, so a class rep's signature row IS its doc-level
+    * row, and the contracted-class signature pass reduces to one
+    * doc-scale equi-join instead of a second token-scale explode +
+    * 12-min aggregate (guide §1.2 step 1: don't compute what a sibling
+    * pass already computed — the seam [[dedupIncVerifiedFrom]] uses to
+    * pay the corpus signature pass exactly once). */
+  private[graft] def dedupCCVerifiedFrom(tokSets0: DataFrame,
+      docSigs: Option[DataFrame] = None): DataFrame = {
     val tokSets = tokSets0.persist()
     val reps = tokSets.groupBy(col("th"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("class_n"))
@@ -408,10 +418,14 @@ object TextOps {
       min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))
         .as(s"sig$i")
     }
-    val sigs = reps
-      .select(col("doc_id"), col("class_n"), col("n"), explode(col("th")).as("h"))
-      .groupBy(col("doc_id"), col("class_n"), col("n"))
-      .agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = docSigs match {
+      case Some(ds) =>
+        reps.select(col("doc_id"), col("class_n"), col("n")).join(ds, Seq("doc_id"))
+      case None => reps
+        .select(col("doc_id"), col("class_n"), col("n"), explode(col("th")).as("h"))
+        .groupBy(col("doc_id"), col("class_n"), col("n"))
+        .agg(sigAggs.head, sigAggs.tail: _*)
+    }
     val banded = bandsFromSigs(sigs, keep = Seq("class_n", "n"))
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     val inBucket = banded
@@ -497,18 +511,28 @@ object TextOps {
   private[graft] def dedupIncVerifiedFrom(tokSets0: DataFrame): DataFrame = {
     val tokSets = tokSets0.persist()
     val isBatch = col("doc_id") % 10 === 0
-    // persisted existing state (recomputed here; production reads it back)
-    val exLabels = dedupCCVerifiedFrom(tokSets.filter(!isBatch))
-      .select(col("doc_id"), col("component_id")).persist()
-    // doc-level signatures/bands from the SAME th sets (one corpus pass)
+    // ONE doc-level signature pass for the whole entry (r15): the
+    // existing-side clustering and the batch banding below both consume
+    // it — the old shape paid the token-scale explode + 12-min aggregate
+    // TWICE (once uncontracted over the full corpus, once over the
+    // existing class reps), and the signature is a pure function of th,
+    // so the rep rows are just a doc_id-join away (see
+    // [[dedupCCVerifiedFrom]]'s docSigs seam)
     val sigAggs = (0 until 12).map { i =>
       min((col("h") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP))
         .as(s"sig$i")
     }
-    val sigs = tokSets
-      .select(col("doc_id"), size(col("th")).as("n"), explode(col("th")).as("h"))
-      .groupBy(col("doc_id"), col("n"))
+    val docSigs = tokSets
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .groupBy(col("doc_id"))
       .agg(sigAggs.head, sigAggs.tail: _*)
+      .persist()
+    // persisted existing state (recomputed here; production reads it back)
+    val exLabels = dedupCCVerifiedFrom(tokSets.filter(!isBatch), Some(docSigs))
+      .select(col("doc_id"), col("component_id")).persist()
+    val sigs = tokSets
+      .select(col("doc_id"), size(col("th")).as("n"))
+      .join(docSigs, Seq("doc_id"))
     val banded = bandsFromSigs(sigs, keep = Seq("n"))
     val bucketW = Window.partitionBy(col("band_id"), col("band_key"))
     val inBucket = banded
@@ -565,6 +589,7 @@ object TextOps {
       .localCheckpoint()
     inBucket.unpersist(blocking = false)
     exLabels.unpersist(blocking = false)
+    docSigs.unpersist(blocking = false)
     tokSets.unpersist(blocking = false)
     out.orderBy(col("doc_id"))
   }

@@ -458,6 +458,24 @@ class GraphOpsSpec extends SparkSpec {
       4L -> (2L, 1 * S + 3 * S)))
   }
 
+  test("betweennessFrom: bipartite depth-parity path equals the general path") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    def sym(pairs: (Long, Long)*) =
+      pairs.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+    // bipartite (even ↔ odd, the trade-graph encoding) with a 4-cycle so
+    // the anti-join is load-bearing: the diamond 0-{1,3}-2 re-offers
+    // nodes 1 and 3 at depth 3 (via 2) and node 0 at depth 2 — exactly
+    // the re-visits the parity cut claims only same-parity layers can
+    // produce. A pendant 2-5 exercises the deepest layer too.
+    val edges = sym((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L), (2L, 5L))
+    val seeds = Seq(0L, 2L).toDF("s")
+    def rows(bip: Boolean): Set[Row] =
+      GraphOps.betweennessFrom(edges, seeds, bipartite = bip)
+        .collect().toSet
+    assert(rows(bip = true) === rows(bip = false))
+  }
+
   test("lcc: K4 plus a pendant — interior 1.0, attachment diluted to 0.5") {
     import spark.implicits._
     // one 2-item basket per edge: K4 on {1,2,3,4} + pendant edge 1-5

@@ -186,6 +186,22 @@ class TextOpsSpec extends SparkSpec {
     assert(flags(20L)._2 === 1 && flags(1L)._2 === 0 && flags(30L)._2 === 0)
   }
 
+  test("dedupCCVerifiedFrom: precomputed docSigs path equals the inline path") {
+    // the r15 shared-signature seam: signatures are a pure function of
+    // th, so feeding doc-level signatures must reproduce the inline
+    // contracted-class signature pass bit for bit
+    val ts = TextOps.docTokSets(spark, sf)
+    val sigAggs = (0 until 12).map { i =>
+      min((col("h") * lit(TextOps.MinhashA(i)) + lit(TextOps.MinhashB(i)))
+        % lit(TextOps.MinhashP)).as(s"sig$i")
+    }
+    val ds = ts.select(col("doc_id"), explode(col("th")).as("h"))
+      .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val inline = TextOps.dedupCCVerifiedFrom(ts).collect().toSeq
+    val seeded = TextOps.dedupCCVerifiedFrom(ts, Some(ds)).collect().toSeq
+    assert(seeded === inline)
+  }
+
   test("fingerprint: at most 5 ranked ascending hashes per doc") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     assert(fp.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
