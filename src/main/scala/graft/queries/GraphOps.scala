@@ -786,43 +786,52 @@ object GraphOps {
     * per round (lineage truncation); all joins are partitioned except
     * the 1-row broadcast m.
     */
-  private def louvainMoveRound(labels: DataFrame, sym: DataFrame,
-      deg: DataFrame, m: DataFrame, r: Int,
+  private[graft] def louvainMoveRound(labels: DataFrame, sym: DataFrame,
+      m: DataFrame, r: Int,
       parity: Column => Column = n => pmod(n, lit(2L))): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def dec(c: Column): Column = c.cast(DecimalType(38, 0))
-    val tot = labels.join(deg, Seq("node"))
-      .groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
-    // k_{i,c}: edge mass from i into community c under CURRENT labels
-    val kic = sym
+    // r16 exchange fusion (guide §2.3/§2.4; VERDICT r15 #3): `labels`
+    // CARRIES the (round-invariant) node weight as a `deg` column, so
+    //   - Σ_tot is one aggregate straight off labels (the old shape paid a
+    //     node-scale labels⋈deg join first),
+    //   - the scoring join picks up cur AND deg in ONE labels join
+    //     (previously two), and
+    //   - the candidate stream below aggregates ONCE instead of the old
+    //     kic-groupBy-then-union-then-cand-groupBy double exchange.
+    val tot = labels.groupBy(col("comm")).agg(sum(col("deg")).as("tot"))
+    // candidates = edge mass from i into each neighbor community under
+    // CURRENT labels, ∪ a zero-mass own row (the empty-own-edge case must
+    // still score) — one combining aggregate over the unioned stream
+    val cand = sym
       .join(labels.select(col("node").as("dst"), col("comm")), Seq("dst"))
-      .groupBy(col("src").as("node"), col("comm"))
-      .agg(sum(col("w")).as("k_ic"))
-    // candidates = neighbor communities ∪ own (k_ic 0 when no
-    // neighbor is home — the empty-own-edge case must still score)
-    val cand = kic
-      .unionByName(labels.select(col("node"), col("comm"), lit(0L).as("k_ic")))
-      .groupBy(col("node"), col("comm")).agg(sum(col("k_ic")).as("k_ic"))
+      .select(col("src").as("node"), col("comm"), col("w"))
+      .unionByName(labels.select(col("node"), col("comm"), lit(0L).as("w")))
+      .groupBy(col("node"), col("comm")).agg(sum(col("w")).as("k_ic"))
+    // tot joins FIRST (comm-keyed, reusing tot's own partitioning), the
+    // labels join LAST so the argmax aggregate directly reuses the join's
+    // hash(node) partitioning — no exchange between scoring and argmax
     val scored = cand
-      .join(labels.select(col("node"), col("comm").as("cur")), Seq("node"))
-      .join(deg, Seq("node"))
       .join(tot, Seq("comm"))
+      .join(labels.select(col("node"), col("comm").as("cur"), col("deg")),
+        Seq("node"))
       .crossJoin(broadcast(m))
-      .select(col("node"), col("comm"), col("cur"),
+      .select(col("node"), col("comm"), col("cur"), col("deg"),
         (dec(col("k_ic")) * 2 * col("m")
           - dec(col("deg")) * (col("tot")
             - when(col("comm") === col("cur"), col("deg"))
               .otherwise(lit(0L))))
           .as("score"))
     // argmax as ONE combining aggregate (r15): max score then min comm is
-    // exactly max(struct(score, −comm)) — the old max-aggregate → join-back
-    // → min-aggregate shape paid two extra exchanges per round for the
-    // same bit-identical pick (guide §2.4: two operations keyed the same
-    // way share one exchange; here they fuse into one operator outright)
+    // exactly max(struct(score, −comm)). Grouped by node ALONE (r16): cur
+    // and deg are functionally dependent on node, so max(cur)/max(deg)
+    // are the per-node constants and the aggregate clusters on hash(node)
+    // — satisfied by the preceding join, zero exchange.
     val moved = scored
-      .groupBy(col("node"), col("cur"))
-      .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"))
-      .select(col("node"), col("cur"), (-col("m.nc")).as("pick"))
+      .groupBy(col("node"))
+      .agg(max(struct(col("score"), (-col("comm")).as("nc"))).as("m"),
+        max(col("cur")).as("cur"), max(col("deg")).as("deg"))
+      .select(col("node"), col("cur"), col("deg"), (-col("m.nc")).as("pick"))
     // the changed-flag rides the round's own materialization (the
     // hookedComponents ccRound discipline): the convergence check is a
     // one-column agg over the checkpointed frame, never a second join
@@ -830,6 +839,7 @@ object GraphOps {
       .select(col("node"),
         when(parity(col("node")) === lit(r % 2), col("pick"))
           .otherwise(col("cur")).as("comm"),
+        col("deg"),
         (parity(col("node")) === lit(r % 2) && col("pick") =!= col("cur"))
           .cast(org.apache.spark.sql.types.LongType).as("chg"))
       // LAZY checkpoint (r15, the dedupCC ccRound idiom): the caller's
@@ -851,14 +861,17 @@ object GraphOps {
     * at level 2 exists precisely because of that oscillation.) The
     * changed-check is a node-scale join of two checkpointed label
     * frames, one limit-1 count per round. */
+  /** Returns (node, comm, deg) — the deg column is the round-invariant
+    * node weight the fused round reads in place of a per-round deg join
+    * (see [[louvainMoveRound]], r16). */
   private def louvainMovePhase(sym: DataFrame, deg: DataFrame,
       m: DataFrame, iters: Int): DataFrame = {
-    var labels = deg.select(col("node"), col("node").as("comm"))
+    var labels = deg.select(col("node"), col("node").as("comm"), col("deg"))
       .localCheckpoint()
     var stable = 0
     var r = 1
     while (r <= iters && stable < 2) {
-      val next = louvainMoveRound(labels, sym, deg, m, r)
+      val next = louvainMoveRound(labels, sym, m, r)
       val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
         .head().getLong(0)
       stable = if (changed == 0L) stable + 1 else 0
@@ -876,6 +889,11 @@ object GraphOps {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       def dec(c: Column): Column = c.cast(DecimalType(38, 0))
       val edges = coEdges(raw, scope)
+      // NOT pre-partitioned/cached by dst (r16, measured): the per-round
+      // dst join broadcasts the node-scale labels side at this scale, so a
+      // dst-repartitioned cache saved no per-round exchange while its
+      // materialization cost ~3 s on every timed run (caches are scoped to
+      // the entry); the projection off the cached `edges` is cheap
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
         .withColumn("w", lit(1L))
@@ -888,7 +906,9 @@ object GraphOps {
         .join(labels.select(col("node").as("v"), col("comm").as("cv")), Seq("v"))
       val intra = lab.filter(col("cu") === col("cv"))
         .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
-      val dc = deg.join(labels, Seq("node"))
+      // labels already carries deg (the move-phase contract) — the old
+      // deg⋈labels node-scale join re-attached a column labels had
+      val dc = labels
         .groupBy(col("comm").as("community"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
       val num = dec(col("e_c")) * 4 * col("m") - dec(col("d_c")) * col("d_c")
@@ -947,6 +967,7 @@ object GraphOps {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       def dec(c: Column): Column = c.cast(DecimalType(38, 0))
       val edges = coEdges(raw, scope)
+      // uncached projection, as in louvainFrom (r16 — see the note there)
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
         .withColumn("w", lit(1L))
@@ -993,8 +1014,10 @@ object GraphOps {
             .select(col("b").as("src"), col("a").as("dst"), col("w")))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
         // supernode weight = the community's Σ_tot (intra mass counted
-        // twice — exactly edgeDegrees' convention carried up)
-        val sdeg = scope.cache(fl.join(deg, Seq("node"))
+        // twice — exactly edgeDegrees' convention carried up); fl carries
+        // each original node's deg (the move-phase contract), so this is
+        // one aggregate, not a node-scale join + aggregate (r16)
+        val sdeg = scope.cache(fl
           .groupBy(col("comm").as("node")).agg(sum(col("deg")).as("deg")))
         val selfLoop = ce.filter(col("a") === col("b"))
           .select(col("a").as("node"), col("w").as("sw"))
@@ -1026,7 +1049,9 @@ object GraphOps {
             .filter(col("ca") === col("cb"))
             .groupBy(col("ca").as("community"))
             .agg(expr("sum(w) div 2").as("e_pair"))
-          val members = lbl.join(sdeg, Seq("node"))
+          // lbl carries the supernode weight (deg) itself — initialized
+          // from sdeg and round-invariant — so no sdeg join (r16)
+          val members = lbl
             .join(selfLoop, Seq("node"), "left")
             .groupBy(col("comm").as("community"))
             .agg(sum(col("deg")).as("d_c"),
@@ -1046,7 +1071,7 @@ object GraphOps {
         // labels read Q 0.672 < the level-1 0.6875); every round's
         // composed partition is scored exactly and the best one wins —
         // round 0 is the identity, so q_total ≥ q_level1 by construction
-        var lbl2 = sdeg.select(col("node"), col("node").as("comm"))
+        var lbl2 = sdeg.select(col("node"), col("node").as("comm"), col("deg"))
           .localCheckpoint()
         var bestLabels = lbl2
         var bestNum = contractedNum(lbl2)
@@ -1057,7 +1082,7 @@ object GraphOps {
         var stable = 0
         var r = 1
         while (r <= LouvainIters && stable < 2) {
-          val next = louvainMoveRound(lbl2, sym2c, sdeg, m, r, hashParity)
+          val next = louvainMoveRound(lbl2, sym2c, m, r, hashParity)
           val lblNext = next.drop("chg")
           // ONE collect per round (r15): the convergence count and the
           // round's exact score cross-joined into a single 1-row action
@@ -1082,9 +1107,11 @@ object GraphOps {
           .filter(col("comm") =!= col("node")).limit(1).count() == 0L
         if (!levelStable) {
           // compose: original node -> the level's accepted community
-          fl = fl.select(col("node"), col("comm").as("ck"))
+          // (each node's ORIGINAL deg rides along — the next level's sdeg
+          // and the final report read it off fl, r16)
+          fl = fl.select(col("node"), col("comm").as("ck"), col("deg"))
             .join(bestLabels.select(col("node").as("ck"), col("comm")), Seq("ck"))
-            .select(col("node"), col("comm"))
+            .select(col("node"), col("comm"), col("deg"))
             .localCheckpoint()
         }
         level += 1
@@ -1094,7 +1121,8 @@ object GraphOps {
         .join(fl.select(col("node").as("v"), col("comm").as("cv")), Seq("v"))
       val intra = lab.filter(col("cu") === col("cv"))
         .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
-      val dc = deg.join(fl, Seq("node"))
+      // fl carries deg (the move-phase contract) — one aggregate (r16)
+      val dc = fl
         .groupBy(col("comm").as("community"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
       val num = dec(col("e_c")) * 4 * col("m") - dec(col("d_c")) * col("d_c")
@@ -1524,6 +1552,14 @@ object GraphOps {
       .withColumn("sigma", dec(lit(1L)))
       .localCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(layer0)
+    // node-scale degree table: a layer's MASS Σ_{(s,n)∈layer} deg(n) is
+    // exactly the row count of `edges ⋈ layer` — the quantity the backward
+    // sweep's join-order choice below needs (r16). One combining aggregate
+    // over the cached edge list, node-scale output.
+    val degB = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint()
+    val masses = scala.collection.mutable.ArrayBuffer(-1L)
     for (d <- 1 to BetwMaxDepth) {
       val prior =
         if (bipartite) (d % 2 until d by 2).map(layers(_))
@@ -1538,23 +1574,39 @@ object GraphOps {
         else cand.join(
           prior.map(_.select(col("s"), col("node"))).reduce(_ unionByName _),
           Seq("s", "node"), "left_anti"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       layers += next
+      // ONE job per depth: this action both materializes the lazy
+      // checkpoint (the job the old eager checkpoint paid anyway) and
+      // returns the layer's mass for the join-order pick
+      masses += next.join(degB, Seq("node"))
+        .agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
     }
     // shortest-path DAG, built LAZILY one level at a time: edge v -> w
     // with depth(v) = k, depth(w) = k+1 — each backward round joins only
     // its two (checkpointed) layers; materializing the full (sources ×
     // edges-in-reach) DAG once cost more than the three layer joins it
-    // saved (measured 30.7 s vs ~half at sf0.1)
-    def dagLevel(k: Int): DataFrame = edges
-      .join(layers(k)
-        .select(col("s"), col("node").as("src"), col("sigma").as("sigma_v")),
-        Seq("src"))
-      .join(layers(k + 1)
-        .select(col("s"), col("node").as("dst"), col("sigma").as("sigma_w")),
-        Seq("s", "dst"))
-      .select(col("s"), col("src").as("v"), col("dst").as("w"),
+    // saved (measured 30.7 s vs ~half at sf0.1).
+    // The LIGHTER layer joins the edge list FIRST (r16, guide §3.3): the
+    // first join's output is the joined layer's mass, and on the bipartite
+    // trade graph the two layers' masses differ by the customer/supplier
+    // degree skew (measured at sf0.1: level 3 far-first 1.6 s vs
+    // near-first 3.0 s, levels 1-2 the reverse — row counts alone mispick
+    // level 2, 28 K supplier rows carry 33 M edge mass). Inner joins
+    // commute, so the pick is exact at any scale.
+    def dagLevel(k: Int): DataFrame = {
+      val lk = layers(k)
+        .select(col("s"), col("node").as("src"), col("sigma").as("sigma_v"))
+      val lk1 = layers(k + 1)
+        .select(col("s"), col("node").as("dst"), col("sigma").as("sigma_w"))
+      val joined =
+        if (masses(k) <= masses(k + 1))
+          edges.join(lk, Seq("src")).join(lk1, Seq("s", "dst"))
+        else
+          edges.join(lk1, Seq("dst")).join(lk, Seq("s", "src"))
+      joined.select(col("s"), col("src").as("v"), col("dst").as("w"),
         col("sigma_v"), col("sigma_w"))
+    }
     // backward: δq = 0 at the horizon (so the first level skips the
     // successor join entirely); each level sums its successors' half-up
     // quantized rationals; level 0 (the source itself) is never computed

@@ -15,11 +15,8 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
   */
 class ExplainSweepSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
-
-  private lazy val plans: Map[String, SparkPlan] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.sparkPlan }
+  // one default-conf corpus shared with PlanGuardSpec (see PlanCorpus)
+  private lazy val plans: Map[String, SparkPlan] = PlanCorpus.plans
 
   /** Tables whose size is CONSTANT regardless of data scale — a shuffle
     * join against one of these is never the right plan at 100 TB. */

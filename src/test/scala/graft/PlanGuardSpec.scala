@@ -22,13 +22,13 @@ import org.apache.spark.sql.types.DateType
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = PlanCorpus.sf
 
+  // one default-conf corpus shared with ExplainSweepSpec (see PlanCorpus)
   private lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] =
-    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sf) }
+    PlanCorpus.dfs
 
-  private lazy val plans: Map[String, SparkPlan] =
-    dfs.map { case (name, df) => name -> df.queryExecution.sparkPlan }
+  private lazy val plans: Map[String, SparkPlan] = PlanCorpus.plans
 
   /** Tables that scale with the data — a raw (unreduced) broadcast of any
     * of these is an OOM at 100 TB. */

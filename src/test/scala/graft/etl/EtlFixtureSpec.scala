@@ -15,12 +15,18 @@ class EtlFixtureSpec extends SparkSpec {
 
   private val nObs = 1000
 
+  /** Materialized once, exactly as in EtlPipelineSpec (suite wall-clock,
+    * VERDICT r15 #1): the grain-uniqueness assertions below fire several
+    * actions each over the full lazy EP1+EP2 lineage — this spec alone
+    * cost 421 s of the 39-minute suite before the boundary. */
+  private def mat(tables: Map[String, org.apache.spark.sql.DataFrame]) =
+    tables.map { case (k, df) => k -> df.localCheckpoint() }
   private lazy val oltp: Map[String, org.apache.spark.sql.DataFrame] = {
     val paths = EtlFixture.write(Files.createTempDirectory("graft-etlfix"), nObs)
-    Pipeline.runEtl1(spark, paths.institutions, paths.users, paths.observationsDir)
+    mat(Pipeline.runEtl1(spark, paths.institutions, paths.users, paths.observationsDir))
   }
-  private lazy val dims = graft.olap.Dims.build(oltp)
-  private lazy val facts = graft.olap.Facts.build(oltp, dims)
+  private lazy val dims = mat(graft.olap.Dims.build(oltp))
+  private lazy val facts = mat(graft.olap.Facts.build(oltp, dims))
 
   test("staging keeps full duplicates: 1000 rows + every 100th twice") {
     val paths = EtlFixture.write(Files.createTempDirectory("graft-etlfix2"), nObs)
