@@ -220,16 +220,64 @@ object Bench {
     val HeavyCut = 4.0
     // SPARK_GRAFT_BENCH_BUDGET_SEC (VERDICT r14 #1d): a soft wall-clock
     // target the run degrades against instead of dying at the driver's
-    // hard kill. Past 60% of it, heavy legs stop earning the second
-    // timed run; past 85%, remaining legs run once, cold — a complete
-    // low-fidelity artifact beats a truncated high-fidelity one. The
-    // default leaves ample headroom inside the driver's observed ~60-min
-    // window even on a contended box.
+    // hard kill. r15 blew its own budget (elapsed 1882 > 1800) because the
+    // 60%/85% tiers trigger on ELAPSED time alone — a slow first half
+    // cannot be caught early enough (VERDICT r15 #2). Two fixes: the
+    // default drops to 1500 s (kill-margin inside the driver's ~60-min
+    // window), and tiering is PROJECTED — the committed baseline's per-leg
+    // medians price the legs still to run, a box factor (observed wall so
+    // far vs expected) scales that price, and the run degrades as soon as
+    // elapsed + projected-remaining overruns the budget, not after.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    val (baseQ, baseSf, baseCal) =
+      try BenchBaseline.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
+      catch { case _: Throwable => (Map.empty[String, Double], "", -1.0) }
+    // expected timed-run seconds per leg: the baseline median where one
+    // exists, the baseline's own median leg (~the sub-second tier) where
+    // not — a NEW leg is priced like a typical leg until it runs
+    val typicalLeg: Double = {
+      val vs = baseQ.values.filter(_ > 0).toSeq.sorted
+      if (vs.isEmpty) 0.5 else vs(vs.size / 2)
+    }
+    def expectedOf(n: String): Double = baseQ.getOrElse(n, typicalLeg)
+    // per-leg fixed overhead outside the runs themselves (quiesce + GC +
+    // scheduling) — measured ~0.2-0.4 s on the 32c box
+    val LegOverhead = 0.3
+    def wallFactor(tier: Int, e: Double): Double = tier match {
+      case 0 => if (e >= HeavyCut) 3 * e + LegOverhead else 2 * e + LegOverhead
+      case 1 => 2 * e + LegOverhead
+      case _ => e + LegOverhead
+    }
+    // remaining-legs ledger: initialized with every leg the run will time
+    // (sweep names + the heavy family/layout legs registered below),
+    // decremented as legs complete; spentExpected accumulates the tier-0
+    // price of completed legs so the box factor compares like with like
+    val remaining = scala.collection.mutable.Set.empty[String]
+    var spentExpected = 15.0 // session startup + deep first calibration
+    def legDone(n: String): Unit = {
+      remaining -= n
+      spentExpected += wallFactor(0, expectedOf(n))
+    }
+    def projectedRemaining(tier: Int): Double = {
+      val boxRatio = math.min(3.0,
+        math.max(0.7, nowOff() / math.max(spentExpected, 1.0)))
+      remaining.iterator.map(n => wallFactor(tier, expectedOf(n))).sum * boxRatio
+    }
+    // monotonic: once degraded, a run never re-upgrades (comparable legs)
+    var tierCur = 0
     def tierNow(): Int = {
       val e = nowOff()
-      if (e > 0.85 * budgetSec) 2 else if (e > 0.60 * budgetSec) 1 else 0
+      // elapsed floors keep the r14 backstop; projection degrades EARLY
+      val byElapsed = if (e > 0.85 * budgetSec) 2
+        else if (e > 0.60 * budgetSec) 1 else 0
+      val byProjection = (0 to 2).find(t =>
+        e + projectedRemaining(t) <= 0.95 * budgetSec).getOrElse(2)
+      tierCur = math.max(tierCur, math.max(byElapsed, byProjection))
+      tierCur
     }
     def timedAdaptive(run: () => Boolean): Timing = {
       val tier = tierNow()
@@ -296,12 +344,29 @@ object Bench {
     // The driver sets only SPARK_GRAFT_SF_DIR, so its runs are unaffected.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
+    // leg-selection flags, defined up front so the projected-cost ledger
+    // can price the WHOLE run before the first leg executes
+    val runEtlLeg = only.forall(_("etl_pipeline"))
+    val runDedupLeg = only.forall(_.exists(_.startsWith("dedup_family")))
+    val runKmeansLeg = only.forall(_.exists(_.startsWith("kmeans_family")))
+    val runLayoutLeg = only.forall(_.exists(_.startsWith("layout_")))
+    remaining ++= names
+    if (runEtlLeg) remaining += "etl_pipeline"
+    if (runDedupLeg)
+      remaining ++= Seq("dedup_family_recompute", "dedup_family_shared")
+    if (runKmeansLeg)
+      remaining ++= Seq("kmeans_family_recompute", "kmeans_family_shared")
+    if (runLayoutLeg)
+      remaining ++= Seq("layout_join_plain", "layout_join_bucketed")
     // Isolated re-runs (benchgate adjudication / dev loop) keep the full
     // warmup+3 discipline regardless of leg size: they time a handful of
     // legs, their min-of-3 is the adjudication currency, and wall-clock
-    // budget pressure only exists on the full 287-leg sweep.
-    def timedLeg(run: () => Boolean): Timing =
-      if (only.isDefined) timed3(run) else timedAdaptive(run)
+    // budget pressure only exists on the full 290-leg sweep.
+    def timedLeg(name: String, run: () => Boolean): Timing = {
+      val t = if (only.isDefined) timed3(run) else timedAdaptive(run)
+      legDone(name)
+      t
+    }
     // every timed leg registers its run thunk so the end-of-run isolated
     // re-verification (VERDICT r13 #3) can re-drive ANY suspect leg —
     // query, etl, family, or layout — without duplicating its setup
@@ -318,7 +383,6 @@ object Bench {
     // quarantine → OLTP → star dims → 3 fact builds over a generated
     // DOPI-shaped fixture. Row count is FIXED (not sf-scaled) so the number
     // is comparable round over round; override with SPARK_GRAFT_ETL_ROWS.
-    val runEtlLeg = only.forall(_("etl_pipeline"))
     val etlRows = sys.env.getOrElse("SPARK_GRAFT_ETL_ROWS", "20000").toInt
     lazy val etlPaths = graft.etl.EtlFixture.write(
       java.nio.file.Files.createTempDirectory("graft-bench-etl"), etlRows)
@@ -368,7 +432,7 @@ object Bench {
     // window between two calibration readings.
     runners("etl_pipeline") = runEtl _
     val etlResults = if (!runEtlLeg) Seq.empty[(String, Timing)]
-      else Seq("etl_pipeline" -> timedLeg(runEtl _))
+      else Seq("etl_pipeline" -> timedLeg("etl_pipeline", runEtl _))
     val calPostEtl = calibrate()
     // Dedup signature-table reuse (VERDICT r6 #3): the family's dominant
     // cost at 100 TB is the MinHash signature pass, and the three
@@ -378,7 +442,6 @@ object Bench {
     // feed minhash-cluster + incremental-probe + CC from the persisted
     // table (one signature pass + one write, consumers read longs back).
     // The delta is the number SCALE.md's reuse point claims.
-    val runDedupLeg = only.forall(_.exists(_.startsWith("dedup_family")))
     val dedupResults = if (!runDedupLeg) Seq.empty[(String, Timing)] else {
       import org.apache.spark.sql.DataFrame
       def consumeFamily(banded: () => DataFrame): Boolean =
@@ -410,8 +473,8 @@ object Bench {
       runners("dedup_family_recompute") = recomputeRun _
       runners("dedup_family_shared") = sharedRun _
       Seq(
-        "dedup_family_recompute" -> timedLeg(recomputeRun _),
-        "dedup_family_shared" -> timedLeg(sharedRun _))
+        "dedup_family_recompute" -> timedLeg("dedup_family_recompute", recomputeRun _),
+        "dedup_family_shared" -> timedLeg("dedup_family_shared", sharedRun _))
     }
     // K-means centroid reuse (VERDICT r7 next-round #3, same story as the
     // dedup family): the Lloyd pass (seed collect + assignment + K·d-cell
@@ -419,7 +482,6 @@ object Bench {
     // per-entry shape where kmeans and semDedup each train their own,
     // `_shared` trains once and feeds both consumers the same literals —
     // the persistent-pipeline shape where the model is stored, not relearned.
-    val runKmeansLeg = only.forall(_.exists(_.startsWith("kmeans_family")))
     val kmeansResults = if (!runKmeansLeg) Seq.empty[(String, Timing)] else {
       def consume(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
@@ -441,8 +503,8 @@ object Bench {
       runners("kmeans_family_recompute") = recomputeRun _
       runners("kmeans_family_shared") = sharedRun _
       Seq(
-        "kmeans_family_recompute" -> timedLeg(recomputeRun _),
-        "kmeans_family_shared" -> timedLeg(sharedRun _))
+        "kmeans_family_recompute" -> timedLeg("kmeans_family_recompute", recomputeRun _),
+        "kmeans_family_shared" -> timedLeg("kmeans_family_shared", sharedRun _))
     }
     // Physical-layout legs (SCALE.md "real cluster" #1): the SAME fact⋈fact
     // join over plain parquet vs bucketBy'd tables — the bucketed number is
@@ -450,7 +512,6 @@ object Bench {
     // write is paid. Broadcast is disabled for both legs to model the
     // 100 TB case (neither side fits an executor) — locally Catalyst would
     // broadcast sf0.1 orders and both legs would measure the same plan.
-    val runLayoutLeg = only.forall(_.exists(_.startsWith("layout_")))
     val layoutResults = if (!runLayoutLeg) Seq.empty[(String, Timing)] else {
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -473,8 +534,8 @@ object Bench {
         runners("layout_join_plain") = plain
         runners("layout_join_bucketed") = bucketed
         Seq(
-          "layout_join_plain" -> timedLeg(plain),
-          "layout_join_bucketed" -> timedLeg(bucketed))
+          "layout_join_plain" -> timedLeg("layout_join_plain", plain),
+          "layout_join_bucketed" -> timedLeg("layout_join_bucketed", bucketed))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
     val calMid = calibrate()
@@ -493,7 +554,7 @@ object Bench {
     var sweepDone = 0
     val results = chunks.zipWithIndex.flatMap { case (chunk, i) =>
       val rs = chunk.map { name =>
-        name -> timedLeg(() => materialize(name))
+        name -> timedLeg(name, () => materialize(name))
       }
       sweepDone += chunk.size
       heartbeat(s"sweep_${i + 1}", sweepDone, names.size)
@@ -578,28 +639,22 @@ object Bench {
     // every ≥5 s leg is ALSO compared against the committed quiet baseline,
     // box-factor-normalized via the two runs' quiet calibrations. Listed,
     // not patched; benchgate adjudicates the named legs isolated.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      "BENCH_BASELINE.json")
+    // baseline already parsed up front (the projected-cost ledger reads it)
     val curMedians = finalResults.map { case (k, t) => k -> t.median }.toMap
-    val (baselineSuspect, baselineNote, baseQ, baseBox) =
-      try {
-        val (bq, bsf, bcal) = BenchBaseline.parse(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
-        if (bsf != sfDir)
-          (Map.empty[String, Double], s"sf mismatch ($bsf)",
-            Map.empty[String, Double], 1.0)
-        else {
-          val box = if (bcal > 0 && calFloor > 0) calFloor / bcal else 1.0
-          // report the factor ACTUALLY applied — suspects() clamps into
-          // [1, BoxCap], so an unclamped note (e.g. "box 2.18" when 1.15
-          // was applied) misrepresents the normalization (ADVICE r13)
-          (BenchBaseline.suspects(curMedians, bq, box),
-            s"box ${round3(math.min(math.max(box, 1.0), BenchBaseline.BoxCap))}" +
-              s" (raw ${round3(box)})",
-            bq, box)
-        }
-      } catch { case _: Throwable =>
-        (Map.empty[String, Double], "no baseline", Map.empty[String, Double], 1.0)
+    val (baselineSuspect, baselineNote, baseBox) =
+      if (baseQ.isEmpty)
+        (Map.empty[String, Double], "no baseline", 1.0)
+      else if (baseSf != sfDir)
+        (Map.empty[String, Double], s"sf mismatch ($baseSf)", 1.0)
+      else {
+        val box = if (baseCal > 0 && calFloor > 0) calFloor / baseCal else 1.0
+        // report the factor ACTUALLY applied — suspects() clamps into
+        // [1, BoxCap], so an unclamped note (e.g. "box 2.18" when 1.15
+        // was applied) misrepresents the normalization (ADVICE r13)
+        (BenchBaseline.suspects(curMedians, baseQ, box),
+          s"box ${round3(math.min(math.max(box, 1.0), BenchBaseline.BoxCap))}" +
+            s" (raw ${round3(box)})",
+          box)
       }
     val baselineSuspectJson = baselineSuspect.toSeq.sortBy(_._1)
       .map { case (k, r) => "\"" + k + "\":" + round3(r) }
@@ -637,8 +692,9 @@ object Bench {
             ",\"scaled\":" + round3(scaled) + ",\"verdict\":\"" + verdict + "\"}"
         }
       }.mkString("{", ",", "}")
+    val elapsedFinal = nowOff()
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"queries_isolated":$isolatedJson,"baseline_note":"$baselineNote","queries_runs":$qsRuns,"budget_sec":$budgetSec,"elapsed_sec":${round3(nowOff())},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_span":$qsSpan,"calibration":$calJson,"spread_suspect":$spreadSuspect,"epoch_suspect":$epochSuspect,"baseline_suspect":$baselineSuspectJson,"queries_isolated":$isolatedJson,"baseline_note":"$baselineNote","queries_runs":$qsRuns,"budget_sec":$budgetSec,"elapsed_sec":${round3(elapsedFinal)},"budget_exceeded":${elapsedFinal > budgetSec},"tier_final":$tierCur,"sf":"$sfDir"}"""
     // Artifact robustness (VERDICT r6 #1): the r6 driver tail-capture
     // truncated the 91-entry JSON line and lost the total ("parsed": null).
     // Three sinks, redundant by design: (1) the full line first, for any

@@ -64,6 +64,36 @@ object GraphOps {
     }
   }
 
+  /** Lineage-truncation seam for the iterative hot paths (VERDICT r15 #4,
+    * guide §5): `localCheckpoint` is the right local-mode trade — no HDFS
+    * round-trip per round — but it is LOSSY at cluster scale: an executor
+    * loss makes truncated lineage unrecoverable mid-query. On a real
+    * cluster set `spark.graft.checkpoint.reliable=true` (plus either
+    * `sparkContext.setCheckpointDir` or `spark.graft.checkpoint.dir`) and
+    * every round/layer state lands in the reliable checkpoint store
+    * instead; the DEFAULT path is byte-for-byte the old localCheckpoint,
+    * so local benches are untouched. See SCALE.md "executor loss and
+    * iterative state".
+    */
+  private[graft] def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val ss = df.sparkSession
+    val reliable =
+      ss.conf.getOption("spark.graft.checkpoint.reliable").contains("true")
+    if (reliable) {
+      if (ss.sparkContext.getCheckpointDir.isEmpty)
+        ss.conf.getOption("spark.graft.checkpoint.dir")
+          .foreach(ss.sparkContext.setCheckpointDir)
+      if (ss.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Postfix spelling of [[ckpt]] so call sites keep the
+    * `.graftCheckpoint(...)` shape: `df.graftCheckpoint()`. */
+  private[graft] implicit class CkptOps(private val df: DataFrame) {
+    def graftCheckpoint(eager: Boolean = true): DataFrame = ckpt(df, eager)
+  }
+
   /** Fixed-point scale: rank 1.0 == 1e6 units. */
   private[graft] val PrScale = 1000000L
   /** Damping 0.85 expressed in [[PrScale]] units. */
@@ -519,12 +549,12 @@ object GraphOps {
         .groupBy(col("s")).agg(sum(col("h")).as("ar"))
       auths = araw.join(broadcast(araw.agg(max(col("ar")).as("amax"))))
         .select(col("s"), expr(s"(ar * $HitsScale) div amax").as("a"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val hraw = edges.join(broadcast(auths), Seq("s"))
         .groupBy(col("c")).agg(sum(col("a")).as("hr"))
       hubs = hraw.join(broadcast(hraw.agg(max(col("hr")).as("hmax"))))
         .select(col("c"), expr(s"(hr * $HitsScale) div hmax").as("h"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     hubs.select(lit("hub").as("kind"), col("c").as("entity_key"), col("h").as("score"))
       .orderBy(col("score").desc, col("entity_key")).limit(HitsTopK)
@@ -603,14 +633,14 @@ object GraphOps {
           .agg(countDistinct(col("node")).as("n_nodes"))
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .select(lit(it).as("iteration"), col("n_nodes"), col("n_edges"))
-      var e = coEdges(raw, scope).select(col("u"), col("v")).localCheckpoint()
+      var e = coEdges(raw, scope).select(col("u"), col("v")).graftCheckpoint()
       val stats = scala.collection.mutable.ArrayBuffer(stat(0, e))
       for (it <- 1 to KcoreIters) {
         val keep = edgeDegrees(e).filter(col("deg") >= KcoreK).select(col("node"))
         e = e
           .join(broadcast(keep.select(col("node").as("u"))), Seq("u"), "left_semi")
           .join(broadcast(keep.select(col("node").as("v"))), Seq("v"), "left_semi")
-          .localCheckpoint()
+          .graftCheckpoint()
         stats += stat(it, e)
       }
       stats.reduce(_ unionByName _).orderBy(col("iteration"))
@@ -632,7 +662,7 @@ object GraphOps {
   private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 32) {
@@ -650,7 +680,7 @@ object GraphOps {
         .select(col("doc_id"), col("comp2").as("comp"),
           (col("chg") + (col("comp2") < col("comp")).cast(
             org.apache.spark.sql.types.LongType)).as("chg"))
-        .localCheckpoint(eager = false)
+        .graftCheckpoint(eager = false)
       // coalesce: an EMPTY edge set (no matches at small SF) sums to NULL
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = next.select(col("doc_id"), col("comp"))
@@ -692,7 +722,7 @@ object GraphOps {
       val edges = coEdges(raw, scope)
       val sym = edges.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
-      val comp = minLabelComponents(sym).localCheckpoint()
+      val comp = minLabelComponents(sym).graftCheckpoint()
       val lab = edges
         .join(comp.select(col("doc_id").as("u"), col("comp").as("cu")), Seq("u"))
         .join(comp.select(col("doc_id").as("v"), col("comp").as("cv")), Seq("v"))
@@ -845,7 +875,7 @@ object GraphOps {
       // LAZY checkpoint (r15, the dedupCC ccRound idiom): the caller's
       // convergence collect materializes the round's blocks — an eager
       // checkpoint here was a whole extra job per round
-      .localCheckpoint(eager = false)
+      .graftCheckpoint(eager = false)
   }
 
   /** Convergence-driven move phase (VERDICT r14 #4): rounds run until
@@ -867,7 +897,7 @@ object GraphOps {
   private def louvainMovePhase(sym: DataFrame, deg: DataFrame,
       m: DataFrame, iters: Int): DataFrame = {
     var labels = deg.select(col("node"), col("node").as("comm"), col("deg"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var stable = 0
     var r = 1
     while (r <= iters && stable < 2) {
@@ -1072,7 +1102,7 @@ object GraphOps {
         // composed partition is scored exactly and the best one wins —
         // round 0 is the identity, so q_total ≥ q_level1 by construction
         var lbl2 = sdeg.select(col("node"), col("node").as("comm"), col("deg"))
-          .localCheckpoint()
+          .graftCheckpoint()
         var bestLabels = lbl2
         var bestNum = contractedNum(lbl2)
         // fixed-point early stop (louvainMovePhase's doc): two
@@ -1112,7 +1142,7 @@ object GraphOps {
           fl = fl.select(col("node"), col("comm").as("ck"), col("deg"))
             .join(bestLabels.select(col("node").as("ck"), col("comm")), Seq("ck"))
             .select(col("node"), col("comm"), col("deg"))
-            .localCheckpoint()
+            .graftCheckpoint()
         }
         level += 1
       }
@@ -1279,15 +1309,15 @@ object GraphOps {
           .select(lit(it).as("iteration"), lit(nEdges).as("n_edges"),
             col("n_triangles"))
       var e = coEdges(raw, scope, KtrussEdgeSupport)
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v")).graftCheckpoint()
       var n = e.count()
-      var supp = ktrussSupports(e, n).localCheckpoint()
+      var supp = ktrussSupports(e, n).graftCheckpoint()
       val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       stats += stat(0, n, supp)
       for (it <- 1 to KtrussIters) {
         val surv = supp.filter(col("support") >= KtrussK - 2)
           .select(col("u"), col("v"))
-        val rem = e.join(surv, Seq("u", "v"), "left_anti").localCheckpoint()
+        val rem = e.join(surv, Seq("u", "v"), "left_anti").graftCheckpoint()
         // a converged peel (nothing removed) leaves e and supp untouched —
         // the remaining rounds cost one anti-join each, not a checkpoint
         // and count of an unchanged 1.2 M-edge frame
@@ -1295,13 +1325,13 @@ object GraphOps {
           val lost = ktrussLost(e, rem)
           // e ∩ surv IS surv: supp keys ⊆ e, and edges of e without a
           // supp row have zero support — removed. No semi-join shuffle.
-          e = surv.localCheckpoint()
+          e = surv.graftCheckpoint()
           n = e.count()
           supp = supp.filter(col("support") >= KtrussK - 2)
             .join(lost, Seq("u", "v"), "left")
             .select(col("u"), col("v"),
               (col("support") - coalesce(col("lost"), lit(0L))).as("support"))
-            .localCheckpoint()
+            .graftCheckpoint()
         }
         stats += stat(it, n, supp)
       }
@@ -1317,20 +1347,20 @@ object GraphOps {
           .select(lit(it).as("iteration"), lit(nEdges).as("n_edges"),
             col("n_triangles"))
       var e = coEdges(raw, scope, KtrussEdgeSupport)
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v")).graftCheckpoint()
       val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (it <- 0 to KtrussIters) {
         // the checkpointed edge count both reports n_edges (one fewer
         // aggregate+cross per round than re-counting inside the plan) and
         // drives the broadcast-vs-partitioned probe switch
         val n = e.count()
-        val supp = ktrussSupports(e, n).localCheckpoint()
+        val supp = ktrussSupports(e, n).graftCheckpoint()
         stats += stat(it, n, supp)
         if (it < KtrussIters) {
           e = e.join(
               supp.filter(col("support") >= KtrussK - 2).select(col("u"), col("v")),
               Seq("u", "v"), "left_semi")
-            .localCheckpoint()
+            .graftCheckpoint()
         }
       }
       stats.reduce(_ unionByName _).orderBy(col("iteration"))
@@ -1384,7 +1414,7 @@ object GraphOps {
     // depth-parity anti-join cut + per-depth layers (see [[harmonic]] —
     // same bipartite-by-encoding argument): round 1 needs no anti-join,
     // later rounds probe only same-parity layers
-    val layers = scala.collection.mutable.ArrayBuffer(seeds.localCheckpoint())
+    val layers = scala.collection.mutable.ArrayBuffer(seeds.graftCheckpoint())
     for (d <- 1 to BfsMaxDepth) {
       val prior = (d % 2 until d by 2).map(layers(_))
       val cand = edges
@@ -1393,7 +1423,7 @@ object GraphOps {
       val next = (if (prior.isEmpty) cand
         else cand.join(broadcast(prior.reduce(_ unionByName _)),
           Seq("node"), "left_anti"))
-        .localCheckpoint()
+        .graftCheckpoint()
       layers += next
     }
     (0 to BfsMaxDepth)
@@ -1447,7 +1477,7 @@ object GraphOps {
     // and later rounds probe half the visited mass. Layers stay separate
     // checkpointed frames — the old growing `visited` union re-wrote
     // every prior layer's blocks once per round.
-    val layer0 = seeds.select(col("s"), col("s").as("node")).localCheckpoint()
+    val layer0 = seeds.select(col("s"), col("s").as("node")).graftCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(layer0)
     for (d <- 1 to HarmonicMaxDepth) {
       val prior = (d % 2 until d by 2).map(layers(_))
@@ -1456,7 +1486,7 @@ object GraphOps {
         .select(col("s"), col("dst").as("node")).distinct()
       val next = (if (prior.isEmpty) cand
         else cand.join(prior.reduce(_ unionByName _), Seq("s", "node"), "left_anti"))
-        .localCheckpoint()
+        .graftCheckpoint()
       layers += next
     }
     (1 to HarmonicMaxDepth)
@@ -1550,7 +1580,7 @@ object GraphOps {
     // frame per depth
     val layer0 = seeds.select(col("s"), col("s").as("node"))
       .withColumn("sigma", dec(lit(1L)))
-      .localCheckpoint()
+      .graftCheckpoint()
     val layers = scala.collection.mutable.ArrayBuffer(layer0)
     // node-scale degree table: a layer's MASS Σ_{(s,n)∈layer} deg(n) is
     // exactly the row count of `edges ⋈ layer` — the quantity the backward
@@ -1558,7 +1588,7 @@ object GraphOps {
     // over the cached edge list, node-scale output.
     val degB = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val masses = scala.collection.mutable.ArrayBuffer(-1L)
     for (d <- 1 to BetwMaxDepth) {
       val prior =
@@ -1574,7 +1604,7 @@ object GraphOps {
         else cand.join(
           prior.map(_.select(col("s"), col("node"))).reduce(_ unionByName _),
           Seq("s", "node"), "left_anti"))
-        .localCheckpoint(eager = false)
+        .graftCheckpoint(eager = false)
       layers += next
       // ONE job per depth: this action both materializes the lazy
       // checkpoint (the job the old eager checkpoint paid anyway) and
@@ -1629,9 +1659,9 @@ object GraphOps {
         .groupBy(col("s"), col("v"))
         .agg(sum(expr("num div den")).as("dq"))
         .select(col("s"), col("v").as("node"), col("dq"))
-        .localCheckpoint()
+        .graftCheckpoint()
       delta = lvl
-      acc = if (acc == null) lvl else acc.unionByName(lvl).localCheckpoint()
+      acc = if (acc == null) lvl else acc.unionByName(lvl).graftCheckpoint()
     }
     acc.groupBy(col("node"))
       .agg(countDistinct(col("s")).as("n_sources"), sum(col("dq")).as("betw_q"))
@@ -1677,7 +1707,7 @@ object GraphOps {
       .select(col("node") +: ms.zipWithIndex.map { case (m, i) =>
         when(col("r") === i, col("rk")).otherwise(lit(0L)).as(m)
       }: _*)
-      .localCheckpoint()
+      .graftCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer((0, state))
     for (d <- 1 to AnfMaxDepth) {
       val prop = edges
@@ -1687,7 +1717,7 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(max(col(ms.head)).as(ms.head),
           ms.tail.map(m => max(col(m)).as(m)): _*)
-        .localCheckpoint()
+        .graftCheckpoint()
       out += ((d, state))
     }
     out.toSeq

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.queries.GraphOps.CkptOps
 
 /** Data-profiling operators — the catalog-building pass a pipeline runs
   * over an unfamiliar 100 TB corpus before it writes a single query:
@@ -820,7 +821,7 @@ object ProfileOps {
       // Values are untouched — a checkpoint is a materialization
       // boundary, not an operator — and the state is universe-bounded
       // at ANY corpus volume, so this is not a local[32] constant.
-      if ((lvl + 1) % 4 == 0) state = state.localCheckpoint()
+      if ((lvl + 1) % 4 == 0) state = state.graftCheckpoint()
     }
     state.groupBy(col("level"), col("bin")).agg(sum(col("c")).as("c"))
   }
@@ -902,7 +903,7 @@ object ProfileOps {
     // corpus (2 full scans for a ≤ 2^16-row histogram). The checkpoint
     // is universe-bounded at any data volume (guide §1.2 step 1 /
     // §5 caching: reused and expensive to recompute).
-    val h0 = qdigestH0(spark, dir).localCheckpoint()
+    val h0 = qdigestH0(spark, dir).graftCheckpoint()
     qdigestReport(spark, h0,
       qdigestCompress(h0.select(lit(0).as("level"), col("bin"), col("c"))))
   }
@@ -932,7 +933,7 @@ object ProfileOps {
       // same 4-level lineage truncation as [[qdigestCompress]] (r15):
       // state is ≤ |keys|·2^16 rows — bounded — while the unbroken
       // chain's planning/codegen cost is what the leg actually paid
-      if ((lvl + 1) % 4 == 0) state = state.localCheckpoint()
+      if ((lvl + 1) % 4 == 0) state = state.graftCheckpoint()
     }
     state.groupBy(col(key), col("level"), col("bin")).agg(sum(col("c")).as("c"))
   }
@@ -959,7 +960,7 @@ object ProfileOps {
         greatest(least((col("value").cast(DecimalType(12, 2)) * 100)
           .cast(LongType), lit(QdUniverse - 1)), lit(0L)).as("bin"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val perType = qdigestCompressBy(
       h0ByType.select(col("event_type"), lit(0).as("level"), col("bin"), col("c")),
       "event_type")

@@ -9,11 +9,12 @@ import org.apache.spark.sql.execution.SparkPlan
   * (graph loops, dedup_cc, q-digest) EXECUTE eagerly at construction — so
   * two private corpora cost the suite two full sweeps (~180 s each).
   *
-  * Construction is parallel over the registry: planning is driver-side and
-  * thread-safe, and the eagerly-executing entries serialize on
-  * [[graft.queries.GraphOps.releasingCaches]]'s lock (its RDD-pin sweep is
-  * only correct one-entry-at-a-time; the lock moved that invariant from
-  * "callers happen to be sequential" into the method itself).
+  * Construction is SEQUENTIAL by design: the eagerly-executing entries end
+  * with [[graft.queries.GraphOps.releasingCaches]]'s RDD-pin sweep, which
+  * unpersists every RDD pinned since the entry started — under concurrent
+  * construction one entry's sweep unpersists a sibling's in-flight
+  * localCheckpoint blocks (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+  * across 12 tests when this corpus was built on an 8-thread pool).
   *
   * NOT shared with [[PlanShapeSpec]]: its digest fixture is pinned under
   * `autoBroadcastJoinThreshold = -1` (the 100 TB model), a different
@@ -22,18 +23,9 @@ import org.apache.spark.sql.execution.SparkPlan
 private[graft] object PlanCorpus {
   val sf = "/root/testdata/sf0.001"
 
-  lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] = {
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = SparkEntry.queries.toSeq.map { case (name, fn) =>
-        Future(name -> fn(SparkSpec.session, sf))
-      }
-      Await.result(Future.sequence(futs), Duration.Inf).toMap
-    } finally pool.shutdown()
-  }
+  lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(SparkSpec.session, sf) }
 
   lazy val plans: Map[String, SparkPlan] =
     dfs.map { case (name, df) => name -> df.queryExecution.sparkPlan }

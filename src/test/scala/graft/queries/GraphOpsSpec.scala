@@ -617,4 +617,28 @@ class GraphOpsSpec extends SparkSpec {
     // one scale of the seed teleport (mass conservation sanity)
     assert(prs.head <= GraphOps.PrScale * 2)
   }
+
+  test("reliable-checkpoint seam: louvain output identical under checkpoint()") {
+    // the r16 ckpt seam (SCALE.md "executor loss and iterative state"):
+    // spark.graft.checkpoint.reliable=true routes every iterative round's
+    // lineage cut through reliable checkpoint() instead of the lossy
+    // localCheckpoint — results must be byte-identical, only durability
+    // changes. Exercised on the bridge fixture whose exact trajectory the
+    // louvain spec above pins.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val default = GraphOps.louvainFrom(rawOf(edges)).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val reliable = GraphOps.louvainFrom(rawOf(edges)).collect().toSeq
+      assert(reliable === default)
+      // the seam really switched: reliable checkpoint files were written
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
 }
